@@ -1,0 +1,66 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end through the `noop` sink (full computation on
+executors, no driver collect), timed after a JVM/session warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_suppliers",
+    "q_agg_last",
+    "q_having",
+    "q_join_inner",
+    "q_events_window",
+    "q_sessionize",
+    "q_orderby_topk",
+    "q_filter_bool",
+]
+
+
+def run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from csvtool_spark import queries as catalog
+    from csvtool_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in catalog.QUERIES]
+    # Warmup: spin the JVM, fill the file-listing and codegen caches.
+    run(catalog.QUERIES[names[0]](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run(catalog.QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

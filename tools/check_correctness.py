@@ -1,0 +1,64 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables and compares exactly (csvtool_spark.oracle).
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from csvtool_spark.oracle import compare, duck_connect
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from csvtool_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    con = duck_connect(sf_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            try:
+                n = sdf.count()
+                print(f"ok?  {name}: rows-only ({n} rows) — no oracle")
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL {name}: spark error: {e}")
+            continue
+        try:
+            err = compare(sdf, con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            err = f"error: {e}"
+        if err:
+            failures.append(name)
+            print(f"FAIL {name}: {err}")
+        else:
+            print(f"PASS {name}")
+
+    total = len(only) if only else len(qs)
+    print(f"\n{total - len(failures)}/{total} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
