@@ -1,0 +1,50 @@
+"""CLI for the csvtool dialect engine.
+
+Mirrors the reference's CLI surface (main.go:149-168): ``-c 'query'`` or a
+query piped on stdin; results stream to stdout as CSV, or to a file with
+``-o``. Multi-statement input (``;``) writes -N suffixed files / prints
+sequential blocks.
+
+    python -m csvtool_spark.cli -c "select top 5 from '/data/f.csv'"
+    echo "select ... ; select ..." | python -m csvtool_spark.cli -o out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="csvtool-spark", description=__doc__)
+    ap.add_argument("-c", "--command", help="query text (default: read stdin)")
+    ap.add_argument("-o", "--output", help="write result CSV to this path")
+    ap.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
+    args = ap.parse_args(argv)
+
+    text = args.command if args.command else sys.stdin.read()
+    if not text.strip():
+        print("no query given", file=sys.stderr)
+        return 2
+
+    from csvtool_spark.engine import CsvEngine
+    from csvtool_spark.session import get_spark
+
+    eng = CsvEngine(get_spark("csvtool-cli"))
+    if args.output:
+        for p in eng.save_csv(text, args.output):
+            print(p)
+        return 0
+
+    w = csv.writer(sys.stdout)
+    for df in eng.run(text):
+        w.writerow(df.columns)
+        it = df.toLocalIterator() if not args.limit else iter(df.take(args.limit))
+        for row in it:
+            w.writerow(["" if v is None else v for v in row])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

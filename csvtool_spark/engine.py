@@ -1,0 +1,157 @@
+"""CsvEngine — the user-facing entry point for the csvtool dialect.
+
+    eng = CsvEngine(spark)
+    df = eng.sql("select c1 c2 from '/data/file.csv' where c1 > 5")
+    for df in eng.run("select ... ; select ..."):   # multi-statement
+        ...
+
+Tables come from three places (superset of the reference, which only
+accepts ``.csv`` paths — utils.go:508,531):
+- CSV paths (quoted or bare, ``~`` expanded) → sampling schema inference
+  (sources/csv.py);
+- parquet paths (engine extension);
+- names registered via ``register(name, df)`` (engine extension) — dialect
+  types derived from the Spark schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csvtool_spark.dialect import ast
+from csvtool_spark.dialect.compiler import Compiler
+from csvtool_spark.dialect.errors import SemanticError
+from csvtool_spark.dialect.parser import parse
+from csvtool_spark.dialect.typecheck import Env, FileSchema, check_query
+from csvtool_spark.dialect.types import (
+    T_DATE,
+    T_DURATION,
+    T_FLOAT,
+    T_INT,
+    T_STRING,
+)
+from csvtool_spark.sources.csv import read_csv
+
+
+def _dialect_type(dt: T.DataType) -> int:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T_INT
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return T_FLOAT
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return T_DATE
+    if isinstance(dt, T.DayTimeIntervalType):
+        return T_DURATION
+    return T_STRING
+
+
+class CsvEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._registry: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self._registry[name] = df
+
+    def register_dir(self, sf_dir: str, names: list[str]) -> None:
+        from csvtool_spark.sources.parquet import read_table
+
+        for n in names:
+            self.register(n, read_table(self.spark, sf_dir, n))
+
+    # --- table resolution -------------------------------------------------
+
+    def _load(self, ref: ast.FileRef) -> tuple[DataFrame, list[str], list[int]]:
+        path = os.path.expanduser(ref.path)
+        if ref.path in self._registry:
+            df = self._registry[ref.path]
+            names = list(df.columns)
+            types = [_dialect_type(f.dataType) for f in df.schema.fields]
+            return df, names, types
+        if path.endswith(".parquet"):
+            df = self.spark.read.parquet(path)
+            names = list(df.columns)
+            types = [_dialect_type(f.dataType) for f in df.schema.fields]
+            return df, names, types
+        if path.endswith(".csv"):
+            if not os.path.exists(path):
+                raise SemanticError(f"cannot open file {ref.path}")
+            return read_csv(self.spark, path, noheader=ref.noheader)
+        raise SemanticError(f"unknown table or file {ref.path!r}")
+
+    # --- query execution --------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        q = parse(text)
+        env = Env()
+        if "nh" in q.options:
+            q.base.noheader = True
+            for j in q.joins:
+                j.file.noheader = True
+
+        dfs: dict[str, DataFrame] = {}
+        refs = [q.base] + [j.file for j in q.joins]
+        for ref in refs:
+            df, names, types = self._load(ref)
+            internal = [f"{ref.key}__{i}" for i in range(len(names))]
+            dfs[ref.key] = df.toDF(*internal)
+            schema = FileSchema(
+                key=ref.key, alias=ref.alias, display=names,
+                internal=internal, types=types,
+            )
+            env.files.append(schema)
+            env.by_alias[ref.key] = schema
+            if ref.alias:
+                env.by_alias[ref.alias] = schema
+            base = os.path.basename(ref.path)
+            env.by_alias.setdefault(base, schema)
+            env.by_alias.setdefault(os.path.splitext(base)[0], schema)
+
+        checked = check_query(q, env)
+        return Compiler(checked, dfs).compile()
+
+    def run(self, text: str) -> list[DataFrame]:
+        """;-separated multi-statement execution (main.go:117-147)."""
+        return [self.sql(s) for s in text.split(";") if s.strip()]
+
+    # --- sinks ------------------------------------------------------------
+
+    def save_csv(self, text: str, out_path: str) -> list[str]:
+        """Run statements and write each result as ONE csv file; multi-query
+        outputs get -N suffixes before the extension (files.go:85-156)."""
+        results = self.run(text)
+        written = []
+        stem, ext = os.path.splitext(out_path)
+        ext = ext or ".csv"
+        for i, df in enumerate(results):
+            p = out_path if len(results) == 1 else f"{stem}-{i + 1}{ext}"
+            write_single_csv(df, p)
+            written.append(p)
+        return written
+
+
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV sink. coalesce(1) matches the reference's one-file
+    contract for interactive use; large extracts should use
+    ``df.write.csv(dir)`` (one file per partition) instead."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="csvsink_")
+    try:
+        out = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.DayTimeIntervalType):
+                out = out.withColumn(f.name, F.col(f.name).cast("string"))
+        out.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{tmp}/out"
+        )
+        part = glob.glob(f"{tmp}/out/part-*.csv")[0]
+        shutil.copy(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -22,6 +22,12 @@ def csv_week(d: Column) -> Column:
     return (F.dayofyear(d) / F.lit(7)).cast("int")
 
 
+def csv_dayofweek(d: Column) -> Column:
+    """Reference ``day(d)``/``dayofweek(d)`` is Go ``Weekday()``: 0=Sunday..
+    6=Saturday (selector.go:231); Spark dayofweek is 1-based Sunday."""
+    return F.dayofweek(d) - F.lit(1)
+
+
 def monthname(d: Column) -> Column:
     """Full month name, e.g. 'January' (selector.go:228)."""
     return F.date_format(d, "MMMM")

@@ -1,0 +1,150 @@
+"""CSV reading with the reference's sampling schema inference.
+
+Reference behavior (/root/reference/utils.go:407-444): read ≤10,000 sample
+rows, fold each column's type through the narrowing lattice (max over
+NULL<INT<FLOAT<DATE<DURATION<STRING), header row supplies names unless
+``noheader`` (then col1..colN). Spark's built-in inferSchema differs (no
+duration type, no leading-zero rule), so inference is a small custom module:
+sample via ``limit(N)`` (reads only the file head at any scale), infer
+driver-side, then cast the full string-typed scan column-by-column with
+JVM-side expressions:
+
+- INT → LongType, FLOAT → DoubleType (cast; unparseable → null)
+- DATE → TimestampType through an ordered list of try_to_timestamp formats
+  (approximating the reference's permissive dateparse.ParseAny)
+- DURATION → DayTimeIntervalType from '<num> <unit>' or Go 'XhYmZs' syntax
+- null tokens ''/'null'/'NA' → real SQL nulls in every column type
+  (utils.go:384, selector.go:302-304)
+
+The cast pipeline is pure pyspark.sql.functions — no UDFs; at 100 TB the
+inference cost is one bounded head read and the casts stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csvtool_spark.dialect.types import (
+    T_DATE,
+    T_DURATION,
+    T_FLOAT,
+    T_INT,
+    T_NULL,
+    T_STRING,
+    narrowest_type,
+    widen,
+)
+
+SAMPLE_ROWS = 10_000
+
+#: Spark-side datetime format attempts (twin of dialect.types.DATE_FORMATS).
+SPARK_DATE_FORMATS = [
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "M/d/yyyy H:m:s",
+    "M/d/yyyy H:m",
+    "M/d/yyyy",
+    "M/d/yy",
+    "M-d-yyyy",
+    "d MMM yyyy",
+    "MMM d yyyy",
+    "MMM d, yyyy",
+    "MMMM d yyyy",
+    "MMMM d, yyyy",
+    "yyyy/M/d",
+]
+
+_NULL_TOKENS = ("", "null", "na")
+
+
+def _nulled(col: Column) -> Column:
+    """Null tokens → SQL null (case-insensitive 'null', exact 'NA', '')."""
+    return F.when(
+        F.lower(F.trim(col)).isin("null", "") | (F.trim(col) == "NA"), F.lit(None)
+    ).otherwise(col)
+
+
+def parse_date_col(col: Column) -> Column:
+    c = F.trim(col)
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in SPARK_DATE_FORMATS])
+
+
+def parse_duration_col(col: Column) -> Column:
+    """'<num> <unit>' / Go-style compound → DayTimeIntervalType (seconds)."""
+    c = F.trim(col)
+    num = F.regexp_extract(c, r"^(-?\d+(?:\.\d+)?)\s*([A-Za-zµ]+)$", 1)
+    unit = F.lower(F.regexp_extract(c, r"^(-?\d+(?:\.\d+)?)\s*([A-Za-zµ]+)$", 2))
+    unit_secs = (
+        F.when(unit.isin("s", "second", "seconds"), 1.0)
+        .when(unit.isin("m", "minute", "minutes"), 60.0)
+        .when(unit.isin("h", "hour", "hours"), 3600.0)
+        .when(unit.isin("d", "day", "days"), 86400.0)
+        .when(unit.isin("w", "week", "weeks"), 604800.0)
+        # year = exactly 52 weeks; months impossible (utils.go:503)
+        .when(unit.isin("y", "year", "years"), 52 * 604800.0)
+    )
+    simple = num.cast("double") * unit_secs
+    # Go compound style: 1h30m45s (h/m/s parts, each optional)
+    go_re = r"^(?:(\d+(?:\.\d+)?)h)?(?:(\d+(?:\.\d+)?)m)?(?:(\d+(?:\.\d+)?)s)?$"
+    is_go = c.rlike(r"^(\d+(?:\.\d+)?[hms]){1,3}$")
+    go_secs = (
+        F.coalesce(F.regexp_extract(c, go_re, 1).cast("double"), F.lit(0.0)) * 3600
+        + F.coalesce(F.regexp_extract(c, go_re, 2).cast("double"), F.lit(0.0)) * 60
+        + F.coalesce(F.regexp_extract(c, go_re, 3).cast("double"), F.lit(0.0))
+    )
+    secs = F.coalesce(simple, F.when(is_go, go_secs))
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
+def cast_column(col: Column, t: int) -> Column:
+    base = _nulled(col)
+    if t == T_INT:
+        return base.cast("long")
+    if t == T_FLOAT:
+        return base.cast("double")
+    if t == T_DATE:
+        return parse_date_col(base)
+    if t == T_DURATION:
+        return parse_duration_col(base)
+    if t == T_NULL:
+        return base.cast("string")  # all-null column
+    return base.cast("string")
+
+
+def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
+    types = [T_NULL] * width
+    for row in sample_rows:
+        for i in range(min(width, len(row))):
+            v = row[i]
+            types[i] = widen(types[i], narrowest_type(v if v is not None else ""))
+    return types
+
+
+def read_csv(
+    spark: SparkSession, path: str, noheader: bool = False
+) -> tuple[DataFrame, list[str], list[int]]:
+    """Read a CSV with inferred dialect types.
+
+    Returns (typed DataFrame, display names, dialect type per column).
+    """
+    raw = (
+        spark.read.option("header", "false" if noheader else "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    if noheader:
+        names = [f"col{i + 1}" for i in range(len(raw.columns))]
+        raw = raw.toDF(*names)
+    else:
+        names = list(raw.columns)
+    sample = [[row[i] for i in range(len(names))] for row in raw.limit(SAMPLE_ROWS).collect()]
+    types = infer_types(sample, len(names))
+    typed = raw.select(
+        *[cast_column(F.col(raw.columns[i]), types[i]).alias(names[i]) for i in range(len(names))]
+    )
+    return typed, names, types
