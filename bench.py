@@ -27,6 +27,11 @@ HEADLINE = [
     "q_sessionize",
     "q_orderby_topk",
     "q_filter_bool",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_quality",
+    "q_text_langid",
+    "q_ann_bruteforce",
 ]
 
 

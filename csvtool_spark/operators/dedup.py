@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+- Signatures (minhash/simhash) are computed in ONE projection pass over the
+  corpus — pure column expressions, no UDFs, no shuffle.
+- Candidate generation is LSH banding: explode to (band, key) rows and
+  self-join on the band key. This replaces the O(n²) all-pairs comparison
+  with an equi-join whose cost tracks the number of true near-duplicates;
+  Spark shuffles by band key, so work distributes evenly unless a bucket is
+  degenerate (identical boilerplate) — cap giant buckets before joining.
+- Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+
+All hashes are Spark's xxhash64 — deterministic across runs/executors, so
+results are reproducible (not comparable to other engines; the harness
+records rows-only checks for the LSH operators and full oracle checks for
+exact dedup and Jaccard verification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators.textstats import tokens
+
+#: Skip LSH buckets bigger than this: a bucket with B members yields B²/2
+#: candidate pairs; degenerate boilerplate buckets would dominate the join.
+MAX_BUCKET = 1000
+
+
+def normalized(col: Column) -> Column:
+    return F.lower(F.trim(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+    groupBy on a 128-bit hash — never shuffles the full text."""
+    h = F.md5(normalized(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select(id_col, F.col("__h").alias("text_hash"), "n_copies")
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles; documents shorter than k words get one whole-text
+    shingle (guards F.sequence against negative ranges)."""
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """n_hashes-wide MinHash signature as ONE aggregate fold: each shingle
+    is hashed n_hashes times exactly once, accumulating element-wise minima.
+
+    (The naive per-lane formulation — n_hashes × array_min(transform(...)) —
+    re-evaluates the shingle array per lane once Catalyst inlines the
+    projection: 64× the work. This fold form benched ~40× faster at sf0.1.)
+    """
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), n_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.xxhash64(i, s),
+            ),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> DataFrame:
+    """Explode a signature into (band_id, band_key) rows."""
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice(F.col(sig_col), b * rows + 1, rows),
+                    lambda v: v.cast("string"),
+                ))).alias("band_key"),
+            ),
+        )
+    )
+    return df.select(id_col, band.alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Self-join on (band_id, band_key) → distinct unordered id pairs.
+    Giant buckets are capped (see MAX_BUCKET)."""
+    sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
+    pruned = banded.join(
+        sizes.filter(F.col("__bn") <= MAX_BUCKET), ["band_id", "band_key"]
+    )
+    a = pruned.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = pruned.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(tok_a: Column, tok_b: Column) -> Column:
+    """Exact Jaccard over distinct token sets (round(·,6) keeps the value
+    comparable across engines)."""
+    sa, sb = F.array_distinct(tok_a), F.array_distinct(tok_b)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.round(inter / F.when(union > 0, union), 6)
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    candidate join → exact-Jaccard verify ≥ threshold.
+
+    bands=16 × rows=4 over 64 hashes ⇒ s-curve threshold ≈ (1/16)^(1/4) ≈
+    0.5 Jaccard on shingle sets — recall-biased for a 0.6 verify cut."""
+    rows = n_hashes // bands
+    toks = tokens(normalized(F.col(text_col)))
+    # Materialize tokens/shingles as columns so the signature fold consumes
+    # a computed array instead of re-inlining the shingle expression.
+    staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", word_shingles(F.col("__toks"), shingle_k).alias("__shingles")
+    )
+    sigs = staged.select(
+        id_col,
+        "__toks",
+        minhash_signature(F.col("__shingles"), n_hashes).alias("__sig"),
+    )
+    pairs = candidate_pairs(_banded(sigs, id_col, "__sig", bands, rows), id_col)
+    ta = sigs.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = sigs.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__ta"), F.col("__tb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 3
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via single-shingle blocking:
+    docs sharing ANY shingle become candidates (exact recall, higher cost
+    than MinHash banding — use on pre-filtered/small corpora)."""
+    toks = tokens(normalized(F.col(text_col)))
+    base = df.select(F.col(id_col), word_shingles(toks, k).alias("__sh"))
+    ex = base.select(id_col, F.explode("__sh").alias("__s"))
+    sizes = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__bn"))
+    ex = ex.join(sizes.filter(F.col("__bn") <= MAX_BUCKET), "__s")
+    pairs = (
+        ex.select(F.col("__s"), F.col(id_col).alias("id_a"))
+        .join(ex.select(F.col("__s"), F.col(id_col).alias("id_b")), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, ±1 vote per bit, sign → bit.
+    Shift/AND ops are bitwise (no ANSI overflow)."""
+    # F.shiftright*/shiftleft python wrappers require literal ints; inside
+    # lambdas the bit index is a Column, so call the SQL functions directly.
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.call_function("shiftrightunsigned", F.xxhash64(t), b)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup: 4×16-bit chunk blocking (any pair within Hamming
+    distance ≤ 3·16 shares ≥1 exact chunk; wider distances are best-effort)
+    then exact Hamming verify via bit_count(xor)."""
+    toks = tokens(normalized(F.col(text_col)))
+    sigs = df.select(F.col(id_col), simhash64(toks).alias("__sim"))
+    chunks = sigs.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.struct(
+                    j.alias("chunk_id"),
+                    F.call_function("shiftrightunsigned", F.col("__sim"), j * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_key"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "__sim", "c.chunk_id", "c.chunk_key")
+    a = chunks.select(
+        "chunk_id", "chunk_key", F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa")
+    )
+    b = chunks.select(
+        "chunk_id", "chunk_key", F.col(id_col).alias("id_b"), F.col("__sim").alias("__sb")
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        a.join(b, ["chunk_id", "chunk_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``ann_bruteforce``: exact top-k by cosine — one scan + TakeOrderedAndProject.
+  The correctness baseline and the right plan when k·queries is small.
+- ``ann_lsh``: random-hyperplane (SRP) LSH bucketing — the scale path. Each
+  vector maps to an n-bit signature; candidates share the query's bucket (or
+  a 1-bit-flip neighbor, multiprobe). At 100 TB the bucket join prunes the
+  scan to a small candidate set before exact re-ranking.
+- ``near_dup_pairs_embedding``: all-pairs near-dup via the same buckets.
+
+Hyperplanes are generated from a fixed seed (deterministic across runs) and
+shipped as literal arrays — tiny (#planes × dim doubles), no broadcast join
+needed. Dot products are ``zip_with``+``aggregate`` folds in double
+precision, JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_d(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.round(dot(a, b) / F.when(denom > 0, denom), 6)
+
+
+def ann_bruteforce(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine against one query vector. orderBy+limit compiles
+    to TakeOrderedAndProject — no global sort, no shuffle of the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _vec_d(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), cosine(v, q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def srp_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: bit p = sign(planes[p]·v)."""
+    bits = []
+    for p in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bits.append(
+            F.when(dot(_vec_d(vec), plane) > 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table SRP-LSH ANN: L independent tables of n_planes bits; a
+    vector is a candidate if it lands in the query's bucket (± multiprobe
+    1-bit flips) in ANY table; candidates are exactly re-ranked by cosine.
+
+    Recall/cost tuning: per-table collision prob for angle θ is
+    (1-θ/π)^n_planes; any-of-L lifts recall, more planes cut candidates.
+    The defaults (4×6, 1-bit probe) target weakly-similar corpora (θ≈60°);
+    tight near-dup search wants n_planes 12-16, n_tables 2-4. At scale the
+    per-table bucket key is a plain long column — write the corpus bucketed
+    by it and the probe becomes a partition-pruned point lookup."""
+    dim = len(query)
+    qv = np.asarray(query, dtype=float)
+    cand = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        qsig = 0
+        for p in range(n_planes):
+            if float(planes[p] @ qv) > 0:
+                qsig |= 1 << p
+        probe = {qsig}
+        if multiprobe >= 1:
+            probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+        hit = srp_signature(F.col(vec_col), planes).isin(*[int(s) for s in probe])
+        cand = hit if cand is None else cand | hit
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _vec_d(F.col(vec_col))
+    return (
+        df.filter(cand)
+        .select(F.col(id_col), cosine(v, q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def near_dup_pairs_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP bucket join then exact
+    cosine verify. Recall is bounded by bucket collision probability
+    (1 - θ/π)^n_planes per pair — raise n_planes bands for precision or add
+    multiprobe joins for recall."""
+    dim_planes = hyperplanes(len(df.select(vec_col).first()[0]), n_planes, seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        srp_signature(F.col(vec_col), dim_planes).alias("__sig"),
+    )
+    a = base.select(
+        F.col("__sig"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        F.col("__sig"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(_vec_d(F.col("__va")), _vec_d(F.col("__vb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,140 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is a pure ``pyspark.sql.functions`` Column tree (no UDFs) —
+stays inside whole-stage codegen and scales linearly with the scan. Each
+builder has a DuckDB-equivalent SQL shape used by the harness oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: word pieces, digit runs, or single punctuation.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Small per-language marker-word sets for the n-gram/stopword language
+#: heuristic. Real pipelines plug in fastText or CLD3 via mapInPandas; the
+#: heuristic keeps language-ID expressible as a pure column tree.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "für"],
+    "es": ["el", "la", "los", "de", "y", "es", "una", "en", "por", "que"],
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (documents are single-space separated)."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex tokens — a cheap proxy for subword token
+    counts when no tokenizer model is available."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_REGEX), F.lit(0))).cast("long")
+
+
+def stopword_count(col: Column, words: list[str] | None = None) -> Column:
+    ws = words or ENGLISH_STOPWORDS
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: t.isin(*ws))
+    ).cast("long")
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """Distinct/total token ratio — low values flag repetitive spam."""
+    n = F.size(tokens(col))
+    return F.when(n > 0, F.size(F.array_distinct(tokens(col))).cast("double") / n.cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^.!?,;:]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    n = F.size(tokens(col))
+    # total chars minus separators, over token count
+    return F.when(
+        n > 0,
+        (F.length(col) - (n - 1)).cast("double") / n.cast("double"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors documents with a sane
+    token count, word diversity and stopword presence — the standard cheap
+    pre-filter shape for LLM training corpora (C4-style)."""
+    n = token_count(col).cast("double")
+    length_ok = F.when((n >= 10) & (n <= 5000), 1.0).otherwise(0.3)
+    diversity = F.coalesce(distinct_token_ratio(col), F.lit(0.0))
+    stop = F.coalesce(
+        stopword_count(col).cast("double") / F.when(n > 0, n), F.lit(0.0)
+    )
+    stop_ok = F.when(stop > 0.02, 1.0).otherwise(0.5)
+    return F.round((length_ok * 0.4 + diversity * 0.4 + stop_ok * 0.2), 6)
+
+
+def _marker_filter(ws: list[str]):
+    # NB: a two-arg lambda would be treated as (element, index) by F.filter
+    return lambda t: t.isin(*ws)
+
+
+def lang_marker_counts(col: Column) -> dict[str, Column]:
+    low = F.lower(col)
+    return {
+        lang: F.size(F.filter(tokens(low), _marker_filter(ws))).cast("long")
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def cjk_char_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^一-鿿]", "")).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax over marker-word counts, with a CJK-character override.
+    Deterministic tie-break: language key order en > fr > de > es."""
+    counts = lang_marker_counts(col)
+    # winner = first language (en,fr,de,es order) achieving the max count
+    best = F.lit("unknown")
+    best_n = F.lit(0).cast("long")
+    for lang, c in counts.items():
+        take = c > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return F.when(cjk_char_count(col) * 4 > F.length(col), F.lit("zh")).otherwise(best)
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Order-insensitive content hash: md5 over the sorted distinct token
+    set. Survives token reordering; the standard 'bag fingerprint'."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(col)))))
+    )
+
+
+def _token_int(tok: Column) -> Column:
+    """Deterministic cross-engine 32-bit integer per token: first 8 md5 hex
+    digits as an integer (identical in DuckDB via substr(md5(),1,8))."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over tokens:
+    ``h = (h*31 + int(md5(tok)[:8])) % m``. ANSI-safe: the accumulator stays
+    < m ≈ 2^30, so h*31 + token < 2^36 never overflows int64."""
+    return F.aggregate(
+        tokens(F.lower(col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + _token_int(t)) % F.lit(mod),
+    )

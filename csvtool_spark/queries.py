@@ -805,3 +805,8 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("value"))).alias("sum_v_c"),
         )
     )
+
+
+# Scale-operator catalog entries (dedup / similarity / text / multimodal)
+# register themselves through the same decorator:
+from csvtool_spark import scale_queries  # noqa: E402,F401

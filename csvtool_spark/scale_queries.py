@@ -1,0 +1,267 @@
+"""Harness catalog entries for the beyond-reference scale operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Oracle strategy: text analytics and exact dedup are fully SQL-expressible in
+DuckDB (same expression shapes, same left-fold accumulation via
+list_reduce+prepend ⇒ bit-identical doubles). The xxhash64-based LSH
+operators (MinHash banding, SimHash, SRP buckets) are engine-specific and
+registered rows-only — but their *verification* math (Jaccard, Hamming,
+cosine) is cross-checked by the SQL-expressible companions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import dedup, multimodal, similarity, textstats
+from csvtool_spark.queries import ORACLES, QUERIES, load, register
+
+# --- text analysis --------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_REGEX}')) AS BIGINT) AS n_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars2
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_token_count(t).alias("n_bpe"),
+        F.length(t).cast("long").alias("n_chars2"),
+    )
+
+
+@register(
+    "q_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','and','of','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                 + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
+                 + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
+                         THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "q_text_langid",
+    """
+    WITH c AS (
+      SELECT doc_id, lang, length(text) AS L,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('the','and','of','to','in','is','that','for','with','on'))) AS BIGINT) AS en,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN cjk * 4 > L THEN 'zh'
+                WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
+                WHEN en = greatest(en, fr, de, es) THEN 'en'
+                WHEN fr = greatest(fr, de, es) THEN 'fr'
+                WHEN de = greatest(de, es) THEN 'de'
+                ELSE 'es' END AS lang_guess
+    FROM c
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS content_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                 t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.content_fingerprint(F.col("text")).alias("content_fp"),
+        textstats.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@register("q_dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_minhash(d, "text", "doc_id", threshold=0.4)
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-based
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_simhash(d, "text", "doc_id", max_hamming=6)
+
+
+@register(
+    "q_dedup_ngram",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+                 i -> array_to_string((string_split(lower(trim(text)), ' '))[i+1:i+3], ' ')))
+             ELSE [array_to_string(string_split(lower(trim(text)), ' '), ' ')] END AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                         THEN CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END),
+                 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                        THEN CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END),
+                6) >= 0.2
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shingle-blocking is lossless for threshold > 0 (any positive Jaccard
+    # pair shares ≥1 shingle), so the O(n²) DuckDB oracle is equivalent.
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+
+
+@register("q_embed_neardup")  # rows-only: SRP buckets are seed-specific
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic embeddings top out near cosine 0.51 — 0.4 exercises the
+    # verify stage; production near-dup would use 0.9+.
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_embedding(
+        e, "embedding", "vec_id", threshold=0.4, n_planes=8
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+_COS_SQL = """
+    round(
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len(e.embedding)+1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        (a,b) -> a + b)
+      / (CASE WHEN
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a,b) -> a + b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.embedding)+1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+             (a,b) -> a + b)) > 0
+         THEN
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a,b) -> a + b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.embedding)+1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+             (a,b) -> a + b))
+         END), 6)
+"""
+
+
+@register(
+    "q_ann_bruteforce",
+    f"""
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_bruteforce(e, "embedding", "vec_id", qvec, k=10)
+
+
+@register("q_ann_lsh")  # rows-only: bucket membership is seed-specific
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_lsh(e, "embedding", "vec_id", qvec, k=10)
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return multimodal.attach_fake_media(d, "text", "doc_id").select(
+        "doc_id", "media_type", "n_bytes"
+    )
+
+
+@register("q_multimodal_features")  # rows-only: stubbed decode via mapInPandas
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d, "text", "doc_id")
+    return multimodal.decode_features(media).select(
+        "doc_id", "n_bytes", "width", "height"
+    )

@@ -1,0 +1,6 @@
+from csvtool_spark.streaming.events import (  # noqa: F401
+    event_stream,
+    run_to_memory,
+    sessionized_stream,
+    windowed_agg_stream,
+)

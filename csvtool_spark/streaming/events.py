@@ -1,0 +1,103 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (SURVEY.md §2.9 — its "realtime"
+pieces are UI plumbing); this module is the engine extension that gives the
+batch operators streaming twins:
+
+- ``windowed_agg_stream``: tumbling event-time windows + watermark for late
+  data — the streaming twin of the batch ``q_events_window``;
+- ``sessionized_stream``: native ``session_window`` gap sessionization —
+  the streaming twin of the batch lag/cumsum ``q_sessionize``.
+
+Tests drive these with the file source → memory sink +
+``processAllAvailable()`` so a bounded batch flows through the real
+streaming engine (incremental execution, state store, watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with proper timestamps.
+
+    The file source watches a DIRECTORY; the testdata ships one parquet
+    file, so stage it into a per-session stream dir (production points at
+    the ingest directory and new files become micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import shutil
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg_stream(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with a late-data watermark. At scale the
+    state store holds one row per (window, event_type) until the watermark
+    passes — bounded state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("ws"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_v_c"),
+        )
+    )
+
+
+def sessionized_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via the native session_window operator (dynamic
+    window merge in the state store)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_v_c"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_v_c",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a bounded stream to completion into an in-memory table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

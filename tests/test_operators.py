@@ -1,0 +1,122 @@
+"""Unit/behavior tests for the scale operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r.doc_id: r.n_copies for r in out}
+    assert by_id[1] == 2          # docs 1 and 4 collapse, min id kept
+    assert 4 not in by_id
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dedup.near_dup_pairs_minhash(
+        _docs(spark), "text", "doc_id", threshold=0.3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found        # exact dup always survives
+    assert (1, 2) in found or (2, 4) in found   # near-dup via shingles
+    ja = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert ja[(1, 4)] == 1.0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), "text", "doc_id", threshold=0.5, k=3
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 4)] == 1.0
+    assert (1, 3) not in found
+
+
+def test_simhash_hamming(spark):
+    pairs = dedup.near_dup_pairs_simhash(
+        _docs(spark), "text", "doc_id", max_hamming=10
+    ).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(1, 4)] == 0       # identical text → identical simhash
+    if (1, 2) in ham:
+        assert ham[(1, 2)] <= 10
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [1.0, 0.01, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_bruteforce_orders_by_cosine(spark):
+    out = similarity.ann_bruteforce(_vecs(spark), "embedding", "vec_id", [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [1, 5, 2]
+    assert out[0].cos == 1.0
+
+
+def test_ann_lsh_finds_close_vectors(spark):
+    out = similarity.ann_lsh(
+        _vecs(spark), "embedding", "vec_id", [1.0, 0.0, 0.0], k=3, n_planes=8
+    ).collect()
+    assert out and out[0].vec_id == 1
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog went to the market in town"),
+        (2, "le chat est dans la maison et la porte est ouverte pour le chien"),
+        (3, "der hund ist mit der katze und das haus ist von den bäumen"),
+        (4, "el perro y el gato es una historia de los animales en la casa"),
+        (5, "这 是 一个 中文 文档 的 测试 文本 内容 示例"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.lang for r in df.select("id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "zh"}
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c a b"), (3, "a b x")], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        textstats.content_fingerprint(F.col("text")).alias("cfp"),
+        textstats.rolling_fingerprint(F.col("text")).alias("rfp"),
+    ).collect()
+    by = {r.id: r for r in rows}
+    assert by[1].cfp == by[2].cfp       # order-insensitive
+    assert by[1].rfp != by[2].rfp       # order-sensitive
+    assert by[1].cfp != by[3].cfp
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "xyz")], "doc_id long, text string")
+    media = multimodal.attach_fake_media(df, "text", "doc_id")
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = multimodal.decode_features(media).collect()
+    assert len(feats) == 2
+    by = {r.doc_id: r for r in feats}
+    assert by[1].n_bytes == 11
+    assert len(by[1].feature) == 8
+    assert abs(sum(by[1].feature) - 1.0) < 1e-6
+    frames = multimodal.frame_sample_plan(media, every_n=5).collect()
+    assert len(frames) >= 2
