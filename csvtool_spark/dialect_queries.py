@@ -1,0 +1,136 @@
+"""Harness entries that exercise the DIALECT FRONT-END end-to-end: each
+query is csvtool-SQL text compiled by CsvEngine against the parquet tables,
+hash-checked against a DuckDB oracle that mirrors the dialect's quirk
+semantics (count→double, half-open BETWEEN, default-DESC order, null-safe
+'=', truncating integer division, first-row DISTINCT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from csvtool_spark.engine import CsvEngine
+from csvtool_spark.queries import register
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> CsvEngine:
+    eng = CsvEngine(spark)
+    eng.register_dir(sf_dir, _TABLES)
+    return eng
+
+
+def dialect(name: str, text: str, oracle: str | None):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql(text)
+
+    fn.__name__ = name
+    fn.__doc__ = f"dialect: {text}"
+    register(name, oracle)(fn)
+
+
+dialect(
+    "q_dialect_filter",
+    "select o_orderkey o_totalprice from orders "
+    "where o_totalprice > 400000 and o_orderstatus = F",
+    # bare word F is a literal (parser.go:446-511); '=' is null-safe
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus IS NOT DISTINCT FROM 'F'
+    """,
+)
+
+dialect(
+    "q_dialect_agg",
+    "select o_orderpriority count(*) as cnt max(o_totalprice) as mx "
+    "min(o_totalprice) as mn from orders group by o_orderpriority",
+    # dialect count() returns FLOAT (treeProcess.go:81-84); min/max of
+    # doubles are order-independent (float-sum aggregates live in the
+    # direct-DataFrame catalog with integer-cents determinism instead)
+    """
+    SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS cnt,
+           max(o_totalprice) AS mx, min(o_totalprice) AS mn
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+dialect(
+    "q_dialect_between",
+    "select l_orderkey l_linenumber l_quantity from lineitem "
+    "where l_quantity between 10 and 20",
+    # dialect BETWEEN is half-open (selector.go:480-495)
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE CASE WHEN l_quantity >= 10 THEN l_quantity < 20 ELSE l_quantity >= 20 END
+    """,
+)
+
+dialect(
+    "q_dialect_intdiv",
+    "select l_orderkey l_orderkey / l_suppkey as q l_orderkey % 7 as m "
+    "from lineitem where l_orderkey < 5000",
+    """
+    SELECT l_orderkey,
+           CAST(trunc(CAST(l_orderkey AS DOUBLE) / nullif(l_suppkey, 0)) AS BIGINT) AS q,
+           l_orderkey % 7 AS m
+    FROM lineitem WHERE l_orderkey < 5000
+    """,
+)
+
+dialect(
+    "q_dialect_join",
+    "select c_custkey c_name n_name from customer c "
+    "join nation n on c.c_nationkey = n.n_nationkey where n_name = NATION_3",
+    # bare word NATION_3 is a string literal ('_' is a word character,
+    # scanner.go:163)
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IS NOT DISTINCT FROM 'NATION_3'
+    """,
+)
+
+dialect(
+    "q_dialect_leftjoin",
+    "select c_custkey o_orderkey from customer c "
+    "left join orders o on c.c_custkey = o.o_custkey",
+    """
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+
+dialect(
+    "q_dialect_topk",
+    # o_totalprice has duplicate values → sort on the unique key for a
+    # deterministic top-k row set (dialect default DESC)
+    "select top 25 o_orderkey o_totalprice from orders order by o_orderkey",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey DESC LIMIT 25
+    """,
+)
+
+dialect(
+    "q_dialect_distinct",
+    "select distinct c_mktsegment from customer",
+    # first-row DISTINCT keeps one row per value; single selected column ⇒
+    # equal to SQL DISTINCT
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+
+dialect(
+    "q_dialect_case_week",
+    "select o_orderkey year(o_orderdate) as y week(o_orderdate) as wk "
+    "case when o_totalprice > 300000 then big else small end as bucket "
+    "from orders where o_orderkey < 2000",
+    # dialect week() = dayofyear/7 integer division; year() is INT in the
+    # dialect (compiled to long)
+    """
+    SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(dayofyear(o_orderdate) // 7 AS BIGINT) AS wk,
+           CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS bucket
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)

@@ -42,7 +42,7 @@ def _dialect_type(dt: T.DataType) -> int:
         return T_INT
     if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         return T_FLOAT
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return T_DATE
     if isinstance(dt, T.DayTimeIntervalType):
         return T_DURATION

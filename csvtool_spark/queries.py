@@ -807,6 +807,6 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Scale-operator catalog entries (dedup / similarity / text / multimodal)
-# register themselves through the same decorator:
-from csvtool_spark import scale_queries  # noqa: E402,F401
+# Scale-operator and dialect-front-end catalog entries register themselves
+# through the same decorator:
+from csvtool_spark import dialect_queries, scale_queries  # noqa: E402,F401
