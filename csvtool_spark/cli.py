@@ -20,6 +20,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="csvtool-spark", description=__doc__)
     ap.add_argument("-c", "--command", help="query text (default: read stdin)")
     ap.add_argument("-o", "--output", help="write result CSV to this path")
+    ap.add_argument("--json", action="store_true", help="print JSON lines instead of CSV")
     ap.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
     args = ap.parse_args(argv)
 
@@ -35,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         for p in eng.save_csv(text, args.output):
             print(p)
+        return 0
+    if args.json:
+        for block in eng.to_json(text, limit=args.limit or None):
+            for line in block:
+                print(line)
         return 0
 
     w = csv.writer(sys.stdout)

@@ -121,6 +121,43 @@ dialect(
 )
 
 dialect(
+    "q_dialect_like_in",
+    "select p_partkey p_type p_brand from part "
+    "where p_type like '%o%' and p_brand in ('Brand#1', 'Brand#2') "
+    "and p_partkey not in (1, 2)",
+    # dialect LIKE is a case-insensitive anchored regex; IN uses null-safe
+    # equality per element
+    """
+    SELECT p_partkey, p_type, p_brand FROM part
+    WHERE p_type ILIKE '%o%' AND p_brand IN ('Brand#1', 'Brand#2')
+      AND p_partkey NOT IN (1, 2)
+    """,
+)
+
+dialect(
+    "q_dialect_concat_coalesce",
+    "select c_custkey c_name + '-' + c_mktsegment as tag "
+    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab from customer",
+    # '+' on strings concatenates (value.go:330-335)
+    """
+    SELECT c_custkey, c_name || '-' || c_mktsegment AS tag,
+           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab
+    FROM customer
+    """,
+)
+
+dialect(
+    "q_dialect_date_algebra",
+    "select o_orderkey o_orderdate + '30 days' as due "
+    "dayofmonth(o_orderdate) as dom from orders where o_orderkey < 3000",
+    """
+    SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+
+dialect(
     "q_dialect_case_week",
     "select o_orderkey year(o_orderdate) as y week(o_orderdate) as wk "
     "case when o_totalprice > 300000 then big else small end as bucket "

@@ -120,6 +120,18 @@ class CsvEngine:
 
     # --- sinks ------------------------------------------------------------
 
+    def to_json(self, text: str, limit: int | None = None) -> list[list[str]]:
+        """JSON result surface (reference marshals results to the GUI,
+        server.go:112-157): one list of JSON-object strings per statement.
+        ``limit`` caps rows per statement (the reference clips at
+        20000/num_cols for display)."""
+        out = []
+        for df in self.run(text):
+            if limit:
+                df = df.limit(limit)
+            out.append(df.toJSON().collect())
+        return out
+
     def save_csv(self, text: str, out_path: str) -> list[str]:
         """Run statements and write each result as ONE csv file; multi-query
         outputs get -N suffixes before the extension (files.go:85-156)."""

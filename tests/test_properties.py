@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the dialect front-end invariants.
+
+These are driver-side only (no Spark jobs) — they hammer the scanner,
+literal type inference, and quirk semantics with generated inputs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csvtool_spark.dialect.errors import DialectError
+from csvtool_spark.dialect.parser import parse
+from csvtool_spark.dialect.scanner import scan
+from csvtool_spark.dialect.types import (
+    T_DATE,
+    T_DURATION,
+    T_FLOAT,
+    T_INT,
+    T_NULL,
+    T_STRING,
+    narrowest_type,
+    parse_date,
+    parse_duration_seconds,
+    widen,
+)
+
+printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+
+@given(printable)
+@settings(max_examples=300, deadline=None)
+def test_scanner_total(text):
+    """The scanner either returns tokens or raises ScanError — never other
+    exceptions, and always terminates with EOF."""
+    try:
+        toks = scan(text)
+    except DialectError:
+        return
+    assert toks[-1].kind == "EOF"
+    for t in toks[:-1]:
+        assert t.kind in ("WORD", "OP")
+        assert t.quoted or t.val != ""
+
+
+@given(printable)
+@settings(max_examples=300, deadline=None)
+def test_parser_total(text):
+    """parse() either returns a Query or raises a DialectError."""
+    try:
+        q = parse("select a from 'f.csv' where b = " + text)
+        assert q.base.path == "f.csv"
+    except DialectError:
+        pass
+
+
+@given(st.integers(min_value=-(10**17), max_value=10**17))
+def test_int_literals_infer_int(n):
+    t = narrowest_type(str(n))
+    if str(n).startswith("0") and len(str(n)) > 1:
+        assert t == T_STRING  # leading-zero rule
+    else:
+        assert t == T_INT
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_float_literals_infer_numeric(x):
+    t = narrowest_type(repr(x))
+    assert t in (T_INT, T_FLOAT)
+
+
+@given(st.sampled_from(["null", "NULL", "Null", "NA", ""]))
+def test_null_tokens(tok):
+    assert narrowest_type(tok) == T_NULL
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.sampled_from(["s", "m", "h", "d", "w", "y", "seconds", "minutes",
+                     "hours", "days", "weeks", "years"]),
+)
+def test_duration_inference_and_parse(n, unit):
+    s = f"{n} {unit}"
+    assert narrowest_type(s) == T_DURATION
+    secs = parse_duration_seconds(s)
+    assert secs is not None and secs > 0
+    per = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 52 * 604800}
+    assert secs == n * per[unit[0]]
+
+
+@given(st.datetimes(min_value=datetime(1900, 1, 1), max_value=datetime(2100, 1, 1)))
+def test_date_formats_roundtrip(dt):
+    d = dt.replace(microsecond=0)
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%m/%d/%Y"):
+        s = d.strftime(fmt)
+        parsed = parse_date(s)
+        assert parsed is not None
+        if fmt == "%m/%d/%Y":
+            assert parsed.date() == d.date()
+        else:
+            assert parsed == d
+
+
+@given(st.lists(st.sampled_from([T_NULL, T_INT, T_FLOAT, T_DATE, T_DURATION, T_STRING]), min_size=1))
+def test_widen_is_max_fold(types):
+    """Column inference = max over the narrowing order (associative,
+    commutative, idempotent)."""
+    acc = T_NULL
+    for t in types:
+        acc = widen(acc, t)
+    assert acc == max(types)
+    assert widen(acc, acc) == acc
+
+
+def test_between_halfopen_randomized_vs_model(spark):
+    """200 seeded random (x, a, b) triples: the Spark builder must agree
+    with a direct Python model of selector.go:480-495."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.functions.scalar import between_halfopen
+
+    rng = random.Random(1234)
+    rows = [
+        (rng.uniform(-100, 100), rng.uniform(-100, 100), rng.uniform(-100, 100))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x double, a double, b double")
+    got = [
+        r[0]
+        for r in df.select(
+            between_halfopen(F.col("x"), F.col("a"), F.col("b"))
+        ).collect()
+    ]
+    expected = [(x < b) if x >= a else (x >= b) for x, a, b in rows]
+    assert got == expected
