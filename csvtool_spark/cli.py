@@ -22,6 +22,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-o", "--output", help="write result CSV to this path")
     ap.add_argument("--json", action="store_true", help="print JSON lines instead of CSV")
     ap.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
+    ap.add_argument(
+        "--explain", action="store_true",
+        help="print the Catalyst physical plan instead of executing",
+    )
     args = ap.parse_args(argv)
 
     text = args.command if args.command else sys.stdin.read()
@@ -33,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     from csvtool_spark.session import get_spark
 
     eng = CsvEngine(get_spark("csvtool-cli"))
+    if args.explain:
+        for df in eng.run(text):
+            df.explain("formatted")
+        return 0
     if args.output:
         for p in eng.save_csv(text, args.output):
             print(p)

@@ -376,25 +376,55 @@ class Compiler:
         out_cols = [f"__out{i}" for i in range(len(visible))]
 
         if self.c.is_aggregate:
-            agg_exprs = [
-                self.expr(s.expr, agg=True).alias(c)
-                for s, c in zip(visible, out_cols)
-            ]
+            # A bare selection that IS one of the group keys needs no
+            # aggregate at all — emitting the key directly (instead of
+            # F.last, whose string buffer would force SortAggregate) keeps
+            # the plan a HashAggregate.
+            def _group_idx(e) -> int | None:
+                if e.has_agg:
+                    return None
+                for i, g in enumerate(q.groupby):
+                    if g == e:
+                        return i
+                return None
+
+            agg_exprs, from_key = [], {}
+            for s, c in zip(visible, out_cols):
+                gi = _group_idx(s.expr)
+                if gi is not None:
+                    from_key[c] = f"__g{gi}"
+                else:
+                    agg_exprs.append(self.expr(s.expr, agg=True).alias(c))
             extra = []
             if q.having is not None:
                 extra.append(self.pred(q.having, agg=True).alias("__having"))
             if q.orderby is not None:
-                # Sort expr is computed per group like a hidden selection
-                # (parser.go:96-105): F.last of a group key is the key.
-                extra.append(self.expr(q.orderby, agg=True).alias("__ord"))
+                ogi = _group_idx(q.orderby)
+                if ogi is not None:
+                    from_key["__ord"] = f"__g{ogi}"
+                else:
+                    # Sort expr is computed per group like a hidden selection
+                    # (parser.go:96-105).
+                    extra.append(self.expr(q.orderby, agg=True).alias("__ord"))
+            if not agg_exprs and not extra:
+                extra.append(F.count(F.lit(1)).alias("__dummy"))
             keys = [self.expr(g).alias(f"__g{i}") for i, g in enumerate(q.groupby)]
             if keys:
                 df = df.groupBy(*keys).agg(*agg_exprs, *extra)
             else:
                 df = df.agg(*agg_exprs, *extra)
+            for c, g in from_key.items():
+                df = df.withColumn(c, F.col(g))
             if q.having is not None:
                 df = df.filter(F.col("__having"))
-            df = df.drop("__having", *[f"__g{i}" for i in range(len(keys))])
+            df = df.drop(
+                "__having", "__dummy", *[f"__g{i}" for i in range(len(keys))]
+            )
+            # restore declared output order (withColumn appends)
+            order = [c for c in out_cols] + (
+                ["__ord"] if q.orderby is not None else []
+            )
+            df = df.select(*order)
         else:
             sel = [self.expr(s.expr).alias(c) for s, c in zip(visible, out_cols)]
             if q.orderby is not None:
