@@ -258,6 +258,72 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- curation pipeline ----------------------------------------------------
+
+
+@register(
+    "q_pipeline_curate",
+    # Oracle covers the SQL-expressible pipeline (quality filter + language
+    # filter + exact dedup); the near-dup stage is disabled here so both
+    # engines compute the identical set. The full pipeline (with MinHash
+    # near-dedup) runs as the rows-only q_pipeline_curate_full.
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','and','of','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             length(text) AS L
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                   + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
+                   + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
+                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+             CASE WHEN cjk * 4 > L THEN 'zh' ELSE 'latin' END AS zh_flag,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('the','and','of','to','in','is','that','for','with','on'))) AS BIGINT) AS en,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
+      FROM t
+    ), kept AS (
+      SELECT doc_id, text, quality FROM scored
+      WHERE quality >= 0.5
+        AND zh_flag <> 'zh'
+        AND greatest(en, fr, de, es) > 0
+        AND en = greatest(en, fr, de, es)
+    )
+    SELECT k.doc_id, k.quality FROM kept k
+    JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))) s
+      ON k.doc_id = s.doc_id
+    """,
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import pipeline
+
+    d = load(spark, sf_dir, "documents")
+    return pipeline.curate(
+        d, min_quality=0.5, languages=("en",), near_dup_threshold=None
+    ).select("doc_id", "quality")
+
+
+@register("q_pipeline_curate_full")  # rows-only: includes MinHash near-dedup
+def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import pipeline
+
+    d = load(spark, sf_dir, "documents")
+    return pipeline.curate(
+        d, min_quality=0.5, languages=("en",), near_dup_threshold=0.5
+    ).select("doc_id", "quality", "lang_guess", "n_tokens")
+
+
 @register("q_multimodal_features")  # rows-only: stubbed decode via mapInPandas
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
