@@ -427,29 +427,32 @@ def q_agg_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stddev",
     """
     SELECT o_orderstatus,
-           sqrt((CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT) * CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)
-                 - CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)
-                   * CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-                / (CAST(count(*) AS DOUBLE) - 1.0)) / 100.0 AS sd_samp,
-           sqrt((CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT) * CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)
-                 - CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)
-                   * CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-                / CAST(count(*) AS DOUBLE)) / 100.0 AS sd_pop
+           sqrt((CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT) * CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
+                 - CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
+                   * CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_samp,
+           sqrt((CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT) * CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
+                 - CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
+                   * CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                / CAST(count(*) AS DOUBLE)) AS sd_pop
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stdev / stdevp (value.go:30-68). Production path is F.stddev_samp /
-    # F.stddev_pop (verified equivalent in tests); the harness variant derives
-    # both from exact integer sums so the value hash is engine-independent.
+    # F.stddev_pop (verified equivalent in tests); the harness variant
+    # derives both from exact integer sums so the value hash is
+    # engine-independent. Whole-dollar (not cents) basis: sum of squared
+    # values must stay under 2^63 through sf≈10 in ANSI mode — squared
+    # cents overflow at sf0.1.
     o = load(spark, sf_dir, "orders")
-    c = cents(F.col("o_totalprice"))
+    c = cents(F.col("o_totalprice"), scale=1)
     n = F.count(F.lit(1)).cast("double")
     s = F.sum(c).cast("double")
     ss = F.sum(c * c).cast("double")
     return o.groupBy("o_orderstatus").agg(
-        (F.sqrt((ss - s * s / n) / (n - F.lit(1.0))) / F.lit(100.0)).alias("sd_samp"),
-        (F.sqrt((ss - s * s / n) / n) / F.lit(100.0)).alias("sd_pop"),
+        F.sqrt((ss - s * s / n) / (n - F.lit(1.0))).alias("sd_samp"),
+        F.sqrt((ss - s * s / n) / n).alias("sd_pop"),
     )
 
 
