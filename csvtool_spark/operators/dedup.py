@@ -175,27 +175,37 @@ def near_dup_pairs_minhash(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 3
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via single-shingle blocking:
-    docs sharing ANY shingle become candidates (exact recall, higher cost
-    than MinHash banding — use on pre-filtered/small corpora)."""
+    """EXACT n-gram-Jaccard near-dup pairs, computed arithmetically:
+    |A∩B| = count of shared distinct shingles from the shingle-equi-join,
+    |A∪B| = |A|+|B|-|A∩B| from a tiny per-doc size table. No bucket cap,
+    no candidate distinct, no array shipping — the join rows are two ids.
+
+    Worst case is quadratic in documents sharing a hot shingle (this is the
+    exact operator; use MinHash banding for web-scale approximate dedup)."""
     toks = tokens(normalized(F.col(text_col)))
     base = df.select(F.col(id_col), word_shingles(toks, k).alias("__sh"))
+    sizes = base.select(id_col, F.size("__sh").alias("__n"))
     ex = base.select(id_col, F.explode("__sh").alias("__s"))
-    sizes = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__bn"))
-    ex = ex.join(sizes.filter(F.col("__bn") <= MAX_BUCKET), "__s")
-    pairs = (
+    inter = (
         ex.select(F.col("__s"), F.col(id_col).alias("id_a"))
         .join(ex.select(F.col("__s"), F.col(id_col).alias("id_b")), "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
-    sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    union = (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__i").cast("double") / F.when(union > 0, union), 6).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

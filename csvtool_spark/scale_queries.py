@@ -324,7 +324,19 @@ def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", "lang_guess", "n_tokens")
 
 
-@register("q_multimodal_features")  # rows-only: stubbed decode via mapInPandas
+@register(
+    "q_multimodal_features",
+    # The decode is an Arrow-batched mapInPandas stub whose geometry is a
+    # pure function of the byte length — so even the Python-worker path is
+    # oracle-checkable.
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(greatest(1, octet_length(encode(text)) % 640) AS INTEGER) AS width,
+           CAST(greatest(1, (octet_length(encode(text)) * 7) % 480) AS INTEGER) AS height
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(d, "text", "doc_id")
