@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from csvtool_spark.dialect import ast
 from csvtool_spark.dialect.errors import SemanticError
-from csvtool_spark.dialect.typecheck import Checked, Env, FileSchema
+from csvtool_spark.dialect.typecheck import Checked
 from csvtool_spark.dialect.types import (
     T_DATE,
     T_DURATION,

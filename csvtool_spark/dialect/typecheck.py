@@ -566,6 +566,21 @@ def check_query(q: ast.Query, env: Env) -> Checked:
         check_pred(q.having, env, allow_agg=True)
 
     is_agg = bool(q.groupby) or any(s.expr.has_agg for s in q.selections)
+    if is_agg:
+        def _has_inc(e) -> bool:
+            if isinstance(e, ast.Func):
+                return e.name == "inc" or any(_has_inc(a) for a in e.args)
+            for attr in ("left", "right", "operand", "base", "else_"):
+                v = getattr(e, attr, None)
+                if v is not None and _has_inc(v):
+                    return True
+            if isinstance(e, (ast.CaseWhenExpr, ast.CaseWhenPred)):
+                return any(_has_inc(x) for pair in e.whens for x in pair
+                           if isinstance(x, ast.Expr))
+            return False
+
+        if any(_has_inc(s.expr) for s in q.selections):
+            raise err("inc() is not supported in aggregate queries")
     if q.orderby is not None:
         # Engine extension: ORDER BY <selection alias> substitutes the
         # aliased expression (the reference would treat the bare word as a

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csvtool_spark.operators import dedup, multimodal, similarity, textstats
-from csvtool_spark.queries import ORACLES, QUERIES, load, register
+from csvtool_spark.queries import load, register
 
 # --- text analysis --------------------------------------------------------
 

@@ -170,6 +170,21 @@ def test_distinct_keeps_first_row(eng):
     assert ny.plate == "PL1001"
 
 
+def test_distinct_hidden_drops_column(eng):
+    # 'distinct hidden expr' dedups on the expr but omits it from output
+    # (parser.go:243-251, tok3 bit 2)
+    df = eng.sql("select distinct hidden state plate from" + V)
+    assert df.columns == ["plate"]
+    assert df.count() == 5  # one first-row per state
+
+
+def test_inc_rejected_in_aggregate_query(eng):
+    from csvtool_spark.dialect.errors import SemanticError
+
+    with pytest.raises(SemanticError):
+        eng.sql("select inc() state count(*) from" + V + "group by state")
+
+
 def test_order_by_defaults_desc(eng):
     rows = eng.sql("select fine from" + V + "order by fine limit 3").collect()
     vals = [r.fine for r in rows]

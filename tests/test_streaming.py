@@ -31,6 +31,29 @@ def test_windowed_agg_matches_batch(spark):
     assert got == expected
 
 
+def test_stateful_error_monitor(spark):
+    from csvtool_spark.sources.parquet import read_table
+    from csvtool_spark.streaming.stateful import user_error_monitor
+
+    stream = event_stream(spark, SF_SMALL)
+    run_to_memory(user_error_monitor(stream), "err_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM err_out").collect()
+    assert rows
+    # final per-user counters must equal the batch ground truth
+    got = {r.user_id: (r.n_events, r.n_errors) for r in rows}
+    batch = {
+        r.user_id: (r.n, r.e)
+        for r in read_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("e"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
 def test_sessionized_stream(spark):
     stream = event_stream(spark, SF_SMALL)
     run_to_memory(sessionized_stream(stream), "sess_out")
