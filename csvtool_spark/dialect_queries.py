@@ -12,7 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from csvtool_spark.engine import CsvEngine
 from csvtool_spark.queries import register
 
-_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events",
+]
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> CsvEngine:
@@ -154,6 +157,18 @@ dialect(
     SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due,
            CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom
     FROM orders WHERE o_orderkey < 3000
+    """,
+)
+
+dialect(
+    "q_dialect_events_hour",
+    # hour() over the nanos-timestamp events table (normalized to micros by
+    # the engine's parquet reader); xor in the predicate
+    "select event_id hour(ts) as h from events "
+    "where (value > 50) xor (event_type = error)",
+    """
+    SELECT event_id, CAST(hour(ts) AS BIGINT) AS h FROM events
+    WHERE (value > 50) <> (event_type IS NOT DISTINCT FROM 'error')
     """,
 )
 

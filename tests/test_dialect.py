@@ -226,6 +226,16 @@ def test_left_join_nulls(eng):
     assert len(rows) == 20
 
 
+def test_mixed_header_join(eng):
+    # per-file noheader: base has a header, join file does not
+    df = eng.sql(
+        "select v.state c.c1 from" + V + "as v join" + C
+        + "nh as c on v.count = c.c3"
+    )
+    assert df.columns == ["state", "col1"]
+    assert df.count() > 0
+
+
 def test_group_agg_values(eng, spark):
     rows = eng.sql(
         "select state sum(fine) as s count(*) as n from" + V + "group by state"
