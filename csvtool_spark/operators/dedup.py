@@ -158,12 +158,15 @@ def near_dup_pairs_minhash(
     )
     sigs = staged.select(
         id_col,
-        "__toks",
         minhash_signature(F.col("__shingles"), n_hashes).alias("__sig"),
     )
     pairs = candidate_pairs(_banded(sigs, id_col, "__sig", bands, rows), id_col)
-    ta = sigs.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
-    tb = sigs.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    # Verify joins read only the token arrays — sourcing them from the
+    # pre-signature stage keeps the signature pipeline computed ONCE (a
+    # sigs-sourced join would re-inline the whole minhash fold per branch).
+    toks_only = df.select(F.col(id_col), tokens(normalized(F.col(text_col))).alias("__toks"))
+    ta = toks_only.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = toks_only.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
