@@ -120,6 +120,39 @@ class CsvEngine:
 
     # --- sinks ------------------------------------------------------------
 
+    def save_csv_dir(
+        self, text: str, out_dir: str, partition_by: list[str] | None = None
+    ) -> list[str]:
+        """Distributed CSV sink: one DIRECTORY per statement (one file per
+        partition — the scale path; ``save_csv`` is the single-file
+        interactive path). ``partition_by`` adds hive-style partitioning."""
+        written = []
+        for i, df in enumerate(self.run(text)):
+            path = out_dir if i == 0 else f"{out_dir}-{i + 1}"
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.DayTimeIntervalType):
+                    df = df.withColumn(f.name, F.col(f.name).cast("string"))
+            w = df.write.mode("overwrite").option("header", True)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.csv(path)
+            written.append(path)
+        return written
+
+    def save_parquet(
+        self, text: str, out_dir: str, partition_by: list[str] | None = None
+    ) -> list[str]:
+        """Parquet sink (engine extension — the reference only writes CSV)."""
+        written = []
+        for i, df in enumerate(self.run(text)):
+            path = out_dir if i == 0 else f"{out_dir}-{i + 1}"
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            written.append(path)
+        return written
+
     def to_json(self, text: str, limit: int | None = None) -> list[list[str]]:
         """JSON result surface (reference marshals results to the GUI,
         server.go:112-157): one list of JSON-object strings per statement.

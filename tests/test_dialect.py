@@ -270,6 +270,18 @@ def test_csv_sink_roundtrip(eng, tmp_path):
     assert [os.path.basename(p) for p in multi] == ["m-1.csv", "m-2.csv"]
 
 
+def test_csv_dir_and_parquet_sinks(eng, spark, tmp_path):
+    out = eng.save_csv_dir(
+        "select plate state fine from" + V, str(tmp_path / "d"), partition_by=["state"]
+    )
+    back = spark.read.option("header", True).csv(out[0])
+    assert back.count() == 200
+    assert set(back.columns) == {"plate", "state", "fine"}
+
+    pq = eng.save_parquet("select top 10 plate fine from" + V, str(tmp_path / "p"))
+    assert spark.read.parquet(pq[0]).count() == 10
+
+
 def test_registered_table(eng, spark):
     eng.register("lineitem", spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
     df = eng.sql(
