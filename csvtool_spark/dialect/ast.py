@@ -160,6 +160,7 @@ class FileRef:
     path: str          # file path or registered table name
     alias: str | None = None
     noheader: bool = False
+    multiline: bool = False   # engine extension: quoted embedded newlines
     key: str = ""      # _f1, _f2, ... assigned in parse order
 
 

@@ -171,8 +171,17 @@ def _parse_selections(p: _P, q: ast.Query) -> None:
 
 _CLAUSE_WORDS = {
     "where", "group", "having", "order", "limit", "on", "as",
-    "inner", "outer", "left", "join", "sjoin", "bjoin", "nh", "noheader",
+    "inner", "outer", "left", "join", "sjoin", "bjoin", "nh", "noheader", "ml",
 }
+
+
+def _file_opts(p: _P, ref: ast.FileRef) -> None:
+    while p.is_kw("nh", "noheader", "ml"):
+        if p.tok().lower() == "ml":
+            ref.multiline = True  # engine extension: multiline quoted fields
+        else:
+            ref.noheader = True
+        p.next()
 
 
 def _parse_file_ref(p: _P, key: str) -> ast.FileRef:
@@ -181,9 +190,7 @@ def _parse_file_ref(p: _P, key: str) -> ast.FileRef:
         raise p.err("Expected a file path or table name")
     ref = ast.FileRef(path=t.val, key=key)
     p.next()
-    while p.is_kw("nh", "noheader"):
-        ref.noheader = True
-        p.next()
+    _file_opts(p, ref)
     if p.is_kw("as"):
         p.next()
         if p.tok().kind != "WORD":
@@ -197,9 +204,7 @@ def _parse_file_ref(p: _P, key: str) -> ast.FileRef:
     ):
         ref.alias = p.tok().val
         p.next()
-    while p.is_kw("nh", "noheader"):
-        ref.noheader = True
-        p.next()
+    _file_opts(p, ref)
     return ref
 
 

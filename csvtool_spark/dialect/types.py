@@ -109,7 +109,11 @@ def narrowest_type(s: str) -> int:
     if _LEADING_ZERO.match(s):
         return T_STRING  # zip codes etc. (utils.go:380)
     if _INT.match(s):
-        return T_INT
+        # Go's Atoi rejects values outside int64 (falls through to float);
+        # mirroring that also keeps the Spark long cast from nulling them.
+        if -(2**63) <= int(s) < 2**63:
+            return T_INT
+        return T_FLOAT
     if _FLOAT.match(s):
         return T_FLOAT
     # duration preferred over date when ambiguous (utils.go:392-397)

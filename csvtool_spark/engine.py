@@ -80,7 +80,9 @@ class CsvEngine:
         if path.endswith(".csv"):
             if not os.path.exists(path):
                 raise SemanticError(f"cannot open file {ref.path}")
-            return read_csv(self.spark, path, noheader=ref.noheader)
+            return read_csv(
+                self.spark, path, noheader=ref.noheader, multiline=ref.multiline
+            )
         raise SemanticError(f"unknown table or file {ref.path!r}")
 
     # --- query execution --------------------------------------------------

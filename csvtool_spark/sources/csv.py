@@ -149,9 +149,14 @@ def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
 
 
 def read_csv(
-    spark: SparkSession, path: str, noheader: bool = False
+    spark: SparkSession, path: str, noheader: bool = False, multiline: bool = False
 ) -> tuple[DataFrame, list[str], list[int]]:
     """Read a CSV with inferred dialect types.
+
+    ``multiline=True`` supports quoted fields containing newlines (the
+    reference's encoding/csv always does) at the cost of intra-file split
+    parallelism — Spark must read each multiline file as one unit, so keep
+    it off for large single files and shard such data upstream.
 
     Returns (typed DataFrame, display names, dialect type per column).
     """
@@ -159,6 +164,7 @@ def read_csv(
         spark.read.option("header", "false" if noheader else "true")
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", "true" if multiline else "false")
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

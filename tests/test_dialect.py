@@ -282,6 +282,19 @@ def test_csv_dir_and_parquet_sinks(eng, spark, tmp_path):
     assert spark.read.parquet(pq[0]).count() == 10
 
 
+def test_multiline_csv_and_int64_overflow_inference(eng):
+    # 'ml' file option: quoted fields with embedded newlines/commas; a
+    # 20-digit value widens the column to FLOAT (Go Atoi would overflow)
+    df = eng.sql(
+        f"select id note amount from '{DATA}/multiline.csv' ml order by id asc"
+    )
+    rows = df.collect()
+    assert rows[0].note == "line one\nline two"
+    assert rows[2].note == "a,b,c"
+    assert dict(df.dtypes)["amount"] == "double"
+    assert rows[2].amount == 1e20
+
+
 def test_registered_table(eng, spark):
     eng.register("lineitem", spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
     df = eng.sql(
