@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties argued in
+ARCHITECTURE.md must stay true as the code evolves."""
+
+from __future__ import annotations
+
+from csvtool_spark import queries as catalog
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_single_exchange_with_pushdown(spark):
+    df = catalog.QUERIES["q1_pricing_summary"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1          # one partial→final agg shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_dims_broadcast(spark):
+    plan = _plan(catalog.QUERIES["q3_shipping_priority"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter reached the scan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    plan = _plan(catalog.QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    # only the two projected columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(catalog.QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_csv_dialect_prunes_columns(spark):
+    from csvtool_spark.engine import CsvEngine
+
+    eng = CsvEngine(spark)
+    df = eng.sql(
+        "select plate from '/root/repo/tests/data/violations.csv' where fine > 400"
+    )
+    plan = _plan(df)
+    assert "Scan csv" in plan
+    # 2 of 12 columns reach the scan
+    seg = plan[plan.index("Scan csv"):].splitlines()[0]
+    assert "fine" in seg and "plate" in seg and "ticket" not in seg
+
+
+def test_dialect_group_is_hash_aggregate(spark):
+    from csvtool_spark.engine import CsvEngine
+
+    eng = CsvEngine(spark)
+    df = eng.sql(
+        "select state count(*) as n from '/root/repo/tests/data/violations.csv' group by state"
+    )
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_dialect_sjoin_broadcasts(spark):
+    from csvtool_spark.engine import CsvEngine
+
+    eng = CsvEngine(spark)
+    df = eng.sql(
+        "nh select top 5 from '/root/repo/tests/data/cities.csv' c "
+        "sjoin '/root/repo/tests/data/regions.csv' r on c.c3 = r.c1"
+    )
+    assert "BroadcastHashJoin" in _plan(df)
