@@ -810,6 +810,29 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_percentile",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated quantiles (beyond-reference §2.4 extension). Spark
+    # `percentile` and DuckDB `quantile_cont` share the continuous
+    # order-statistic definition → bit-identical from identical inputs.
+    # At very large groups prefer approx_percentile (t-digest, mergeable).
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
 # Scale-operator and dialect-front-end catalog entries register themselves
 # through the same decorator:
 from csvtool_spark import dialect_queries, scale_queries  # noqa: E402,F401
