@@ -811,6 +811,32 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-K per group via ranking window (beyond-reference §2.8 extension);
+    # the unique c_custkey tie-break keeps the row set deterministic. At
+    # scale this is one shuffle on the partition key, no global sort.
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+@register(
     "q_percentile",
     """
     SELECT o_orderstatus,
