@@ -1,0 +1,141 @@
+"""Differential fuzzing: random dialect queries vs DuckDB.
+
+A seeded generator emits paired (dialect text, DuckDB SQL) programs over a
+safe semantic subset — projections, numeric arithmetic, relop/boolean
+predicates with the dialect's quirk semantics (half-open BETWEEN, null-safe
+'=', count→double), group-by over exact integer aggregates. Both run over
+the SAME typed rows (the engine's typed DataFrame is registered into
+DuckDB), isolating the front-end+compiler as the unit under test.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from csvtool_spark.engine import CsvEngine
+from csvtool_spark.oracle import normalize
+from tests.test_dialect import V
+
+NUMERIC = ["fine", "fee"]
+INTS = ["ticket", "count"]
+STRINGS = ["plate", "state", "vtype", "make"]
+STR_VALUES = ["NY", "NJ", "CA", "COM", "PAS", "TOYOT", "nope"]
+
+
+class Gen:
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    def num_expr(self) -> tuple[str, str]:
+        c = self.r.choice(NUMERIC + INTS)
+        kind = self.r.randrange(4)
+        if kind == 0:
+            return c, c
+        if kind == 1:
+            k = self.r.randint(2, 9)
+            return f"{c} * {k}", f"{c} * {k}"
+        if kind == 2:
+            c2 = self.r.choice(NUMERIC)
+            return f"{c} + {c2}", f"{c} + {c2}"
+        k = self.r.randint(1, 50)
+        return f"{c} - {k}", f"{c} - {k}"
+
+    def pred(self) -> tuple[str, str]:
+        kind = self.r.randrange(5)
+        if kind == 0:
+            c = self.r.choice(NUMERIC + INTS)
+            op = self.r.choice(["<", "<=", ">", ">="])
+            v = self.r.randint(1, 400)
+            return f"{c} {op} {v}", f"{c} {op} {v}"
+        if kind == 1:
+            c = self.r.choice(STRINGS)
+            v = self.r.choice(STR_VALUES)
+            if self.r.random() < 0.5:
+                return f"{c} = {v}", f"{c} IS NOT DISTINCT FROM '{v}'"
+            return f"{c} != {v}", f"NOT ({c} IS NOT DISTINCT FROM '{v}')"
+        if kind == 2:
+            c = self.r.choice(NUMERIC)
+            a, b = sorted(self.r.sample(range(1, 500), 2))
+            if self.r.random() < 0.3:
+                a, b = b, a  # reversed bounds branch
+            return (
+                f"{c} between {a} and {b}",
+                f"(CASE WHEN {c} >= {a} THEN {c} < {b} ELSE {c} >= {b} END)",
+            )
+        if kind == 3:
+            c = self.r.choice(STRINGS)
+            vals = self.r.sample(STR_VALUES, 2)
+            lst_d = ", ".join(vals)
+            lst_s = ", ".join(f"'{v}'" for v in vals)
+            return f"{c} in ({lst_d})", f"{c} IN ({lst_s})"
+        c = self.r.choice(INTS)
+        m = self.r.randint(2, 7)
+        return f"{c} % {m} = 0", f"{c} % {m} IS NOT DISTINCT FROM 0"
+
+    def preds(self) -> tuple[str, str]:
+        d1, s1 = self.pred()
+        if self.r.random() < 0.5:
+            return d1, s1
+        d2, s2 = self.pred()
+        op = self.r.choice(["and", "or"])
+        # dialect logic chains are right-grouped; two terms are unambiguous
+        return f"{d1} {op} {d2}", f"({s1}) {'AND' if op == 'and' else 'OR'} ({s2})"
+
+    def query(self) -> tuple[str, str]:
+        if self.r.random() < 0.4:
+            # grouped: exact integer aggregates + count(double)
+            g = self.r.choice(STRINGS)
+            ic = self.r.choice(INTS)
+            dsel = f"{g} count(*) as n sum({ic}) as s min({ic}) as mn max({ic}) as mx"
+            ssel = (
+                f"{g}, CAST(count(*) AS DOUBLE) AS n, sum({ic}) AS s, "
+                f"min({ic}) AS mn, max({ic}) AS mx"
+            )
+            dwhere, swhere = self.preds()
+            return (
+                f"select {dsel} from {V} where {dwhere} group by {g}",
+                f"SELECT {ssel} FROM t WHERE {swhere} GROUP BY {g}",
+            )
+        nsel = self.r.randint(1, 3)
+        items = [self.num_expr() for _ in range(nsel)]
+        dsel = " ".join(f"{d} as x{i}" for i, (d, _) in enumerate(items))
+        ssel = ", ".join(f"{s} AS x{i}" for i, (_, s) in enumerate(items))
+        dsel = "plate " + dsel
+        ssel = "plate, " + ssel
+        dwhere, swhere = self.preds()
+        return (
+            f"select {dsel} from {V} where {dwhere}",
+            f"SELECT {ssel} FROM t WHERE {swhere}",
+        )
+
+
+@pytest.fixture(scope="module")
+def duck_t(spark):
+    import duckdb
+
+    eng = CsvEngine(spark)
+    typed = eng.sql("select * from" + V)
+    con = duckdb.connect()
+    con.register("t", typed.toPandas())
+    return con
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_differential_random_query(spark, duck_t, seed):
+    g = Gen(random.Random(1000 + seed))
+    dtext, sql = g.query()
+    eng = CsvEngine(spark)
+    sdf = eng.sql(dtext)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_t.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount mismatch\n{dtext}\n{sql}"
+    sn = normalize(srows, sdf.columns)
+    dn = normalize(drows, dcols)
+    assert sn == dn, (
+        f"value mismatch\n{dtext}\n{sql}\n"
+        f"first diffs: {[(a, b) for a, b in zip(sn, dn) if a != b][:3]}"
+    )
