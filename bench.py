@@ -22,7 +22,7 @@ HEADLINE = [
     "q5_local_suppliers",
     "q_agg_last",
     "q_having",
-    "q_join_inner",
+    "q_join_left",
     "q_events_window",
     "q_sessionize",
     "q_orderby_topk",

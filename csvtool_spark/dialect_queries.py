@@ -59,29 +59,6 @@ dialect(
 )
 
 dialect(
-    "q_dialect_between",
-    "select l_orderkey l_linenumber l_quantity from lineitem "
-    "where l_quantity between 10 and 20",
-    # dialect BETWEEN is half-open (selector.go:480-495)
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-    WHERE CASE WHEN l_quantity >= 10 THEN l_quantity < 20 ELSE l_quantity >= 20 END
-    """,
-)
-
-dialect(
-    "q_dialect_intdiv",
-    "select l_orderkey l_orderkey / l_suppkey as q l_orderkey % 7 as m "
-    "from lineitem where l_orderkey < 5000",
-    """
-    SELECT l_orderkey,
-           CAST(trunc(CAST(l_orderkey AS DOUBLE) / nullif(l_suppkey, 0)) AS BIGINT) AS q,
-           l_orderkey % 7 AS m
-    FROM lineitem WHERE l_orderkey < 5000
-    """,
-)
-
-dialect(
     "q_dialect_join",
     "select c_custkey c_name n_name from customer c "
     "join nation n on c.c_nationkey = n.n_nationkey where n_name = NATION_3",
@@ -124,39 +101,33 @@ dialect(
 )
 
 dialect(
-    "q_dialect_like_in",
+    "q_dialect_predicates",
+    # LIKE is a case-insensitive anchored regex; IN uses null-safe equality
+    # per element; BETWEEN is half-open (selector.go:480-516)
     "select p_partkey p_type p_brand from part "
     "where p_type like '%o%' and p_brand in ('Brand#1', 'Brand#2') "
-    "and p_partkey not in (1, 2)",
-    # dialect LIKE is a case-insensitive anchored regex; IN uses null-safe
-    # equality per element
+    "and p_partkey not in (1, 2) and p_partkey between 100 and 1500",
     """
     SELECT p_partkey, p_type, p_brand FROM part
     WHERE p_type ILIKE '%o%' AND p_brand IN ('Brand#1', 'Brand#2')
       AND p_partkey NOT IN (1, 2)
+      AND CASE WHEN p_partkey >= 100 THEN p_partkey < 1500 ELSE p_partkey >= 1500 END
     """,
 )
 
 dialect(
-    "q_dialect_concat_coalesce",
+    "q_dialect_scalars",
+    # '+' on strings concatenates (value.go:330-335); int/int division
+    # truncates with div-by-zero → null (value.go:406-435); '%' int-only
     "select c_custkey c_name + '-' + c_mktsegment as tag "
-    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab from customer",
-    # '+' on strings concatenates (value.go:330-335)
+    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab "
+    "c_custkey / c_nationkey as q c_custkey % 7 as m from customer",
     """
     SELECT c_custkey, c_name || '-' || c_mktsegment AS tag,
-           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab
+           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab,
+           CAST(trunc(CAST(c_custkey AS DOUBLE) / nullif(c_nationkey, 0)) AS BIGINT) AS q,
+           c_custkey % 7 AS m
     FROM customer
-    """,
-)
-
-dialect(
-    "q_dialect_date_algebra",
-    "select o_orderkey o_orderdate + '30 days' as due "
-    "dayofmonth(o_orderdate) as dom from orders where o_orderkey < 3000",
-    """
-    SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due,
-           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom
-    FROM orders WHERE o_orderkey < 3000
     """,
 )
 
@@ -174,14 +145,17 @@ dialect(
 
 dialect(
     "q_dialect_case_week",
+    # dialect week() = dayofyear/7 integer division; year() is INT in the
+    # dialect (compiled to long); date + '30 days' duration literal
     "select o_orderkey year(o_orderdate) as y week(o_orderdate) as wk "
+    "o_orderdate + '30 days' as due dayofmonth(o_orderdate) as dom "
     "case when o_totalprice > 300000 then big else small end as bucket "
     "from orders where o_orderkey < 2000",
-    # dialect week() = dayofyear/7 integer division; year() is INT in the
-    # dialect (compiled to long)
     """
     SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
            CAST(dayofyear(o_orderdate) // 7 AS BIGINT) AS wk,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
            CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS bucket
     FROM orders WHERE o_orderkey < 2000
     """,
