@@ -440,19 +440,12 @@ class Compiler:
 
 
 def _uses_inc(q: ast.Query) -> bool:
-    def walk(e) -> bool:
-        if isinstance(e, ast.Func):
-            if e.name == "inc":
-                return True
-            return any(walk(a) for a in e.args)
-        for attr in ("left", "right", "operand", "base", "else_"):
-            v = getattr(e, attr, None)
-            if v is not None and walk(v):
-                return True
-        if isinstance(e, (ast.CaseWhenExpr, ast.CaseWhenPred)):
-            return any(walk(x) for pair in e.whens for x in pair)
-        return False
+    from csvtool_spark.dialect.typecheck import contains_inc
 
-    return any(walk(s.expr) for s in q.selections)
+    # selections AND order by — both compile inc() to a window over the
+    # scan rowid, so both need the rowid column provisioned.
+    return any(contains_inc(s.expr) for s in q.selections) or (
+        q.orderby is not None and contains_inc(q.orderby)
+    )
 
 

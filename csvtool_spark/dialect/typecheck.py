@@ -375,13 +375,37 @@ def _check_func(node: ast.Func, env: Env, in_case: bool) -> tuple[ast.Expr, Info
         node.args[0], ai = check_expr(node.args[0], env, in_case)
         if len(node.args) == 2:
             node.args[1], pi = check_expr(node.args[1], env, in_case)
-            if not pi.literal:
-                raise err(f"{name}() password must be a literal")
+            # must be a single Lit token, not merely a literal-only subtree
+            # like 'a'+'b' — the compiler reads the password from Lit.raw
+            if not pi.literal or not isinstance(node.args[1], ast.Lit):
+                raise err(f"{name}() password must be a single literal value")
         node.dtype = T_STRING
         node.has_agg = ai.agg
         return node, Info(T_STRING, ai.literal, ai.agg)
 
     raise err(f"Unknown function {name}")
+
+
+def contains_inc(node) -> bool:
+    """True if an Expr/Pred tree contains an inc() call, walking every
+    child slot of both expression and predicate nodes."""
+    if isinstance(node, ast.Func):
+        return node.name == "inc" or any(contains_inc(a) for a in node.args)
+    for attr in ("left", "right", "operand", "base", "else_", "inner",
+                 "expr", "lo", "hi"):
+        v = getattr(node, attr, None)
+        if v is not None and contains_inc(v):
+            return True
+    if isinstance(node, ast.InList) and any(contains_inc(x) for x in node.items):
+        return True
+    if isinstance(node, (ast.CaseWhenExpr, ast.CaseWhenPred)):
+        return any(
+            contains_inc(x)
+            for pair in node.whens
+            for x in pair
+            if x is not None
+        )
+    return False
 
 
 def _check_case(node: ast.Expr, env: Env) -> tuple[ast.Expr, Info]:
@@ -565,21 +589,18 @@ def check_query(q: ast.Query, env: Env) -> Checked:
             raise err("having clause requires aggregation")
         check_pred(q.having, env, allow_agg=True)
 
+    # inc() placement: evaluable in selections and order by (a row-number
+    # window over the scan rowid), but meaningless inside a filter — the
+    # reference evaluates it anywhere, this engine rejects it up front with
+    # a clear error instead of Spark's raw "window functions not allowed".
+    if q.where is not None and contains_inc(q.where):
+        raise err("inc() is not allowed in the where clause")
+    if q.having is not None and contains_inc(q.having):
+        raise err("inc() is not allowed in the having clause")
+
     is_agg = bool(q.groupby) or any(s.expr.has_agg for s in q.selections)
     if is_agg:
-        def _has_inc(e) -> bool:
-            if isinstance(e, ast.Func):
-                return e.name == "inc" or any(_has_inc(a) for a in e.args)
-            for attr in ("left", "right", "operand", "base", "else_"):
-                v = getattr(e, attr, None)
-                if v is not None and _has_inc(v):
-                    return True
-            if isinstance(e, (ast.CaseWhenExpr, ast.CaseWhenPred)):
-                return any(_has_inc(x) for pair in e.whens for x in pair
-                           if isinstance(x, ast.Expr))
-            return False
-
-        if any(_has_inc(s.expr) for s in q.selections):
+        if any(contains_inc(s.expr) for s in q.selections):
             raise err("inc() is not supported in aggregate queries")
     if q.orderby is not None:
         # Engine extension: ORDER BY <selection alias> substitutes the

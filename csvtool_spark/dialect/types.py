@@ -72,6 +72,23 @@ DATE_FORMATS = [
     "%B %d %Y",
     "%B %d, %Y",
     "%Y/%m/%d",
+    # dateparse.ParseAny breadth (utils.go:393): zone-suffixed ISO
+    # ('2017-06-01T00:00:00Z', '…+02:00', '…+0200' — %z accepts all three;
+    # the Spark twins split by offset shape, so observed_date_formats
+    # collects every matching ladder entry, not just the first),
+    # fractional-second zoned ISO, minute-precision ISO, month-name-first
+    # with time, RFC1123-ish, and dotted dates.
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%B %d %Y %H:%M:%S",
+    "%b %d %Y %H:%M:%S",
+    "%a, %d %b %Y %H:%M:%S",
+    "%Y.%m.%d",
 ]
 
 

@@ -55,6 +55,20 @@ SPARK_DATE_FORMATS = [
     "MMMM d yyyy",
     "MMMM d, yyyy",
     "yyyy/M/d",
+    # dateparse.ParseAny breadth — indexes stay parallel with
+    # dialect.types.DATE_FORMATS (one python %z shape fans out to the two
+    # Java offset shapes XXX '+02:00'/'Z' and XX '+0200').
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXX",
+    "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "MMMM d yyyy HH:mm:ss",
+    "MMM d yyyy HH:mm:ss",
+    "EEE, d MMM yyyy HH:mm:ss",
+    "yyyy.M.d",
 ]
 
 _NULL_TOKENS = ("", "null", "na")
@@ -76,8 +90,23 @@ def parse_date_col(col: Column, formats: list[str] | None = None) -> Column:
     return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts])
 
 
+#: Go-style compound duration part, mirrored from dialect.types._DUR_GO —
+#: multi-char units FIRST so 'ms' never tokenizes as 'm'+'s'.
+_GO_PART_RE = r"(\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))"
+_GO_FULL_RE = r"^-?(\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))+$"
+
+
 def parse_duration_col(col: Column) -> Column:
-    """'<num> <unit>' / Go-style compound → DayTimeIntervalType (seconds)."""
+    """'<num> <unit>' / Go-style compound → DayTimeIntervalType.
+
+    Exactly the shapes driver-side inference accepts (dialect.types
+    _DUR_UNIT/_DUR_GO, reference utils.go:446-504 + Go time.ParseDuration):
+    word units s..y ('3 days', '-2 weeks'), and Go compounds with the full
+    unit set ns/us/µs/ms/s/m/h, fractional parts in any position, and a
+    leading minus ('100ms', '-1h30.5m', '1m100ms'). Pure JVM expressions —
+    one regexp_extract_all + aggregate fold, no UDF; sub-microsecond
+    amounts round to the interval type's microsecond tick.
+    """
     c = F.trim(col)
     num = F.regexp_extract(c, r"^(-?\d+(?:\.\d+)?)\s*([A-Za-zµ]+)$", 1)
     unit = F.lower(F.regexp_extract(c, r"^(-?\d+(?:\.\d+)?)\s*([A-Za-zµ]+)$", 2))
@@ -90,15 +119,27 @@ def parse_duration_col(col: Column) -> Column:
         # year = exactly 52 weeks; months impossible (utils.go:503)
         .when(unit.isin("y", "year", "years"), 52 * 604800.0)
     )
-    simple = num.cast("double") * unit_secs
-    # Go compound style: 1h30m45s (h/m/s parts, each optional)
-    go_re = r"^(?:(\d+(?:\.\d+)?)h)?(?:(\d+(?:\.\d+)?)m)?(?:(\d+(?:\.\d+)?)s)?$"
-    is_go = c.rlike(r"^(\d+(?:\.\d+)?[hms]){1,3}$")
-    go_secs = (
-        F.coalesce(F.regexp_extract(c, go_re, 1).cast("double"), F.lit(0.0)) * 3600
-        + F.coalesce(F.regexp_extract(c, go_re, 2).cast("double"), F.lit(0.0)) * 60
-        + F.coalesce(F.regexp_extract(c, go_re, 3).cast("double"), F.lit(0.0))
-    )
+    # try_cast: regexp_extract yields '' on no-match, and ANSI mode makes
+    # ''.cast(double) a hard error rather than null.
+    simple = num.try_cast("double") * unit_secs
+
+    def _part_secs(x: Column) -> Column:
+        n = F.regexp_extract(x, r"^(\d+(?:\.\d+)?)", 1).try_cast("double")
+        u = F.regexp_extract(x, r"([a-zµ]+)$", 1)
+        mult = (
+            F.when(u == "h", 3600.0)
+            .when(u == "m", 60.0)
+            .when(u == "s", 1.0)
+            .when(u == "ms", 1e-3)
+            .when(u.isin("us", "µs"), 1e-6)
+            .when(u == "ns", 1e-9)
+        )
+        return n * mult
+
+    is_go = c.rlike(_GO_FULL_RE)
+    parts = F.regexp_extract_all(c, F.lit(_GO_PART_RE), 1)
+    magnitude = F.aggregate(parts, F.lit(0.0), lambda acc, x: acc + _part_secs(x))
+    go_secs = F.when(c.startswith("-"), -magnitude).otherwise(magnitude)
     secs = F.coalesce(simple, F.when(is_go, go_secs))
     return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
 
@@ -127,13 +168,15 @@ def observed_date_formats(samples: list[str]) -> list[str]:
 
     hit: set[int] = set()
     for v in samples:
+        # Collect EVERY matching ladder entry (no break): one python shape
+        # can fan out to several Java twins (e.g. %z → XXX and XX), and the
+        # full-scan coalesce must be able to try each of them.
         for i, (pyfmt, _sparkfmt) in enumerate(zip(DATE_FORMATS, SPARK_DATE_FORMATS)):
             if i in hit:
                 continue
             try:
                 datetime.strptime(v.strip(), pyfmt)
                 hit.add(i)
-                break
             except ValueError:
                 continue
     return [SPARK_DATE_FORMATS[i] for i in sorted(hit)] or SPARK_DATE_FORMATS
@@ -182,9 +225,15 @@ def read_csv(
         if t == T_DATE:
             vals = [r[i] for r in sample if r[i] is not None][:200]
             fmts[i] = observed_date_formats(vals)
+    # Backtick-quote raw column references: a header like 'a.b' would
+    # otherwise parse as struct-field access and crash the read.
     typed = raw.select(
         *[
-            cast_column(F.col(raw.columns[i]), types[i], fmts.get(i)).alias(names[i])
+            cast_column(
+                F.col("`" + raw.columns[i].replace("`", "``") + "`"),
+                types[i],
+                fmts.get(i),
+            ).alias(names[i])
             for i in range(len(names))
         ]
     )

@@ -1,0 +1,141 @@
+"""Schema-inference breadth: permissive date shapes (reference
+utils.go:393 dateparse.ParseAny) and the full Go duration unit set
+(utils.go:446-504 + time.ParseDuration), plus reader robustness for
+header names Spark would otherwise parse as struct access."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from csvtool_spark.dialect.types import (
+    T_DATE,
+    T_DURATION,
+    T_STRING,
+    narrowest_type,
+)
+from csvtool_spark.sources.csv import read_csv
+
+
+def _write(tmp_path, name: str, text: str) -> str:
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# driver-side inference lattice
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        "2017-06-01T00:00:00Z",
+        "2017-06-01T02:00:00+02:00",
+        "2017-06-01T00:00:00+0200",
+        "2017-06-01T00:00:00.123Z",
+        "2017-06-01 00:00",
+        "June 1 2017 15:04:05",
+        "Jun 1 2017 15:04:05",
+        "Mon, 2 Jan 2006 15:04:05",
+        "2006.01.02",
+    ],
+)
+def test_permissive_shapes_infer_date(value):
+    assert narrowest_type(value) == T_DATE
+
+
+@pytest.mark.parametrize(
+    "value",
+    ["100ms", "250us", "80ns", "-1h30m", "1h30.5m", "1m100ms", "-2 weeks"],
+)
+def test_duration_shapes_infer_duration(value):
+    assert narrowest_type(value) == T_DURATION
+
+
+def test_epoch_like_digits_stay_int():
+    # bare digit strings are INT (Atoi wins before dateparse in the
+    # reference lattice too) — epoch detection must NOT capture them
+    assert narrowest_type("1332151919") != T_DATE
+
+
+def test_garbage_stays_string():
+    assert narrowest_type("not a date 123x") == T_STRING
+
+
+# ---------------------------------------------------------------------------
+# Spark-side casts agree with the driver-side inference
+# ---------------------------------------------------------------------------
+
+
+def test_zoned_iso_roundtrip(spark, tmp_path):
+    # all four cells are the same instant; session tz is UTC
+    path = _write(
+        tmp_path,
+        "zoned.csv",
+        "id,ts\n"
+        "1,2017-06-01T12:00:00Z\n"
+        "2,2017-06-01T14:00:00+02:00\n"
+        "3,2017-06-01T14:00:00+0200\n"
+        "4,2017-06-01T12:00:00.000Z\n",
+    )
+    df, names, types = read_csv(spark, path)
+    assert types[1] == T_DATE
+    vals = {r.ts for r in df.collect()}
+    assert vals == {datetime.datetime(2017, 6, 1, 12, 0, 0)}
+
+
+def test_minute_precision_and_monthname_time(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "shapes.csv",
+        "a,b\n"
+        "2020-03-04 10:30,June 1 2017 15:04:05\n"
+        "2020-03-05 23:59,Jun 2 2017 08:00:00\n",
+    )
+    df, _, types = read_csv(spark, path)
+    assert types == [T_DATE, T_DATE]
+    rows = df.collect()
+    assert rows[0].a == datetime.datetime(2020, 3, 4, 10, 30)
+    assert rows[0].b == datetime.datetime(2017, 6, 1, 15, 4, 5)
+    assert all(r.a is not None and r.b is not None for r in rows)
+
+
+def test_subsecond_and_fractional_durations(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "durs.csv",
+        "task,dur\n"
+        "a,100ms\n"
+        "b,-1h30m\n"
+        "c,1h30.5m\n"
+        "d,1m100ms\n"
+        "e,250us\n"
+        "f,-2 weeks\n",
+    )
+    df, _, types = read_csv(spark, path)
+    assert types[1] == T_DURATION
+    by_task = {r.task: r.dur for r in df.collect()}
+    td = datetime.timedelta
+    assert by_task["a"] == td(milliseconds=100)
+    assert by_task["b"] == -td(hours=1, minutes=30)
+    assert by_task["c"] == td(hours=1, minutes=30, seconds=30)
+    assert by_task["d"] == td(minutes=1, milliseconds=100)
+    assert by_task["e"] == td(microseconds=250)
+    assert by_task["f"] == -td(weeks=2)
+
+
+def test_dotted_and_spaced_header_names(spark, tmp_path):
+    # a header like 'a.b' must not be parsed as struct-field access
+    path = _write(
+        tmp_path,
+        "dotted.csv",
+        "a.b,c d,plain\n1,x,10\n2,y,20\n",
+    )
+    df, names, _ = read_csv(spark, path)
+    assert names == ["a.b", "c d", "plain"]
+    rows = df.collect()
+    assert [r["a.b"] for r in rows] == [1, 2]
+    assert [r["plain"] for r in rows] == [10, 20]

@@ -185,6 +185,25 @@ def test_inc_rejected_in_aggregate_query(eng):
         eng.sql("select inc() state count(*) from" + V + "group by state")
 
 
+def test_inc_in_order_by(eng):
+    # order by inc() must provision the scan rowid, not crash unresolved
+    rows = eng.sql("select plate from" + V + "order by inc() asc limit 3").collect()
+    base = eng.sql("select plate from" + V + "limit 3").collect()
+    assert [r.plate for r in rows] == [r.plate for r in base]
+
+
+def test_inc_rejected_in_where_and_having(eng):
+    from csvtool_spark.dialect.errors import SemanticError
+
+    with pytest.raises(SemanticError, match="where"):
+        eng.sql("select plate from" + V + "where inc() < 3")
+    with pytest.raises(SemanticError, match="having"):
+        eng.sql(
+            "select state count(*) as n from" + V
+            + "group by state having inc() > 1"
+        )
+
+
 def test_order_by_defaults_desc(eng):
     rows = eng.sql("select fine from" + V + "order by fine limit 3").collect()
     vals = [r.fine for r in rows]
@@ -314,3 +333,12 @@ def test_encrypt_decrypt_dialect(eng):
     ).collect()
     for r in rows:
         assert r.rt == r.plate
+
+
+def test_encrypt_password_must_be_single_literal(eng):
+    from csvtool_spark.dialect.errors import SemanticError
+
+    # a literal-only EXPRESSION is not a password token (compiler reads
+    # Lit.raw) — must be a clean SemanticError, not an AttributeError
+    with pytest.raises(SemanticError, match="literal"):
+        eng.sql("select encrypt(plate, 'a' + 'b') from" + V + "limit 1")
