@@ -107,7 +107,18 @@ def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> 
 
 def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     """Self-join on (band_id, band_key) → distinct unordered id pairs.
-    Giant buckets are capped (see MAX_BUCKET)."""
+    Giant buckets are capped (see MAX_BUCKET).
+
+    The banded table is persisted first: it has THREE consumers (the
+    bucket-size aggregate and both self-join sides), each of which would
+    otherwise re-compute shingle→signature→banding from the raw text
+    (measured ~2× end-to-end cost at sf0.1). At cluster scale the same
+    principle holds with storage instead of memory: write the banded table
+    out (bucketed by band_key), then size-prune and self-join the
+    materialization. (A window-count formulation was benched and loses —
+    the sort-based window exec costs more than the tiny size-table join.)
+    """
+    banded = banded.persist()
     sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
     pruned = banded.join(
         sizes.filter(F.col("__bn") <= MAX_BUCKET), ["band_id", "band_key"]
@@ -163,8 +174,11 @@ def near_dup_pairs_minhash(
     pairs = candidate_pairs(_banded(sigs, id_col, "__sig", bands, rows), id_col)
     # Verify joins read only the token arrays — sourcing them from the
     # pre-signature stage keeps the signature pipeline computed ONCE (a
-    # sigs-sourced join would re-inline the whole minhash fold per branch).
-    toks_only = df.select(F.col(id_col), tokens(normalized(F.col(text_col))).alias("__toks"))
+    # sigs-sourced join would re-inline the whole minhash fold per branch);
+    # persisted because BOTH verify-join sides read it.
+    toks_only = df.select(
+        F.col(id_col), tokens(normalized(F.col(text_col))).alias("__toks")
+    ).persist()
     ta = toks_only.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
     tb = toks_only.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
     return (
@@ -186,7 +200,9 @@ def ngram_jaccard_pairs(
     Worst case is quadratic in documents sharing a hot shingle (this is the
     exact operator; use MinHash banding for web-scale approximate dedup)."""
     toks = tokens(normalized(F.col(text_col)))
-    base = df.select(F.col(id_col), word_shingles(toks, k).alias("__sh"))
+    # persisted: three consumers (sizes + both sides of the shingle
+    # equi-join) would otherwise re-shingle the corpus.
+    base = df.select(F.col(id_col), word_shingles(toks, k).alias("__sh")).persist()
     sizes = base.select(id_col, F.size("__sh").alias("__n"))
     ex = base.select(id_col, F.explode("__sh").alias("__s"))
     inter = (
@@ -257,7 +273,9 @@ def near_dup_pairs_simhash(
     distance ≤ 3·16 shares ≥1 exact chunk; wider distances are best-effort)
     then exact Hamming verify via bit_count(xor)."""
     toks = tokens(normalized(F.col(text_col)))
-    sigs = df.select(F.col(id_col), simhash64(toks).alias("__sim"))
+    # persisted: the chunk self-join reads this twice, and the 64-lane
+    # simhash vote fold is the expensive part — compute it once.
+    sigs = df.select(F.col(id_col), simhash64(toks).alias("__sim")).persist()
     chunks = sigs.select(
         id_col,
         "__sim",

@@ -93,9 +93,9 @@ def ann_lsh(
     Recall/cost tuning: per-table collision prob for angle θ is
     (1-θ/π)^n_planes; any-of-L lifts recall, more planes cut candidates.
     The defaults (4×6, 1-bit probe) target weakly-similar corpora (θ≈60°);
-    tight near-dup search wants n_planes 12-16, n_tables 2-4. At scale the
-    per-table bucket key is a plain long column — write the corpus bucketed
-    by it and the probe becomes a partition-pruned point lookup."""
+    tight near-dup search wants n_planes 12-16, n_tables 2-4. At scale use
+    the materialized twin — `ann_index_write` + `ann_lsh_indexed` — where
+    the probe is a bucket-pruned point lookup instead of this full scan."""
     dim = len(query)
     qv = np.asarray(query, dtype=float)
     cand = None
@@ -116,6 +116,107 @@ def ann_lsh(
     return (
         df.filter(cand)
         .select(F.col(id_col), cosine(v, q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _query_buckets(
+    query: list[float],
+    n_planes: int,
+    n_tables: int,
+    multiprobe: int,
+    seed: int,
+) -> list[int]:
+    """The combined (table_id << n_planes) | signature bucket ids a query
+    probes — driver-side arithmetic on the query vector only."""
+    qv = np.asarray(query, dtype=float)
+    out: list[int] = []
+    for t in range(n_tables):
+        planes = hyperplanes(len(query), n_planes, seed + t)
+        qsig = 0
+        for p in range(n_planes):
+            if float(planes[p] @ qv) > 0:
+                qsig |= 1 << p
+        probe = {qsig}
+        if multiprobe >= 1:
+            probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+        out.extend((t << n_planes) | s for s in probe)
+    return sorted(out)
+
+
+def ann_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    seed: int = 42,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the SRP-LSH index the `ann_lsh` docstring promises: one
+    row per (table_id, vector), keyed by the combined bucket id
+    ``(table_id << n_planes) | signature`` and written BUCKETED by that key
+    (sources.bucketing.write_bucketed). A probe then compiles to a
+    bucket-pruned scan — Spark reads only the file buckets holding the
+    query's candidate ids (SelectedBucketsCount in the plan), no shuffle,
+    no full-corpus signature recompute. This is the 100 TB read path: the
+    one-time index write costs one pass + one shuffle; every subsequent
+    query touches ~(n_tables·(1+multiprobe·n_planes)/2^n_planes) of the
+    corpus files."""
+    from csvtool_spark.sources.bucketing import write_bucketed
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    entries = F.array(
+        *[
+            ((F.lit(t) * F.lit(1 << n_planes)).cast("long")).bitwiseOR(
+                srp_signature(F.col(vec_col), hyperplanes(dim, n_planes, seed + t))
+            )
+            for t in range(n_tables)
+        ]
+    )
+    indexed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(entries).alias("__bucket"),
+    )
+    write_bucketed(indexed, table, "__bucket", n_buckets, path)
+
+
+def ann_lsh_indexed(
+    spark,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a materialized `ann_index_write` table: bucket-id IN-filter
+    (bucket-pruned scan) → per-id dedup → exact cosine re-rank → top-k.
+    Same LSH parameters must be passed as at index-write time."""
+    buckets = _query_buckets(query, n_planes, n_tables, multiprobe, seed)
+    # autoBucketedScan drops the bucketed layout (and with it bucket
+    # PRUNING) for scans with no bucket-keyed join/agg — exactly this
+    # probe's shape. Forcing bucketed scans keeps SelectedBucketsCount
+    # pruning; the cost (one split per bucket file) is the point here.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _vec_d(F.col(vec_col))
+    return (
+        spark.table(table)
+        .filter(F.col("__bucket").isin(buckets))
+        .select(F.col(id_col), cosine(v, q).alias("cos"))
+        # a vector can land in several probed buckets (one per table) —
+        # groupBy on the candidate ids (a tiny set) dedups before top-k
+        .groupBy(id_col)
+        .agg(F.first("cos").alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )

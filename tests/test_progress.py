@@ -30,3 +30,19 @@ def test_run_with_timeout_cancels_slow_query(spark):
     with pytest.raises(TimeoutError):
         run_with_timeout(spark, slow, seconds=3)
     assert time.perf_counter() - t0 < 30
+
+
+def test_progress_reporter_observes_stage_progress(spark):
+    from csvtool_spark.progress import ProgressReporter
+
+    events = []
+    df = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .groupBy("l_suppkey", "l_partkey")
+        .count()
+    )
+    with ProgressReporter(spark, lambda s, c, t: events.append((s, c, t)), 0.02):
+        df.write.mode("overwrite").format("noop").save()
+    assert events, "expected at least one progress tick during the query"
+    for _sid, done, total in events:
+        assert 0 <= done <= total

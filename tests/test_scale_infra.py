@@ -45,3 +45,38 @@ def test_salted_join_matches_plain_join(spark):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_ann_indexed_probe_is_bucket_pruned(spark, tmp_path):
+    from csvtool_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    similarity.ann_index_write(
+        e, "embedding", "vec_id", "ann_idx", path=str(tmp_path / "ann_idx")
+    )
+    probe = similarity.ann_lsh_indexed(
+        spark, "ann_idx", "embedding", "vec_id", qvec, k=10
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the probe reads only the query's candidate buckets, never the corpus
+    assert "SelectedBucketsCount" in plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+
+    rows = probe.collect()
+    assert 0 < len(rows) <= 10
+    # exact re-rank: every returned cosine equals the bruteforce cosine
+    bf = {
+        r.vec_id: r.cos
+        for r in similarity.ann_bruteforce(
+            e, "embedding", "vec_id", qvec, k=e.count()
+        ).collect()
+    }
+    for r in rows:
+        assert bf[r.vec_id] == r.cos
+    # the query vector itself (cos=1) must be found — it shares every
+    # bucket with itself by construction
+    assert rows[0].vec_id == 0 and rows[0].cos == 1.0
