@@ -71,3 +71,15 @@ def test_dialect_sjoin_broadcasts(spark):
         "sjoin '/root/repo/tests/data/regions.csv' r on c.c3 = r.c1"
     )
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q5_no_forced_broadcast_but_aqe_broadcasts(spark):
+    # no F.broadcast hint on SF-scaling tables (customer/supplier) — at
+    # bench SF the statistics still pick broadcast joins, and at cluster
+    # scale AQE may fall back to shuffle joins instead of OOMing a forced
+    # broadcast. Executed (AQE-final) plan: all joins broadcast, no SMJ.
+    df = catalog.QUERIES["q5_local_suppliers"](spark, SF_SMALL)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,93 @@
+"""HTTP query surface tests — the ReturnData JSON contract
+(reference server.go:112-177, utils.go:590-608)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from csvtool_spark.engine import CsvEngine
+from csvtool_spark.server import (
+    DAT_ERROR,
+    DAT_GOOD,
+    CsvToolServer,
+    browse_dir,
+    query_response,
+)
+
+V = " '/root/repo/tests/data/violations.csv' "
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return CsvEngine(spark)
+
+
+def test_query_response_contract(eng):
+    ret = query_response(eng, "select plate fine from" + V + "where fine > 100")
+    assert ret["status"] & DAT_GOOD
+    assert not ret["status"] & DAT_ERROR
+    assert len(ret["entries"]) == 1
+    e = ret["entries"][0]
+    assert e["colnames"] == ["plate", "fine"]
+    assert e["numcols"] == 2
+    assert e["numrows"] == len(e["vals"]) > 0
+    assert e["showLimit"] == 10_000  # 20000-cell budget / 2 cols
+    assert len(e["types"]) == 2
+
+
+def test_query_response_multi_statement(eng):
+    ret = query_response(
+        eng, "select plate from" + V + "; select top 2 state from" + V
+    )
+    assert ret["status"] & DAT_GOOD
+    assert len(ret["entries"]) == 2
+    assert ret["entries"][1]["numrows"] == 2
+
+
+def test_query_response_error_sets_bit(eng):
+    # plate is a string column — '%' requires integers (typecheck error)
+    ret = query_response(eng, "select plate % 2 from" + V)
+    assert ret["status"] & DAT_ERROR
+    assert ret["message"]
+    assert ret["entries"] == []
+
+
+def test_http_roundtrip(eng):
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query/",
+            data=json.dumps(
+                {"query": "select top 3 plate fine from" + V + "order by fine"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.headers["Cache-control"] == "no-store"
+            ret = json.loads(resp.read())
+        assert ret["status"] & DAT_GOOD
+        assert ret["entries"][0]["numrows"] == 3
+        # default-DESC dialect order: fines descending
+        fines = [row[1] for row in ret["entries"][0]["vals"]]
+        assert fines == sorted(fines, reverse=True)
+
+        info = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/info?info=fileClick",
+            data=json.dumps({"path": "/root/repo/tests/data", "mode": "open"}).encode(),
+        )
+        with urllib.request.urlopen(info, timeout=30) as resp:
+            listing = json.loads(resp.read())
+        assert "violations.csv" in listing["files"]
+    finally:
+        srv.stop()
+
+
+def test_browse_dir_bad_path():
+    from csvtool_spark.server import DAT_BADPATH
+
+    out = browse_dir("/no/such/dir/anywhere")
+    assert out.get("status") == DAT_BADPATH
