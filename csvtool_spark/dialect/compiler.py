@@ -201,9 +201,11 @@ class Compiler:
                 _cast(self.expr(a, agg), node.dtype) for a in node.args
             ])
         if name == "inc":
+            # INCBASE is a dense 0-based global row number provisioned by
+            # compile() via partition-offset arithmetic — NOT a
+            # single-partition global window (see _attach_inc_base).
             step = getattr(node, "step", 1.0)
-            w = Window.orderBy(ROWID)
-            return F.row_number().over(w).cast("double") * F.lit(float(step))
+            return (F.col(INCBASE).cast("double") + F.lit(1.0)) * F.lit(float(step))
         if name == "encrypt" or name == "decrypt":
             if len(node.args) < 2:
                 raise SemanticError(
@@ -372,6 +374,9 @@ class Compiler:
                 F.col("__rn") == 1
             ).drop("__rn")
 
+        if _uses_inc(q):
+            df = _attach_inc_base(df)
+
         visible = [s for s in q.selections if not s.hidden]
         out_cols = [f"__out{i}" for i in range(len(visible))]
 
@@ -437,6 +442,50 @@ class Compiler:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df.toDF(*self.c.out_names)
+
+
+INCBASE = "__incbase"
+
+
+def _attach_inc_base(df: DataFrame) -> DataFrame:
+    """Provision a dense 0-based global row number in ROWID (scan) order,
+    scalably: range-partition by ROWID so partition order == scan order,
+    row_number WITHIN each partition (parallel, no single-task sort), then
+    add per-partition offsets computed by one tiny count job (one row per
+    partition reaches the driver). Replaces the previous
+    ``Window.orderBy(ROWID)`` global window, which funnels every row
+    through ONE task — the classic 100×-scale bottleneck. Values are
+    identical: ROWID (monotonically_increasing_id) is unique and monotone
+    with scan order, and range partitioning preserves its global order
+    across partitions. The input is persisted so the count job and the
+    main query share one computation of the upstream plan."""
+    staged = (
+        df.repartitionByRange(F.col(ROWID))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["count"] for r in staged.groupBy("__pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs.extend([F.lit(int(pid)), F.lit(int(off))])
+        off_col = F.coalesce(
+            F.try_element_at(F.create_map(*pairs), F.col("__pid")),
+            F.lit(0),
+        )
+    else:
+        off_col = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(ROWID)
+    return staged.withColumn(
+        INCBASE, F.row_number().over(w).cast("long") - F.lit(1) + off_col
+    ).drop("__pid")
 
 
 def _uses_inc(q: ast.Query) -> bool:

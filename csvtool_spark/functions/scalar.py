@@ -97,8 +97,11 @@ def inc(order_by: Column, step: float = 1.0) -> Column:
     deterministic Spark equivalent: row_number over an explicit ordering,
     scaled by step. Divergence (documented): requires an ordering column.
 
-    At scale this is a single global window — acceptable only on small
-    outputs; for large outputs prefer ``F.monotonically_increasing_id`` when
-    density is not required."""
+    At scale this convenience form is a single global window — acceptable
+    only on small outputs. The dialect compiler does NOT use it: it
+    provisions dense numbers via partition-offset arithmetic
+    (dialect.compiler._attach_inc_base), which parallelizes. Prefer that
+    pattern (or ``F.monotonically_increasing_id`` when density is not
+    required) for large outputs."""
     w = Window.orderBy(order_by)
     return (F.row_number().over(w).cast("double") * F.lit(float(step)))
