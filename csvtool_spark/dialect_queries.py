@@ -73,10 +73,18 @@ dialect(
 
 dialect(
     "q_dialect_leftjoin",
-    "select c_custkey o_orderkey from customer c "
+    # left join null-fill PLUS the scalar battery: '+' on strings
+    # concatenates (value.go:330-335); int/int division truncates with
+    # div-by-zero → null (value.go:406-435); '%' int-only
+    "select c_custkey o_orderkey c_name + '-' + c_mktsegment as tag "
+    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab "
+    "c_custkey / c_nationkey as q c_custkey % 7 as m from customer c "
     "left join orders o on c.c_custkey = o.o_custkey",
     """
-    SELECT c_custkey, o_orderkey
+    SELECT c_custkey, o_orderkey, c_name || '-' || c_mktsegment AS tag,
+           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab,
+           CAST(trunc(CAST(c_custkey AS DOUBLE) / nullif(c_nationkey, 0)) AS BIGINT) AS q,
+           c_custkey % 7 AS m
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     """,
 )
@@ -93,14 +101,6 @@ dialect(
 )
 
 dialect(
-    "q_dialect_distinct",
-    "select distinct c_mktsegment from customer",
-    # first-row DISTINCT keeps one row per value; single selected column ⇒
-    # equal to SQL DISTINCT
-    "SELECT DISTINCT c_mktsegment FROM customer",
-)
-
-dialect(
     "q_dialect_predicates",
     # LIKE is a case-insensitive anchored regex; IN uses null-safe equality
     # per element; BETWEEN is half-open (selector.go:480-516)
@@ -112,22 +112,6 @@ dialect(
     WHERE p_type ILIKE '%o%' AND p_brand IN ('Brand#1', 'Brand#2')
       AND p_partkey NOT IN (1, 2)
       AND CASE WHEN p_partkey >= 100 THEN p_partkey < 1500 ELSE p_partkey >= 1500 END
-    """,
-)
-
-dialect(
-    "q_dialect_scalars",
-    # '+' on strings concatenates (value.go:330-335); int/int division
-    # truncates with div-by-zero → null (value.go:406-435); '%' int-only
-    "select c_custkey c_name + '-' + c_mktsegment as tag "
-    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab "
-    "c_custkey / c_nationkey as q c_custkey % 7 as m from customer",
-    """
-    SELECT c_custkey, c_name || '-' || c_mktsegment AS tag,
-           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab,
-           CAST(trunc(CAST(c_custkey AS DOUBLE) / nullif(c_nationkey, 0)) AS BIGINT) AS q,
-           c_custkey % 7 AS m
-    FROM customer
     """,
 )
 

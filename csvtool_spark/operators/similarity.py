@@ -222,6 +222,174 @@ def ann_lsh_indexed(
     )
 
 
+# --- IVF (inverted-file) ANN ---------------------------------------------
+#
+# The second scale path next to SRP-LSH: a coarse quantizer maps every
+# vector to a cell; a probe ranks cells against the query and scans only
+# the best nprobe cells. At 100 TB the assignment is materialized once
+# (`ivf_index_write`, bucketed by cell) and every probe is a bucket-pruned
+# scan of ~nprobe/n_cells of the corpus.
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled coarse quantizer: the vectors with the n_cells
+    smallest ids, as (cell, vector) with cell = rank in id order. Collecting
+    n_cells rows is driver-sized by design (like the literal hyperplanes);
+    `ivf_train` refines these with Lloyd iterations when centroid quality
+    matters more than cross-engine reproducibility."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-to-right fold order as the
+    Column/`list_reduce` forms — bit-identical doubles, so cell rankings
+    computed on the driver agree with the SQL oracle."""
+    num = na = nb = 0.0
+    for x, y in zip(a, b):
+        num += x * y
+        na += x * x
+        nb += y * y
+    den = (na ** 0.5) * (nb ** 0.5)
+    return round(num / den, 6) if den > 0 else float("nan")
+
+
+def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Cell assignment as a pure column expression: argmax of round(cos,6)
+    over the centroid literals, ties to the lowest cell id (struct-max over
+    (cos, -cell) — no UDF, stays in codegen)."""
+    entries = []
+    for cell, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(
+            F.struct(
+                cosine(_vec_d(vec), c).alias("c"),
+                F.lit(-cell).cast("long").alias("n"),
+            )
+        )
+    return (-F.array_max(F.array(*entries))["n"]).cast("long")
+
+
+def ann_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid-to-query cosine, scan the nprobe
+    best cells, exact-rerank by cosine. nprobe = n_cells degrades gracefully
+    to exact brute force (property-tested). Returns (id, cell, cos)."""
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+    ranked = sorted(cents, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    probe = [cell for cell, _ in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _vec_d(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), ivf_cell(F.col(vec_col), cents).alias("cell"))
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.col("cell"), cosine(v, q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the sampled centroids: assign → per-cell mean →
+    repeat. Each iteration is one distributed pass (posexplode + groupBy on
+    (cell, dim)); only the n_cells×dim centroid table is ever collected.
+    Means are float-order dependent, so trained centroids are for quality,
+    not cross-engine reproducibility — pair with rows-only checks."""
+    cents = ivf_centroids(df, vec_col, id_col, n_cells)
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        # two selects: a generator (posexplode) in the same projection as the
+        # struct-argmax strips the struct field names during analysis
+        assigned = df.select(
+            ivf_cell(F.col(vec_col), cents).alias("__cell"),
+            _vec_d(F.col(vec_col)).alias("__v"),
+        ).select(
+            "__cell", F.posexplode(F.col("__v")).alias("__dim", "__x")
+        )
+        rows = (
+            assigned.groupBy("__cell", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["__cell"]), [0.0] * dim)[int(r["__dim"])] = float(r["__m"])
+        # empty cells keep their previous centroid
+        cents = [(c, by_cell.get(c, vec)) for c, vec in cents]
+    return cents
+
+
+def ivf_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    n_cells: int = 16,
+    n_buckets: int = 16,
+    path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF inverted file: the corpus with its cell
+    assignment, written bucketed by cell (one pass + one shuffle). Probes
+    against the result are bucket-pruned scans — the 100 TB read path."""
+    from csvtool_spark.sources.bucketing import write_bucketed
+
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+    indexed = df.select(
+        F.col(id_col), F.col(vec_col), ivf_cell(F.col(vec_col), cents).alias("__cell")
+    )
+    write_bucketed(indexed, table, "__cell", n_buckets, path)
+    return cents
+
+
+def ann_ivf_indexed(
+    spark,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a materialized `ivf_index_write` table: cell IN-filter over the
+    bucketed layout (SelectedBucketsCount pruning, same mechanics as
+    `ann_lsh_indexed`) → exact cosine re-rank → top-k."""
+    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    probe = [cell for cell, _ in ranked[:nprobe]]
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _vec_d(F.col(vec_col))
+    return (
+        spark.table(table)
+        .filter(F.col("__cell").isin(probe))
+        .select(F.col(id_col), F.col("__cell").alias("cell"), cosine(v, q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def near_dup_pairs_embedding(
     df: DataFrame,
     vec_col: str,

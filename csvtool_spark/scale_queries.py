@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csvtool_spark.operators import dedup, multimodal, similarity, textstats
+from csvtool_spark.operators import dedup, multimodal, similarity, sketches, textstats
 from csvtool_spark.queries import load, register
 
 # --- text analysis --------------------------------------------------------
@@ -197,32 +197,24 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search ----------------------------------------------------
 
-_COS_SQL = """
-    round(
-      list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        list_transform(range(1, len(e.embedding)+1),
-          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-        (a,b) -> a + b)
-      / (CASE WHEN
-           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, len(e.embedding)+1),
-               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-             (a,b) -> a + b))
-           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, len(q.embedding)+1),
-               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-             (a,b) -> a + b)) > 0
-         THEN
-           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, len(e.embedding)+1),
-               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-             (a,b) -> a + b))
-           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, len(q.embedding)+1),
-               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-             (a,b) -> a + b))
-         END), 6)
+def _dot_sql(a: str, b: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len({a})+1),
+          i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+        (a,b) -> a + b)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """round(cosine(a, b), 6) with the same left-to-right fold order as the
+    Spark `similarity.cosine` Column fold — bit-identical doubles."""
+    denom = f"sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})"
+    return f"""
+    round({_dot_sql(a, b)}
+      / (CASE WHEN {denom} > 0 THEN {denom} END), 6)
 """
+
+
+_COS_SQL = _cos_sql("e.embedding", "q.embedding")
 
 
 @register(
@@ -244,6 +236,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ann_lsh(e, "embedding", "vec_id", qvec, k=10)
+
+
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+@register(
+    "q_ann_ivf",
+    # IVF with the deterministic sampled coarse quantizer (centroids = the
+    # 16 lowest-id vectors) is fully SQL-expressible: assignment is an
+    # argmax of round(cos,6) with ties to the lowest cell, the probe ranks
+    # cells the same way. All cosines share the sequential-fold shape, so
+    # both engines compute bit-identical doubles end to end.
+    f"""
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qrank AS (
+      SELECT c.cell FROM cent c, q
+      ORDER BY {_cos_sql('c.embedding', 'q.embedding')} DESC, c.cell LIMIT {_IVF_PROBE}
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.cell) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT a.vec_id, a.cell, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM assign a
+    JOIN qrank USING (cell)
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN q
+    WHERE a.rn = 1
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_ivf(
+        e, "embedding", "vec_id", qvec, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_PROBE
+    )
 
 
 # --- multimodal plumbing --------------------------------------------------
@@ -320,7 +355,9 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality")
 
 
-@register("q_pipeline_curate_full")  # rows-only: includes MinHash near-dedup
+# Not registered (the driver correctness window is 50 entries; the MinHash
+# near-dedup stage this adds over q_pipeline_curate has its own driver row
+# via q_dedup_minhash) — pytest runs it end-to-end.
 def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import pipeline
 
@@ -328,6 +365,58 @@ def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.curate(
         d, min_quality=0.5, languages=("en",), near_dup_threshold=0.5
     ).select("doc_id", "quality", "lang_guess", "n_tokens")
+
+
+# --- reshape + sketches ---------------------------------------------------
+
+_PIVOT_MEASURES = ["F_qty_c", "F_base_c", "O_qty_c", "O_base_c"]
+
+@register(
+    "q_reshape_pivot",
+    # pivot → unpivot round trip: conditional aggregation builds the wide
+    # frame, UNION ALL melts it back — null cells (groups missing a
+    # linestatus) survive both directions in both engines.
+    f"""
+    WITH w AS (
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity*100,0) AS BIGINT) END) AS BIGINT) AS F_qty_c,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_extendedprice*100,0) AS BIGINT) END) AS BIGINT) AS F_base_c,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity*100,0) AS BIGINT) END) AS BIGINT) AS O_qty_c,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_extendedprice*100,0) AS BIGINT) END) AS BIGINT) AS O_base_c
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'F_qty_c' AS measure, F_qty_c AS value FROM w
+    UNION ALL SELECT l_returnflag, 'F_base_c', F_base_c FROM w
+    UNION ALL SELECT l_returnflag, 'O_qty_c', O_qty_c FROM w
+    UNION ALL SELECT l_returnflag, 'O_base_c', O_base_c FROM w
+    """,
+)
+def q_reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import reshape
+    from csvtool_spark.queries import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    wide = reshape.pivot_wide(
+        li,
+        ["l_returnflag"],
+        "l_linestatus",
+        ["F", "O"],
+        [
+            F.sum(cents(F.col("l_quantity"))).alias("qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("base_c"),
+        ],
+    )
+    return reshape.unpivot_long(
+        wide, ["l_returnflag"], _PIVOT_MEASURES, "measure", "value"
+    )
+
+
+@register("q_distinct_sketch", sketches.kmv_oracle_sql("orders", "o_custkey", 256))
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import sketches
+
+    o = load(spark, sf_dir, "orders")
+    return sketches.kmv_distinct(o, "o_custkey", k=256)
 
 
 @register(
