@@ -284,18 +284,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal plumbing --------------------------------------------------
 
 
-@register(
-    "q_multimodal_meta",
-    """
-    SELECT doc_id, 'image/fake' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents
-    """,
-)
+# Not registered (50-entry window; its (doc_id, media_type, n_bytes) output
+# is a strict subset of the oracle-backed q_multimodal_features) — pytest
+# keeps it covered.
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return multimodal.attach_fake_media(d, "text", "doc_id").select(
         "doc_id", "media_type", "n_bytes"
+    )
+
+
+# --- as-of join -----------------------------------------------------------
+
+
+@register(
+    "q_asof_join",
+    # independent check: DuckDB's NATIVE ASOF LEFT JOIN vs the engine's
+    # union+window formulation. The marker side is pre-aggregated to one
+    # row per (user_id, ts) so tie-breaks can't differ. age_sec compares
+    # whole-second floors, identical under Spark's micros truncation of
+    # the nanos timestamps vs DuckDB's native nanos.
+    """
+    SELECT e.event_id, e.user_id,
+           m.signup_id,
+           CASE WHEN m.m_ts IS NULL THEN NULL
+                ELSE date_diff('second', m.m_ts, e.ts) END AS age_sec
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts AS m_ts, CAST(max(event_id) AS BIGINT) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ) m ON e.user_id = m.user_id AND e.ts >= m.m_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    marker = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    joined = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        marker,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("age_sec"),
     )
 
 

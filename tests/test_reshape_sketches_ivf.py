@@ -156,3 +156,93 @@ def test_ivf_indexed_probe_is_bucket_pruned(spark, tmp_path):
         e, "embedding", "vec_id", qvec, k=10, n_cells=8, nprobe=2, centroids=cents
     ).collect()
     assert [r.vec_id for r in rows] == [r.vec_id for r in direct]
+
+
+# --- as-of join -----------------------------------------------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 5), (4, "x", 50)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "a", None), ("k", 20, "b", 2.0), ("z", 1, "zz", 9.0)],
+        "k string, t long, tag string, score double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {r.id: (r.tag, r.t_r) for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t"
+    ).collect()}
+    assert out[1] == ("a", 10)        # inclusive: t == right t matches
+    assert out[2] == ("b", 20)        # latest of the two markers
+    assert out[3] == (None, None)     # no marker at or before t=5
+    assert out[4] == (None, None)     # key never on right side
+
+
+def test_asof_forward(spark):
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {r.id: r.tag for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", direction="forward"
+    ).collect()}
+    assert out[3] == "a"              # earliest marker at/after t=5
+    assert out[2] is None             # nothing at/after t=25
+
+
+def test_asof_null_right_field_does_not_skip_match(spark):
+    # marker ("a") carries a NULL score; the struct wrapper must still
+    # count it as the match rather than skipping to an older marker
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    row = {r.id: r for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t"
+    ).collect()}[1]
+    assert row.tag == "a" and row.score is None
+
+
+def test_asof_tolerance(spark):
+    from pyspark.sql import functions as F
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {r.id: r.tag for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        tolerance=F.lit(5),
+    ).collect()}
+    assert out[1] == "a"              # age 0 ≤ 5
+    assert out[2] == "b"              # age 5 ≤ 5
+    # id=3 has no match at all; unchanged
+    assert out[3] is None
+
+
+def test_asof_tolerance_excludes_stale(spark):
+    from pyspark.sql import functions as F
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {r.id: r.tag for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        tolerance=F.lit(4),
+    ).collect()}
+    assert out[2] is None             # age 5 > 4 → nulled out
+
+
+def test_asof_single_shuffle_plan(spark):
+    # the union+window form shuffles ONCE on the key — no range-join blowup
+    from csvtool_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    plan = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
