@@ -16,7 +16,7 @@ import pytest
 
 from csvtool_spark.engine import CsvEngine
 from csvtool_spark.oracle import normalize
-from tests.test_dialect import V
+from tests.test_dialect import C, R, V
 
 NUMERIC = ["fine", "fee"]
 INTS = ["ticket", "count"]
@@ -83,31 +83,121 @@ class Gen:
         # dialect logic chains are right-grouped; two terms are unambiguous
         return f"{d1} {op} {d2}", f"({s1}) {'AND' if op == 'and' else 'OR'} ({s2})"
 
-    def query(self) -> tuple[str, str]:
-        if self.r.random() < 0.4:
-            # grouped: exact integer aggregates + count(double)
-            g = self.r.choice(STRINGS)
-            ic = self.r.choice(INTS)
-            dsel = f"{g} count(*) as n sum({ic}) as s min({ic}) as mn max({ic}) as mx"
-            ssel = (
-                f"{g}, CAST(count(*) AS DOUBLE) AS n, sum({ic}) AS s, "
-                f"min({ic}) AS mn, max({ic}) AS mx"
-            )
-            dwhere, swhere = self.preds()
+    def scalar_expr(self) -> tuple[str, str]:
+        kind = self.r.randrange(5)
+        if kind == 0:
+            # coalesce over a nullable string column
+            lit = self.r.choice(STR_VALUES)
+            return f"coalesce(note, {lit})", f"coalesce(note, '{lit}')"
+        if kind == 1:
+            c = self.r.choice(NUMERIC)
+            k = self.r.randint(1, 300)
+            return f"abs({c} - {k})", f"abs({c} - {k})"
+        if kind == 2:
+            # searched CASE, string branches
+            dp, sp = self.pred()
+            a, b = self.r.sample(STR_VALUES, 2)
             return (
-                f"select {dsel} from {V} where {dwhere} group by {g}",
-                f"SELECT {ssel} FROM t WHERE {swhere} GROUP BY {g}",
+                f"case when {dp} then {a} else {b} end",
+                f"CASE WHEN {sp} THEN '{a}' ELSE '{b}' END",
             )
+        if kind == 3:
+            # truncating int division, divisor > 0
+            c = self.r.choice(INTS)
+            k = self.r.randint(2, 9)
+            return (
+                f"{c} / {k}",
+                f"CAST(trunc(CAST({c} AS DOUBLE) / {k}) AS BIGINT)",
+            )
+        # string concat via '+'
+        c = self.r.choice(STRINGS)
+        lit = self.r.choice(STR_VALUES)
+        return f"{c} + {lit}", f"{c} || '{lit}'"
+
+    def grouped(self, having: bool) -> tuple[str, str]:
+        g = self.r.choice(STRINGS)
+        ic = self.r.choice(INTS)
+        dsel = f"{g} count(*) as n sum({ic}) as s min({ic}) as mn max({ic}) as mx"
+        ssel = (
+            f"{g}, CAST(count(*) AS DOUBLE) AS n, sum({ic}) AS s, "
+            f"min({ic}) AS mn, max({ic}) AS mx"
+        )
+        dwhere, swhere = self.preds()
+        dtext = f"select {dsel} from {V} where {dwhere} group by {g}"
+        sql = f"SELECT {ssel} FROM t WHERE {swhere} GROUP BY {g}"
+        if having:
+            thr = self.r.randint(10, 10_000)
+            dtext += f" having sum({ic}) > {thr}"
+            sql = f"SELECT * FROM ({sql}) h WHERE s > {thr}"
+        elif self.r.random() < 0.5:
+            # ordered grouped query (sort expr hoisted as hidden selection);
+            # comparison is order-insensitive — this exercises the compile path
+            how = self.r.choice(["", " asc"])
+            dtext += f" order by sum({ic}){how}"
+        return dtext, sql
+
+    def projected(self, ordered: bool) -> tuple[str, str]:
         nsel = self.r.randint(1, 3)
         items = [self.num_expr() for _ in range(nsel)]
+        if self.r.random() < 0.6:
+            items.append(self.scalar_expr())
         dsel = " ".join(f"{d} as x{i}" for i, (d, _) in enumerate(items))
         ssel = ", ".join(f"{s} AS x{i}" for i, (_, s) in enumerate(items))
         dsel = "plate " + dsel
         ssel = "plate, " + ssel
         dwhere, swhere = self.preds()
+        dtext = f"select {dsel} from {V} where {dwhere}"
+        sql = f"SELECT {ssel} FROM t WHERE {swhere}"
+        if ordered:
+            how = self.r.choice(["", " asc"])
+            dtext += f" order by {self.r.choice(NUMERIC + INTS)}{how}"
+        return dtext, sql
+
+    def distinct(self) -> tuple[str, str]:
+        c = self.r.choice(STRINGS)
+        dwhere, swhere = self.preds()
         return (
-            f"select {dsel} from {V} where {dwhere}",
-            f"SELECT {ssel} FROM t WHERE {swhere}",
+            f"select distinct {c} from {V} where {dwhere}",
+            f"SELECT DISTINCT {c} FROM t WHERE {swhere}",
+        )
+
+    def join(self) -> tuple[str, str]:
+        jt = self.r.choice(["join", "left join"])
+        sj = "JOIN" if jt == "join" else "LEFT JOIN"
+        thr = self.r.randint(0, 100)
+        dtext = (
+            f"nh select c.c1 c.c2 r.c2 as rname from {C} c {jt} {R} r "
+            f"on c.c3 = r.c1 where c.c2 > {thr}"
+        )
+        sql = (
+            f"SELECT c.c1, c.c2, r.c2 AS rname FROM cities c {sj} regions r "
+            f"ON c.c3 = r.c1 WHERE c.c2 > {thr}"
+        )
+        return dtext, sql
+
+    def query(self) -> tuple[str, str]:
+        roll = self.r.random()
+        if roll < 0.25:
+            return self.projected(ordered=False)
+        if roll < 0.40:
+            return self.projected(ordered=True)
+        if roll < 0.55:
+            return self.grouped(having=False)
+        if roll < 0.65:
+            return self.grouped(having=True)
+        if roll < 0.75:
+            return self.distinct()
+        if roll < 0.85:
+            return self.join()
+        # legacy plain shape (no scalar tail) for continuity
+        nsel = self.r.randint(1, 3)
+        items = [self.num_expr() for _ in range(nsel)]
+        dsel = " ".join(f"{d} as x{i}" for i, (d, _) in enumerate(items))
+        ssel = ", ".join(f"{s} AS x{i}" for i, (_, s) in enumerate(items))
+        dwhere, swhere = self.preds()
+        return (
+            f"select plate {dsel} from {V} where {dwhere}",
+            f"SELECT plate, {ssel} FROM t WHERE {swhere}",
         )
 
 
@@ -116,13 +206,20 @@ def duck_t(spark):
     import duckdb
 
     eng = CsvEngine(spark)
-    typed = eng.sql("select * from" + V)
     con = duckdb.connect()
-    con.register("t", typed.toPandas())
+    con.register("t", eng.sql("select * from" + V).toPandas())
+    # the engine displays noheader columns as col1..colN; the dialect
+    # addresses them as cN — register the duck twins under the cN names
+    cities = eng.sql("nh select * from" + C).toPandas()
+    cities.columns = ["c1", "c2", "c3"]
+    regions = eng.sql("nh select * from" + R).toPandas()
+    regions.columns = ["c1", "c2"]
+    con.register("cities", cities)
+    con.register("regions", regions)
     return con
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(80))
 def test_differential_random_query(spark, duck_t, seed):
     g = Gen(random.Random(1000 + seed))
     dtext, sql = g.query()
