@@ -408,6 +408,38 @@ def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", "lang_guess", "n_tokens")
 
 
+# --- range join -----------------------------------------------------------
+
+
+@register(
+    "q_range_join",
+    # overlapping price bands (each order lands in ≤2) — DuckDB evaluates
+    # the raw inequality join; the engine's bucketed-equi-join form must
+    # produce the identical pair set.
+    """
+    SELECT o.o_orderkey, b.band_id, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT CAST(i AS BIGINT) AS band_id,
+                 CAST(i * 40000 AS DOUBLE) AS lo,
+                 CAST(i * 40000 + 80000 AS DOUBLE) AS hi
+          FROM range(12) t(i)) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.rangejoin import range_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(12).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 40000).cast("double").alias("lo"),
+        (F.col("id") * 40000 + 80000).cast("double").alias("hi"),
+    )
+    return range_join(
+        o, bands, "o_totalprice", "lo", "hi", bucket_width=40000
+    ).select("o_orderkey", "band_id", "o_totalprice")
+
+
 # --- reshape + sketches ---------------------------------------------------
 
 _PIVOT_MEASURES = ["F_qty_c", "F_base_c", "O_qty_c", "O_base_c"]
