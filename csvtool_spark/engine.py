@@ -77,6 +77,15 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
+        if path.endswith((".jsonl", ".ndjson", ".json")):
+            from csvtool_spark.sources.jsonl import read_jsonl
+
+            if not os.path.exists(path):
+                raise SemanticError(f"cannot open file {ref.path}")
+            df = read_jsonl(self.spark, path)
+            names = list(df.columns)
+            types = [_dialect_type(f.dataType) for f in df.schema.fields]
+            return df, names, types
         if path.endswith(".csv"):
             if not os.path.exists(path):
                 raise SemanticError(f"cannot open file {ref.path}")

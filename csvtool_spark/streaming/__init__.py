@@ -1,4 +1,5 @@
 from csvtool_spark.streaming.events import (  # noqa: F401
+    deduped_stream,
     event_stream,
     run_to_memory,
     sessionized_stream,

@@ -89,6 +89,22 @@ def sessionized_stream(
     )
 
 
+def deduped_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, holding each
+    seen key in the state store only until the watermark passes
+    (``dropDuplicatesWithinWatermark`` — bounded state, unlike plain
+    ``dropDuplicates`` whose key set grows forever). The streaming twin of
+    the batch ``dedup.exact_dedup``; ingest-side dedup for at-least-once
+    sources replaying the same document shard."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a bounded stream to completion into an in-memory table."""
     q = (

@@ -78,3 +78,26 @@ def test_sessionized_stream(spark):
     for r in rows:
         got[r.user_id] = got.get(r.user_id, 0) + 1
     assert got == batch
+
+
+def test_streaming_dedup_bounded_state(spark):
+    # an at-least-once source delivering every event TWICE (two copies of
+    # the shard) must come out exactly-once
+    import shutil
+    import tempfile
+
+    from csvtool_spark.streaming import deduped_stream
+    from csvtool_spark.streaming.events import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="dup_stream_")
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/a.parquet")
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/b.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(d)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    run_to_memory(deduped_stream(stream), "dedup_out", output_mode="append")
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").first()
+    expected = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert got.n == expected            # one row per original event
+    assert got.d == expected            # and they are all distinct ids
