@@ -115,6 +115,23 @@ def lang_id(col: Column) -> Column:
     return F.when(cjk_char_count(col) * 4 > F.length(col), F.lit("zh")).otherwise(best)
 
 
+def heavy_hitters(df, text_col: str, k: int = 50):
+    """Exact corpus-level top-k tokens — the vocabulary/heavy-hitters stat
+    every training-data pipeline reports. Word-count shape: explode →
+    hash-aggregate with map-side partial combine (the shuffle carries one
+    row per DISTINCT token per task, not per occurrence) → TakeOrdered k.
+    Deterministic tie-break: count desc, token asc."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def content_fingerprint(col: Column) -> Column:
     """Order-insensitive content hash: md5 over the sorted distinct token
     set. Survives token reordering; the standard 'bag fingerprint'."""

@@ -41,6 +41,11 @@ from csvtool_spark.functions.scalar import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Oracle-paired queries NOT exposed to the driver (its correctness window
+#: is the first 50 registered entries) — the local pytest gate runs these.
+SHADOW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SHADOW_ORACLES: dict[str, str] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from csvtool_spark.sources.parquet import read_table
@@ -53,11 +58,12 @@ def cents(col, scale: int = 100):
     return F.round(col * scale, 0).cast("long")
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, registered: bool = True):
     def deco(fn):
-        QUERIES[name] = fn
+        q, o = (QUERIES, ORACLES) if registered else (SHADOW_QUERIES, SHADOW_ORACLES)
+        q[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            o[name] = oracle
         return fn
 
     return deco
@@ -511,6 +517,9 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
     """,
+    registered=False,  # 50-entry window: chained joins stay driver-checked
+    # through q3/q5 (3-table joins w/ aggregation) and q_dialect_join; the
+    # slot funds q_heavy_hitters. Pytest still oracle-checks this entry.
 )
 def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N-file join chain (parser.go:812-901 allows any number). Dimension

@@ -120,6 +120,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_heavy_hitters",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.heavy_hitters(d, "text", k=50)
+
+
 # --- dedup ----------------------------------------------------------------
 
 

@@ -30,3 +30,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", sorted(catalog.SHADOW_QUERIES))
+def test_shadow_query_matches_oracle(spark, duck, name):
+    # oracle-paired entries outside the driver's 50-slot window
+    sdf = catalog.SHADOW_QUERIES[name](spark, SF_SMALL)
+    if name not in catalog.SHADOW_ORACLES:
+        assert sdf.count() >= 0
+        return
+    err = compare(sdf, duck, catalog.SHADOW_ORACLES[name])
+    assert err is None, f"{name}: {err}"

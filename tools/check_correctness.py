@@ -25,8 +25,13 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duck_connect(sf_dir)
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    from csvtool_spark.queries import SHADOW_ORACLES, SHADOW_QUERIES
+
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # shadow entries: oracle-paired but outside the driver's 50-slot window
+    qs.update(SHADOW_QUERIES)
+    oracles.update(SHADOW_ORACLES)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
