@@ -24,13 +24,13 @@ def _engine(spark: SparkSession, sf_dir: str) -> CsvEngine:
     return eng
 
 
-def dialect(name: str, text: str, oracle: str | None):
+def dialect(name: str, text: str, oracle: str | None, registered: bool = True):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _engine(spark, sf_dir).sql(text)
 
     fn.__name__ = name
     fn.__doc__ = f"dialect: {text}"
-    register(name, oracle)(fn)
+    register(name, oracle, registered=registered)(fn)
 
 
 dialect(
@@ -113,6 +113,31 @@ dialect(
       AND p_partkey NOT IN (1, 2)
       AND CASE WHEN p_partkey >= 100 THEN p_partkey < 1500 ELSE p_partkey >= 1500 END
     """,
+)
+
+# shadow entries (outside the driver's 50-slot window, checked locally):
+# first-row DISTINCT through the dialect compile path, and the standalone
+# scalar battery whose registered twin rides q_dialect_leftjoin
+dialect(
+    "q_dialect_distinct",
+    "select distinct c_mktsegment from customer",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    registered=False,
+)
+
+dialect(
+    "q_dialect_scalars",
+    "select c_custkey c_name + '-' + c_mktsegment as tag "
+    "coalesce(c_name, unknown) as nm abs(c_acctbal) as ab "
+    "c_custkey / c_nationkey as q c_custkey % 7 as m from customer",
+    """
+    SELECT c_custkey, c_name || '-' || c_mktsegment AS tag,
+           coalesce(c_name, 'unknown') AS nm, abs(c_acctbal) AS ab,
+           CAST(trunc(CAST(c_custkey AS DOUBLE) / nullif(c_nationkey, 0)) AS BIGINT) AS q,
+           c_custkey % 7 AS m
+    FROM customer
+    """,
+    registered=False,
 )
 
 dialect(

@@ -303,9 +303,19 @@ def q_dates_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Not registered (50-entry driver window): abs/coalesce/concat are
-# driver-checked through the dialect left-join scalar battery and the
-# differential fuzz pool — the slot funds q_range_join.
+@register(
+    "q_scalar_misc",
+    """
+    SELECT c_custkey,
+           abs(c_acctbal - 5000.0) AS dist,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'B') AS seg,
+           c_name || '-' || c_mktsegment AS tag
+    FROM customer
+    """,
+    registered=False,  # 50-entry window: abs/coalesce/concat also ride the
+    # dialect left-join scalar battery and the fuzz pool; slot funds
+    # q_range_join. Shadow keeps the oracle pair checked locally.
+)
 def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # abs (utils.go:179-182), coalesce (selector.go:156-162), `+` string
     # concatenation (value.go:330-335).

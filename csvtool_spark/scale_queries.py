@@ -297,9 +297,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal plumbing --------------------------------------------------
 
 
-# Not registered (50-entry window; its (doc_id, media_type, n_bytes) output
-# is a strict subset of the oracle-backed q_multimodal_features) — pytest
-# keeps it covered.
+@register(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    registered=False,  # 50-entry window: strict subset of the registered
+    # q_multimodal_features; shadow keeps the oracle pair checked locally.
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return multimodal.attach_fake_media(d, "text", "doc_id").select(
@@ -409,9 +416,8 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality")
 
 
-# Not registered (the driver correctness window is 50 entries; the MinHash
-# near-dedup stage this adds over q_pipeline_curate has its own driver row
-# via q_dedup_minhash) — pytest runs it end-to-end.
+@register("q_pipeline_curate_full", registered=False)  # rows-only shadow:
+# includes MinHash near-dedup, whose driver row is q_dedup_minhash
 def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import pipeline
 
