@@ -97,21 +97,63 @@ def lang_marker_counts(col: Column) -> dict[str, Column]:
     }
 
 
+def _packed_marker_total(col: Column) -> Column:
+    """All marker counts in ONE pass over the token array, bit-packed into
+    a single long: a literal map sends each marker word to an increment
+    with language i in bits 16i..16i+15 (words on several lists — 'la',
+    'de', 'en' — carry the sum of their languages' increments) and one
+    aggregate fold adds them up. Token count < 2¹⁶ per doc keeps fields
+    from carrying; packed sum < 2⁶³ is ANSI-safe."""
+    langs = list(LANG_MARKERS)
+    packed: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for w in LANG_MARKERS[lang]:
+            packed[w] = packed.get(w, 0) + (1 << (16 * i))
+    entries = []
+    for w, v in sorted(packed.items()):
+        entries.extend([F.lit(w), F.lit(v).cast("long")])
+    m = F.create_map(*entries)
+    return F.aggregate(
+        tokens(F.lower(col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0).cast("long")),
+    )
+
+
+def _unpack_count(tot: Column, i: int) -> Column:
+    return (
+        F.call_function("shiftrightunsigned", tot, F.lit(16 * i))
+        .bitwiseAND(F.lit(0xFFFF))
+        .cast("long")
+    )
+
+
 def cjk_char_count(col: Column) -> Column:
     return F.length(F.regexp_replace(col, r"[^一-鿿]", "")).cast("long")
 
 
 def lang_id(col: Column) -> Column:
     """Argmax over marker-word counts, with a CJK-character override.
-    Deterministic tie-break: language key order en > fr > de > es."""
-    counts = lang_marker_counts(col)
-    # winner = first language (en,fr,de,es order) achieving the max count
-    best = F.lit("unknown")
-    best_n = F.lit(0).cast("long")
-    for lang, c in counts.items():
-        take = c > best_n
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_n = F.when(take, c).otherwise(best_n)
+    Deterministic tie-break: language key order en > fr > de > es.
+
+    The marker counts come from the single-pass packed fold; wrapping the
+    decision in a one-element ``transform`` let-binds the fold result so
+    the argmax references a computed variable instead of re-inlining the
+    fold per comparison (Catalyst CollapseProject would otherwise expand
+    it ~8× — measured 4× slower than even the four-filter formulation)."""
+
+    def decide(tot: Column) -> Column:
+        # winner = first language (en,fr,de,es order) achieving the max
+        best = F.lit("unknown")
+        best_n = F.lit(0).cast("long")
+        for i, lang in enumerate(LANG_MARKERS):
+            c = _unpack_count(tot, i)
+            take = c > best_n
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_n = F.when(take, c).otherwise(best_n)
+        return best
+
+    best = F.transform(F.array(_packed_marker_total(col)), decide)[0]
     return F.when(cjk_char_count(col) * 4 > F.length(col), F.lit("zh")).otherwise(best)
 
 
