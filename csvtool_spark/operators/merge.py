@@ -30,31 +30,40 @@ def merge_upsert(
 
     - matched → the update row replaces the target row (columns absent from
       ``updates`` carry the target's value — partial updates);
-    - not matched by target → insert;
+    - not matched by target → insert (including null-key update rows, which
+      can never equi-match);
     - ``delete_col`` (boolean column in ``updates``) → matched rows with a
       true flag are dropped, unmatched delete rows are ignored.
 
     Output schema = target schema.
+
+    Contract: ``updates`` must hold at most ONE row per key (SQL MERGE
+    raises on multiple matches; this operator would instead fan the target
+    row out). Pre-aggregate the batch — e.g. ``max_by(struct(*), ts)`` per
+    key — when the source can replay.
     """
     keys = [key] if isinstance(key, str) else list(key)
     ucols = [c for c in updates.columns if c not in keys and c != delete_col]
-    t = target.alias("t")
-    u = updates.alias("u")
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = [t[k] == u[k] for k in keys]
     joined = t.join(u, cond, "full_outer")
-    matched = u[keys[0]].isNotNull()
+    # presence sentinels, not key-null checks: an update row with a null
+    # key never equi-matches but must still INSERT, not fabricate nulls
+    has_u = F.coalesce(u["__u_present"], F.lit(False))
+    has_t = F.coalesce(t["__t_present"], F.lit(False))
 
     if delete_col is not None:
-        joined = joined.filter(
-            ~(matched & F.coalesce(u[delete_col], F.lit(False)))
-        )
+        # a delete row removes its matched target (the joined pair drops)
+        # and never inserts when unmatched
+        joined = joined.filter(~(has_u & F.coalesce(u[delete_col], F.lit(False))))
 
     out = []
     for c in target.columns:
         if c in keys:
-            out.append(F.coalesce(t[c], u[c]).alias(c))
+            out.append(F.when(has_t, t[c]).otherwise(u[c]).alias(c))
         elif c in ucols:
-            out.append(F.when(matched, u[c]).otherwise(t[c]).alias(c))
+            out.append(F.when(has_u, u[c]).otherwise(t[c]).alias(c))
         else:
             out.append(t[c].alias(c))
     return joined.select(*out)

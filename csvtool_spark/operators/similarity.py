@@ -258,23 +258,42 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
         na += x * x
         nb += y * y
     den = (na ** 0.5) * (nb ** 0.5)
-    return round(num / den, 6) if den > 0 else float("nan")
+    # -inf (not NaN) for zero-norm: NaN comparisons would make sorted()
+    # input-order-dependent; -inf ranks last, like the SQL NULL cosine
+    # under DuckDB's NULLS LAST
+    return round(num / den, 6) if den > 0 else float("-inf")
 
 
 def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """Cell assignment as a pure column expression: argmax of round(cos,6)
     over the centroid literals, ties to the lowest cell id (struct-max over
-    (cos, -cell) — no UDF, stays in codegen)."""
-    entries = []
-    for cell, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        entries.append(
-            F.struct(
-                cosine(_vec_d(vec), c).alias("c"),
-                F.lit(-cell).cast("long").alias("n"),
+    (cos, -cell) — no UDF, stays in codegen).
+
+    The row's norm fold runs ONCE: a one-element transform let-binds
+    (vector, norm) — a naive per-centroid ``cosine(v, c)`` re-evaluates
+    norm(v) n_cells times once Catalyst inlines the projection. Centroid
+    norms are Python-computed constants with the same sequential fold
+    order as the SQL oracle's ``sqrt(list_reduce(...))`` — bit-identical,
+    and the denominator keeps the oracle's (row_norm × centroid_norm)
+    multiplication order."""
+
+    def decide(b: Column) -> Column:
+        entries = []
+        for cell, cvec in centroids:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            cn = 0.0
+            for x in cvec:
+                cn += float(x) * float(x)
+            den = b["nv"] * F.lit(cn ** 0.5)
+            cos = F.round(dot(b["v"], c) / F.when(den > 0, den), 6)
+            entries.append(
+                F.struct(cos.alias("c"), F.lit(-cell).cast("long").alias("n"))
             )
-        )
-    return (-F.array_max(F.array(*entries))["n"]).cast("long")
+        return (-F.array_max(F.array(*entries))["n"]).cast("long")
+
+    v = _vec_d(vec)
+    bound = F.array(F.struct(v.alias("v"), norm(v).alias("nv")))
+    return F.transform(bound, decide)[0]
 
 
 def ann_ivf(

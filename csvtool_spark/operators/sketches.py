@@ -40,8 +40,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     When the column has fewer than k distinct hashes the sketch is exact
     (est = count seen); otherwise est = (k-1)/u_k.
     """
+    # NULL is not a value: md5(NULL)→NULL would sort FIRST in Spark but
+    # LAST in the DuckDB twin, and a count must not include it anyway
     mins = (
-        df.select(_unit_hash(F.col(col)).alias("__u"))
+        df.filter(F.col(col).isNotNull())
+        .select(_unit_hash(F.col(col)).alias("__u"))
         .distinct()
         .orderBy("__u")
         .limit(k)
@@ -64,7 +67,7 @@ def kmv_oracle_sql(table: str, col: str, k: int = 256) -> str:
     WITH mins AS (
       SELECT DISTINCT (CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)
                        + 1.0) / 4294967296.0 AS u
-      FROM {table} ORDER BY u LIMIT {k}
+      FROM {table} WHERE {col} IS NOT NULL ORDER BY u LIMIT {k}
     )
     SELECT CAST(count(*) AS BIGINT) AS k_used,
            round(max(u), 6) AS u_k,

@@ -99,31 +99,42 @@ def lang_marker_counts(col: Column) -> dict[str, Column]:
 
 def _packed_marker_total(col: Column) -> Column:
     """All marker counts in ONE pass over the token array, bit-packed into
-    a single long: a literal map sends each marker word to an increment
-    with language i in bits 16i..16i+15 (words on several lists — 'la',
-    'de', 'en' — carry the sum of their languages' increments) and one
-    aggregate fold adds them up. Token count < 2¹⁶ per doc keeps fields
-    from carrying; packed sum < 2⁶³ is ANSI-safe."""
+    an array of two longs: a literal map sends each marker word to its
+    increment pair — language i lives in long i//2, bits 0..31 or 32..63
+    (words on several lists — 'la', 'de', 'en' — carry the sum of their
+    languages' increments) — and one aggregate fold zip-adds them. 32 bits
+    per field means a single document would need 2³¹ marker tokens to
+    overflow a field (beyond any array size), and the per-long sum stays
+    < 2⁶³ — ANSI-safe. (16-bit fields in one long would crash the top
+    field at 2¹⁵ tokens: the sign bit.)"""
     langs = list(LANG_MARKERS)
-    packed: dict[str, int] = {}
+    packed: dict[str, list[int]] = {}
     for i, lang in enumerate(langs):
         for w in LANG_MARKERS[lang]:
-            packed[w] = packed.get(w, 0) + (1 << (16 * i))
+            pair = packed.setdefault(w, [0, 0])
+            pair[i // 2] += 1 << (32 * (i % 2))
     entries = []
-    for w, v in sorted(packed.items()):
-        entries.extend([F.lit(w), F.lit(v).cast("long")])
+    for w, (v0, v1) in sorted(packed.items()):
+        entries.extend(
+            [F.lit(w), F.array(F.lit(v0).cast("long"), F.lit(v1).cast("long"))]
+        )
     m = F.create_map(*entries)
+    zero = F.array(F.lit(0).cast("long"), F.lit(0).cast("long"))
     return F.aggregate(
         tokens(F.lower(col)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0).cast("long")),
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.coalesce(F.try_element_at(m, t), zero),
+            lambda a, b: a + b,
+        ),
     )
 
 
 def _unpack_count(tot: Column, i: int) -> Column:
     return (
-        F.call_function("shiftrightunsigned", tot, F.lit(16 * i))
-        .bitwiseAND(F.lit(0xFFFF))
+        F.call_function("shiftrightunsigned", tot[i // 2], F.lit(32 * (i % 2)))
+        .bitwiseAND(F.lit(0xFFFFFFFF))
         .cast("long")
     )
 

@@ -321,18 +321,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_asof_join",
     # independent check: DuckDB's NATIVE ASOF LEFT JOIN vs the engine's
     # union+window formulation. The marker side is pre-aggregated to one
-    # row per (user_id, ts) so tie-breaks can't differ. age_sec compares
-    # whole-second floors, identical under Spark's micros truncation of
-    # the nanos timestamps vs DuckDB's native nanos.
+    # row per (user_id, ts) so tie-breaks can't differ. events.ts is
+    # TIMESTAMP(NANOS): Spark's reader floors it to micros, so the oracle
+    # floors BOTH join sides the same way — otherwise an (event, signup)
+    # pair straddling a microsecond boundary orders differently in the two
+    # engines and flips the matched row.
     """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    )
     SELECT e.event_id, e.user_id,
            m.signup_id,
            CASE WHEN m.m_ts IS NULL THEN NULL
                 ELSE date_diff('second', m.m_ts, e.ts) END AS age_sec
-    FROM events e
+    FROM ev e
     ASOF LEFT JOIN (
       SELECT user_id, ts AS m_ts, CAST(max(event_id) AS BIGINT) AS signup_id
-      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
     ) m ON e.user_id = m.user_id AND e.ts >= m.m_ts
     """,
 )

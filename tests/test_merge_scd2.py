@@ -110,3 +110,21 @@ def test_scd2_brand_new_key(spark):
     rows = [(r.tier, r.valid_from, r.valid_to, r.is_current)
             for r in out.collect() if r.user == 7]
     assert rows == [("bronze", 3, None, True)]
+
+
+def test_upsert_null_key_update_inserts(spark):
+    # a null-key update row can never equi-match — it must INSERT its own
+    # values, not fabricate an all-null row
+    updates = spark.createDataFrame([(None, "x", 5)], "id long, name string, v long")
+    rows = merge_upsert(_target(spark), updates, "id").collect()
+    assert len(rows) == 4
+    nk = [r for r in rows if r.id is None]
+    assert len(nk) == 1 and nk[0].name == "x" and nk[0].v == 5
+
+
+def test_upsert_unmatched_delete_does_not_insert(spark):
+    updates = spark.createDataFrame(
+        [(9, "zz", 0, True)], "id long, name string, v long, is_deleted boolean"
+    )
+    out = merge_upsert(_target(spark), updates, "id", delete_col="is_deleted")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]

@@ -246,3 +246,11 @@ def test_asof_single_shuffle_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)] * 50, "v: long"
+    )
+    row = sketches.kmv_distinct(df, "v", k=256).first()
+    assert row.k_used == 100 and row.est_distinct == 100.0
