@@ -42,3 +42,16 @@ def unpivot_long(
 ) -> DataFrame:
     """wide→long melt; value_cols must share a least-common type."""
     return df.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def rollup_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """Hierarchical subtotals (a,b)→(a)→() in ONE aggregation pass — the
+    Expand operator emits one row per grouping level per input row, then a
+    single hash aggregate; never one scan per level."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """All 2^n grouping-set subtotals in one pass (same Expand mechanics;
+    output and shuffle scale ×2^n — prefer rollup for hierarchies)."""
+    return df.cube(*group_cols).agg(*aggs)

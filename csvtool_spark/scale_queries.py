@@ -466,6 +466,55 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "band_id", "o_totalprice")
 
 
+@register(
+    "q_hash_split",
+    # shadow: deterministic md5-bucket train/val/test assignment — the
+    # same row lands in the same split on every engine
+    """
+    SELECT o_orderkey,
+           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                WHEN b < 10000 THEN 'test' END AS split
+    FROM (SELECT o_orderkey,
+                 CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b
+          FROM orders)
+    """,
+    registered=False,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.sampling import hash_split
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    return hash_split(o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "q_rollup",
+    # shadow: hierarchical subtotals; DuckDB ROLLUP emits the same NULL
+    # indicator rows
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_p_c
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    registered=False,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import reshape
+    from csvtool_spark.queries import cents
+
+    o = load(spark, sf_dir, "orders")
+    return reshape.rollup_agg(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("sum_p_c"),
+        ],
+    )
+
+
 # --- reshape + sketches ---------------------------------------------------
 
 _PIVOT_MEASURES = ["F_qty_c", "F_base_c", "O_qty_c", "O_base_c"]

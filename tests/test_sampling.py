@@ -1,0 +1,73 @@
+"""hash_split / stratified_sample / rollup / cube behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import reshape
+from csvtool_spark.operators.sampling import hash_split, stratified_sample
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    a = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}     # no null bucket at sum=1
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # determinism: a second evaluation assigns identical splits
+    b = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.join(b.withColumnRenamed("split", "s2"), "k") \
+        .filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_hash_split_duplicates_travel_together(spark):
+    # two rows sharing a key can never straddle train/test
+    df = spark.createDataFrame([(i % 100, i) for i in range(1_000)], "k long, payload long")
+    out = hash_split(df, "k", {"train": 0.5, "test": 0.5})
+    leaky = (
+        out.groupBy("k").agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1).count()
+    )
+    assert leaky == 0
+
+
+def test_stratified_sample_seeded(spark):
+    df = spark.createDataFrame(
+        [("en", i) for i in range(2_000)] + [("fr", i) for i in range(2_000)],
+        "lang string, id long",
+    )
+    s = stratified_sample(df, "lang", {"en": 0.1, "fr": 0.5}, seed=7)
+    counts = {r.lang: r.n for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["en"] / 2_000 - 0.1) < 0.05
+    assert abs(counts["fr"] / 2_000 - 0.5) < 0.05
+    # same seed → same sample
+    s2 = stratified_sample(df, "lang", {"en": 0.1, "fr": 0.5}, seed=7)
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_rollup_levels_and_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "g1 string, g2 string, v long"
+    )
+    out = reshape.rollup_agg(df, ["g1", "g2"], [F.sum("v").alias("s")])
+    rows = {(r.g1, r.g2): r.s for r in out.collect()}
+    assert rows[("a", "x")] == 1 and rows[("a", None)] == 3
+    assert rows[(None, None)] == 7
+    assert len(rows) == 6                              # 3 leaves + 2 mids + total
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]        # AQE prints both plans
+    # one Expand over ONE scan of the input — not a scan per grouping level
+    assert "Expand" in final
+    assert final.count("LocalTableScan") + final.count("Scan ExistingRDD") == 1
+
+
+def test_cube_includes_cross_totals(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "g1 string, g2 string, v long"
+    )
+    rows = {(r.g1, r.g2): r.s for r in reshape.cube_agg(
+        df, ["g1", "g2"], [F.sum("v").alias("s")]
+    ).collect()}
+    assert rows[(None, "x")] == 5                      # cube-only grouping set
+    assert rows[(None, None)] == 7
