@@ -1,0 +1,116 @@
+"""Model-based differential tests: the scale join/merge operators vs
+naive pure-Python reference models on seeded random inputs. The operators
+use non-obvious formulations (union+window, grid buckets, full-outer
+sentinels) — these tests pin their semantics against the obvious O(n²)
+definitions across many random shapes, including ties, nulls, and
+empty sides."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _py_asof(left, right, direction="backward"):
+    """Naive model: for each left (id, k, t), the matching right (k, t, tag)."""
+    out = {}
+    for lid, lk, lt in left:
+        best = None
+        for rk, rt, tag in right:
+            if rk != lk or rk is None or lt is None or rt is None:
+                continue
+            if direction == "backward":
+                if rt <= lt and (best is None or rt > best[0]):
+                    best = (rt, tag)
+            else:
+                if rt >= lt and (best is None or rt < best[0]):
+                    best = (rt, tag)
+        out[lid] = best
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_asof_matches_naive_model(spark, seed):
+    from csvtool_spark.operators.asof import asof_join
+
+    r = random.Random(seed)
+    keys = ["a", "b", "c"]
+    left = [(i, r.choice(keys), r.randint(0, 50)) for i in range(40)]
+    # unique (k, t) on the right: the operator defines ties at identical
+    # (key, ts) as last-in-window — dedupe to keep the model aligned
+    seen, right = set(), []
+    for j in range(25):
+        k, t = r.choice(keys), r.randint(0, 50)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, f"tag{j}"))
+    direction = r.choice(["backward", "forward"])
+
+    ldf = spark.createDataFrame(left, "id long, k string, t long")
+    rdf = spark.createDataFrame(right, "k string, t long, tag string")
+    got = {
+        row.id: (row.t_r, row.tag)
+        for row in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                             direction=direction).collect()
+    }
+    model = _py_asof(left, right, direction)
+    for lid, want in model.items():
+        have = got[lid]
+        assert have == (want if want else (None, None)), (
+            f"seed={seed} dir={direction} id={lid}: {have} != {want}"
+        )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_range_join_matches_naive_model(spark, seed):
+    from csvtool_spark.operators.rangejoin import range_join
+
+    r = random.Random(100 + seed)
+    pts = [(i, float(r.randint(-40, 120))) for i in range(40)]
+    ivs = []
+    for j in range(15):
+        lo = float(r.randint(-50, 100))
+        ivs.append((j, lo, lo + float(r.randint(0, 60))))
+    width = r.choice([7.0, 10.0, 33.0])
+
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = sorted(
+        (row.pid, row.iid)
+        for row in range_join(pdf, idf, "v", "lo", "hi", width).collect()
+    )
+    model = sorted(
+        (pid, iid)
+        for pid, v in pts
+        for iid, lo, hi in ivs
+        if lo <= v < hi
+    )
+    assert got == model, f"seed={seed} width={width}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_merge_upsert_matches_dict_model(spark, seed):
+    from csvtool_spark.operators.merge import merge_upsert
+
+    r = random.Random(200 + seed)
+    target = [(i, f"n{i}", r.randint(0, 9)) for i in r.sample(range(20), 12)]
+    updates = [
+        (k, f"u{k}", r.randint(10, 19), r.random() < 0.3)
+        for k in r.sample(range(25), 10)
+    ]
+
+    model = {k: (n, v) for k, n, v in target}
+    for k, n, v, dele in updates:
+        if dele:
+            model.pop(k, None)
+        else:
+            model[k] = (n, v)
+
+    tdf = spark.createDataFrame(target, "id long, name string, v long")
+    udf = spark.createDataFrame(updates, "id long, name string, v long, d boolean")
+    got = {
+        row.id: (row.name, row.v)
+        for row in merge_upsert(tdf, udf, "id", delete_col="d").collect()
+    }
+    assert got == model, f"seed={seed}"
