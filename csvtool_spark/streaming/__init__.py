@@ -1,5 +1,6 @@
 from csvtool_spark.streaming.events import (  # noqa: F401
     deduped_stream,
+    enriched_stream,
     event_stream,
     run_to_memory,
     sessionized_stream,

@@ -105,6 +105,21 @@ def deduped_stream(
     )
 
 
+def enriched_stream(
+    stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the static
+    dimension. Streaming plans don't get AQE's runtime broadcast decision,
+    so fixed-size dims are hinted explicitly (``broadcast_dim=True``, the
+    default — right for user/tier/geo lookups); pass False for dims that
+    scale with the data and accept the per-batch shuffle."""
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a bounded stream to completion into an in-memory table."""
     q = (

@@ -101,3 +101,26 @@ def test_streaming_dedup_bounded_state(spark):
     expected = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
     assert got.n == expected            # one row per original event
     assert got.d == expected            # and they are all distinct ids
+
+
+def test_stream_static_join_matches_batch(spark):
+    from csvtool_spark.streaming import enriched_stream
+
+    tiers = spark.createDataFrame(
+        [(u, "gold" if u % 3 == 0 else "basic") for u in range(150)],
+        "user_id long, tier string",
+    )
+    stream = event_stream(spark, SF_SMALL)
+    joined = enriched_stream(stream, tiers, "user_id").select(
+        "event_id", "user_id", "tier"
+    )
+    run_to_memory(joined, "enrich_out", output_mode="append")
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enrich_out").collect()}
+
+    from csvtool_spark.queries import load
+    evb = load(spark, SF_SMALL, "events")
+    expected = {
+        r.event_id: r.tier
+        for r in evb.join(tiers, "user_id", "left").select("event_id", "tier").collect()
+    }
+    assert got == expected
