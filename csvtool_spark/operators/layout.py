@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _tree_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+def _content_bytes(spark: SparkSession, path: str) -> int:
+    """On-disk byte size via the Hadoop FileSystem API — works for every
+    scheme Spark can read (file://, hdfs://, s3a://...), unlike os.walk,
+    which silently reports 0 for remote URIs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
 
 
 def compact_parquet(
@@ -41,12 +42,16 @@ def compact_parquet(
     codec: str = "zstd",
 ) -> dict:
     """Rewrite ``src`` parquet into ``dst`` with ≈``target_file_mb`` files.
-    File count comes from the ON-DISK size (compressed), so the estimate
-    tracks the actual write. Uses ``repartition`` (one shuffle) for even
-    output sizes — ``coalesce`` would be shuffle-free but inherits the
-    input's size skew, the thing being fixed."""
+    File count comes from the ON-DISK size (compressed, via the Hadoop FS
+    so remote URIs size correctly), so the estimate tracks the actual
+    write. Uses ``repartition`` (one shuffle) for even output sizes —
+    ``coalesce`` would be shuffle-free but inherits the input's size skew,
+    the thing being fixed."""
     df = spark.read.parquet(src)
-    in_bytes = _tree_bytes(src)
+    in_bytes = _content_bytes(spark, src)
+    if in_bytes <= 0:
+        raise ValueError(f"cannot size {src!r} (0 bytes reported) — refusing to "
+                         "compact into a single file")
     n_files = max(1, math.ceil(in_bytes / (target_file_mb * 1024 * 1024)))
     (
         df.repartition(n_files)
@@ -72,11 +77,13 @@ def z_value(cols: list, mins: list[float], maxs: list[float], bits: int = 8):
     for i, c in enumerate(cols):
         lo, hi = float(mins[i]), float(maxs[i])
         width = (hi - lo) or 1.0
+        raw = F.floor(
+            (c.cast("double") - F.lit(lo)) / F.lit(width) * (1 << bits)
+        ).cast("long")
+        # NULLs cluster in bucket 0 (least/greatest SKIP nulls, which would
+        # otherwise silently send null rows to the max bucket)
         bucket = F.least(
-            F.lit((1 << bits) - 1),
-            F.floor((c.cast("double") - F.lit(lo)) / F.lit(width) * (1 << bits)).cast(
-                "long"
-            ),
+            F.lit((1 << bits) - 1), F.coalesce(raw, F.lit(0).cast("long"))
         )
         bucket = F.greatest(F.lit(0).cast("long"), bucket)
         for b in range(bits):
@@ -105,6 +112,12 @@ def zorder_by(
     ).first()
     mins = [stats[f"__lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"__hi{i}"] for i in range(len(cols))]
+    for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_by: column {c!r} has no numeric min/max "
+                "(empty input, all-null, or non-numeric) — cannot bucket"
+            )
     z = z_value([F.col(c) for c in cols], mins, maxs, bits)
     out = df.withColumn("__z", z)
     n = n_partitions or out.rdd.getNumPartitions()

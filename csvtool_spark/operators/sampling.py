@@ -25,8 +25,9 @@ def split_bucket(col) -> F.Column:
     """Deterministic bucket in [0, 10000): first 8 md5 hex digits of the
     key, mod 10000. DuckDB twin:
     ``CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),1,8)) AS BIGINT) % 10000``."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
-    return h % _BUCKETS
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    return md5_prefix_long(col.cast("string")) % _BUCKETS
 
 
 def hash_split(
@@ -41,9 +42,14 @@ def hash_split(
         raise ValueError(f"fractions sum to {total} > 1")
     b = split_bucket(F.col(key))
     expr = F.lit(None).cast("string")
+    # boundaries from the CUMULATIVE fraction — per-label rounding could
+    # leave a bucket sliver unlabeled even when fractions sum to 1
+    # (e.g. 1/3+1/3+1/3 → 3×3333 ends at 9999)
+    cum = 0.0
     hi = 0
     for label, frac in fractions.items():
-        lo, hi = hi, hi + int(round(frac * _BUCKETS))
+        cum += frac
+        lo, hi = hi, int(round(cum * _BUCKETS))
         expr = F.when((b >= lo) & (b < hi), F.lit(label)).otherwise(expr)
     return df.withColumn("split", expr)
 

@@ -30,7 +30,9 @@ def _unit_hash(col) -> F.Column:
     """Deterministic cross-engine uniform hash in (0,1): first 8 md5 hex
     digits as an integer over 2^32 (DuckDB twin:
     ``CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) / 4294967296.0``)."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    h = md5_prefix_long(col.cast("string"))
     return (h.cast("double") + F.lit(1.0)) / F.lit(_SCALE)
 
 

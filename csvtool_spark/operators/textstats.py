@@ -196,7 +196,9 @@ def content_fingerprint(col: Column) -> Column:
 def _token_int(tok: Column) -> Column:
     """Deterministic cross-engine 32-bit integer per token: first 8 md5 hex
     digits as an integer (identical in DuckDB via substr(md5(),1,8))."""
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    return md5_prefix_long(tok)
 
 
 def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:

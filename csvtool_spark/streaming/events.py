@@ -114,8 +114,6 @@ def enriched_stream(
     so fixed-size dims are hinted explicitly (``broadcast_dim=True``, the
     default — right for user/tier/geo lookups); pass False for dims that
     scale with the data and accept the per-batch shuffle."""
-    from pyspark.sql import functions as F
-
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
 

@@ -50,3 +50,17 @@ def test_zorder_preserves_rows_and_schema(spark):
     assert z.columns == ["id", "a", "b"]
     assert z.count() == 1000
     assert z.select(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_zorder_nulls_cluster_low_and_errors_are_named(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 0.0)], "id long, x double"
+    )
+    z = layout.zorder_by(df.withColumn("y", F.col("id").cast("double")), ["x", "y"], n_partitions=1)
+    assert z.count() == 3                      # nulls kept, bucket 0
+    with _pytest.raises(ValueError, match="x"):
+        layout.zorder_by(
+            spark.createDataFrame([(1, None)], "id long, x double"), ["x"]
+        )

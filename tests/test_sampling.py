@@ -71,3 +71,10 @@ def test_cube_includes_cross_totals(spark):
     ).collect()}
     assert rows[(None, "x")] == 5                      # cube-only grouping set
     assert rows[(None, None)] == 7
+
+
+def test_hash_split_thirds_leave_no_sliver(spark):
+    # cumulative-boundary rounding: 1/3+1/3+1/3 must label every bucket
+    df = spark.range(30_000).select(F.col("id").alias("k"))
+    out = hash_split(df, "k", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0
