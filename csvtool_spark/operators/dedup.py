@@ -127,33 +127,51 @@ def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> 
 
 
 def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
-    """Self-join on (band_id, band_key) → distinct unordered id pairs.
+    """Bucket-grouped pair expansion → distinct unordered id pairs.
     Giant buckets are capped (see MAX_BUCKET).
 
-    The banded table is persisted first: it has THREE consumers (the
-    bucket-size aggregate and both self-join sides), each of which would
-    otherwise re-compute shingle→signature→banding from the raw text
-    (measured ~2× end-to-end cost at sf0.1). At cluster scale the same
-    principle holds with storage instead of memory: write the banded table
-    out (bucketed by band_key), then size-prune and self-join the
-    materialization. (A window-count formulation was benched and loses —
-    the sort-based window exec costs more than the tiny size-table join.)
+    Two-phase shape, each phase bounded:
+    1. count-only aggregate (tiny state) prunes buckets to 2..MAX_BUCKET
+       members BEFORE any ids are collected — a degenerate boilerplate
+       bucket never materializes;
+    2. the surviving buckets collect their id lists (≤ MAX_BUCKET each —
+       bounded agg state) and expand i<j pairs as a column expression.
+    The groupBy in phase 2 reuses the join's (band_id, band_key)
+    partitioning — no extra shuffle — and replaces the former self-join,
+    whose joined intermediate carried every pair as a full row through
+    the filter. (A window-count formulation was benched and loses.)
+
+    The banded table is persisted: the size aggregate and the collect both
+    read it, and each would otherwise re-run shingle→signature→banding
+    (measured ~2× end-to-end at sf0.1). At cluster scale the same
+    principle holds with storage instead of memory: write the banded
+    table out, then run both phases on the materialization.
     """
     banded = banded.persist()
     sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
     pruned = banded.join(
-        sizes.filter(F.col("__bn") <= MAX_BUCKET), ["band_id", "band_key"]
+        sizes.filter((F.col("__bn") >= 2) & (F.col("__bn") <= MAX_BUCKET)),
+        ["band_id", "band_key"],
     )
-    a = pruned.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    buckets = pruned.groupBy("band_id", "band_key").agg(
+        F.collect_list(id_col).alias("__ids")
     )
-    b = pruned.select(
-        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                    lambda b: F.struct(
+                        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                    ),
+                ),
+            )
+        )
     )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
