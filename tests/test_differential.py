@@ -76,9 +76,15 @@ class Gen:
 
     def preds(self) -> tuple[str, str]:
         d1, s1 = self.pred()
-        if self.r.random() < 0.5:
+        roll = self.r.random()
+        if roll < 0.15:
+            return f"not ({d1})", f"NOT ({s1})"
+        if roll < 0.5:
             return d1, s1
         d2, s2 = self.pred()
+        if roll < 0.6:
+            # xor on predicates is boolean inequality
+            return f"({d1}) xor ({d2})", f"({s1}) <> ({s2})"
         op = self.r.choice(["and", "or"])
         # dialect logic chains are right-grouped; two terms are unambiguous
         return f"{d1} {op} {d2}", f"({s1}) {'AND' if op == 'and' else 'OR'} ({s2})"
@@ -153,6 +159,19 @@ class Gen:
             dtext += f" order by {self.r.choice(NUMERIC + INTS)}{how}"
         return dtext, sql
 
+    def topk(self) -> tuple[str, str]:
+        # ticket is unique → deterministic row set under LIMIT; dialect
+        # default order is DESC
+        n = self.r.randint(5, 40)
+        how = self.r.choice(["", " asc"])
+        dwhere, swhere = self.preds()
+        return (
+            f"select top {n} ticket plate fine from {V} "
+            f"where {dwhere} order by ticket{how}",
+            f"SELECT ticket, plate, fine FROM t WHERE {swhere} "
+            f"ORDER BY ticket {'ASC' if how else 'DESC'} LIMIT {n}",
+        )
+
     def distinct(self) -> tuple[str, str]:
         c = self.r.choice(STRINGS)
         dwhere, swhere = self.preds()
@@ -185,9 +204,11 @@ class Gen:
             return self.grouped(having=False)
         if roll < 0.65:
             return self.grouped(having=True)
-        if roll < 0.75:
+        if roll < 0.72:
             return self.distinct()
-        if roll < 0.85:
+        if roll < 0.80:
+            return self.topk()
+        if roll < 0.88:
             return self.join()
         # legacy plain shape (no scalar tail) for continuity
         nsel = self.r.randint(1, 3)
@@ -219,7 +240,7 @@ def duck_t(spark):
     return con
 
 
-@pytest.mark.parametrize("seed", range(80))
+@pytest.mark.parametrize("seed", range(100))
 def test_differential_random_query(spark, duck_t, seed):
     g = Gen(random.Random(1000 + seed))
     dtext, sql = g.query()
