@@ -114,3 +114,36 @@ def test_merge_upsert_matches_dict_model(spark, seed):
         for row in merge_upsert(tdf, udf, "id", delete_col="d").collect()
     }
     assert got == model, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_asof_bucketed_equals_plain(spark, seed):
+    # the skew-resistant bucketed form must be semantically identical to
+    # the plain union+window asof, across widths, gaps, and one hot key
+    from csvtool_spark.operators.asof import asof_join, asof_join_bucketed
+
+    r = random.Random(300 + seed)
+    hot = "hot"
+    left = [(i, hot if r.random() < 0.5 else r.choice("abc"), r.randint(0, 400))
+            for i in range(120)]
+    seen, right = set(), []
+    for j in range(60):
+        k, t = (hot if r.random() < 0.5 else r.choice("abc")), r.randint(0, 400)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, f"tag{j}"))
+    width = r.choice([7.0, 50.0, 1000.0])   # incl. one-bucket degenerate
+
+    ldf = spark.createDataFrame(left, "id long, k string, t long")
+    rdf = spark.createDataFrame(right, "k string, t long, tag string")
+    plain = {
+        row.id: (row.t_r, row.tag)
+        for row in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t").collect()
+    }
+    bucketed = {
+        row.id: (row.t_r, row.tag)
+        for row in asof_join_bucketed(
+            ldf, rdf, on="k", left_ts="t", right_ts="t", bucket_width=width
+        ).collect()
+    }
+    assert bucketed == plain, f"seed={seed} width={width}"
