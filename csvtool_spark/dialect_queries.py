@@ -87,6 +87,10 @@ dialect(
            c_custkey % 7 AS m
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     """,
+    # shadow: left-join semantics stay driver-checked via q_join_left; the
+    # scalar battery rides q_dialect_scalars in the local gate (window slot
+    # freed for the round-2 scale operators)
+    registered=False,
 )
 
 dialect(
@@ -98,6 +102,8 @@ dialect(
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_orderkey DESC LIMIT 25
     """,
+    # shadow: top-k/default-DESC stay driver-checked via q_orderby_topk
+    registered=False,
 )
 
 dialect(
@@ -150,6 +156,8 @@ dialect(
     SELECT event_id, CAST(hour(ts) AS BIGINT) AS h FROM events
     WHERE (value > 50) <> (event_type IS NOT DISTINCT FROM 'error')
     """,
+    # shadow: xor rides q_filter_bool, the events nanos path q_events_window
+    registered=False,
 )
 
 dialect(
@@ -168,4 +176,6 @@ dialect(
            CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS bucket
     FROM orders WHERE o_orderkey < 2000
     """,
+    # shadow: date parts / CASE stay driver-checked via q_dates_case
+    registered=False,
 )

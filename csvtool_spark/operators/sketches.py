@@ -79,6 +79,108 @@ def kmv_oracle_sql(table: str, col: str, k: int = 256) -> str:
     """
 
 
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame of
+    ``(d, bucket, cnt)`` counter cells — at most depth×width rows no matter
+    how many distinct keys the input has.
+
+    That bound is the point at 100 TB: exact per-key counting shuffles one
+    row per distinct key; the sketch's shuffle is capped at depth×width rows
+    per map task (the groupBy partial-aggregates the counters map-side), and
+    the finished sketch broadcasts anywhere. Estimates only ever
+    over-count, by ≤ ~2N/width with probability 1-2^-depth.
+
+    Hashing is the repo's cross-engine md5 prefix (row d salts the key with
+    ``"d:"``), so a DuckDB oracle can rebuild the identical sketch.
+    """
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    cells = [
+        F.struct(
+            F.lit(d).cast("int").alias("d"),
+            (
+                md5_prefix_long(F.concat(F.lit(f"{d}:"), F.col(col).cast("string")))
+                % width
+            ).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: the estimate is the
+    min over the depth counters the key hashes into. The sketch side is at
+    most depth×width rows → broadcast; the keys side never shuffles (the
+    final groupBy re-aggregates depth rows per key)."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        (
+                            md5_prefix_long(
+                                F.concat(F.lit(f"{d}:"), F.col(key_col).cast("string"))
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.d", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
+    )
+
+
+def cms_oracle_sql(
+    table: str, col: str, key_filter: str, depth: int = 4, width: int = 2048
+) -> str:
+    """DuckDB twin of ``cms_build``+``cms_estimate`` over ``table.col`` for
+    the keys satisfying ``key_filter`` — byte-identical hashing, so the
+    estimates (not just the true counts) must match exactly."""
+    bucket = (
+        f"CAST(concat('0x', substr(md5(concat(CAST(d.d AS VARCHAR), ':', "
+        f"CAST({col} AS VARCHAR))), 1, 8)) AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH ds AS (SELECT unnest(generate_series(0, {depth - 1})) AS d),
+    cells AS (
+      SELECT d.d AS d, {bucket} AS bucket
+      FROM {table}, ds d WHERE {col} IS NOT NULL
+    ),
+    sk AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY d, bucket),
+    ks AS (SELECT DISTINCT {col} FROM {table}
+           WHERE {col} IS NOT NULL AND ({key_filter})),
+    probes AS (
+      SELECT {col}, d.d AS d, {bucket} AS bucket FROM ks, ds d
+    )
+    SELECT p.{col}, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN sk USING (d, bucket)
+    GROUP BY p.{col}
+    """
+
+
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     """Spark-native HLL++ — single-pass, mergeable, no distinct shuffle."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))

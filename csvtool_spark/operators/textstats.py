@@ -185,6 +185,52 @@ def heavy_hitters(df, text_col: str, k: int = 50):
     )
 
 
+def repetition_stats(df, text_col: str, id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, top-word fraction, duplicate-3-gram fraction (Rae et al.
+    2021 §A1.1 use these to drop boilerplate/spam before LLM training).
+
+    Scale shape: the array-derivable stats (token count, distinct tokens,
+    distinct 3-grams) are pure per-row column expressions — zero shuffle.
+    Only the top-word count needs cross-row state per document, and that is
+    the classic word-count two-level hash aggregate: explode → partial
+    combine on (doc, token) → max per doc. Shuffle rows are bounded by
+    distinct (doc, token) pairs, never raw token occurrences, and the small
+    per-doc stats ride along instead of paying a second join shuffle.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    from csvtool_spark.operators.dedup import word_shingles
+
+    carried = ["n_tokens", "n_distinct", "n_3gram", "n_distinct_3gram"]
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.greatest(F.size(toks) - F.lit(2), F.lit(1)).cast("long").alias("n_3gram"),
+        F.size(word_shingles(toks, 3)).cast("long").alias("n_distinct_3gram"),
+        F.explode(toks).alias("__tok"),
+    )
+    per_tok = staged.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.first(c).alias(c) for c in carried],
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.max("__n").cast("long").alias("__top"),
+        *[F.first(c).alias(c) for c in carried],
+    )
+    nt = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        F.col("n_tokens"),
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / nt).alias("dup_word_frac"),
+        (F.col("__top").cast("double") / nt).alias("top_word_frac"),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_3gram").cast("double") / F.col("n_3gram").cast("double")
+        ).alias("dup_3gram_frac"),
+    )
+
+
 def content_fingerprint(col: Column) -> Column:
     """Order-insensitive content hash: md5 over the sorted distinct token
     set. Survives token reordering; the standard 'bag fingerprint'."""

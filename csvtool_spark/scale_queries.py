@@ -14,8 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csvtool_spark.operators import dedup, multimodal, similarity, sketches, textstats
-from csvtool_spark.queries import load, register
+from csvtool_spark.operators import (
+    bloomjoin,
+    contamination,
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    textstats,
+)
+from csvtool_spark.queries import cents, load, register
 
 # --- text analysis --------------------------------------------------------
 
@@ -586,3 +594,125 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(media).select(
         "doc_id", "n_bytes", "width", "height"
     )
+
+
+# --- Gopher-style repetition signals -------------------------------------
+
+
+@register(
+    "q_text_repetition",
+    """
+    WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS BIGINT) AS n_3gram,
+             CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                  ELSE 1 END AS BIGINT) AS n_distinct_3gram
+      FROM l
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+    m AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top FROM c GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_tokens,
+           1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS dup_word_frac,
+           CAST(m.top AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS top_word_frac,
+           1.0 - CAST(s.n_distinct_3gram AS DOUBLE) / CAST(s.n_3gram AS DOUBLE) AS dup_3gram_frac
+    FROM s JOIN m USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.repetition_stats(d, "text", "doc_id")
+
+
+# --- benchmark decontamination -------------------------------------------
+
+
+@register(
+    "q_contamination",
+    # bench = the src0 "eval suite"; corpus = everything else; 4-gram overlap
+    """
+    WITH l AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 4 THEN list_distinct(list_transform(
+                    generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM l
+    ),
+    b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE source = 'src0'),
+    c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS shingle
+          FROM s WHERE source <> 'src0')
+    SELECT c.doc_id,
+           CAST(max(c.n_shingles) AS BIGINT) AS n_shingles,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           round(CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE), 6)
+             AS contaminated_frac
+    FROM c JOIN b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return contamination.contamination_report(corpus, bench, "text", "doc_id", k=4)
+
+
+# --- Bloom-filter semi-join reduction ------------------------------------
+
+
+@register(
+    "q_bloom_join",
+    # The Bloom prune only removes guaranteed-miss lineitem rows; the real
+    # join removes false positives, so the oracle is the plain join.
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pruned = bloomjoin.bloom_prune(
+        li, o.select("o_orderkey"), "o_orderkey", "l_orderkey"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(cents(disc)).alias("revenue_c"),
+        )
+    )
+
+
+# --- count-min sketch point estimates ------------------------------------
+
+
+@register(
+    "q_cms_estimate",
+    sketches.cms_oracle_sql("events", "user_id", "user_id % 7 = 0"),
+)
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sk = sketches.cms_build(e, "user_id")
+    keys = e.filter((F.col("user_id") % 7) == 0).select("user_id").distinct()
+    return sketches.cms_estimate(sk, keys, "user_id")

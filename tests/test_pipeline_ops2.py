@@ -1,0 +1,147 @@
+"""Unit/behavior tests for the round-2 session-3 scale operators:
+repetition stats, benchmark decontamination, Bloom-join pruning, count-min
+sketch estimates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import bloomjoin, contamination, sketches, textstats
+
+
+# --- repetition stats -----------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 3x 'a'
+            (2, "x y z w"),          # all distinct
+            (3, "a b a b a b a b"),  # period-2: every 3-gram repeats
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df, "text").collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert abs(r1.dup_word_frac - 0.5) < 1e-12       # 2 distinct of 4
+    assert abs(r1.top_word_frac - 0.75) < 1e-12      # 'a' 3 of 4
+    assert r1.dup_3gram_frac == 0.0                  # 'a a a','a a b' distinct
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0 and abs(r2.top_word_frac - 0.25) < 1e-12
+    r3 = out[3]
+    # 6 3-grams, only 2 distinct ('a b a', 'b a b')
+    assert abs(r3.dup_3gram_frac - (1 - 2 / 6)) < 1e-12
+    assert abs(r3.dup_word_frac - (1 - 2 / 8)) < 1e-12
+
+
+def test_repetition_stats_short_doc(spark):
+    df = spark.createDataFrame([(1, "hi there")], "doc_id long, text string")
+    r = textstats.repetition_stats(df, "text").collect()[0]
+    assert r.n_tokens == 2 and r.dup_3gram_frac == 0.0
+
+
+# --- contamination --------------------------------------------------------
+
+
+def test_contamination_report(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated text about spark physical plans"),
+            (3, "the quick brown fox sat still"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination.contamination_report(
+            corpus, bench, "text", "doc_id", k=4
+        ).collect()
+    }
+    # doc 1 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert out[1].n_contaminated == 2
+    assert out[1].n_shingles == 6
+    assert abs(out[1].contaminated_frac - round(2 / 6, 6)) < 1e-12
+    # doc 3 shares only 'the quick brown fox'
+    assert out[3].n_contaminated == 1
+    assert 2 not in out  # clean doc never surfaces
+
+
+def test_contamination_clean_corpus_is_empty(spark):
+    corpus = spark.createDataFrame([(1, "aa bb cc dd ee")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "vv ww xx yy zz")], "doc_id long, text string")
+    assert (
+        contamination.contamination_report(corpus, bench, "text", "doc_id", k=4).count()
+        == 0
+    )
+
+
+# --- Bloom-filter join pruning -------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    build = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 6000).select(F.col("id").alias("k"))
+    pruned = bloomjoin.bloom_prune(probe, build, "k", "k", num_bits=1 << 16)
+    got = {r.k for r in pruned.collect()}
+    members = {i * 3 for i in range(500)}
+    # every true member survives (Bloom filters never false-negative)
+    assert members <= got
+    # and the filter actually pruned the vast majority of non-members
+    assert len(got - members) < 600
+
+
+def test_bloom_pruned_join_is_exact(spark):
+    build = spark.range(0, 200).select((F.col("id") * 7).alias("bk"))
+    probe = spark.range(0, 2000).select(
+        F.col("id").alias("pk"), (F.col("id") % 13).alias("payload")
+    )
+    pruned = bloomjoin.bloom_prune(probe, build, "bk", "pk", num_bits=1 << 14, k=4)
+    exact = probe.join(build, probe["pk"] == build["bk"]).select("pk", "payload")
+    viaBloom = pruned.join(build, pruned["pk"] == build["bk"]).select("pk", "payload")
+    assert sorted(map(tuple, viaBloom.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_bloom_probe_filter_precedes_exchange(spark):
+    """The membership test must run on the scan side, before any shuffle of
+    the probe table (that is the whole point of the reduction)."""
+    from csvtool_spark import queries as catalog
+    from tests.conftest import SF_SMALL
+
+    df = catalog.QUERIES["q_bloom_join"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the bitmap attaches via a 1-row broadcast nested loop (free), and the
+    # bit-test filter sits under it — before the join exchanges
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+# --- count-min sketch -----------------------------------------------------
+
+
+def test_cms_estimates_bound_exact_counts(spark):
+    # zipf-ish: key i appears i+1 times
+    rows = [(i,) for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    sk = sketches.cms_build(df, "k", depth=4, width=512)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_count for r in sketches.cms_estimate(sk, keys, "k", 4, 512).collect()}
+    for i in range(50):
+        assert est[i] >= i + 1                   # CMS never under-counts
+        assert est[i] - (i + 1) <= 2 * 1275 // 512 + 1  # ~2N/w overcount bound
+    # sketch size is capped at depth x width cells regardless of keys
+    assert sk.count() <= 4 * 512
+
+
+def test_cms_ignores_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    sk = sketches.cms_build(df, "k", depth=2, width=64)
+    est = sketches.cms_estimate(sk, df.filter("k is not null").distinct(), "k", 2, 64)
+    assert est.collect()[0].est_count == 2
