@@ -48,8 +48,17 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in catalog.QUERIES]
-    # Warmup: spin the JVM, fill the file-listing and codegen caches.
+    # Warmup: spin the JVM and executor pool, fill the file-listing/footer
+    # caches, and JIT the parquet scan path for every table — so each timed
+    # query measures its plan, not whichever of them touches a file first.
     run(catalog.QUERIES[names[0]](spark, sf_dir))
+    from csvtool_spark.sources.parquet import read_table
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        run(read_table(spark, sf_dir, t))
 
     times: dict[str, float] = {}
     for name in names:
