@@ -186,6 +186,33 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
 
 
+def hll_group_sketches(
+    df: DataFrame, group_col: str, col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group Datasketches HLL sketches: ``(group, sketch binary,
+    estimate)``. The sketch column is the 100 TB pattern: materialize one
+    per partition/day/source once, then answer any distinct-count rollup by
+    MERGING sketches (``hll_merge``) without rescanning the data — including
+    non-additive rollups like "distinct users across these 14 days" that
+    per-group exact counts cannot answer."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("hll"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k))
+        ).alias("est_distinct"),
+    )
+
+
+def hll_merge(sketches: DataFrame, sketch_col: str = "hll") -> DataFrame:
+    """Union previously-built HLL sketches into one overall estimate —
+    input is #groups rows, never the raw data."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "est_distinct"
+        )
+    )
+
+
 def approx_quantiles(
     df: DataFrame, col: str, probs: list[float], rel_err: float = 0.01
 ) -> list[float]:

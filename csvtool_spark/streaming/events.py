@@ -118,6 +118,38 @@ def enriched_stream(
     return stream.join(d, on, how)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    upper: str = "30 minutes",
+    left_wm: str = "1 hour",
+    right_wm: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for each left event, the
+    right events with the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + upper]`` (the click→conversion / click→error
+    attribution shape).
+
+    Right-side columns come back prefixed ``r_``. Both sides carry
+    watermarks AND the join condition bounds the time difference — that
+    pair is what lets the state store evict: a buffered left row can be
+    dropped once the right watermark passes ``l.ts + upper``, so state is
+    bounded by (watermark + interval) × arrival rate instead of growing
+    forever. Without the interval bounds Spark would have to keep every
+    row of both streams."""
+    l = left.withWatermark("ts", left_wm)
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark("r_ts", right_wm)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a bounded stream to completion into an in-memory table."""
     q = (

@@ -145,3 +145,22 @@ def test_cms_ignores_nulls(spark):
     sk = sketches.cms_build(df, "k", depth=2, width=64)
     est = sketches.cms_estimate(sk, df.filter("k is not null").distinct(), "k", 2, 64)
     assert est.collect()[0].est_count == 2
+
+
+# --- mergeable HLL rollup -------------------------------------------------
+
+
+def test_hll_group_and_merge(spark):
+    df = spark.createDataFrame(
+        [(g, (g * 1000 + i) % 700) for g in range(4) for i in range(500)],
+        "g int, v long",
+    )
+    per_group = sketches.hll_group_sketches(df, "g", "v")
+    rows = {r.g: r.est_distinct for r in per_group.collect()}
+    for g in range(4):
+        exact = df.filter(F.col("g") == g).select("v").distinct().count()
+        assert abs(rows[g] - exact) / exact < 0.05
+    # merged rollup from the 4 sketches only, never rescanning df
+    merged = sketches.hll_merge(per_group).collect()[0].est_distinct
+    exact_total = df.select("v").distinct().count()
+    assert abs(merged - exact_total) / exact_total < 0.05

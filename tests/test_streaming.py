@@ -124,3 +124,39 @@ def test_stream_static_join_matches_batch(spark):
         for r in evb.join(tiers, "user_id", "left").select("event_id", "tier").collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from csvtool_spark.streaming import interval_join_streams
+
+    clicks = event_stream(spark, SF_SMALL).filter(F.col("event_type") == "click")
+    errors = event_stream(spark, SF_SMALL).filter(F.col("event_type") == "error")
+    joined = interval_join_streams(
+        clicks, errors, "user_id", upper="30 minutes"
+    ).select("event_id", "r_event_id")
+    run_to_memory(joined, "ssj_out", output_mode="append")
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    from csvtool_spark.queries import load
+
+    ev = load(spark, SF_SMALL, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ce"), F.col("user_id").alias("cu"), F.col("ts").alias("ct")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("ee"), F.col("user_id").alias("eu"), F.col("ts").alias("et")
+    )
+    expected = {
+        (r.ce, r.ee)
+        for r in c.join(
+            e,
+            (F.col("cu") == F.col("eu"))
+            & (F.col("et") >= F.col("ct"))
+            & (F.col("et") <= F.col("ct") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
