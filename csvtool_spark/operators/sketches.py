@@ -195,11 +195,11 @@ def hll_group_sketches(
     MERGING sketches (``hll_merge``) without rescanning the data — including
     non-additive rollups like "distinct users across these 14 days" that
     per-group exact counts cannot answer."""
-    return df.groupBy(group_col).agg(
-        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("hll"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k))
-        ).alias("est_distinct"),
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+    return sk.select(
+        group_col, "hll", F.hll_sketch_estimate("hll").alias("est_distinct")
     )
 
 

@@ -716,3 +716,64 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = sketches.cms_build(e, "user_id")
     keys = e.filter((F.col("user_id") % 7) == 0).select("user_id").distinct()
     return sketches.cms_estimate(sk, keys, "user_id")
+
+
+# --- PII redaction (shadow: driver window is full at 50) ------------------
+
+
+def _pii_sql_patterns():
+    from csvtool_spark.operators.redact import PII_PATTERNS
+
+    return {name: pat for name, pat, _ in PII_PATTERNS}
+
+
+_P = _pii_sql_patterns()
+
+@register(
+    "q_pii_redact",
+    # Synthesize PII-shaped text from customer rows (the real documents
+    # table is clean), then redact — a cross-engine check that the SAME
+    # pattern strings behave identically under Java regex and RE2.
+    f"""
+    WITH t AS (
+      SELECT c_custkey,
+             'reach ' || lower(c_name) || ' at ' || lower(c_name)
+             || '@example.com or 10.' || CAST(c_custkey % 200 AS VARCHAR)
+             || '.' || CAST(c_custkey % 250 AS VARCHAR)
+             || '.' || CAST(c_custkey % 97 AS VARCHAR)
+             || ' tel 555-01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS txt
+      FROM customer
+    )
+    , t1 AS (
+      SELECT c_custkey, txt,
+             CAST(len(regexp_extract_all(txt, '{_P["email"]}')) AS BIGINT) AS n_email,
+             regexp_replace(txt, '{_P["email"]}', '<EMAIL>', 'g') AS r1
+      FROM t
+    ), t2 AS (
+      SELECT c_custkey, n_email,
+             CAST(len(regexp_extract_all(r1, '{_P["ipv4"]}')) AS BIGINT) AS n_ipv4,
+             regexp_replace(r1, '{_P["ipv4"]}', '<IP>', 'g') AS r2
+      FROM t1
+    )
+    SELECT c_custkey,
+           regexp_replace(r2, '{_P["phone"]}', '<PHONE>', 'g') AS redacted,
+           n_email, n_ipv4,
+           CAST(len(regexp_extract_all(r2, '{_P["phone"]}')) AS BIGINT) AS n_phone
+    FROM t2
+    """,
+    registered=False,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import redact
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    txt = F.concat(
+        F.lit("reach "), F.lower(F.col("c_name")), F.lit(" at "),
+        F.lower(F.col("c_name")), F.lit("@example.com or 10."),
+        (k % 200).cast("string"), F.lit("."), (k % 250).cast("string"),
+        F.lit("."), (k % 97).cast("string"), F.lit(" tel 555-01"),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+    )
+    staged = c.select(k.alias("c_custkey"), txt.alias("txt"))
+    return redact.pii_report(staged, "txt", "c_custkey")

@@ -164,3 +164,26 @@ def test_hll_group_and_merge(spark):
     merged = sketches.hll_merge(per_group).collect()[0].est_distinct
     exact_total = df.select("v").distinct().count()
     assert abs(merged - exact_total) / exact_total < 0.05
+
+
+# --- PII redaction --------------------------------------------------------
+
+
+def test_pii_redaction_examples(spark):
+    from csvtool_spark.operators import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@corp.example.org thanks"),
+            (2, "server 192.168.1.254 is down, call +1 (555) 010-4477"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, txt string",
+    )
+    out = {r.id: r for r in redact.pii_report(df, "txt", "id").collect()}
+    assert out[1].redacted == "mail me at <EMAIL> thanks"
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 0
+    assert out[2].redacted == "server <IP> is down, call <PHONE>"
+    assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
+    assert out[3].redacted == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_ipv4 == out[3].n_phone == 0
