@@ -119,6 +119,10 @@ dialect(
       AND p_partkey NOT IN (1, 2)
       AND CASE WHEN p_partkey >= 100 THEN p_partkey < 1500 ELSE p_partkey >= 1500 END
     """,
+    # shadow: LIKE/IN/half-open-BETWEEN stay driver-checked through the
+    # direct-DataFrame twins (q_like_in, q_null_semantics); window slot
+    # freed for q_dedup_clusters
+    registered=False,
 )
 
 # shadow entries (outside the driver's 50-slot window, checked locally):

@@ -1,0 +1,143 @@
+"""Connected components over an edge list + near-dup cluster dedup.
+
+The missing last mile of every dedup pipeline: MinHash/SimHash/n-gram
+operators emit near-duplicate *pairs*, but training-data curation needs
+*clusters* — transitive closure of the pair graph — and one survivor per
+cluster. (The reference engine has no graph operators at all; this is a
+beyond-reference scale operator per SURVEY.md §7 M7.)
+
+Algorithm: alternating large-star / small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", ACM SoCC 2014). Why this one at 100 TB:
+
+- Each half-round is ONE min-aggregate plus ONE equi-join — per-node
+  reduce state is a single long (the running minimum), never a collected
+  neighbor list, so a degenerate hub (every page pairing with the same
+  boilerplate doc) cannot blow up executor memory the way a
+  ``collect_set``-based label propagation does.
+- Converges in O(log n) rounds regardless of component diameter; plain
+  min-label propagation needs O(diameter) rounds, which an adversarial
+  duplicate *chain* (a1~a2~a3~...) turns into thousands of shuffles.
+- Every round's result is ``localCheckpoint``-ed: lineage is truncated so
+  the plan does not grow exponentially across iterations, and the
+  convergence test doubles as the materializing action.
+
+Convergence detection is an order-insensitive edge-set signature
+``(count, bit_xor(xxhash64(src,dst)))`` — contraction is monotone, so an
+unchanged signature is a fixed point (and bit_xor cannot overflow, unlike
+an ANSI-mode SUM of hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both orientations of every undirected edge."""
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected form: (lo, hi), loop-free, distinct."""
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u) = min(N(u) ∪ {u})."""
+    s = _sym(e)
+    m = (
+        s.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select("src", F.least("src", "__mn").alias("__m"))
+    )
+    return (
+        s.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; connect every in-neighbor
+    of u (and u itself) to u's minimum in-neighbor."""
+    s = _sym(e).filter(F.col("dst") < F.col("src"))
+    m = s.groupBy("src").agg(F.min("dst").alias("__m"))
+    return (
+        s.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .union(m.select("src", F.col("__m").alias("dst")))
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the minimum node id of the connected component. Isolated nodes (no
+    edges) do not appear — callers union them back (see dedup_clusters).
+    Raises RuntimeError if max_iter rounds don't converge (20 rounds covers
+    > 2^20-node path graphs; real dup graphs converge in 3-5)."""
+    e = _canon(
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+    ).localCheckpoint()
+    sig = None
+    for _ in range(max_iter):
+        e2 = _canon(_small_star(_large_star(e))).localCheckpoint()
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("x"),
+        ).first()
+        new_sig = (row["n"], row["x"])
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    s = _sym(e)
+    return (
+        s.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "__mn").alias("component"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every row of ``df`` to a duplicate cluster given near-dup
+    ``pairs``, keeping the minimum id as the survivor.
+
+    Returns (id, component, cluster_size, is_survivor). Rows with no pair
+    are singleton clusters of themselves. The component map is NOT
+    broadcast — its size tracks the duplicate count, which scales with the
+    corpus; the id-keyed left join lets AQE pick the strategy."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    out = ids.join(comp, ids[id_col] == comp["node"], "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("component")
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        id_col,
+        "component",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("component")).alias("is_survivor"),
+    )

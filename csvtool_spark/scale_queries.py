@@ -206,6 +206,52 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
 
 
+@register(
+    "q_dedup_clusters",
+    # pairs → transitive closure → min-id survivor. The edge set is the
+    # exact n-gram-Jaccard pair set (same CTE as q_dedup_ngram, so the two
+    # rows cross-check each other); the closure is an independent
+    # implementation — DuckDB computes min-reachable-id by recursive CTE,
+    # the engine by alternating-star contraction.
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+                 i -> array_to_string((string_split(lower(trim(text)), ' '))[i+1:i+3], ' ')))
+             ELSE [array_to_string(string_split(lower(trim(text)), ' '), ' ')] END AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                          THEN CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END),
+                  6) >= 0.2
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           doc_id = component AS is_survivor
+    FROM comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    return components.dedup_clusters(d, pairs, "doc_id")
+
+
 @register("q_embed_neardup")  # rows-only: SRP buckets are seed-specific
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings top out near cosine 0.51 — 0.4 exercises the

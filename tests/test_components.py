@@ -1,0 +1,127 @@
+"""Connected components + dedup_clusters: cross-checked against a local
+union-find on deterministic random graphs, plus shape/convergence cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import components, dedup
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component
+    out = {}
+    for v in range(n_nodes):
+        r = find(v)
+        out.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in out.items() for v in vs}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        df = df.filter(F.lit(False))
+    got = components.connected_components(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_cc_two_triangles_and_bridge(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (5, 10)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 10: 5, 11: 5, 12: 5}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # a 200-node path: min-label propagation would need ~200 rounds; the
+    # alternating-star loop must finish inside its 20-round budget.
+    edges = [(i, i + 1) for i in range(200)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_cc_empty_edges(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_cc_self_loops_and_duplicate_edges(spark):
+    edges = [(7, 7), (1, 2), (2, 1), (1, 2), (3, 3)]
+    got = _cc(spark, edges)
+    # self-loops contribute no connectivity; 7 and 3 become isolated (absent)
+    assert got == {1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 60, 40), (12, 80, 120), (13, 50, 10)])
+def test_cc_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(n, edges)
+    # drop isolated nodes from the expectation — cc() only sees edge endpoints
+    touched = {v for e in edges for v in e}
+    want = {v: c for v, c in want.items() if v in touched}
+    assert _cc(spark, edges) == want
+
+
+def test_dedup_clusters_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["cluster_size"], r["is_survivor"])
+        for r in components.dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        0: (0, 3, True),
+        3: (0, 3, False),
+        5: (0, 3, False),
+        1: (1, 2, True),
+        2: (1, 2, False),
+        4: (4, 1, True),
+        6: (6, 1, True),
+        7: (7, 1, True),
+    }
+
+
+def test_dedup_clusters_end_to_end_ngram(spark):
+    # near-identical docs 1/2/3 chain into one cluster via pairwise overlap;
+    # doc 9 is unrelated
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a quick brown fox jumps over the lazy cat today"),
+        (9, "completely different text about spark query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    got = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in components.dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)
+
+
+def test_cc_plan_has_no_cartesian(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = components.connected_components(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
