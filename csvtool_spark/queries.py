@@ -669,6 +669,43 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_setops",
+    # INTERSECT (distinct) + EXCEPT ALL (multiset difference) — completes
+    # the §2.7 beyond-reference set-op family next to q_union. Shadow:
+    # driver window is full; the local gate oracle-checks it.
+    """
+    SELECT 'intersect' AS op, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, nk FROM (
+      SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 1000
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    registered=False,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    inter = (
+        c.select(F.col("c_nationkey").alias("nk"))
+        .intersect(s)
+        .select(F.lit("intersect").alias("op"), "nk")
+    )
+    exc = (
+        c.filter(F.col("c_acctbal") < 1000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .exceptAll(s)
+        .select(F.lit("except_all").alias("op"), "nk")
+    )
+    return inter.unionAll(exc)
+
+
+@register(
     "q_window_running",
     """
     SELECT event_id, user_id,

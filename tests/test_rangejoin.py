@@ -59,3 +59,34 @@ def test_range_join_negative_values(spark):
     iv = spark.createDataFrame([(7, -10.0, 0.0)], "iid long, lo double, hi double")
     out = [r.pid for r in range_join(pts, iv, "v", "lo", "hi", 10.0).collect()]
     assert out == [1]
+
+
+def test_range_join_ip_geolocation_demo(spark):
+    # the canonical production use: IPv4 (as uint32) → CIDR-block owner.
+    # /24 blocks are 256-wide intervals; bucket_width=256 aligns the grid
+    # to block boundaries so each block explodes to ≤2 buckets.
+    def ip(a, b, c, d):
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    blocks = spark.createDataFrame(
+        [
+            ("net-a", ip(10, 0, 0, 0), ip(10, 0, 1, 0)),      # 10.0.0.0/24
+            ("net-b", ip(10, 0, 1, 0), ip(10, 0, 2, 0)),      # 10.0.1.0/24
+            ("net-wide", ip(192, 168, 0, 0), ip(192, 169, 0, 0)),  # /16
+        ],
+        "owner string, lo long, hi long",
+    )
+    hits = spark.createDataFrame(
+        [
+            (1, ip(10, 0, 0, 7)),
+            (2, ip(10, 0, 1, 255)),
+            (3, ip(192, 168, 44, 1)),
+            (4, ip(172, 16, 0, 1)),  # unassigned
+        ],
+        "hit_id long, ip long",
+    )
+    out = {
+        r.hit_id: r.owner
+        for r in range_join(hits, blocks, "ip", "lo", "hi", 256.0, how="left").collect()
+    }
+    assert out == {1: "net-a", 2: "net-b", 3: "net-wide", 4: None}
