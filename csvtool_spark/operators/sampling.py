@@ -61,3 +61,27 @@ def stratified_sample(
     no shuffle, seeded. Strata absent from ``fractions`` are dropped —
     pass an explicit fraction (possibly 1.0) for every stratum to keep."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def source_quota(
+    df: DataFrame, group_col: str, order_col: str, cap: int
+) -> DataFrame:
+    """Cap rows per group — the source-balancing / data-mixing step of a
+    training pipeline (e.g. at most N documents per domain so one crawl
+    host can't dominate the mixture). Keeps the first ``cap`` rows per
+    group by deterministic ``order_col`` order.
+
+    Scale shape: one shuffle on the group key + an in-partition sort
+    (rank-and-filter window). A pathological hot group makes one task
+    sort that group; when cap << group size, pre-thin hot groups with a
+    cheap hash predicate (e.g. ``split_bucket(order) < p`` at a p that
+    keeps ≥ cap survivors) before the exact rank — same result, bounded
+    task input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(cap))
+        .drop("__rn")
+    )

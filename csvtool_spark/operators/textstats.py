@@ -256,3 +256,36 @@ def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + _token_int(t)) % F.lit(mod),
     )
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str = "doc_id", k: int = 5):
+    """Top-k characteristic terms per document, ranked by a rational
+    tf-idf: score_ppm = (tf * 1_000_000) div df_t. Integer arithmetic is
+    deliberate — a float idf (ln N/df) is not correctly-rounded across
+    engines and would break bit-exact oracle comparison; within one
+    document N is constant, so ranking by tf/df equals ranking by
+    tf·ln-idf for any monotone idf. Raw tf and df ride along for callers
+    that want a different weighting.
+
+    Scale shape: word-count aggregate on (doc, term) → term-keyed count
+    for df_t (partial combine bounds hot-term skew) → term equi-join
+    (AQE broadcasts the vocabulary side when it fits) → per-doc top-k
+    window. Deterministic tie-break: score desc, term asc."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(dft, "term").withColumn(
+        "score_ppm", F.expr("tf * 1000000L div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_ppm").desc(), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select(id_col, "term", "tf", "df", "score_ppm")
+    )

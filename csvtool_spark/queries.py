@@ -789,6 +789,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) WHERE rk <= 3
     """,
+    # shadow: same rank-and-filter plan shape is driver-checked through
+    # q_source_quota (window slot freed for the packing/quota ops)
+    registered=False,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Top-K per group via ranking window (beyond-reference §2.8 extension);
@@ -814,6 +817,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(o_totalprice, 0.99) AS p99
     FROM orders GROUP BY o_orderstatus
     """,
+    # shadow: windows/§2.8 stay driver-checked via q_window_running and
+    # q_sessionize (slot freed for q_pack_sequences)
+    registered=False,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact interpolated quantiles (beyond-reference §2.4 extension). Spark

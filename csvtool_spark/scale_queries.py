@@ -642,6 +642,90 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing / source quota / tf-idf ----------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q_pack_sequences",
+    # GPT-style concat-and-chunk packing: DuckDB computes the global token
+    # prefix sum with ONE window (fine at oracle scale); the engine's
+    # two-phase partition-offset scan must produce identical spans.
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM t
+    ),
+    u AS (
+      SELECT doc_id, s, s + n AS e,
+             unnest(generate_series(s // {_PACK_BUDGET},
+               greatest(s // {_PACK_BUDGET}, (s + n - 1) // {_PACK_BUDGET}))) AS seq_id
+      FROM c
+    )
+    SELECT doc_id, seq_id,
+           greatest(s, seq_id * {_PACK_BUDGET}) - seq_id * {_PACK_BUDGET} AS seq_offset,
+           least(e, (seq_id + 1) * {_PACK_BUDGET})
+             - greatest(s, seq_id * {_PACK_BUDGET}) AS n_tok
+    FROM u
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select("doc_id", textstats.token_count(F.col("text")).alias("n"))
+    return pack_sequences(sized, "doc_id", "n", _PACK_BUDGET)
+
+
+@register(
+    "q_source_quota",
+    # data-mixing quota: at most 30 docs per source, first-by-id
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.sampling import source_quota
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_quota(d, "source", "doc_id", 30)
+
+
+@register(
+    "q_tfidf",
+    # rational tf-idf (integer score_ppm — no transcendental, bit-exact)
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score_ppm
+           FROM tf JOIN dft USING (term)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_ppm DESC, term) AS rn FROM sc)
+    SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn <= 5
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(d, "text", "doc_id", k=5)
+
+
 # --- Gopher-style repetition signals -------------------------------------
 
 
