@@ -1,10 +1,12 @@
 """Parquet table loading.
 
-Spark cannot read parquet TIMESTAMP(NANOS) columns natively (the testdata
-``events.ts`` column is nanos); the runtime-settable legacy conf reads them
-as epoch-nanos longs, which we convert to proper timestamps (truncated to
-micros — Spark's and DuckDB's common precision) with pure integer
-arithmetic, JVM-side.
+Spark cannot read parquet TIMESTAMP(NANOS) columns natively; the
+runtime-settable legacy conf reads them as epoch-nanos longs, which we
+convert to proper timestamps (truncated to micros — Spark's and DuckDB's
+common precision) with pure integer arithmetic, JVM-side. Generated
+testdata has shipped ``events.ts`` both as nanos and as micros across
+rounds, so the conversion only fires when the column actually arrives as a
+long (micros files read natively as TIMESTAMP_NTZ and pass through).
 """
 
 from __future__ import annotations

@@ -20,17 +20,61 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _parquet_ts_unit(path: str) -> str:
+    """Time unit ('s'|'ms'|'us'|'ns') of events.ts from the parquet footer.
+
+    One driver-side footer read (O(KB)) — the streaming file source needs a
+    declared schema up front, and the right declaration depends on the
+    writer's physical type: Spark reads second/milli/microsecond timestamps
+    natively but TIMESTAMP(NANOS) only as a raw long behind the
+    ``nanosAsLong`` legacy conf. Generated data has shipped both ways, so
+    detect instead of assuming.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+
+
+def stream_events_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet shards, with
+    ``ts`` normalized to a proper (micros) timestamp whatever the writer's
+    physical unit. New files dropped into the directory become
+    micro-batches — the production ingest shape."""
+    import glob
+
+    sample = sorted(glob.glob(f"{stream_dir}/*.parquet"))[0]
+    if _parquet_ts_unit(sample) == "ns":
+        # read epoch-nanos as long, truncate to micros with integer
+        # arithmetic (nanos exceed 2^53 — double math would corrupt them)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .format("parquet")
+            .load(stream_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = (
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+        .format("parquet")
+        .load(stream_dir)
+    )
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ). The NTZ→LTZ cast keeps the wall-clock reading in the session
+    # zone, so collected values agree with the batch twin's NTZ values.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,16 +83,12 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source watches a DIRECTORY; the testdata ships one parquet
     file, so stage it into a per-session stream dir (production points at
     the ingest directory and new files become micro-batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import shutil
     import tempfile
 
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_events_dir(spark, stream_dir)
 
 
 def windowed_agg_stream(

@@ -87,14 +87,12 @@ def test_streaming_dedup_bounded_state(spark):
     import tempfile
 
     from csvtool_spark.streaming import deduped_stream
-    from csvtool_spark.streaming.events import EVENTS_SCHEMA
+    from csvtool_spark.streaming.events import stream_events_dir
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = tempfile.mkdtemp(prefix="dup_stream_")
     shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/a.parquet")
     shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/b.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(d)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream_events_dir(spark, d)
 
     run_to_memory(deduped_stream(stream), "dedup_out", output_mode="append")
     got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").first()
