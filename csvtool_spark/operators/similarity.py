@@ -443,3 +443,87 @@ def near_dup_pairs_embedding(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- Scalar quantization (int8) -------------------------------------------
+#
+# The third scale lever next to LSH and IVF: shrink the vectors themselves.
+# A float32 embedding column is the dominant byte-cost of a 100 TB corpus
+# scan; global min-max int8 quantization cuts it 4x (and composes with IVF:
+# quantize the residuals inside each cell). Scoring on int8 codes is exact
+# integer arithmetic — deterministic, SIMD-friendly, and cross-engine
+# reproducible, unlike float dot products whose summation order varies.
+
+
+def sq_bounds(df: DataFrame, vec_col: str) -> DataFrame:
+    """1-row (mn, mx) global value bounds across every dimension — the
+    codebook of min-max scalar quantization. Single agg scan, no shuffle
+    beyond the 1-row combine."""
+    v = F.col(vec_col)
+    return df.agg(
+        F.min(F.array_min(v)).cast("double").alias("mn"),
+        F.max(F.array_max(v)).cast("double").alias("mx"),
+    )
+
+
+def _sq_code(x: Column, mn: Column, mx: Column) -> Column:
+    """Map one float to an int8 code in [-128, 127]:
+    ``least(255, floor((x - mn) * (255 / (mx - mn)))) - 128``. The
+    expression tree is mirrored verbatim in the DuckDB oracle — every step
+    (float→double widen, subtract, one pre-rounded scale multiply, floor)
+    is correctly-rounded IEEE double math, so codes are bit-identical
+    across engines. ``least`` guards the x == mx edge where the rounded
+    scale can push the product a hair past 255."""
+    scale = F.lit(255.0) / (mx - mn)
+    return (
+        F.least(F.lit(255).cast("long"), F.floor((x.cast("double") - mn) * scale))
+        - F.lit(128)
+    ).cast("int")
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qvec array<int8-valued int>) for the whole corpus. The 1-row
+    bounds side is cross-joined with an explicit broadcast — scalars riding
+    to every task, no shuffle of the corpus."""
+    b = sq_bounds(df, vec_col)
+    return df.crossJoin(F.broadcast(b)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: _sq_code(x, F.col("mn"), F.col("mx"))
+        ).alias("qvec"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two code arrays (|code| ≤ 128, so
+    dim·128² stays far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_quantized(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k neighbors of the minimum-id vector by int8-code dot product.
+
+    Whole pipeline is declarative: bounds → codes → 1-row query side
+    broadcast → integer scores → TakeOrderedAndProject. At scale the code
+    column is materialized once (4x smaller scan) and the query side is a
+    point lookup; scores being exact integers makes the ranking stable
+    across engines, which float cosine cannot guarantee.
+    """
+    qdf = quantize_embeddings(df, vec_col, id_col)
+    qmin = df.agg(F.min(id_col).alias("__qid"))
+    qrow = qdf.join(F.broadcast(qmin), qdf[id_col] == qmin["__qid"]).select(
+        F.col("__qid"), F.col("qvec").alias("__qvec")
+    )
+    return (
+        qdf.crossJoin(F.broadcast(qrow))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(F.col(id_col), _idot(F.col("qvec"), F.col("__qvec")).alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -289,3 +289,42 @@ def tfidf_top_terms(df, text_col: str, id_col: str = "doc_id", k: int = 5):
         .filter(F.col("__rn") <= int(k))
         .select(id_col, "term", "tf", "df", "score_ppm")
     )
+
+
+def lm_surprisal(df, text_col: str, id_col: str = "doc_id"):
+    """Per-document rarity score under a unigram LM trained on the corpus
+    itself — the cheap stand-in for the KenLM-perplexity quality filter
+    (CCNet-style): documents full of rare tokens score high, boilerplate
+    scores low. Real pipelines plug a pretrained LM in via mapInPandas;
+    this keeps the signal cross-engine checkable.
+
+    Rational arithmetic is deliberate: ``surprisal_ppb =
+    sum(tf · (1e9 div c_term)) div n_tokens`` where ``c_term`` is the
+    corpus occurrence count. ``1e9 div c`` is a monotone proxy for
+    ``-log p(term)`` (exact inverse probability, scaled); integer div
+    keeps the result bit-exact across engines where a float ``ln`` would
+    not be correctly-rounded. Bounded: tf·(1e9 div c) ≤ n_tokens·1e9 —
+    a billion-token document would still fit int64.
+
+    Scale shape: word-count aggregate on (doc, term) FIRST, so both the
+    vocabulary count and the scoring join carry one row per distinct
+    (doc, term) pair, never per occurrence; the vocabulary side is
+    Zipf-bounded and AQE broadcasts it when it fits. Three keyed
+    shuffles total, each combiner-backed.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    c = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    return (
+        tf.join(c, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr("CAST(sum(tf * (1000000000L div c)) div sum(tf) AS BIGINT)").alias(
+                "surprisal_ppb"
+            ),
+        )
+    )

@@ -907,3 +907,93 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = c.select(k.alias("c_custkey"), txt.alias("txt"))
     return redact.pii_report(staged, "txt", "c_custkey")
+
+
+# --- JSON payload extraction ----------------------------------------------
+
+
+@register(
+    "q_json_props",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_card
+    FROM x GROUP BY event_type
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured ingestion: per-event-type stats over a numeric field
+    # extracted from the JSON props payload (get_json_object, JVM-side).
+    from csvtool_spark.operators import semistructured
+
+    e = load(spark, sf_dir, "events")
+    return semistructured.props_stats(e, "props", "$.k", "event_type")
+
+
+# --- unigram-LM document scoring ------------------------------------------
+
+
+@register(
+    "q_lm_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * (1000000000 // c)) // sum(tf) AS BIGINT) AS surprisal_ppb
+    FROM tf JOIN c USING (term) GROUP BY doc_id
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.lm_surprisal(d, "text", "doc_id")
+
+
+# --- int8 scalar-quantized ANN --------------------------------------------
+
+
+@register(
+    "q_ann_sq",
+    """
+    WITH b AS (
+      SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+             CAST(max(list_max(embedding)) AS DOUBLE) AS mx
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(least(255.0, floor((CAST(x AS DOUBLE) - b.mn)
+                                       * (255.0 / (b.mx - b.mn)))) AS BIGINT)
+               - 128) AS qvec
+      FROM embeddings, b
+    ),
+    q AS (SELECT vec_id AS qid, qvec AS qq FROM qv
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT v.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(v.qvec)),
+                                        i -> v.qvec[i] * q.qq[i])) AS BIGINT)
+             AS score_q
+    FROM qv v, q WHERE v.vec_id <> q.qid
+    ORDER BY score_q DESC, v.vec_id LIMIT 10
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8-code top-k: integer scores are exact, so ranking is bit-stable
+    # across engines (the float-cosine twin q_ann_bruteforce needs rounding).
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ann_quantized(e, "embedding", "vec_id", k=10)
