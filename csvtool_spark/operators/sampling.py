@@ -85,3 +85,49 @@ def source_quota(
         .filter(F.col("__rn") <= int(cap))
         .drop("__rn")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_count_col: str,
+    target_ppm: dict[str, int],
+) -> DataFrame:
+    """Downsample sources to a target TOKEN mixture (data mixing): given
+    target shares in ppm (e.g. web 50%, books 30%, code 20%), pick the
+    largest total token budget T that needs no upsampling
+    (``T = min_s tokens_s·1e6 div share_s``), then keep each source at
+    ``rate_s = share_s·T div tokens_s`` via the deterministic key-hash
+    coin. Sources without a target share are dropped. Entirely integer
+    arithmetic → the realized mixture is reproducible on any engine, and
+    re-runs keep exactly the same rows (hash coin, not RNG).
+
+    Output: surviving rows + their source ``keep_ppm`` for audit.
+
+    Scale shape: one combiner-backed aggregate for per-source token
+    counts (rows = #sources), a 1-row global min, and one broadcast join
+    of the tiny rate table onto the corpus scan — the corpus itself never
+    shuffles. int64 bounds: ``tokens_s·1e6`` and ``share_ppm·T`` stay
+    under ~1e18 up to a trillion tokens per source.
+    """
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(s, int(p)) for s, p in target_ppm.items()],
+        f"{source_col} string, w_ppm long",
+    )
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count_col).cast("long").alias("__tok")
+    )
+    sized = counts.join(F.broadcast(w), source_col)
+    budget = sized.agg(F.min(F.expr("__tok * 1000000L div w_ppm")).alias("__T"))
+    rates = sized.crossJoin(F.broadcast(budget)).select(
+        source_col,
+        F.least(
+            F.lit(1_000_000).cast("long"), F.expr("w_ppm * __T div __tok")
+        ).alias("keep_ppm"),
+    )
+    coin = md5_prefix_long(F.col(key_col).cast("string")) % 1_000_000
+    return df.join(F.broadcast(rates), source_col).filter(coin < F.col("keep_ppm"))

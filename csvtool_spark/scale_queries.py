@@ -997,3 +997,41 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across engines (the float-cosine twin q_ann_bruteforce needs rounding).
     e = load(spark, sf_dir, "embeddings")
     return similarity.ann_quantized(e, "embedding", "vec_id", k=10)
+
+
+# --- token-mixture resampling ---------------------------------------------
+
+
+@register(
+    "q_mixture",
+    """
+    WITH w(source, w_ppm) AS (
+      VALUES ('src0', CAST(500000 AS BIGINT)),
+             ('src1', CAST(300000 AS BIGINT)),
+             ('src2', CAST(200000 AS BIGINT))
+    ),
+    c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+          FROM documents GROUP BY source),
+    s AS (SELECT c.source, tok, w_ppm FROM c JOIN w USING (source)),
+    t AS (SELECT min(tok * 1000000 // w_ppm) AS T FROM s),
+    r AS (SELECT source, least(1000000, w_ppm * t.T // tok) AS keep_ppm FROM s, t)
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < r.keep_ppm
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-level data mixing: downsample three sources to a 50/30/20
+    # token budget with the deterministic hash coin.
+    from csvtool_spark.operators.sampling import mixture_resample
+
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", textstats.token_count(F.col("text")).alias("__n")
+    )
+    return mixture_resample(
+        staged, "source", "doc_id", "__n",
+        {"src0": 500_000, "src1": 300_000, "src2": 200_000},
+    ).select("doc_id", "source", "keep_ppm")

@@ -83,3 +83,21 @@ def test_q5_no_forced_broadcast_but_aqe_broadcasts(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_json_props_prunes_to_two_columns(spark):
+    from csvtool_spark.scale_queries import q_json_props
+
+    plan = _plan(q_json_props(spark, SF_SMALL))
+    # JSON extraction must not widen the scan: only the payload + group key
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+
+
+def test_ann_quantized_broadcasts_query_side(spark):
+    from csvtool_spark.scale_queries import q_ann_sq
+
+    plan = _plan(q_ann_sq(spark, SF_SMALL))
+    # 1-row bounds and query-vector sides ride broadcasts; corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

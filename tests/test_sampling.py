@@ -78,3 +78,36 @@ def test_hash_split_thirds_leave_no_sliver(spark):
     df = spark.range(30_000).select(F.col("id").alias("k"))
     out = hash_split(df, "k", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    from csvtool_spark.operators.sampling import mixture_resample
+    from csvtool_spark.operators import textstats
+    from csvtool_spark.queries import load
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_MED
+
+    d = load(spark, SF_MED, "documents")
+    staged = d.select(
+        "doc_id", "source", textstats.token_count(F.col("text")).alias("__n")
+    )
+    target = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+    out = mixture_resample(staged, "source", "doc_id", "__n", target)
+    rates = {r.source: r.keep_ppm for r in out.select("source", "keep_ppm").distinct().collect()}
+    # the binding source is kept whole; every rate is a valid ppm
+    assert max(rates.values()) == 1_000_000
+    assert all(0 < v <= 1_000_000 for v in rates.values())
+    # sources without a target share are dropped entirely
+    assert set(rates) == set(target)
+    # deterministic: same rows on a re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_resample(
+        staged, "source", "doc_id", "__n", target).collect())
+    assert a == b and a
+    # realized token shares within sampling noise of the target (25 docs
+    # per source at sf0.01 — loose 2x bounds, exactness is the oracle's job)
+    toks = {r.source: r.t for r in out.groupBy("source").agg(F.sum("__n").alias("t")).collect()}
+    tot = sum(toks.values())
+    for s, share in target.items():
+        if s in toks:
+            assert 0.3 * share / 1e6 < toks[s] / tot < 2.5 * share / 1e6
