@@ -25,8 +25,10 @@ from pyspark.sql import types as T
 
 def json_field(col: Column, path: str, dtype: str = "string") -> Column:
     """Extract one JSON path (e.g. ``$.k``) and cast it. Malformed JSON or
-    a missing key yields null (matching DuckDB's ``->>`` semantics), so
-    downstream aggregates skip those rows instead of failing the scan."""
+    a missing key yields null — a 100 TB scan must not die on one bad
+    payload. (DuckDB is stricter: ``->>`` ERRORS on malformed JSON, so
+    cross-engine oracles guard with ``json_valid`` to match this
+    null-on-bad behavior.)"""
     return F.get_json_object(col, path).cast(dtype)
 
 
@@ -46,9 +48,17 @@ def parse_json_col(
     if not keep_corrupt:
         return df.withColumn(f"{col}_parsed", F.from_json(F.col(col), schema))
     st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
-    widened = T.StructType(list(st.fields) + [T.StructField("_corrupt", T.StringType())])
+    # The corrupt-record field name must not collide with payload keys: a
+    # valid JSON object containing that key would populate the field and
+    # misroute the row to quarantine. No name is collision-proof against
+    # arbitrary payloads, so pick an implausible one and refuse schemas
+    # that shadow it.
+    corrupt = f"__{col}_corrupt_rec__"
+    if corrupt in st.fieldNames():
+        raise ValueError(f"schema field name {corrupt!r} is reserved")
+    widened = T.StructType(list(st.fields) + [T.StructField(corrupt, T.StringType())])
     parsed = F.from_json(
-        F.col(col), widened, {"columnNameOfCorruptRecord": "_corrupt"}
+        F.col(col), widened, {"columnNameOfCorruptRecord": corrupt}
     )
     return (
         df.withColumn("__p", parsed)
@@ -56,7 +66,7 @@ def parse_json_col(
             f"{col}_parsed",
             F.struct(*[F.col("__p")[f.name].alias(f.name) for f in st.fields]),
         )
-        .withColumn(f"{col}_corrupt", F.col("__p")["_corrupt"])
+        .withColumn(f"{col}_corrupt", F.col("__p")[corrupt])
         .drop("__p")
     )
 

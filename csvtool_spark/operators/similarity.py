@@ -473,12 +473,17 @@ def _sq_code(x: Column, mn: Column, mx: Column) -> Column:
     (float→double widen, subtract, one pre-rounded scale multiply, floor)
     is correctly-rounded IEEE double math, so codes are bit-identical
     across engines. ``least`` guards the x == mx edge where the rounded
-    scale can push the product a hair past 255."""
+    scale can push the product a hair past 255. A degenerate value range
+    (mx == mn: constant embeddings) would make the scale Infinity and the
+    product NaN — whose floor/least semantics differ between engines — so
+    that case pins every code to 0 explicitly (all vectors identical ⇒
+    all scores equal ⇒ ranking falls to the id tie-break, deterministic)."""
     scale = F.lit(255.0) / (mx - mn)
-    return (
+    code = (
         F.least(F.lit(255).cast("long"), F.floor((x.cast("double") - mn) * scale))
         - F.lit(128)
     ).cast("int")
+    return F.when(mx > mn, code).otherwise(F.lit(0))
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -515,15 +520,31 @@ def ann_quantized(
     point lookup; scores being exact integers makes the ranking stable
     across engines, which float cosine cannot guarantee.
     """
-    qdf = quantize_embeddings(df, vec_col, id_col)
-    qmin = df.agg(F.min(id_col).alias("__qid"))
-    qrow = qdf.join(F.broadcast(qmin), qdf[id_col] == qmin["__qid"]).select(
-        F.col("__qid"), F.col("qvec").alias("__qvec")
+    # One stats pass carries bounds AND the query id (not sq_bounds +
+    # a second agg — that would be two corpus scans for three scalars).
+    stats = df.agg(
+        F.min(F.array_min(vec_col)).cast("double").alias("mn"),
+        F.max(F.array_max(vec_col)).cast("double").alias("mx"),
+        F.min(id_col).alias("__qid"),
+    )
+
+    def codes(vec: Column) -> Column:
+        return F.transform(vec, lambda x: _sq_code(x, F.col("mn"), F.col("mx")))
+
+    # Query side: join the 1-row stats onto the corpus by id equality, so
+    # only the surviving single row is quantized (the projection sits
+    # above the join — the corpus is scanned but never transformed here).
+    qrow = (
+        df.join(F.broadcast(stats), F.col(id_col) == F.col("__qid"))
+        .select(codes(F.col(vec_col)).alias("__qvec"))
     )
     return (
-        qdf.crossJoin(F.broadcast(qrow))
+        df.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(qrow))
         .filter(F.col(id_col) != F.col("__qid"))
-        .select(F.col(id_col), _idot(F.col("qvec"), F.col("__qvec")).alias("score_q"))
+        .select(
+            F.col(id_col), _idot(codes(F.col(vec_col)), F.col("__qvec")).alias("score_q")
+        )
         .orderBy(F.col("score_q").desc(), F.col(id_col))
         .limit(k)
     )

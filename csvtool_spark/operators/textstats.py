@@ -258,6 +258,20 @@ def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
     )
 
 
+def _doc_term_tf(df, text_col: str, id_col: str):
+    """(id, term, tf) term frequencies — the shared front half of
+    tfidf_top_terms and lm_surprisal (one definition so their oracles can
+    never drift apart on tokenization). Normalization: lower+trim, split
+    on single spaces. Shuffle rows bounded by distinct (doc, term) pairs."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    return tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
 def tfidf_top_terms(df, text_col: str, id_col: str = "doc_id", k: int = 5):
     """Top-k characteristic terms per document, ranked by a rational
     tf-idf: score_ppm = (tf * 1_000_000) div df_t. Integer arithmetic is
@@ -274,11 +288,7 @@ def tfidf_top_terms(df, text_col: str, id_col: str = "doc_id", k: int = 5):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    tok = df.select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
-    )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tf = _doc_term_tf(df, text_col, id_col)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tf.join(dft, "term").withColumn(
         "score_ppm", F.expr("tf * 1000000L div df")
@@ -312,11 +322,7 @@ def lm_surprisal(df, text_col: str, id_col: str = "doc_id"):
     Zipf-bounded and AQE broadcasts it when it fits. Three keyed
     shuffles total, each combiner-backed.
     """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"),
-    )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tf = _doc_term_tf(df, text_col, id_col)
     c = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
     return (
         tf.join(c, "term")

@@ -916,7 +916,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_props",
     """
     WITH x AS (
-      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+      -- json_valid guard: DuckDB ->> ERRORS on malformed JSON where Spark
+      -- get_json_object nulls; the guard keeps the engines agreeing (and
+      -- the gate alive) if a bad payload ever ships
+      SELECT event_type,
+             CAST(CASE WHEN json_valid(props) THEN props->>'k' END AS BIGINT) AS k
+      FROM events
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,

@@ -45,7 +45,14 @@ def _parquet_ts_unit(path: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+    ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+    unit = getattr(ts_type, "unit", None)
+    if unit is None:
+        raise ValueError(
+            f"events.ts in {path!r} is {ts_type}, not a parquet timestamp — "
+            "cannot build the event-time stream from it"
+        )
+    return unit
 
 
 def stream_events_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
@@ -55,8 +62,21 @@ def stream_events_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
     micro-batches — the production ingest shape."""
     import glob
 
-    sample = sorted(glob.glob(f"{stream_dir}/*.parquet"))[0]
-    if _parquet_ts_unit(sample) == "ns":
+    shards = sorted(glob.glob(f"{stream_dir}/*.parquet"))
+    if not shards:
+        # The declared schema depends on the writer's timestamp unit, which
+        # only a file can reveal — fail clearly instead of IndexError.
+        # (Production starts the stream AFTER the first shard lands, or
+        # builds the reader from the writer's known schema directly.)
+        raise ValueError(
+            f"no parquet shards in {stream_dir!r} to detect the timestamp "
+            "unit from; write one first or construct the stream with an "
+            "explicit schema"
+        )
+    # One footer speaks for the directory: a file-source stream has ONE
+    # declared schema, so mixed-unit shard dirs are unsupported — route a
+    # unit migration through a new directory (new stream) instead.
+    if _parquet_ts_unit(shards[0]) == "ns":
         # read epoch-nanos as long, truncate to micros with integer
         # arithmetic (nanos exceed 2^53 — double math would corrupt them)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,8 +94,10 @@ def test_mixture_resample_hits_target_shares(spark):
     target = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
     out = mixture_resample(staged, "source", "doc_id", "__n", target)
     rates = {r.source: r.keep_ppm for r in out.select("source", "keep_ppm").distinct().collect()}
-    # the binding source is kept whole; every rate is a valid ppm
-    assert max(rates.values()) == 1_000_000
+    # the binding source is kept (nearly) whole — floor(T) costs at most
+    # share_ppm/tokens_s ppm, so don't demand exactly 1e6 (testdata regens
+    # can change which source binds); every rate is a valid ppm
+    assert max(rates.values()) >= 999_000
     assert all(0 < v <= 1_000_000 for v in rates.values())
     # sources without a target share are dropped entirely
     assert set(rates) == set(target)
