@@ -548,3 +548,78 @@ def ann_quantized(
         .orderBy(F.col("score_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_sq_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    n_cells: int = 16,
+    n_buckets: int = 16,
+    path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> tuple[list[tuple[int, list[float]]], tuple[float, float]]:
+    """IVF × SQ composed index — the full 100 TB ANN recipe: every vector
+    stored as (id, cell, int8 codes), bucketed by cell. A probe then pays
+    (a) bucket-pruned IO on ~nprobe/n_cells of the corpus and (b) 4× fewer
+    bytes per vector it does read, scoring with exact integer dots.
+    Returns the probe-side metadata: (centroids, (mn, mx) bounds) — both
+    driver-sized, like the hyperplane literals.
+    """
+    from csvtool_spark.sources.bucketing import write_bucketed
+
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+    b = sq_bounds(df, vec_col).first()
+    mn, mx = float(b["mn"]), float(b["mx"])
+    indexed = df.select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+        F.transform(
+            F.col(vec_col), lambda x: _sq_code(x, F.lit(mn), F.lit(mx))
+        ).alias("qvec"),
+    )
+    write_bucketed(indexed, table, "__cell", n_buckets, path)
+    return cents, (mn, mx)
+
+
+def sq_code_py(x: float, mn: float, mx: float) -> int:
+    """Driver-side twin of ``_sq_code`` (same IEEE double steps, so a
+    query vector quantizes to exactly the codes the index stores)."""
+    import math
+
+    if not mx > mn:
+        return 0
+    return int(min(255, math.floor((float(x) - mn) * (255.0 / (mx - mn))))) - 128
+
+
+def ann_ivf_sq(
+    spark,
+    table: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    bounds: tuple[float, float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe an ``ivf_sq_index_write`` table: rank cells against the query
+    (driver-side, n_cells-sized), bucket-pruned scan of the nprobe best,
+    integer-dot scores against the quantized query, top-k. Returns
+    (id, cell, score_q)."""
+    mn, mx = bounds
+    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    probe = [cell for cell, _ in ranked[:nprobe]]
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    qcodes = F.array(*[F.lit(sq_code_py(x, mn, mx)) for x in query])
+    return (
+        spark.table(table)
+        .filter(F.col("__cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            _idot(F.col("qvec"), qcodes).alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )

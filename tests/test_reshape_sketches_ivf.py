@@ -254,3 +254,35 @@ def test_kmv_ignores_nulls(spark):
     )
     row = sketches.kmv_distinct(df, "v", k=256).first()
     assert row.k_used == 100 and row.est_distinct == 100.0
+
+
+def test_ivf_sq_index_probe_pruned_and_exact_at_full_probe(spark, tmp_path):
+    e = _emb(spark)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents, bounds = similarity.ivf_sq_index_write(
+        e, "embedding", "vec_id", "ivf_sq_idx", n_cells=8, n_buckets=8,
+        path=str(tmp_path / "ivf_sq_idx"),
+    )
+    probe = similarity.ann_ivf_sq(
+        spark, "ivf_sq_idx", "vec_id", qvec, cents, bounds, k=10, nprobe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    rows = probe.collect()
+    # the query's own row lives in a probed cell and dominates the scores
+    assert rows[0].vec_id == 0
+
+    # full probe == brute-force integer-dot ranking over the whole corpus
+    full = similarity.ann_ivf_sq(
+        spark, "ivf_sq_idx", "vec_id", qvec, cents, bounds, k=10, nprobe=8
+    ).collect()
+    codes = similarity.quantize_embeddings(e, "embedding", "vec_id")
+    qrow = {r.vec_id: r.qvec for r in codes.collect()}
+    scores = sorted(
+        ((sum(a * b for a, b in zip(v, qrow[0])), -i) for i, v in qrow.items()),
+        reverse=True,
+    )[:10]
+    assert [r.score_q for r in full] == [s for s, _ in scores]
+    assert [r.vec_id for r in full] == [-i for _, i in scores]
