@@ -71,3 +71,104 @@ def curation_report(df: DataFrame, curated: DataFrame, id_col: str = "doc_id") -
     total = df.count()
     kept = curated.count()
     return {"total": total, "kept": kept, "dropped": total - kept}
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    quantile: float = 0.25,
+) -> DataFrame:
+    """Keep documents at or above their GROUP's quality quantile — the
+    relative variant of a fixed quality cut (a fixed threshold calibrated
+    on web text guts a code or math source; per-source quantiles keep the
+    best of every source). Returns (id, group, quality).
+
+    Scale shape: score is a pure scan expression; thresholds are one
+    combiner-backed aggregate (rows = #groups, exact interpolated
+    percentile — swap in approx_percentile's t-digest when groups are
+    huge); the tiny threshold table broadcasts back onto the scan. The
+    corpus itself never shuffles."""
+    scored = df.select(
+        F.col(id_col), F.col(group_col),
+        textstats.quality_score(F.col(text_col)).alias("quality"),
+    )
+    thr = scored.groupBy(group_col).agg(
+        F.expr(f"percentile(quality, {float(quantile)})").alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col("quality") >= F.col("__thr"))
+        .select(id_col, group_col, "quality")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame, seen_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Ingest-time dedup: drop arriving documents whose normalized text
+    hash already exists in the seen corpus, then exact-dedup within the
+    batch itself (min-id survivor). The incremental complement of
+    ``dedup.exact_dedup`` — a daily crawl drop checks against the
+    accumulated hash set without rescanning corpus text.
+
+    Scale shape: both sides reduce to (hash) / (id, hash) BEFORE the
+    left-anti join, so the shuffle carries 16-byte hashes, never text;
+    the seen side is typically a maintained hash table read bucketed on
+    the hash for a shuffle-free probe."""
+    h = F.md5(dedup.normalized(F.col(text_col)))
+    seen = seen_df.select(h.alias("__h")).distinct()
+    batch = new_df.select(F.col(id_col), h.alias("__h"))
+    fresh = batch.join(seen, "__h", "left_anti")
+    return (
+        fresh.groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, F.col("__h").alias("text_hash"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-length prep step before packing/tokenization. Chunk i covers
+    tokens [i·stride, i·stride + chunk_tokens) with stride =
+    chunk_tokens − overlap; the last window may be short; documents
+    shorter than one window yield exactly one chunk. Pure per-row
+    explode — no shuffle, chunk count is derived arithmetic, and the
+    window arithmetic is integer so the same chunks come out of any
+    engine. Returns (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = textstats.tokens(F.col(text_col))
+    # ceil-div in INTEGER arithmetic (a float division would be exact only
+    # under 2^53 and needs a truncation argument; div needs none)
+    staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        "__toks",
+        F.expr(
+            f"greatest(1L, (size(__toks) - {overlap} + {stride - 1}) div {stride})"
+        ).alias("__nc"),
+    )
+    chunk = F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1))
+    sliced = staged.select(
+        F.col(id_col), F.col("__toks"), chunk.alias("chunk_id")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.slice(
+            F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+        ).alias("__ck"),
+    )
+    return sliced.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("__ck")).alias("chunk_text"),
+        F.size("__ck").cast("long").alias("n_chunk_tokens"),
+    )

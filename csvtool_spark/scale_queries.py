@@ -1040,3 +1040,89 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged, "source", "doc_id", "__n",
         {"src0": 500_000, "src1": 300_000, "src2": 200_000},
     ).select("doc_id", "source", "keep_ppm")
+
+
+# --- curation: per-source quality gate, incremental dedup, chunking -------
+
+
+@register(
+    "q_quality_gate",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                   + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
+                   + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
+                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('the','and','of','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop
+        FROM documents
+      )
+    ),
+    thr AS (SELECT source, quantile_cont(quality, 0.25) AS thr
+            FROM t GROUP BY source)
+    SELECT t.doc_id, t.source, t.quality
+    FROM t JOIN thr USING (source) WHERE t.quality >= thr.thr
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.pipeline import quality_gate
+
+    d = load(spark, sf_dir, "documents")
+    return quality_gate(d, "text", "doc_id", "source", quantile=0.25)
+
+
+@register(
+    "q_incremental_dedup",
+    # ingest batch = odd doc_ids, accumulated corpus = even doc_ids
+    """
+    WITH newb AS (SELECT doc_id, md5(lower(trim(text))) AS h
+                  FROM documents WHERE doc_id % 2 = 1),
+    seen AS (SELECT DISTINCT md5(lower(trim(text))) AS h
+             FROM documents WHERE doc_id % 2 = 0)
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h AS text_hash
+    FROM newb WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = newb.h)
+    GROUP BY h
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.pipeline import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+    )
+
+
+@register(
+    "q_chunk_docs",
+    # 128-token windows, 16-token overlap (stride 112)
+    """
+    WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 greatest(1, (len(toks) - 16 + 111) // 112) AS nc FROM l),
+    c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id FROM s)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[chunk_id*112 + 1 : chunk_id*112 + 128], ' ')
+             AS chunk_text,
+           CAST(len(toks[chunk_id*112 + 1 : chunk_id*112 + 128]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=128, overlap=16)

@@ -187,3 +187,61 @@ def test_pii_redaction_examples(spark):
     assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
     assert out[3].redacted == "nothing sensitive here"
     assert out[3].n_email == out[3].n_ipv4 == out[3].n_phone == 0
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "only")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens) for r in out.collect()}
+    # doc1: 10 tokens, stride 3 → ceil((10-1)/3)=3 chunks at offsets 0,3,6
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    # short docs yield exactly one (possibly short) chunk
+    assert rows[(2, 0)] == ("a b", 2)
+    assert rows[(3, 0)] == ("only", 1)
+    assert len(rows) == 5
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert rows[(1, 0)][0].split()[-1:] == rows[(1, 1)][0].split()[:1]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark):
+    from csvtool_spark.operators.pipeline import incremental_dedup
+
+    seen = spark.createDataFrame([(1, "Known Doc")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, "known doc"),       # dup of corpus (normalization: lower/trim)
+            (11, "fresh one"),
+            (12, "fresh one"),       # in-batch dup → min-id survivor
+            (13, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_dedup(new, seen, "text", "doc_id").collect()}
+    assert got == {11, 13}
+
+
+def test_quality_gate_keeps_top_of_each_group(spark):
+    from csvtool_spark.operators.pipeline import quality_gate
+    from csvtool_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL, "documents")
+    out = quality_gate(d, "text", "doc_id", "source", quantile=0.25)
+    total = d.count()
+    kept = out.count()
+    # per-group p25 cut keeps ~75% overall (ties can keep slightly more)
+    assert 0.6 * total <= kept <= 0.9 * total
+    # every group survives
+    assert out.select("source").distinct().count() == d.select("source").distinct().count()
