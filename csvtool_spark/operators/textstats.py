@@ -334,3 +334,57 @@ def lm_surprisal(df, text_col: str, id_col: str = "doc_id"):
             ),
         )
     )
+
+
+def collocations(df, text_col: str, k: int = 50, min_count: int = 5):
+    """Top-k bigram collocations ranked by a rational PMI-style lift:
+    ``lift_ppm = ((c_ab·1e6 div c_a)·N) div c_b`` — how much more often
+    the pair occurs than independence predicts, in ppm. The two-step
+    integer division is deliberate: a float PMI (log) is not
+    correctly-rounded across engines, and the one-step rational form
+    ``c_ab·N·1e6 div (c_a·c_b)`` overflows int64 at corpus scale
+    (c_ab·N ~ 10²⁴ at a trillion tokens); the staged form keeps every
+    intermediate ≤ N·1e6 and both engines evaluate the identical tree.
+    Ranking is monotone in true PMI for fixed c_a·c_b ordering — for
+    collocation mining the lift ordering IS the deliverable.
+
+    Scale shape: bigrams come from a zip of the token array with its
+    shift (per-row, shuffle-free), then word-count aggregates for pair
+    and unigram counts; the unigram side joins twice, Zipf-bounded so
+    AQE broadcasts it when it fits. ``min_count`` prunes the pair table
+    before any join — the long tail of singleton bigrams never shuffles
+    twice. Returns (term_a, term_b, c_ab, c_a, c_b, lift_ppm)."""
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    m = F.size(toks) - 1
+    bigram = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(m, F.lit(1))),
+            F.slice(toks, 2, F.greatest(m, F.lit(1))),
+            lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        df.select(F.explode(bigram).alias("bg"))
+        .select(F.col("bg.ta").alias("term_a"), F.col("bg.tb").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("__N"))
+    scored = (
+        pairs.join(uni.select(F.col("t").alias("term_a"), F.col("c").alias("c_a")), "term_a")
+        .join(uni.select(F.col("t").alias("term_b"), F.col("c").alias("c_b")), "term_b")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("lift_ppm", F.expr("((c_ab * 1000000L div c_a) * __N) div c_b"))
+    )
+    return (
+        scored.select("term_a", "term_b", "c_ab", "c_a", "c_b", "lift_ppm")
+        .orderBy(F.col("lift_ppm").desc(), "term_a", "term_b")
+        .limit(int(k))
+    )

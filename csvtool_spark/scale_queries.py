@@ -1126,3 +1126,37 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return chunk_documents(d, "text", "doc_id", chunk_tokens=128, overlap=16)
+
+
+# --- bigram collocations ---------------------------------------------------
+
+
+@register(
+    "q_colloc",
+    # staged integer lift (see textstats.collocations docstring): both
+    # engines evaluate ((c_ab*1e6 div c_a) * N) div c_b identically
+    """
+    WITH l AS (SELECT string_split(lower(trim(text)), ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM l
+    ),
+    pairs AS (
+      SELECT split_part(bg, ' ', 1) AS term_a, split_part(bg, ' ', 2) AS term_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    uni AS (SELECT unnest(t) AS tok FROM l),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM c)
+    SELECT term_a, term_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+           CAST(((c_ab * 1000000 // ca.c) * n.N) // cb.c AS BIGINT) AS lift_ppm
+    FROM pairs JOIN c ca ON ca.tok = term_a JOIN c cb ON cb.tok = term_b, n
+    ORDER BY lift_ppm DESC, term_a, term_b LIMIT 50
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.collocations(d, "text", k=50, min_count=5)

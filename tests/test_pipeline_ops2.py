@@ -245,3 +245,20 @@ def test_quality_gate_keeps_top_of_each_group(spark):
     assert 0.6 * total <= kept <= 0.9 * total
     # every group survives
     assert out.select("source").distinct().count() == d.select("source").distinct().count()
+
+
+def test_collocations_bigrams_and_lift(spark):
+    from csvtool_spark.operators.textstats import collocations
+
+    rows = [(i, "strong coffee please") for i in range(5)]
+    rows += [(100 + i, "weak tea") for i in range(5)]
+    rows += [(200, "solo"), (201, "")]  # no bigrams from 1-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, "text", k=10, min_count=5)
+    got = {(r.term_a, r.term_b): (r.c_ab, r.c_a, r.c_b, r.lift_ppm) for r in out.collect()}
+    # N = 5*3 + 5*2 + 1 + 1 = 27 tokens
+    assert got[("strong", "coffee")] == (5, 5, 5, ((5 * 1_000_000 // 5) * 27) // 5)
+    assert got[("weak", "tea")] == (5, 5, 5, ((5 * 1_000_000 // 5) * 27) // 5)
+    # single-token docs contribute no (x, null) padding pairs
+    assert all(a is not None and b is not None for a, b in got)
+    assert len(got) == 3  # strong-coffee, coffee-please, weak-tea
