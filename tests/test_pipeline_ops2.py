@@ -262,3 +262,44 @@ def test_collocations_bigrams_and_lift(spark):
     # single-token docs contribute no (x, null) padding pairs
     assert all(a is not None and b is not None for a, b in got)
     assert len(got) == 3  # strong-coffee, coffee-please, weak-tea
+
+
+def test_chunk_documents_model_differential(spark):
+    """Seeded random docs vs a python reference model: same chunks, full
+    coverage, exact overlap."""
+    import random
+
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(60)
+    ]
+    ck, ov = rng.choice([(8, 2), (5, 0), (16, 15)])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, "text", "doc_id", ck, ov).collect()
+    }
+
+    def model(text):
+        toks = text.split(" ")
+        stride = ck - ov
+        nc = max(1, -(-(len(toks) - ov) // stride))
+        return {
+            i: (" ".join(toks[i * stride: i * stride + ck]),
+                len(toks[i * stride: i * stride + ck]))
+            for i in range(nc)
+        }
+
+    expected = {(d, i): v for d, t in docs for i, v in model(t).items()}
+    assert got == expected
+    # coverage: every token position of every doc appears in some chunk
+    for d, t in docs:
+        n = len(t.split(" "))
+        covered = set()
+        for (dd, i), (_, m) in got.items():
+            if dd == d:
+                covered.update(range(i * (ck - ov), i * (ck - ov) + m))
+        assert covered == set(range(n))
