@@ -623,3 +623,56 @@ def ann_ivf_sq(
         .orderBy(F.col("score_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate CLUSTERING — coarse-quantize vectors into cells,
+    compare pairs only within a cell, connect the ≥ threshold pairs, keep
+    the min-id representative per component. Returns
+    (id, component, cluster_size, is_survivor).
+
+    Scale shape: the pairwise stage is quadratic ONLY within a cell
+    (the published algorithm's property — n_cells is chosen so cells fit
+    the pair budget; at 100 TB that means k-means cells of ~1e5 vectors,
+    not 16); the cell join is an equi-join shuffled by cell, the closure
+    is the alternating-star contraction (O(log n) rounds, bounded per-node
+    state). The assigned table feeds both pair sides, so it is persisted —
+    at cluster scale, materialize it (``ivf_index_write``) instead.
+
+    Recall caveat (inherent to cell-local pairing, as published): a
+    near-dup pair straddling a cell boundary is missed. Mitigate with
+    trained centroids (``ivf_train``) so boundaries fall between true
+    clusters, more/better cells, or a second pass with shifted centroids."""
+    from csvtool_spark.operators.components import dedup_clusters
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, id_col, n_cells)
+    )
+    assigned = df.select(
+        F.col(id_col),
+        _vec_d(F.col(vec_col)).alias("__v"),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+    ).persist()
+    a = assigned.select(
+        "__cell", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        "__cell", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(df, pairs, id_col)

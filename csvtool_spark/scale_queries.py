@@ -1160,3 +1160,52 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return textstats.collocations(d, "text", k=50, min_count=5)
+
+
+# --- SemDeDup: embedding-space duplicate clustering ------------------------
+
+
+@register(
+    "q_semantic_dedup",
+    # cells via the deterministic sampled quantizer (same CTE as q_ann_ivf),
+    # within-cell pairs at cos >= 0.35 (synthetic embeddings top out at
+    # ~0.51 — real corpora use ~0.95+), closure by recursive CTE: an
+    # independent implementation of the engine's alternating-star
+    # contraction, like q_dedup_clusters.
+    f"""
+    WITH RECURSIVE cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT ax.vec_id AS id_a, ay.vec_id AS id_b
+      FROM assign ax JOIN assign ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+      JOIN embeddings x ON x.vec_id = ax.vec_id
+      JOIN embeddings y ON y.vec_id = ay.vec_id
+      WHERE {_cos_sql('x.embedding', 'y.embedding')} >= 0.35
+    ),
+    e2 AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.u, reach.r FROM e2 JOIN reach ON reach.id = e2.v
+    ),
+    comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT vec_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           vec_id = component AS is_survivor
+    FROM comp
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, "embedding", "vec_id", threshold=0.35)

@@ -77,3 +77,29 @@ def test_ann_quantized_agrees_with_bruteforce_neighbors(spark):
     quant = [r.vec_id for r in similarity.ann_quantized(e, "embedding", "vec_id", k=10).collect()]
     # int8 codes are lossy: demand strong overlap, not identical ranking
     assert len(set(exact[:10]) & set(quant[:10])) >= 5
+
+
+def test_semantic_dedup_clusters_known_groups(spark):
+    from csvtool_spark.operators import similarity
+
+    # two tight clusters + one outlier; vectors within a cluster are
+    # near-identical (cos > 0.99), across clusters near-orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.01]), (1, [1.0, 0.01, 0.0]), (2, [0.99, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.01]), (11, [0.01, 1.0, 0.0]),
+        (20, [0.5, 0.5, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # explicit one-per-cluster centroids: the default sampled quantizer
+    # would take the 3 lowest ids (all cluster A) and split A across
+    # cells — the documented cross-cell recall caveat of cell-local
+    # pairing, not a bug
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.7])]
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.95, centroids=cents).collect()}
+    assert out[0].component == out[1].component == out[2].component == 0
+    assert out[0].cluster_size == 3
+    assert out[10].component == out[11].component == 10
+    # exactly one survivor per cluster, the min id; outlier survives alone
+    assert [i for i in out if out[i].is_survivor] == [0, 10, 20]
+    assert out[20].cluster_size == 1
