@@ -69,6 +69,10 @@ dialect(
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_name IS NOT DISTINCT FROM 'NATION_3'
     """,
+    # shadow: dialect front-end stays driver-evidenced via q_dialect_filter
+    # and q_dialect_agg, join semantics via q_join_left/q3/q5; slot freed
+    # for q_mixture
+    registered=False,
 )
 
 dialect(

@@ -639,6 +639,9 @@ def q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 25
     """,
+    # shadow: TakeOrdered top-k stays driver-evidenced through
+    # q_heavy_hitters and q_ann_bruteforce; slot freed for q_lm_score
+    registered=False,
 )
 def q_orderby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reference ORDER BY is default-DESC (parser.go:938-941); orderBy+limit

@@ -26,13 +26,13 @@ def test_q3_dims_broadcast(spark):
 
 
 def test_column_pruning_reaches_parquet_scan(spark):
-    plan = _plan(catalog.QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    plan = _plan(catalog.SHADOW_QUERIES["q_orderby_topk"](spark, SF_SMALL))
     # only the two projected columns are read
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
 
 
 def test_topk_is_take_ordered(spark):
-    plan = _plan(catalog.QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    plan = _plan(catalog.SHADOW_QUERIES["q_orderby_topk"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
 
 
