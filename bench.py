@@ -52,7 +52,10 @@ def main() -> None:
     # entry between the driver window and the shadow catalog can never
     # silently change what this benchmark measures.
     pool = {**catalog.SHADOW_QUERIES, **catalog.QUERIES}
-    names = [n for n in HEADLINE if n in pool]
+    missing = [n for n in HEADLINE if n not in pool]
+    if missing:  # a silently shrunken list would fake a speedup vs baseline
+        raise SystemExit(f"headline queries missing from catalog: {missing}")
+    names = HEADLINE
     # Warmup: spin the JVM and executor pool, fill the file-listing/footer
     # caches, and JIT the parquet scan path for every table — so each timed
     # query measures its plan, not whichever of them touches a file first.

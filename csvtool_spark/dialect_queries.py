@@ -106,7 +106,11 @@ dialect(
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_orderkey DESC LIMIT 25
     """,
-    # shadow: top-k/default-DESC stay driver-checked via q_orderby_topk
+    # shadow: q_orderby_topk is ALSO shadow now (session-4 swap), so
+    # top-k/default-DESC has no driver row — evidence is the local gate
+    # (both entries oracle-checked) plus the tests/test_dialect.py
+    # ordering battery; TakeOrdered plan shape rides q_heavy_hitters /
+    # q_ann_bruteforce driver rows
     registered=False,
 )
 

@@ -90,10 +90,13 @@ def quality_gate(
     percentile — swap in approx_percentile's t-digest when groups are
     huge); the tiny threshold table broadcasts back onto the scan. The
     corpus itself never shuffles."""
+    # persisted: the scored frame feeds BOTH the threshold aggregate and
+    # the gating join probe — without it the quality expression (three
+    # string_split passes per row) runs over the corpus twice
     scored = df.select(
         F.col(id_col), F.col(group_col),
         textstats.quality_score(F.col(text_col)).alias("quality"),
-    )
+    ).persist()
     thr = scored.groupBy(group_col).agg(
         F.expr(f"percentile(quality, {float(quantile)})").alias("__thr")
     )
@@ -105,20 +108,30 @@ def quality_gate(
 
 
 def incremental_dedup(
-    new_df: DataFrame, seen_df: DataFrame, text_col: str, id_col: str
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_hash_col: str | None = None,
 ) -> DataFrame:
     """Ingest-time dedup: drop arriving documents whose normalized text
     hash already exists in the seen corpus, then exact-dedup within the
     batch itself (min-id survivor). The incremental complement of
-    ``dedup.exact_dedup`` — a daily crawl drop checks against the
-    accumulated hash set without rescanning corpus text.
+    ``dedup.exact_dedup``.
+
+    Pass ``seen_hash_col`` when the accumulated corpus maintains a hash
+    table (e.g. ``exact_dedup``'s ``text_hash`` output) — then the daily
+    batch probes it without rescanning corpus text. Without it,
+    ``seen_df[text_col]`` is hashed on the fly (a full corpus text pass —
+    fine for one-off jobs, not for a daily ingest loop).
 
     Scale shape: both sides reduce to (hash) / (id, hash) BEFORE the
     left-anti join, so the shuffle carries 16-byte hashes, never text;
-    the seen side is typically a maintained hash table read bucketed on
-    the hash for a shuffle-free probe."""
+    the seen side is typically that maintained hash table read bucketed
+    on the hash for a shuffle-free probe."""
     h = F.md5(dedup.normalized(F.col(text_col)))
-    seen = seen_df.select(h.alias("__h")).distinct()
+    seen_h = F.col(seen_hash_col) if seen_hash_col else h
+    seen = seen_df.select(seen_h.alias("__h")).distinct()
     batch = new_df.select(F.col(id_col), h.alias("__h"))
     fresh = batch.join(seen, "__h", "left_anti")
     return (
@@ -146,7 +159,10 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
     stride = chunk_tokens - overlap
-    toks = textstats.tokens(F.col(text_col))
+    # null text ≡ empty text: one '' chunk (split('') is ['']) — without
+    # the coalesce, null rows emit chunk_text '' with a NULL token count
+    # (inconsistent), and DuckDB's array_to_string(NULL) disagrees
+    toks = textstats.tokens(F.coalesce(F.col(text_col), F.lit("")))
     # ceil-div in INTEGER arithmetic (a float division would be exact only
     # under 2^53 and needs a truncation argument; div needs none)
     staged = df.select(F.col(id_col), toks.alias("__toks")).select(

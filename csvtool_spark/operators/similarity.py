@@ -585,9 +585,14 @@ def ivf_sq_index_write(
 
 def sq_code_py(x: float, mn: float, mx: float) -> int:
     """Driver-side twin of ``_sq_code`` (same IEEE double steps, so a
-    query vector quantizes to exactly the codes the index stores)."""
+    query vector quantizes to exactly the codes the index stores).
+    Non-finite query components are rejected up front — there is no
+    meaningful code for them, and failing clearly beats math.floor's
+    bare conversion error mid-probe."""
     import math
 
+    if not math.isfinite(x):
+        raise ValueError(f"query vector component is not finite: {x!r}")
     if not mx > mn:
         return 0
     return int(min(255, math.floor((float(x) - mn) * (255.0 / (mx - mn))))) - 128

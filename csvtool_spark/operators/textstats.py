@@ -371,10 +371,14 @@ def collocations(df, text_col: str, k: int = 50, min_count: int = 5):
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= int(min_count))
     )
+    # persisted: the vocabulary aggregate feeds three consumers (two
+    # joins + the total-count fold) — unpersisted, each re-explodes the
+    # full token stream from the scan
     uni = (
         df.select(F.explode(toks).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     n_tot = uni.agg(F.sum("c").cast("long").alias("__N"))
     scored = (

@@ -1115,7 +1115,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_chunk_docs",
     # 128-token windows, 16-token overlap (stride 112)
     """
-    WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+               FROM documents),
     s AS (SELECT doc_id, toks,
                  greatest(1, (len(toks) - 16 + 111) // 112) AS nc FROM l),
     c AS (SELECT doc_id, toks,

@@ -303,3 +303,30 @@ def test_chunk_documents_model_differential(spark):
             if dd == d:
                 covered.update(range(i * (ck - ov), i * (ck - ov) + m))
         assert covered == set(range(n))
+
+
+def test_chunk_documents_null_text_is_empty_chunk(spark):
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+            for r in chunk_documents(df, "text", "doc_id", 4, 1).collect()}
+    # null text ≡ empty text: one '' chunk with a consistent token count
+    assert rows[(1, 0)] == ("", 1)
+    assert rows[(2, 0)] == ("a b c", 3)
+
+
+def test_incremental_dedup_precomputed_hash_table(spark):
+    from csvtool_spark.operators import dedup
+    from csvtool_spark.operators.pipeline import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "known doc"), (2, "other doc")], "doc_id long, text string"
+    )
+    hash_table = dedup.exact_dedup(corpus, "text", "doc_id")  # (id, text_hash, n)
+    new = spark.createDataFrame(
+        [(10, "Known Doc"), (11, "brand new")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in incremental_dedup(
+        new, hash_table, "text", "doc_id", seen_hash_col="text_hash").collect()}
+    assert got == {11}

@@ -101,3 +101,24 @@ def test_ann_quantized_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_corpus_never_shuffles(spark):
+    from csvtool_spark.scale_queries import q_mixture
+
+    plan = _plan(q_mixture(spark, SF_SMALL))
+    # rates broadcast onto the corpus scan; the only Exchanges are the
+    # tiny source-keyed aggregates — the corpus itself is never hash-
+    # partitioned by row key
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    # the outer corpus branch reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_lm_score_no_cartesian_and_pruned_scan(spark):
+    from csvtool_spark.scale_queries import q_lm_score
+
+    plan = _plan(q_lm_score(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
