@@ -134,3 +134,34 @@ def test_multimodal_resize_plumbing(spark):
     assert by[1].n_bytes == cap and len(by[1].media) == cap   # truncated
     assert by[2].n_bytes == 4                                 # smaller kept
     assert by[1].width == 64 and by[1].height == 64
+
+
+def test_minhash_arrow_and_jvm_kernels_identical(spark):
+    """The Arrow numpy kernel and the JVM Column fold implement the same
+    KM lane family — signatures must be bit-identical, so the LSH pair
+    set cannot depend on the kernel choice."""
+    from pyspark.sql import functions as F
+    from csvtool_spark.operators.textstats import tokens
+    from tests.conftest import SF_SMALL
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    staged = d.select(
+        F.col("doc_id"),
+        dedup.hashed_shingles(
+            tokens(dedup.normalized(F.col("text"))), 3
+        ).alias("__sh"),
+    )
+    jvm = staged.select("doc_id", dedup.minhash_signature(F.col("__sh"), 32).alias("s"))
+    arrow = staged.select(
+        "doc_id", dedup.minhash_signature_arrow(32)(F.col("__sh")).alias("s")
+    )
+    assert jvm.join(arrow, "doc_id").filter(jvm["s"] != arrow["s"]).count() == 0
+    # and degenerate inputs stay total in both kernels
+    e = spark.createDataFrame([(1, ""), (2, "one")], "doc_id long, text string")
+    es = e.select(
+        "doc_id",
+        dedup.hashed_shingles(tokens(dedup.normalized(F.col("text"))), 3).alias("__sh"),
+    )
+    ej = {r.doc_id: r.s for r in es.select("doc_id", dedup.minhash_signature(F.col("__sh"), 8).alias("s")).collect()}
+    ea = {r.doc_id: r.s for r in es.select("doc_id", dedup.minhash_signature_arrow(8)(F.col("__sh")).alias("s")).collect()}
+    assert ej == ea
