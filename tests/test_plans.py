@@ -122,3 +122,21 @@ def test_lm_score_no_cartesian_and_pruned_scan(spark):
     plan = _plan(q_lm_score(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_no_cartesian_product_in_any_catalog_plan(spark):
+    """Blanket plan-quality net over the ENTIRE catalog (registered +
+    shadow): a CartesianProduct anywhere means some join lost its keys —
+    the classic silent 100×-scale killer. (1-row broadcast nested loops
+    are fine and common; CartesianProduct is not.)"""
+    pool = {**catalog.SHADOW_QUERIES, **catalog.QUERIES}
+    offenders = []
+    for name, fn in pool.items():
+        try:
+            plan = _plan(fn(spark, SF_SMALL))
+        except Exception as exc:  # building the plan must not crash either
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
