@@ -392,3 +392,38 @@ def collocations(df, text_col: str, k: int = 50, min_count: int = 5):
         .orderBy(F.col("lift_ppm").desc(), "term_a", "term_b")
         .limit(int(k))
     )
+
+
+def lang_id_arrow(col: Column) -> Column:
+    """Arrow-vectorized twin of ``lang_id``. Everything Unicode-sensitive
+    stays JVM-side so the two variants CANNOT diverge on locale/encoding
+    semantics: tokens arrive already lowered (JVM ``lower``+``split``),
+    the CJK count and UTF-16 length are JVM expressions riding alongside.
+    The kernel is pure set-membership counting + first-max argmax over a
+    tiny dict — the part the interpreted HOF fold made expensive
+    (per-token map lookup allocating a packed pair per step). Same
+    decision rule, differential-tested equal to ``lang_id``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    markers = {lang: set(ws) for lang, ws in LANG_MARKERS.items()}
+
+    @pandas_udf(T.StringType())
+    def decide(toks, cjk, length):
+        import pandas as pd
+
+        out = []
+        for tok_arr, c, n in zip(toks, cjk, length):
+            counts = {lang: 0 for lang in markers}
+            for t in tok_arr:
+                for lang, ws in markers.items():
+                    if t in ws:
+                        counts[lang] += 1
+            best, best_n = "unknown", 0
+            for lang, cnt in counts.items():  # dict order = en,fr,de,es
+                if cnt > best_n:
+                    best, best_n = lang, cnt
+            out.append("zh" if c * 4 > n else best)
+        return pd.Series(out)
+
+    return decide(tokens(F.lower(col)), cjk_char_count(col), F.length(col))
