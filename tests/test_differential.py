@@ -43,7 +43,12 @@ class Gen:
         return f"{c} - {k}", f"{c} - {k}"
 
     def pred(self) -> tuple[str, str]:
-        kind = self.r.randrange(5)
+        kind = self.r.randrange(6)
+        if kind == 5:
+            # dialect LIKE = case-insensitive anchored pattern ⇒ ILIKE twin
+            c = self.r.choice(STRINGS)
+            pat = self.r.choice(["%o%", "n%", "%a", "_o%", "co_", "%1%"])
+            return f"{c} like '{pat}'", f"{c} ILIKE '{pat}'"
         if kind == 0:
             c = self.r.choice(NUMERIC + INTS)
             op = self.r.choice(["<", "<=", ">", ">="])
