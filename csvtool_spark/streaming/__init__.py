@@ -7,3 +7,8 @@ from csvtool_spark.streaming.events import (  # noqa: F401
     sessionized_stream,
     windowed_agg_stream,
 )
+from csvtool_spark.streaming.documents import (  # noqa: F401
+    curated_stream,
+    document_stream,
+    streaming_vocab,
+)

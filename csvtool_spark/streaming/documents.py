@@ -1,0 +1,90 @@
+"""Structured Streaming over the DOCUMENTS table — the training-data
+ingest shape: crawl shards land in a directory, each new file becomes a
+micro-batch, and the curation operators run incrementally.
+
+- ``document_stream``: file-source stream of document shards.
+- ``streaming_vocab``: running corpus token counts (update mode) — the
+  incremental twin of ``textstats.heavy_hitters``. State is one row per
+  distinct token (Zipf-bounded), with map-side partial combine per batch.
+- ``curated_stream``: quality-gate + ingest-dedup chain — stateless
+  scoring/filtering plus ``dropDuplicatesWithinWatermark`` keyed on the
+  content hash, so a shard replayed by an at-least-once source (or the
+  same document arriving from two crawls inside the watermark) is
+  emitted once. Documents carry no event time, so dedup state is bounded
+  by PROCESSING-time watermark on an ingest timestamp — the standard
+  ingest-dedup pattern when the payload has no clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csvtool_spark.operators import dedup, textstats
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """File-source stream over a directory of document parquet shards."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+
+
+def document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the testdata documents shard into a fresh stream directory
+    (production points at the crawl-drop directory instead)."""
+    import shutil
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet")
+    return stream_documents_dir(spark, stream_dir)
+
+
+def streaming_vocab(stream: DataFrame) -> DataFrame:
+    """Running token counts over the arriving corpus (update output mode).
+    Incremental twin of the batch heavy-hitters aggregate; the sink ranks
+    top-k — a streaming query cannot globally sort unbounded state."""
+    return (
+        stream.select(
+            F.explode(textstats.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def curated_stream(
+    stream: DataFrame,
+    min_quality: float = 0.3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Incremental ingest curation: score (stateless) → quality filter →
+    content-hash dedup with processing-time-bounded state. Emits the
+    surviving documents with their quality score and content hash."""
+    scored = stream.select(
+        "doc_id",
+        "source",
+        F.col("text"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+        F.md5(dedup.normalized(F.col("text"))).alias("text_hash"),
+        F.current_timestamp().alias("__ingest_ts"),
+    ).filter(F.col("quality") >= float(min_quality))
+    return (
+        scored.withWatermark("__ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("__ingest_ts")
+    )

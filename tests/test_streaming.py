@@ -158,3 +158,50 @@ def test_stream_stream_interval_join_matches_batch(spark):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_vocab_matches_batch_counts(spark):
+    from csvtool_spark.streaming import document_stream, run_to_memory, streaming_vocab
+    from csvtool_spark.operators import textstats
+
+    stream = document_stream(spark, SF_SMALL)
+    assert stream.isStreaming
+    run_to_memory(streaming_vocab(stream), "vocab_out", output_mode="complete")
+    got = {r.token: r.n for r in spark.sql("SELECT * FROM vocab_out").collect()}
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    expected = {
+        r.token: r.n
+        for r in textstats.heavy_hitters(batch, "text", k=1 << 30).collect()
+    }
+    assert got == expected
+
+
+def test_curated_stream_dedups_replayed_shard(spark):
+    # the same shard delivered TWICE (at-least-once source): every
+    # surviving document must come out exactly once
+    import shutil
+    import tempfile
+
+    from csvtool_spark.operators import dedup, textstats
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import curated_stream, stream_documents_dir
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="docs_dup_")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{d}/a.parquet")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{d}/b.parquet")
+    stream = stream_documents_dir(spark, d)
+    run_to_memory(curated_stream(stream, min_quality=0.3), "cur_out",
+                  output_mode="append")
+    rows = spark.sql("SELECT text_hash FROM cur_out").collect()
+    hashes = [r.text_hash for r in rows]
+    assert len(hashes) == len(set(hashes))  # exactly-once per content hash
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    expected = (
+        batch.filter(textstats.quality_score(F.col("text")) >= 0.3)
+        .select(F.md5(dedup.normalized(F.col("text"))).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(hashes) == expected
