@@ -127,27 +127,51 @@ def minhash_signature_arrow(n_hashes: int = 64):
 
     mask = _MASK32
 
+    #: peak bytes for the (shingles × lanes) lane matrix per slice — docs
+    #: are processed in slices so a 10k-row Arrow batch of long documents
+    #: cannot allocate a multi-GB transient (10k docs × 750 shingles × 64
+    #: lanes × 8 B ≈ 3.8 GB unsliced).
+    lane_budget = 64 << 20
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(sh):
         import numpy as np
         import pandas as pd
 
-        lens = np.fromiter((len(a) for a in sh), dtype=np.int64, count=len(sh))
-        if len(sh) == 0 or lens.sum() == 0:
-            return pd.Series([[mask] * n_hashes for _ in range(len(sh))])
+        # totality contract, matching the JVM fold: null array → null row;
+        # empty array → all-sentinel signature
+        isnull = np.fromiter((a is None for a in sh), dtype=bool, count=len(sh))
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in sh), dtype=np.int64, count=len(sh)
+        )
         lanes = np.arange(n_hashes, dtype=np.int64)
-        allh = np.concatenate([np.asarray(a, dtype=np.int64) for a in sh])
-        lo = allh & mask
-        odd = ((allh >> 32) & mask) | 1
-        m = (lo[:, None] + odd[:, None] * lanes[None, :]) & mask
-        offs = np.zeros(len(sh), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        # reduceat cannot take an offset == len(m) (an empty trailing doc);
-        # clip and overwrite empty rows after. hashed_shingles never emits
-        # an empty array, but the kernel stays total anyway.
-        res = np.minimum.reduceat(m, np.minimum(offs, len(m) - 1), axis=0)
-        res[lens == 0] = mask
-        return pd.Series(list(res))
+        out: list = [None] * len(sh)
+        rows_per_slice = max(1, lane_budget // (8 * n_hashes))
+        start = 0
+        while start < len(sh):
+            # grow the doc slice until its shingle total hits the budget
+            end, total = start, 0
+            while end < len(sh) and (end == start or total + lens[end] <= rows_per_slice):
+                total += lens[end]
+                end += 1
+            idx = [i for i in range(start, end) if not isnull[i] and lens[i] > 0]
+            if idx:
+                allh = np.concatenate([np.asarray(sh[i], dtype=np.int64) for i in idx])
+                lo = allh & mask
+                odd = ((allh >> 32) & mask) | 1
+                m = (lo[:, None] + odd[:, None] * lanes[None, :]) & mask
+                # offsets over NON-EMPTY docs only — clipping offsets of
+                # empty docs into reduceat would merge a neighbor's segment
+                seg = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=seg[1:])
+                res = np.minimum.reduceat(m, seg, axis=0)
+                for j, i in enumerate(idx):
+                    out[i] = res[j]
+            for i in range(start, end):
+                if not isnull[i] and lens[i] == 0:
+                    out[i] = [mask] * n_hashes
+            start = end
+        return pd.Series(out)
 
     return sig
 
@@ -256,6 +280,8 @@ def near_dup_pairs_minhash(
     staged = df.select(F.col(id_col), toks.alias("__toks")).select(
         id_col, "__toks", hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
     )
+    if kernel not in ("arrow", "jvm"):
+        raise ValueError(f"kernel must be 'arrow' or 'jvm', got {kernel!r}")
     sig_expr = (
         minhash_signature_arrow(n_hashes)(F.col("__shingles"))
         if kernel == "arrow"

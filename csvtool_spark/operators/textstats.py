@@ -168,21 +168,24 @@ def lang_id(col: Column) -> Column:
     return F.when(cjk_char_count(col) * 4 > F.length(col), F.lit("zh")).otherwise(best)
 
 
-def heavy_hitters(df, text_col: str, k: int = 50):
-    """Exact corpus-level top-k tokens — the vocabulary/heavy-hitters stat
-    every training-data pipeline reports. Word-count shape: explode →
-    hash-aggregate with map-side partial combine (the shuffle carries one
-    row per DISTINCT token per task, not per occurrence) → TakeOrdered k.
-    Deterministic tie-break: count desc, token asc."""
-    from pyspark.sql import functions as F
-
+def token_counts(df, text_col: str):
+    """Corpus token counts (token, n) — the word-count aggregate shared by
+    batch heavy hitters and the streaming vocabulary (one definition so
+    the twins cannot drift on tokenization or count dtype). Explode →
+    hash-aggregate with map-side partial combine: the shuffle carries one
+    row per DISTINCT token per task, not per occurrence."""
     return (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token"))
-        .limit(k)
     )
+
+
+def heavy_hitters(df, text_col: str, k: int = 50):
+    """Exact corpus-level top-k tokens — the vocabulary/heavy-hitters stat
+    every training-data pipeline reports: ``token_counts`` topped with
+    TakeOrdered k. Deterministic tie-break: count desc, token asc."""
+    return token_counts(df, text_col).orderBy(F.col("n").desc(), F.col("token")).limit(k)
 
 
 def repetition_stats(df, text_col: str, id_col: str = "doc_id"):
@@ -414,6 +417,11 @@ def lang_id_arrow(col: Column) -> Column:
 
         out = []
         for tok_arr, c, n in zip(toks, cjk, length):
+            if tok_arr is None:
+                # null text: the column tree's when-chain falls through to
+                # 'unknown' (every condition evaluates null) — match it
+                out.append("unknown")
+                continue
             counts = {lang: 0 for lang in markers}
             for t in tok_arr:
                 for lang, ws in markers.items():
@@ -423,7 +431,8 @@ def lang_id_arrow(col: Column) -> Column:
             for lang, cnt in counts.items():  # dict order = en,fr,de,es
                 if cnt > best_n:
                     best, best_n = lang, cnt
-            out.append("zh" if c * 4 > n else best)
+            zh = c is not None and n is not None and not pd.isna(c) and not pd.isna(n) and c * 4 > n
+            out.append("zh" if zh else best)
         return pd.Series(out)
 
     return decide(tokens(F.lower(col)), cjk_char_count(col), F.length(col))

@@ -55,16 +55,11 @@ def document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_vocab(stream: DataFrame) -> DataFrame:
-    """Running token counts over the arriving corpus (update output mode).
-    Incremental twin of the batch heavy-hitters aggregate; the sink ranks
-    top-k — a streaming query cannot globally sort unbounded state."""
-    return (
-        stream.select(
-            F.explode(textstats.tokens(F.lower(F.col("text")))).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    """Running token counts over the arriving corpus (update output mode):
+    the SAME ``textstats.token_counts`` aggregate as batch heavy hitters,
+    run incrementally; the sink ranks top-k — a streaming query cannot
+    globally sort unbounded state."""
+    return textstats.token_counts(stream, "text")
 
 
 def curated_stream(

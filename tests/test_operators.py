@@ -165,6 +165,22 @@ def test_minhash_arrow_and_jvm_kernels_identical(spark):
     ej = {r.doc_id: r.s for r in es.select("doc_id", dedup.minhash_signature(F.col("__sh"), 8).alias("s")).collect()}
     ea = {r.doc_id: r.s for r in es.select("doc_id", dedup.minhash_signature_arrow(8)(F.col("__sh")).alias("s")).collect()}
     assert ej == ea
+    # raw-array battery the shingle path can't produce: null arrays and
+    # empty arrays (incl. trailing empties — the reduceat boundary case
+    # that once merged a neighbor's segment), big negative-hash values
+    raw = spark.createDataFrame(
+        [(1, [5, 7, 1]), (2, []), (3, None), (4, [-(2**63) + 11]),
+         (5, [9, 3]), (6, [])],
+        "doc_id long, arr array<long>",
+    )
+    rj = {r.doc_id: r.s for r in raw.select(
+        "doc_id", dedup.minhash_signature(F.col("arr"), 4).alias("s")).collect()}
+    ra = {r.doc_id: r.s for r in raw.select(
+        "doc_id", dedup.minhash_signature_arrow(4)(F.col("arr")).alias("s")).collect()}
+    assert rj == ra
+    assert ra[3] is None and ra[2] == ra[6] == [dedup._MASK32] * 4
+    # doc 1's lane minima must include its LAST shingle's contribution
+    assert rj[1] == ra[1]
 
 
 def test_langid_arrow_twin_identical(spark):
@@ -179,7 +195,8 @@ def test_langid_arrow_twin_identical(spark):
     d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     extra = spark.createDataFrame(
         [(90001, "le la les de des et est"), (90002, "der die das und ist"),
-         (90003, ""), (90004, "一二三四五 the"), (90005, "xyzzy qwerty")],
+         (90003, ""), (90004, "一二三四五 the"), (90005, "xyzzy qwerty"),
+         (90006, None)],
         "doc_id long, text string",
     )
     both = d.select("doc_id", "text").union(extra)
