@@ -77,7 +77,15 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
-        if path.endswith((".jsonl", ".ndjson", ".json")):
+        # Spark's text-based readers decompress by file extension, so
+        # compressed crawl drops (x.csv.gz, x.jsonl.bz2, ...) work through
+        # the same inference path as their plain twins.
+        base = path
+        for codec_ext in (".gz", ".bz2", ".zst", ".xz", ".deflate"):
+            if base.endswith(codec_ext):
+                base = base[: -len(codec_ext)]
+                break
+        if base.endswith((".jsonl", ".ndjson", ".json")):
             from csvtool_spark.sources.jsonl import read_jsonl
 
             if not os.path.exists(path):
@@ -86,7 +94,7 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
-        if path.endswith(".csv"):
+        if base.endswith(".csv"):
             if not os.path.exists(path):
                 raise SemanticError(f"cannot open file {ref.path}")
             return read_csv(

@@ -139,3 +139,28 @@ def test_dotted_and_spaced_header_names(spark, tmp_path):
     rows = df.collect()
     assert [r["a.b"] for r in rows] == [1, 2]
     assert [r["plain"] for r in rows] == [10, 20]
+
+
+def test_gzipped_csv_and_jsonl_through_engine(spark, tmp_path):
+    """Compressed crawl drops read through the same inference path as
+    their plain twins (Spark decompresses by extension)."""
+    import gzip
+    import shutil
+
+    from csvtool_spark.engine import CsvEngine
+
+    src = "tests/data/violations.csv"
+    gz = str(tmp_path / "violations.csv.gz")
+    with open(src, "rb") as f, gzip.open(gz, "wb") as g:
+        shutil.copyfileobj(f, g)
+    eng = CsvEngine(spark)
+    plain = eng.sql(f"select plate fine from '{src}' where fine > 400")
+    comp = eng.sql(f"select plate fine from '{gz}' where fine > 400")
+    assert sorted(map(tuple, comp.collect())) == sorted(map(tuple, plain.collect()))
+    assert comp.dtypes == plain.dtypes  # same inferred schema
+
+    jl = str(tmp_path / "docs.jsonl.gz")
+    with gzip.open(jl, "wt") as g:
+        g.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    rows = eng.sql(f"select a b from '{jl}'").collect()
+    assert sorted((r.a, r.b) for r in rows) == [(1, "x"), (2, "y")]
