@@ -77,6 +77,17 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
+        # Shard globs ('shards/*.csv') read as ONE table — the multi-file
+        # scan a single-process engine cannot do; Spark lists and splits
+        # the matches. The existence check switches to "glob matches
+        # something" so an empty pattern still fails with a clear error.
+        def _missing(p: str) -> bool:
+            import glob as _glob
+
+            if any(ch in p for ch in "*?["):
+                return not _glob.glob(p)
+            return not os.path.exists(p)
+
         # Spark's text-based readers decompress by file extension, so
         # compressed crawl drops (x.csv.gz, x.jsonl.bz2, ...) work through
         # the same inference path as their plain twins.
@@ -88,14 +99,14 @@ class CsvEngine:
         if base.endswith((".jsonl", ".ndjson", ".json")):
             from csvtool_spark.sources.jsonl import read_jsonl
 
-            if not os.path.exists(path):
+            if _missing(path):
                 raise SemanticError(f"cannot open file {ref.path}")
             df = read_jsonl(self.spark, path)
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
         if base.endswith(".csv"):
-            if not os.path.exists(path):
+            if _missing(path):
                 raise SemanticError(f"cannot open file {ref.path}")
             return read_csv(
                 self.spark, path, noheader=ref.noheader, multiline=ref.multiline

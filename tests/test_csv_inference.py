@@ -164,3 +164,28 @@ def test_gzipped_csv_and_jsonl_through_engine(spark, tmp_path):
         g.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     rows = eng.sql(f"select a b from '{jl}'").collect()
     assert sorted((r.a, r.b) for r in rows) == [(1, "x"), (2, "y")]
+
+
+def test_glob_reads_shards_as_one_table(spark, tmp_path):
+    import shutil
+
+    from csvtool_spark.dialect.errors import SemanticError
+    from csvtool_spark.engine import CsvEngine
+
+    src = "tests/data/violations.csv"
+    with open(src) as f:
+        lines = f.readlines()
+    head, body = lines[0], lines[1:]
+    mid = len(body) // 2
+    (tmp_path / "part1.csv").write_text(head + "".join(body[:mid]))
+    (tmp_path / "part2.csv").write_text(head + "".join(body[mid:]))
+    eng = CsvEngine(spark)
+    whole = eng.sql(f"select plate fine from '{src}' where fine > 400")
+    shards = eng.sql(f"select plate fine from '{tmp_path}/part*.csv' where fine > 400")
+    assert sorted(map(tuple, shards.collect())) == sorted(map(tuple, whole.collect()))
+    assert shards.dtypes == whole.dtypes
+
+    import pytest
+
+    with pytest.raises(SemanticError):
+        eng.sql(f"select * from '{tmp_path}/nomatch*.csv'")
