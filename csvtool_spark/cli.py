@@ -42,7 +42,13 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         return 0
     if args.output:
-        for p in eng.save_csv(text, args.output):
+        # sink dispatch by extension: .parquet → distributed parquet dir,
+        # anything else → the reference's single-file CSV shape
+        if args.output.endswith(".parquet"):
+            paths = eng.save_parquet(text, args.output)
+        else:
+            paths = eng.save_csv(text, args.output)
+        for p in paths:
             print(p)
         return 0
     if args.json:

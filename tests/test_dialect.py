@@ -342,3 +342,16 @@ def test_encrypt_password_must_be_single_literal(eng):
     # Lit.raw) — must be a clean SemanticError, not an AttributeError
     with pytest.raises(SemanticError, match="literal"):
         eng.sql("select encrypt(plate, 'a' + 'b') from" + V + "limit 1")
+
+
+def test_cli_output_dispatches_parquet_by_extension(eng, spark, tmp_path, monkeypatch, capsys):
+    from csvtool_spark import cli
+    from csvtool_spark import session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    out = str(tmp_path / "res.parquet")
+    rc = cli.main(["-c", "select top 5 plate fine from" + V, "-o", out])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == out
+    back = spark.read.parquet(out)
+    assert back.columns == ["plate", "fine"] and back.count() == 5
