@@ -436,3 +436,54 @@ def lang_id_arrow(col: Column) -> Column:
         return pd.Series(out)
 
     return decide(tokens(F.lower(col)), cjk_char_count(col), F.length(col))
+
+
+def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
+    """Bigram-conditional rarity per document — one step closer to the
+    KenLM-perplexity filter than ``lm_surprisal``: each transition is
+    scored by the inverse conditional probability
+    ``inv_ppm(t_i | t_{i-1}) = c(t_{i-1})·1e6 div c(t_{i-1} t_i)`` from
+    counts over the corpus itself (no OOV: every transition it scores
+    also trained the counts), and a document scores the mean transition
+    inverse probability: ``sum(tf_bg · inv_ppm) div n_bigrams``.
+    Predictable running text scores near 1e6; documents full of novel
+    transitions score high. All integer (``c_prev·1e6`` ≤ 1e18 up to a
+    trillion tokens) so the oracle compare stays bit-exact.
+
+    Scale shape mirrors ``lm_surprisal``: per-doc bigram counts FIRST
+    (shuffle rows bounded by distinct (doc, bigram) pairs), Zipf-bounded
+    corpus count tables joined in (AQE broadcasts when they fit), one
+    per-doc aggregate. Single-token documents have no transitions and
+    drop out (same as a 0-bigram row set)."""
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    m = F.size(toks) - 1
+    bigram = F.zip_with(
+        F.slice(toks, 1, F.greatest(m, F.lit(1))),
+        F.slice(toks, 2, F.greatest(m, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.when(m >= 1, bigram).otherwise(F.array())).alias("bg"),
+    )
+    tf = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    c_bg = tf.groupBy("bg").agg(F.sum("tf").cast("long").alias("c_bg"))
+    # true MLE context counts — occurrences of t_{i-1} WITH a successor —
+    # derived from the bigram table itself (no second corpus scan), so
+    # inv_ppm is an exact inverse conditional: sum_t p(t|ctx) = 1
+    ctx = (
+        c_bg.withColumn("__prev", F.split(F.col("bg"), " ")[0])
+        .groupBy("__prev")
+        .agg(F.sum("c_bg").cast("long").alias("c_prev"))
+    )
+    scored = (
+        tf.join(c_bg, "bg")
+        .withColumn("__prev", F.split(F.col("bg"), " ")[0])
+        .join(ctx, "__prev")
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(tf * ((c_prev * 1000000L) div c_bg)) div sum(tf) AS BIGINT)"
+        ).alias("surprisal2_ppm"),
+    )

@@ -1220,3 +1220,38 @@ def q_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, "embedding", "vec_id", threshold=0.35)
+
+
+# --- bigram-conditional LM scoring ----------------------------------------
+
+
+@register(
+    "q_lm_score2",
+    """
+    WITH l AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+               FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM l
+    ),
+    tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+           FROM bg GROUP BY doc_id, bg),
+    cb AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c_bg FROM tf GROUP BY bg),
+    cx AS (SELECT split_part(bg, ' ', 1) AS prev,
+                  CAST(sum(c_bg) AS BIGINT) AS c_prev
+           FROM cb GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * ((cx.c_prev * 1000000) // cb.c_bg)) // sum(tf) AS BIGINT)
+             AS surprisal2_ppm
+    FROM tf JOIN cb USING (bg)
+    JOIN cx ON cx.prev = split_part(tf.bg, ' ', 1)
+    GROUP BY tf.doc_id
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.lm_surprisal_bigram(d, "text", "doc_id")

@@ -330,3 +330,36 @@ def test_incremental_dedup_precomputed_hash_table(spark):
     got = {r.doc_id for r in incremental_dedup(
         new, hash_table, "text", "doc_id", seen_hash_col="text_hash").collect()}
     assert got == {11}
+
+
+def test_lm_surprisal_bigram_hand_computed(spark):
+    from collections import Counter
+
+    from csvtool_spark.operators.textstats import lm_surprisal_bigram
+
+    docs = [(1, "a b a b"), (2, "a b"), (3, "x a b"), (4, "a c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.surprisal2_ppm)
+           for r in lm_surprisal_bigram(df, "text", "doc_id").collect()}
+
+    # python reference model (exact integer arithmetic)
+    tf: dict[tuple[int, str], int] = Counter()
+    for d, t in docs:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            tf[(d, f"{a} {b}")] += 1
+    c_bg = Counter()
+    for (_, bg), n in tf.items():
+        c_bg[bg] += n
+    ctx = Counter()
+    for bg, n in c_bg.items():
+        ctx[bg.split(" ")[0]] += n
+    expected = {}
+    for d, _ in docs:
+        items = [(bg, n) for (dd, bg), n in tf.items() if dd == d]
+        nb = sum(n for _, n in items)
+        s = sum(n * ((ctx[bg.split(" ")[0]] * 1_000_000) // c_bg[bg]) for bg, n in items)
+        expected[d] = (nb, s // nb)
+    assert got == expected
+    # the doc holding the rare transition 'a c' scores strictly highest
+    assert got[4][1] == max(v for _, v in got.values())
