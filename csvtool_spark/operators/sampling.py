@@ -131,3 +131,58 @@ def mixture_resample(
     )
     coin = md5_prefix_long(F.col(key_col).cast("string")) % 1_000_000
     return df.join(F.broadcast(rates), source_col).filter(coin < F.col("keep_ppm"))
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: K
+    pseudo-random negatives per anchor, reproducible on any engine and
+    any run (pure md5 arithmetic, no RNG).
+
+    Shape: every id lands in a hash bucket; each anchor issues K bucket
+    REQUESTS (bucket chosen by hashing (anchor, j)); a request joins its
+    bucket's members and keeps the member minimizing a second per-request
+    hash — a uniform-ish pick that never materializes all pairs. Join
+    size is K·N·(N/n_buckets) in the worst case, so n_buckets scales with
+    the corpus to bound bucket membership (same lever as LSH buckets; at
+    billions of rows use n_buckets ~ N/10⁴). Anchors whose chosen bucket
+    holds only themselves emit no row for that j (resample with higher
+    n_buckets density or another j).
+
+    Returns (anchor, j, neg_id).
+    """
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    ids = df.select(F.col(id_col).cast("long").alias("__id"))
+    members = ids.select(
+        (md5_prefix_long(F.col("__id").cast("string")) % n_buckets).alias("__b"),
+        F.col("__id").alias("neg_id"),
+    )
+    requests = ids.select(
+        F.col("__id").alias("anchor"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("j"),
+    ).select(
+        "anchor",
+        "j",
+        (
+            md5_prefix_long(F.concat_ws("#", F.col("anchor"), F.col("j")))
+            % n_buckets
+        ).alias("__b"),
+    )
+    from pyspark.sql import Window
+
+    pick = md5_prefix_long(
+        F.concat_ws("#", F.col("anchor"), F.col("j"), F.col("neg_id"))
+    )
+    w = Window.partitionBy("anchor", "j").orderBy(pick.asc(), F.col("neg_id"))
+    return (
+        requests.join(members, "__b")
+        .filter(F.col("neg_id") != F.col("anchor"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor", "j", "neg_id")
+    )

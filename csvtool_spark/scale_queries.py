@@ -1255,3 +1255,44 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return textstats.lm_surprisal_bigram(d, "text", "doc_id")
+
+
+# --- contrastive negative mining ------------------------------------------
+
+
+@register(
+    "q_neg_pairs",
+    # 4 deterministic negatives per embedding anchor via bucketed hash
+    # pick — same md5-prefix arithmetic on both engines
+    """
+    WITH ids AS (SELECT vec_id AS id FROM embeddings),
+    members AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 64 AS b,
+             id AS neg_id
+      FROM ids
+    ),
+    req AS (
+      SELECT id AS anchor, j,
+             CAST(concat('0x', substr(md5(id || '#' || j), 1, 8)) AS BIGINT)
+               % 64 AS b
+      FROM ids, unnest(generate_series(0, 3)) AS u(j)
+    ),
+    joined AS (
+      SELECT anchor, j, neg_id,
+             row_number() OVER (
+               PARTITION BY anchor, j
+               ORDER BY CAST(concat('0x', substr(md5(anchor || '#' || j || '#' || neg_id), 1, 8)) AS BIGINT),
+                        neg_id) AS rn
+      FROM req JOIN members USING (b)
+      WHERE neg_id <> anchor
+    )
+    SELECT anchor, CAST(j AS BIGINT) AS j, neg_id FROM joined WHERE rn = 1
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_neg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.sampling import negative_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return negative_pairs(e, "vec_id", k=4, n_buckets=64)

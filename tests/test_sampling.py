@@ -113,3 +113,23 @@ def test_mixture_resample_hits_target_shares(spark):
     for s, share in target.items():
         if s in toks:
             assert 0.3 * share / 1e6 < toks[s] / tot < 2.5 * share / 1e6
+
+
+def test_negative_pairs_deterministic_and_well_formed(spark):
+    from csvtool_spark.operators.sampling import negative_pairs
+
+    df = spark.range(0, 200).select(F.col("id").alias("vec_id"))
+    out = negative_pairs(df, "vec_id", k=4, n_buckets=16).collect()
+    rows = {(r.anchor, r.j): r.neg_id for r in out}
+    # no self-negatives, j in range, at most one pick per (anchor, j)
+    assert all(rows[(a, j)] != a for a, j in rows)
+    assert all(0 <= j < 4 for _, j in rows)
+    assert len(out) == len(rows)
+    # with 200 ids over 16 buckets every bucket is populated → full k per anchor
+    assert len(rows) == 200 * 4
+    # deterministic across runs
+    again = {(r.anchor, r.j): r.neg_id
+             for r in negative_pairs(df, "vec_id", k=4, n_buckets=16).collect()}
+    assert rows == again
+    # negatives are spread out, not one hot member per bucket
+    assert len(set(rows.values())) > 50
