@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         # sink dispatch by extension: .parquet → distributed parquet dir,
         # anything else → the reference's single-file CSV shape
-        if args.output.endswith(".parquet"):
+        if args.output.lower().endswith(".parquet"):
             paths = eng.save_parquet(text, args.output)
         else:
             paths = eng.save_csv(text, args.output)

@@ -79,20 +79,25 @@ class CsvEngine:
             return df, names, types
         # Shard globs ('shards/*.csv') read as ONE table — the multi-file
         # scan a single-process engine cannot do; Spark lists and splits
-        # the matches. The existence check switches to "glob matches
-        # something" so an empty pattern still fails with a clear error.
+        # the matches. The existence check becomes "glob matches something
+        # OR the literal name exists" (a file literally named 'data[1].csv'
+        # must not be rejected because '[' looks like a glob); an empty
+        # pattern still fails with a clear error. Hadoop brace globs
+        # ('{a,b}') are not recognized here.
         def _missing(p: str) -> bool:
             import glob as _glob
 
             if any(ch in p for ch in "*?["):
-                return not _glob.glob(p)
+                return not _glob.glob(p) and not os.path.exists(p)
             return not os.path.exists(p)
 
-        # Spark's text-based readers decompress by file extension, so
-        # compressed crawl drops (x.csv.gz, x.jsonl.bz2, ...) work through
-        # the same inference path as their plain twins.
+        # Spark's text-based readers decompress by file extension —
+        # ONLY for codecs this distribution actually ships (gzip, bzip2,
+        # deflate). zstd/xz are deliberately not listed: without their
+        # Hadoop codecs the reader would return raw compressed bytes as
+        # garbage rows instead of erroring.
         base = path
-        for codec_ext in (".gz", ".bz2", ".zst", ".xz", ".deflate"):
+        for codec_ext in (".gz", ".bz2", ".deflate"):
             if base.endswith(codec_ext):
                 base = base[: -len(codec_ext)]
                 break
@@ -172,10 +177,14 @@ class CsvEngine:
     def save_parquet(
         self, text: str, out_dir: str, partition_by: list[str] | None = None
     ) -> list[str]:
-        """Parquet sink (engine extension — the reference only writes CSV)."""
+        """Parquet sink (engine extension — the reference only writes CSV).
+        Multi-statement -N suffixes go BEFORE the extension (``out-2.parquet``,
+        mirroring ``save_csv``) so every written path stays readable through
+        the extension dispatch."""
+        stem, ext = os.path.splitext(out_dir)
         written = []
         for i, df in enumerate(self.run(text)):
-            path = out_dir if i == 0 else f"{out_dir}-{i + 1}"
+            path = out_dir if i == 0 else f"{stem}-{i + 1}{ext}"
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)

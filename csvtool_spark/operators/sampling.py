@@ -150,14 +150,16 @@ def negative_pairs(
     size is K·N·(N/n_buckets) in the worst case, so n_buckets scales with
     the corpus to bound bucket membership (same lever as LSH buckets; at
     billions of rows use n_buckets ~ N/10⁴). Anchors whose chosen bucket
-    holds only themselves emit no row for that j (resample with higher
-    n_buckets density or another j).
+    holds only themselves emit no row for that j, and two j values that
+    collide on both bucket and pick are deduplicated — so an anchor gets
+    UP TO k DISTINCT negatives (resample with more buckets for density).
 
-    Returns (anchor, j, neg_id).
+    Ids keep their own type (string ids hash as-is — no silent long cast
+    that would null them out). Returns (anchor, j, neg_id).
     """
     from csvtool_spark.functions.hashing import md5_prefix_long
 
-    ids = df.select(F.col(id_col).cast("long").alias("__id"))
+    ids = df.select(F.col(id_col).alias("__id"))
     members = ids.select(
         (md5_prefix_long(F.col("__id").cast("string")) % n_buckets).alias("__b"),
         F.col("__id").alias("neg_id"),
@@ -179,10 +181,15 @@ def negative_pairs(
         F.concat_ws("#", F.col("anchor"), F.col("j"), F.col("neg_id"))
     )
     w = Window.partitionBy("anchor", "j").orderBy(pick.asc(), F.col("neg_id"))
+    # second window: two requests of one anchor can collide on bucket AND
+    # pick — keep the lowest-j copy so negatives are distinct per anchor
+    w2 = Window.partitionBy("anchor", "neg_id").orderBy("j")
     return (
         requests.join(members, "__b")
         .filter(F.col("neg_id") != F.col("anchor"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") == 1)
         .select("anchor", "j", "neg_id")
     )

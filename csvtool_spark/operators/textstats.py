@@ -442,13 +442,19 @@ def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
     """Bigram-conditional rarity per document — one step closer to the
     KenLM-perplexity filter than ``lm_surprisal``: each transition is
     scored by the inverse conditional probability
-    ``inv_ppm(t_i | t_{i-1}) = c(t_{i-1})·1e6 div c(t_{i-1} t_i)`` from
-    counts over the corpus itself (no OOV: every transition it scores
-    also trained the counts), and a document scores the mean transition
-    inverse probability: ``sum(tf_bg · inv_ppm) div n_bigrams``.
-    Predictable running text scores near 1e6; documents full of novel
-    transitions score high. All integer (``c_prev·1e6`` ≤ 1e18 up to a
-    trillion tokens) so the oracle compare stays bit-exact.
+    ``inv_ppm(t_i | t_{i-1}) = least(1e12, c(t_{i-1})·1e6 div c(t_{i-1} t_i))``
+    from counts over the corpus itself (no OOV: every transition it
+    scores also trained the counts), and a document scores the mean
+    transition inverse probability: ``sum(tf_bg · inv_ppm) div
+    n_bigrams``. Predictable running text scores near 1e6; documents
+    full of novel transitions score high. All integer and bounded so the
+    oracle compare stays bit-exact at any corpus size: the 1e12
+    saturation (a transition a million times rarer than its context is
+    "maximally surprising" — the same clamp KenLM filters apply) caps
+    the per-doc sum at n_bigrams·1e12, inside int64 up to a
+    million-bigram document; without it a rare bigram under a
+    billion-count context overflows Spark's long SUM while DuckDB's
+    HUGEINT keeps going.
 
     Scale shape mirrors ``lm_surprisal``: per-doc bigram counts FIRST
     (shuffle rows bounded by distinct (doc, bigram) pairs), Zipf-bounded
@@ -484,6 +490,7 @@ def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
         F.expr(
-            "CAST(sum(tf * ((c_prev * 1000000L) div c_bg)) div sum(tf) AS BIGINT)"
+            "CAST(sum(tf * least(1000000000000L, (c_prev * 1000000L) div c_bg))"
+            " div sum(tf) AS BIGINT)"
         ).alias("surprisal2_ppm"),
     )

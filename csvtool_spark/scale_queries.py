@@ -1244,7 +1244,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cb GROUP BY 1)
     SELECT tf.doc_id,
            CAST(sum(tf) AS BIGINT) AS n_bigrams,
-           CAST(sum(tf * ((cx.c_prev * 1000000) // cb.c_bg)) // sum(tf) AS BIGINT)
+           CAST(sum(tf * least(1000000000000, (cx.c_prev * 1000000) // cb.c_bg)) // sum(tf) AS BIGINT)
              AS surprisal2_ppm
     FROM tf JOIN cb USING (bg)
     JOIN cx ON cx.prev = split_part(tf.bg, ' ', 1)
@@ -1286,8 +1286,13 @@ def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
                         neg_id) AS rn
       FROM req JOIN members USING (b)
       WHERE neg_id <> anchor
+    ),
+    picked AS (
+      SELECT anchor, j, neg_id,
+             row_number() OVER (PARTITION BY anchor, neg_id ORDER BY j) AS rn2
+      FROM joined WHERE rn = 1
     )
-    SELECT anchor, CAST(j AS BIGINT) AS j, neg_id FROM joined WHERE rn = 1
+    SELECT anchor, CAST(j AS BIGINT) AS j, neg_id FROM picked WHERE rn2 = 1
     """,
     registered=False,  # shadow: driver window full; locally gated
 )

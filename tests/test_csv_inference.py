@@ -159,6 +159,16 @@ def test_gzipped_csv_and_jsonl_through_engine(spark, tmp_path):
     assert sorted(map(tuple, comp.collect())) == sorted(map(tuple, plain.collect()))
     assert comp.dtypes == plain.dtypes  # same inferred schema
 
+    import bz2 as bz2lib
+
+    b2 = str(tmp_path / "violations.csv.bz2")
+    with open(src, "rb") as f:
+        raw = f.read()
+    with open(b2, "wb") as g:
+        g.write(bz2lib.compress(raw))
+    comp2 = eng.sql(f"select plate fine from '{b2}' where fine > 400")
+    assert sorted(map(tuple, comp2.collect())) == sorted(map(tuple, plain.collect()))
+
     jl = str(tmp_path / "docs.jsonl.gz")
     with gzip.open(jl, "wt") as g:
         g.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')

@@ -358,7 +358,7 @@ def test_lm_surprisal_bigram_hand_computed(spark):
     for d, _ in docs:
         items = [(bg, n) for (dd, bg), n in tf.items() if dd == d]
         nb = sum(n for _, n in items)
-        s = sum(n * ((ctx[bg.split(" ")[0]] * 1_000_000) // c_bg[bg]) for bg, n in items)
+        s = sum(n * min(10**12, (ctx[bg.split(" ")[0]] * 1_000_000) // c_bg[bg]) for bg, n in items)
         expected[d] = (nb, s // nb)
     assert got == expected
     # the doc holding the rare transition 'a c' scores strictly highest
