@@ -10,10 +10,13 @@ Scale design (the whole point at 100 TB):
   degenerate (identical boilerplate) — cap giant buckets before joining.
 - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
 
-All hashes are Spark's xxhash64 — deterministic across runs/executors, so
-results are reproducible (not comparable to other engines; the harness
-records rows-only checks for the LSH operators and full oracle checks for
-exact dedup and Jaccard verification).
+Two hash families, same pipeline:
+- ``xx64`` (default): Spark's xxhash64 — deterministic across runs and
+  executors, fastest, but not reproducible in other engines.
+- ``md5``: lanes derived from two 32-bit md5 hex slices (the
+  ``q_cms_estimate`` pattern, operators/sketches.py) — bit-identical in
+  any engine with md5, so the FULL LSH pipeline (signature → banding →
+  candidate join → verify) is DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -107,6 +110,46 @@ def minhash_signature(shingle_hashes: Column, n_hashes: int = 64) -> Column:
     )
 
 
+def md5_lane_hashes(shingle_strs: Column) -> Column:
+    """Per-shingle (h1, h2) 32-bit lane seeds from md5 hex slices — the
+    cross-engine-deterministic twin of ``hashed_shingles``. Operates on
+    shingle STRINGS (``word_shingles``): md5 has no incremental combine, so
+    the string materialization xx64 avoids is the price of engine-neutral
+    hashes. DuckDB twin per element:
+    ``{'h1': CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT),
+       'h2': CAST(concat('0x', substr(md5(s),9,8)) AS BIGINT)}``."""
+    from csvtool_spark.functions.hashing import md5_slice_long
+
+    return F.transform(
+        shingle_strs,
+        lambda s: F.struct(
+            md5_slice_long(s, 1).alias("h1"), md5_slice_long(s, 9).alias("h2")
+        ),
+    )
+
+
+def minhash_signature_md5(lane_hashes: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature over ``md5_lane_hashes`` structs: the same
+    Kirsch-Mitzenmacher fold as ``minhash_signature`` but with
+    ``lane_i = (h1 + i·(h2|1)) & 2³²-1`` from the two md5 slices — exactly
+    reproducible as DuckDB list arithmetic (ANSI-safe: max intermediate
+    < 2³⁸)."""
+    return F.aggregate(
+        lane_hashes,
+        F.array_repeat(F.lit(_MASK32).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: (
+                    h["h1"] + i * h["h2"].bitwiseOR(F.lit(1))
+                ).bitwiseAND(F.lit(_MASK32)),
+            ),
+            lambda a, x: F.least(a, x),
+        ),
+    )
+
+
 def minhash_signature_arrow(n_hashes: int = 64):
     """Arrow-vectorized twin of ``minhash_signature``: the SAME
     Kirsch-Mitzenmacher lane family, evaluated as one numpy kernel per
@@ -176,18 +219,27 @@ def minhash_signature_arrow(n_hashes: int = 64):
     return sig
 
 
-def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> DataFrame:
-    """Explode a signature into (band_id, band_key) rows."""
+def _banded(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int,
+    band_hash: str = "xx64",
+) -> DataFrame:
+    """Explode a signature into (band_id, band_key) rows. ``band_hash``:
+    'xx64' compacts the lane slice to a 64-bit key (fast default; equality
+    differs from slice equality only on an xxhash64 collision); 'string'
+    keeps the joined lane string itself — exactly slice equality, and
+    reproducible as ``array_to_string`` in an oracle engine."""
+
+    def key(b: Column) -> Column:
+        s = F.concat_ws(",", F.transform(
+            F.slice(F.col(sig_col), b * rows + 1, rows),
+            lambda v: v.cast("string"),
+        ))
+        return F.xxhash64(s) if band_hash == "xx64" else s
+
     band = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                F.xxhash64(F.concat_ws(",", F.transform(
-                    F.slice(F.col(sig_col), b * rows + 1, rows),
-                    lambda v: v.cast("string"),
-                ))).alias("band_key"),
-            ),
+            lambda b: F.struct(b.alias("band_id"), key(b).alias("band_key")),
         )
     )
     return df.select(id_col, band.alias("b")).select(
@@ -263,6 +315,7 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     kernel: str = "arrow",
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     candidate join → exact-Jaccard verify ≥ threshold.
@@ -272,23 +325,41 @@ def near_dup_pairs_minhash(
 
     ``kernel``: 'arrow' (default — numpy lane minima per Arrow batch) or
     'jvm' (pure Column fold). Same hash family, bit-identical signatures
-    (pinned by test), so the pair set is kernel-independent."""
+    (pinned by test), so the pair set is kernel-independent.
+
+    ``hash_family``: 'xx64' (default, fastest) or 'md5' — md5-slice lanes
+    plus string band keys, the cross-engine-deterministic twin whose whole
+    pipeline a DuckDB CTE reproduces exactly (``q_dedup_minhash_det``).
+    The md5 family always uses the JVM fold (its cost profile is the md5
+    calls, not the lane fold)."""
     rows = n_hashes // bands
     toks = tokens(normalized(F.col(text_col)))
-    # Materialize tokens/shingles as columns so the signature fold consumes
-    # a computed array instead of re-inlining the shingle expression.
-    staged = df.select(F.col(id_col), toks.alias("__toks")).select(
-        id_col, "__toks", hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
-    )
     if kernel not in ("arrow", "jvm"):
         raise ValueError(f"kernel must be 'arrow' or 'jvm', got {kernel!r}")
-    sig_expr = (
-        minhash_signature_arrow(n_hashes)(F.col("__shingles"))
-        if kernel == "arrow"
-        else minhash_signature(F.col("__shingles"), n_hashes)
-    )
+    if hash_family not in ("xx64", "md5"):
+        raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
+    # Materialize tokens/shingles as columns so the signature fold consumes
+    # a computed array instead of re-inlining the shingle expression.
+    if hash_family == "md5":
+        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+            id_col,
+            md5_lane_hashes(word_shingles(F.col("__toks"), shingle_k)).alias("__shingles"),
+        )
+        sig_expr = minhash_signature_md5(F.col("__shingles"), n_hashes)
+    else:
+        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+            id_col, hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
+        )
+        sig_expr = (
+            minhash_signature_arrow(n_hashes)(F.col("__shingles"))
+            if kernel == "arrow"
+            else minhash_signature(F.col("__shingles"), n_hashes)
+        )
     sigs = staged.select(id_col, sig_expr.alias("__sig"))
-    pairs = candidate_pairs(_banded(sigs, id_col, "__sig", bands, rows), id_col)
+    band_hash = "string" if hash_family == "md5" else "xx64"
+    pairs = candidate_pairs(
+        _banded(sigs, id_col, "__sig", bands, rows, band_hash), id_col
+    )
     # Verify joins read only the token arrays — sourcing them from the
     # pre-signature stage keeps the signature pipeline computed ONCE (a
     # sigs-sourced join would re-inline the whole minhash fold per branch);
@@ -349,27 +420,68 @@ def ngram_jaccard_pairs(
 # --- SimHash --------------------------------------------------------------
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, ±1 vote per bit, sign → bit.
-    Shift/AND ops are bitwise (no ANSI overflow)."""
+def simhash64(toks: Column, hash_family: str = "xx64") -> Column:
+    """64-bit SimHash: per-token hash, ±1 vote per bit, sign → bit.
+    Shift/AND ops are bitwise (no ANSI overflow).
+
+    ``hash_family``: 'xx64' draws all 64 bits from one xxhash64; 'md5'
+    draws bits 0-31 from md5 hex slice [1,8] and bits 32-63 from slice
+    [9,16] — reproducible as DuckDB list arithmetic (the packed long never
+    leaves Spark; an oracle compares the per-bit vote signs directly)."""
     # F.shiftright*/shiftleft python wrappers require literal ints; inside
     # lambdas the bit index is a Column, so call the SQL functions directly.
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.call_function("shiftrightunsigned", F.xxhash64(t), b)
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+    if hash_family == "md5":
+        from csvtool_spark.functions.hashing import md5_slice_long
+
+        # one md5 per token, let-bound as (h1, h2) structs so the 64-bit
+        # vote transform doesn't re-hash per bit
+        hs = F.transform(
+            toks,
+            lambda t: F.struct(
+                md5_slice_long(t, 1).alias("h1"), md5_slice_long(t, 9).alias("h2")
             ),
-            lambda a, v: a + v,
-        ),
-    )
+        )
+        votes = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.when(
+                        F.when(
+                            b < 32,
+                            F.call_function("shiftrightunsigned", h["h1"], b),
+                        )
+                        .otherwise(
+                            F.call_function("shiftrightunsigned", h["h2"], b - 32)
+                        )
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long")),
+                ),
+                lambda a, v: a + v,
+            ),
+        )
+    elif hash_family == "xx64":
+        votes = F.aggregate(
+            toks,
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, t: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.when(
+                        F.call_function("shiftrightunsigned", F.xxhash64(t), b)
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long")),
+                ),
+                lambda a, v: a + v,
+            ),
+        )
+    else:
+        raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
     return F.aggregate(
         F.zip_with(
             votes,
@@ -384,15 +496,19 @@ def simhash64(toks: Column) -> Column:
 
 
 def near_dup_pairs_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8,
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """SimHash near-dup: 4×16-bit chunk blocking (any pair within Hamming
     distance ≤ 3·16 shares ≥1 exact chunk; wider distances are best-effort)
-    then exact Hamming verify via bit_count(xor)."""
+    then exact Hamming verify via bit_count(xor). ``hash_family`` as in
+    ``simhash64`` — 'md5' makes the whole pipeline oracle-reproducible."""
     toks = tokens(normalized(F.col(text_col)))
     # persisted: the chunk self-join reads this twice, and the 64-lane
     # simhash vote fold is the expensive part — compute it once.
-    sigs = df.select(F.col(id_col), simhash64(toks).alias("__sim")).persist()
+    sigs = df.select(
+        F.col(id_col), simhash64(toks, hash_family).alias("__sim")
+    ).persist()
     chunks = sigs.select(
         id_col,
         "__sim",

@@ -60,6 +60,28 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
+def _seq_dot(a, b) -> float:
+    """Driver-side dot product with the SAME left-to-right fold order as the
+    `dot` Column fold and the oracle's ``list_reduce`` — bit-identical
+    doubles, so a query signature bit computed here agrees with one the
+    SQL oracle computes (numpy's BLAS dot may differ in the last ulp, which
+    flips the bit when a plane is near-orthogonal to the query)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def srp_signature_py(vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side twin of ``srp_signature`` (sequential fold — see
+    ``_seq_dot``) for query-side probe computation."""
+    sig = 0
+    for p in range(planes.shape[0]):
+        if _seq_dot(planes[p], vec) > 0:
+            sig |= 1 << p
+    return sig
+
+
 def srp_signature(vec: Column, planes: np.ndarray) -> Column:
     """Sign-random-projection bucket id: bit p = sign(planes[p]·v)."""
     bits = []
@@ -97,14 +119,10 @@ def ann_lsh(
     the materialized twin — `ann_index_write` + `ann_lsh_indexed` — where
     the probe is a bucket-pruned point lookup instead of this full scan."""
     dim = len(query)
-    qv = np.asarray(query, dtype=float)
     cand = None
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
-        qsig = 0
-        for p in range(n_planes):
-            if float(planes[p] @ qv) > 0:
-                qsig |= 1 << p
+        qsig = srp_signature_py(query, planes)
         probe = {qsig}
         if multiprobe >= 1:
             probe |= {qsig ^ (1 << p) for p in range(n_planes)}
@@ -130,14 +148,10 @@ def _query_buckets(
 ) -> list[int]:
     """The combined (table_id << n_planes) | signature bucket ids a query
     probes — driver-side arithmetic on the query vector only."""
-    qv = np.asarray(query, dtype=float)
     out: list[int] = []
     for t in range(n_tables):
         planes = hyperplanes(len(query), n_planes, seed + t)
-        qsig = 0
-        for p in range(n_planes):
-            if float(planes[p] @ qv) > 0:
-                qsig |= 1 << p
+        qsig = srp_signature_py(query, planes)
         probe = {qsig}
         if multiprobe >= 1:
             probe |= {qsig ^ (1 << p) for p in range(n_planes)}
@@ -186,6 +200,30 @@ def ann_index_write(
     write_bucketed(indexed, table, "__bucket", n_buckets, path)
 
 
+def _with_forced_bucketed_scan(spark, build):
+    """Run ``build()`` (returning a probe DataFrame over a bucketed table)
+    with ``autoBucketedScan`` disabled, then RESTORE the session conf.
+
+    autoBucketedScan drops the bucketed layout (and with it bucket PRUNING)
+    for scans with no bucket-keyed join/agg — exactly the probes' shape, so
+    it must be off while the probe plan is formed. The physical plan is
+    forced inside the window (Dataset caches its QueryExecution, so
+    collect/count/toPandas on the returned frame reuse the pruned plan);
+    without the restore every later query on the session would silently
+    lose the auto-bucketed-scan optimization. A ``df.write`` action builds
+    a fresh QueryExecution and may re-plan without pruning — still correct,
+    just unpruned; probe consumers are read-path actions."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = build()
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set(key, old)
+
+
 def ann_lsh_indexed(
     spark,
     table: str,
@@ -202,23 +240,21 @@ def ann_lsh_indexed(
     (bucket-pruned scan) → per-id dedup → exact cosine re-rank → top-k.
     Same LSH parameters must be passed as at index-write time."""
     buckets = _query_buckets(query, n_planes, n_tables, multiprobe, seed)
-    # autoBucketedScan drops the bucketed layout (and with it bucket
-    # PRUNING) for scans with no bucket-keyed join/agg — exactly this
-    # probe's shape. Forcing bucketed scans keeps SelectedBucketsCount
-    # pruning; the cost (one split per bucket file) is the point here.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _vec_d(F.col(vec_col))
-    return (
-        spark.table(table)
-        .filter(F.col("__bucket").isin(buckets))
-        .select(F.col(id_col), cosine(v, q).alias("cos"))
-        # a vector can land in several probed buckets (one per table) —
-        # groupBy on the candidate ids (a tiny set) dedups before top-k
-        .groupBy(id_col)
-        .agg(F.first("cos").alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col(id_col))
-        .limit(k)
+    return _with_forced_bucketed_scan(
+        spark,
+        lambda: (
+            spark.table(table)
+            .filter(F.col("__bucket").isin(buckets))
+            .select(F.col(id_col), cosine(v, q).alias("cos"))
+            # a vector can land in several probed buckets (one per table) —
+            # groupBy on the candidate ids (a tiny set) dedups before top-k
+            .groupBy(id_col)
+            .agg(F.first("cos").alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col))
+            .limit(k)
+        ),
     )
 
 
@@ -397,15 +433,19 @@ def ann_ivf_indexed(
     `ann_lsh_indexed`) → exact cosine re-rank → top-k."""
     ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
     probe = [cell for cell, _ in ranked[:nprobe]]
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _vec_d(F.col(vec_col))
-    return (
-        spark.table(table)
-        .filter(F.col("__cell").isin(probe))
-        .select(F.col(id_col), F.col("__cell").alias("cell"), cosine(v, q).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col(id_col))
-        .limit(k)
+    return _with_forced_bucketed_scan(
+        spark,
+        lambda: (
+            spark.table(table)
+            .filter(F.col("__cell").isin(probe))
+            .select(
+                F.col(id_col), F.col("__cell").alias("cell"), cosine(v, q).alias("cos")
+            )
+            .orderBy(F.col("cos").desc(), F.col(id_col))
+            .limit(k)
+        ),
     )
 
 
@@ -615,18 +655,20 @@ def ann_ivf_sq(
     mn, mx = bounds
     ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
     probe = [cell for cell, _ in ranked[:nprobe]]
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     qcodes = F.array(*[F.lit(sq_code_py(x, mn, mx)) for x in query])
-    return (
-        spark.table(table)
-        .filter(F.col("__cell").isin(probe))
-        .select(
-            F.col(id_col),
-            F.col("__cell").alias("cell"),
-            _idot(F.col("qvec"), qcodes).alias("score_q"),
-        )
-        .orderBy(F.col("score_q").desc(), F.col(id_col))
-        .limit(k)
+    return _with_forced_bucketed_scan(
+        spark,
+        lambda: (
+            spark.table(table)
+            .filter(F.col("__cell").isin(probe))
+            .select(
+                F.col(id_col),
+                F.col("__cell").alias("cell"),
+                _idot(F.col("qvec"), qcodes).alias("score_q"),
+            )
+            .orderBy(F.col("score_q").desc(), F.col(id_col))
+            .limit(k)
+        ),
     )
 
 

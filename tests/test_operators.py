@@ -37,6 +37,27 @@ def test_minhash_finds_near_dups(spark):
     assert ja[(1, 4)] == 1.0
 
 
+def test_minhash_md5_family_finds_near_dups(spark):
+    # the cross-engine-deterministic twin behaves like the xx64 family on
+    # the canonical corpus: exact dup always survives, disjoint docs never
+    # pair (the catalog oracle q_dedup_minhash_det checks full value parity)
+    pairs = dedup.near_dup_pairs_minhash(
+        _docs(spark), "text", "doc_id", threshold=0.3, hash_family="md5"
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 4)] == 1.0
+    assert (1, 3) not in found and (3, 4) not in found
+
+
+def test_simhash_md5_family(spark):
+    pairs = dedup.near_dup_pairs_simhash(
+        _docs(spark), "text", "doc_id", max_hamming=10, hash_family="md5"
+    ).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(1, 4)] == 0       # identical text → identical simhash
+    assert all(v <= 10 for v in ham.values())
+
+
 def test_ngram_jaccard_pairs(spark):
     pairs = dedup.ngram_jaccard_pairs(
         _docs(spark), "text", "doc_id", threshold=0.5, k=3

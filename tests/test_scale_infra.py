@@ -55,9 +55,15 @@ def test_ann_indexed_probe_is_bucket_pruned(spark, tmp_path):
     similarity.ann_index_write(
         e, "embedding", "vec_id", "ann_idx", path=str(tmp_path / "ann_idx")
     )
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(conf_key)
     probe = similarity.ann_lsh_indexed(
         spark, "ann_idx", "embedding", "vec_id", qvec, k=10
     )
+    # the probe must not leak its autoBucketedScan override into the
+    # session (it would silently degrade every later bucketed scan) ...
+    assert spark.conf.get(conf_key) == before
+    # ... while the probe's own (already-planned) execution stays pruned
     plan = probe._jdf.queryExecution().executedPlan().toString()
     # the probe reads only the query's candidate buckets, never the corpus
     assert "SelectedBucketsCount" in plan
