@@ -16,6 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# FROZEN as of round 2 (BENCH_r02.json): totals are compared round-over-round
+# against BASELINE.md, so this list must not change — not its names (bench
+# resolves them against the FULL catalog incl. shadow entries, so driver-window
+# swaps can't affect it) and not its length (adding a query reads as a
+# regression). q_dedup_minhash here is the xxhash64+Arrow perf family.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

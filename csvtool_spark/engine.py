@@ -195,12 +195,20 @@ class CsvEngine:
     def to_json(self, text: str, limit: int | None = None) -> list[list[str]]:
         """JSON result surface (reference marshals results to the GUI,
         server.go:112-157): one list of JSON-object strings per statement.
-        ``limit`` caps rows per statement (the reference clips at
-        20000/num_cols for display)."""
+
+        ``limit`` caps rows per statement; the DEFAULT (None) applies the
+        reference's display clip of ``20000 / num_cols`` rows
+        (evaluator.go:27) — this method collects to the driver, so an
+        unbounded default would invite a driver OOM on a big result. Pass
+        ``limit=0`` to explicitly request every row (caller owns the
+        memory), or any positive cap."""
         out = []
         for df in self.run(text):
-            if limit:
-                df = df.limit(limit)
+            eff = limit
+            if eff is None:
+                eff = max(1, 20000 // max(1, len(df.columns)))
+            if eff > 0:
+                df = df.limit(eff)
             out.append(df.toJSON().collect())
         return out
 

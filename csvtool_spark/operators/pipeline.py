@@ -97,8 +97,13 @@ def quality_gate(
         F.col(id_col), F.col(group_col),
         textstats.quality_score(F.col(text_col)).alias("quality"),
     ).persist()
+    # The threshold is rounded to the 6-decimal precision quality_score
+    # itself emits (and the oracle rounds identically): Spark `percentile`
+    # and DuckDB `quantile_cont` interpolate with different expression
+    # shapes, and a last-ulp difference would flip rows sitting exactly on
+    # the boundary.
     thr = scored.groupBy(group_col).agg(
-        F.expr(f"percentile(quality, {float(quantile)})").alias("__thr")
+        F.round(F.expr(f"percentile(quality, {float(quantile)})"), 6).alias("__thr")
     )
     return (
         scored.join(F.broadcast(thr), group_col)

@@ -113,6 +113,11 @@ def mixture_resample(
     """
     from csvtool_spark.functions.hashing import md5_prefix_long
 
+    bad = {s: p for s, p in target_ppm.items() if int(p) <= 0}
+    if bad:
+        # a 0 share would otherwise surface as an ANSI divide-by-zero deep
+        # inside the job; "drop this source" is spelled by omitting it
+        raise ValueError(f"target_ppm shares must be > 0, got {bad}")
     spark = df.sparkSession
     w = spark.createDataFrame(
         [(s, int(p)) for s, p in target_ppm.items()],
@@ -121,7 +126,19 @@ def mixture_resample(
     counts = df.groupBy(source_col).agg(
         F.sum(token_count_col).cast("long").alias("__tok")
     )
-    sized = counts.join(F.broadcast(w), source_col)
+    # persisted: the validation below and the budget/rates plan both read
+    # it — one corpus-counting scan, #sources rows of state
+    sized = counts.join(F.broadcast(w), source_col).persist()
+    # A target source absent from df (or contributing zero tokens) would
+    # silently vanish in the inner join above and skew the realized
+    # mixture away from the requested shares — fail with the source names
+    # instead. One tiny action on #sources rows, not an extra corpus scan.
+    present = {r[0] for r in sized.filter(F.col("__tok") > 0).select(source_col).collect()}
+    missing = sorted(set(target_ppm) - present)
+    if missing:
+        raise ValueError(
+            f"target_ppm names sources with no tokens in the input: {missing}"
+        )
     budget = sized.agg(F.min(F.expr("__tok * 1000000L div w_ppm")).alias("__T"))
     rates = sized.crossJoin(F.broadcast(budget)).select(
         source_col,

@@ -64,7 +64,14 @@ def parse_json_col(
         df.withColumn("__p", parsed)
         .withColumn(
             f"{col}_parsed",
-            F.struct(*[F.col("__p")[f.name].alias(f.name) for f in st.fields]),
+            # the struct rebuild (dropping the corrupt field) must not turn
+            # a NULL input into a non-null all-null struct — the
+            # keep_corrupt=False path and the docstring both promise a null
+            # input stays null everywhere
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(*[F.col("__p")[f.name].alias(f.name) for f in st.fields]),
+            ),
         )
         .withColumn(f"{col}_corrupt", F.col("__p")[corrupt])
         .drop("__p")

@@ -1294,7 +1294,7 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
     ),
-    thr AS (SELECT source, quantile_cont(quality, 0.25) AS thr
+    thr AS (SELECT source, round(quantile_cont(quality, 0.25), 6) AS thr
             FROM t GROUP BY source)
     SELECT t.doc_id, t.source, t.quality
     FROM t JOIN thr USING (source) WHERE t.quality >= thr.thr

@@ -45,7 +45,13 @@ def _parquet_ts_unit(path: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+    schema = pq.ParquetFile(path).schema_arrow
+    if schema.get_field_index("ts") < 0:
+        raise ValueError(
+            f"events shard {path!r} has no 'ts' field (columns: "
+            f"{schema.names}) — cannot build the event-time stream from it"
+        )
+    ts_type = schema.field("ts").type
     unit = getattr(ts_type, "unit", None)
     if unit is None:
         raise ValueError(
@@ -73,10 +79,22 @@ def stream_events_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
             "unit from; write one first or construct the stream with an "
             "explicit schema"
         )
-    # One footer speaks for the directory: a file-source stream has ONE
-    # declared schema, so mixed-unit shard dirs are unsupported — route a
-    # unit migration through a new directory (new stream) instead.
-    if _parquet_ts_unit(shards[0]) == "ns":
+    # A file-source stream has ONE declared schema, so mixed-unit shard
+    # dirs are unsupported — route a unit migration through a new directory
+    # (new stream) instead. Every currently-present shard footer must
+    # agree (cheap O(KB) driver reads); detecting from only the first
+    # would declare a wrong schema for later shards and fail mid-stream
+    # with a read error instead of this message. Shards that land AFTER
+    # the stream starts are necessarily unchecked — that is inherent to
+    # the one-schema contract.
+    units = {s: _parquet_ts_unit(s) for s in shards}
+    if len(set(units.values())) > 1:
+        raise ValueError(
+            f"events shards in {stream_dir!r} disagree on the ts unit: "
+            f"{units} — a stream needs one schema; migrate units via a "
+            "new directory"
+        )
+    if units[shards[0]] == "ns":
         # read epoch-nanos as long, truncate to micros with integer
         # arithmetic (nanos exceed 2^53 — double math would corrupt them)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -205,10 +205,13 @@ def test_minhash_arrow_and_jvm_kernels_identical(spark):
 
 
 def test_langid_arrow_twin_identical(spark):
-    """lang_id_arrow must agree with the column-tree lang_id everywhere
-    (all Unicode-sensitive steps stay JVM-side by construction). The
-    column tree remains the default — the Arrow twin measured only ~20%
-    faster (vs 2.4x for minhash), not worth leaving codegen for."""
+    """lang_id_arrow (the default kernel) must agree with the column-tree
+    lang_id_jvm everywhere — all Unicode-sensitive steps (lower, split,
+    CJK count, length) are the SAME JVM expressions in both variants, so
+    the corpus rows below include the classic Java-lower() traps (Turkish
+    dotted/dotless I, ß, full-width Latin, combining marks) to pin that
+    the Arrow transport and Python-side set membership don't diverge on
+    them either."""
     from pyspark.sql import functions as F
     from csvtool_spark.operators import textstats
     from tests.conftest import SF_SMALL
@@ -217,12 +220,21 @@ def test_langid_arrow_twin_identical(spark):
     extra = spark.createDataFrame(
         [(90001, "le la les de des et est"), (90002, "der die das und ist"),
          (90003, ""), (90004, "一二三四五 the"), (90005, "xyzzy qwerty"),
-         (90006, None)],
+         (90006, None),
+         # Java lower() edge cases: dotted İ → i̇ (combining dot), dotless
+         # I → ı, ß (no upper/lower change), full-width ＴＨＥ (lowers to
+         # ｔｈｅ ≠ 'the'), combining-accent é vs precomposed é
+         (90007, "İstanbul THE ısız Iı the and of to in is"),
+         (90008, "STRASSE ß GROSS der und die das ist von"),
+         (90009, "ＴＨＥ ＡＮＤ the and of is that for with on"),
+         (90010, "café café le la de et est une dans"),
+         (90011, "İİİİ III ıııı"),
+        ],
         "doc_id long, text string",
     )
     both = d.select("doc_id", "text").union(extra)
-    a = both.select("doc_id", textstats.lang_id(F.col("text")).alias("g"))
+    a = both.select("doc_id", textstats.lang_id_jvm(F.col("text")).alias("g"))
     b = both.select(
-        "doc_id", textstats.lang_id_arrow(F.col("text")).alias("g2")
+        "doc_id", textstats.lang_id(F.col("text")).alias("g2")  # arrow default
     )
     assert a.join(b, "doc_id").filter("g != g2").count() == 0

@@ -115,6 +115,30 @@ def test_mixture_resample_hits_target_shares(spark):
             assert 0.3 * share / 1e6 < toks[s] / tot < 2.5 * share / 1e6
 
 
+def test_mixture_resample_rejects_bad_targets(spark):
+    import pytest
+    from csvtool_spark.operators.sampling import mixture_resample
+    from pyspark.sql import functions as F
+
+    staged = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "doc_id long, source string, __n long",
+    )
+    # a zero/negative share must fail up front, not as an ANSI ÷0 mid-job
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_resample(staged, "source", "doc_id", "__n", {"a": 0, "b": 500_000})
+    # a target source with no tokens in the input would silently skew the
+    # realized mixture — fail with its name
+    with pytest.raises(ValueError, match="ghost"):
+        mixture_resample(
+            staged, "source", "doc_id", "__n",
+            {"a": 500_000, "b": 300_000, "ghost": 200_000},
+        )
+    zero = staged.withColumn("__n", F.when(F.col("source") == "b", 0).otherwise(F.col("__n")))
+    with pytest.raises(ValueError, match="b"):
+        mixture_resample(zero, "source", "doc_id", "__n", {"a": 700_000, "b": 300_000})
+
+
 def test_negative_pairs_deterministic_and_well_formed(spark):
     from csvtool_spark.operators.sampling import negative_pairs
 

@@ -33,6 +33,12 @@ def test_parse_json_col_quarantines_corrupt(spark):
     assert rows[2].props_corrupt == "{broken"
     # null input is absent data, not corruption
     assert rows[3].props_corrupt is None
+    # ...and it stays null in the PARSED column too (the struct rebuild
+    # must not fabricate a non-null all-null struct), matching the
+    # keep_corrupt=False path
+    assert rows[3].props_parsed is None
+    plain = semistructured.parse_json_col(df, "props", "k long")
+    assert {r.id: r.props_parsed is None for r in plain.collect()}[3] is True
 
 
 def test_lm_surprisal_hand_computed(spark):

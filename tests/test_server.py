@@ -38,6 +38,23 @@ def test_query_response_contract(eng):
     assert len(e["types"]) == 2
 
 
+def test_to_json_default_is_capped(eng, spark):
+    # default limit mirrors the reference's display clip (evaluator.go:27:
+    # 20000 / num_cols) — an uncapped default would collect every row to
+    # the driver. violations.csv has >4 rows and >1 col; a 2-col query
+    # must clip at 10000 regardless of result size, and the cap must be
+    # overridable both down (positive) and off (0).
+    blocks = eng.to_json("select plate fine from" + V)
+    assert 0 < len(blocks[0]) <= 10_000
+    n_all = len(eng.to_json("select plate fine from" + V, limit=0)[0])
+    assert n_all >= len(blocks[0])
+    assert len(eng.to_json("select plate fine from" + V, limit=2)[0]) == 2
+    # a 20000+-column result would make 20000 // num_cols zero — the
+    # default still returns at least one row
+    wide = eng.to_json("select * from" + V)
+    assert len(wide[0]) >= 1
+
+
 def test_query_response_multi_statement(eng):
     ret = query_response(
         eng, "select plate from" + V + "; select top 2 state from" + V

@@ -101,6 +101,38 @@ def test_streaming_dedup_bounded_state(spark):
     assert got.d == expected            # and they are all distinct ids
 
 
+def test_stream_events_dir_rejects_mixed_units_and_missing_ts(spark, tmp_path):
+    # a directory whose shards disagree on the timestamp unit must fail at
+    # stream-build time with the shard map, not mid-stream with a read
+    # error; a shard without a ts field gets a descriptive error too
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from csvtool_spark.streaming.events import stream_events_dir
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "a.parquet")
+    t = pq.read_table(f"{SF_SMALL}/events.parquet")
+    i = t.schema.get_field_index("ts")
+    other_unit = "us" if t.schema.field("ts").type.unit == "ns" else "ns"
+    recast = t.set_column(
+        i, "ts", t.column("ts").cast(pa.timestamp(other_unit))
+    )
+    pq.write_table(recast, d / "b.parquet")
+    with pytest.raises(ValueError, match="disagree on the ts unit"):
+        stream_events_dir(spark, str(d))
+
+    d2 = tmp_path / "nots"
+    d2.mkdir()
+    pq.write_table(t.drop_columns(["ts"]), d2 / "a.parquet")
+    with pytest.raises(ValueError, match="no 'ts' field"):
+        stream_events_dir(spark, str(d2))
+
+
 def test_stream_static_join_matches_batch(spark):
     from csvtool_spark.streaming import enriched_stream
 
