@@ -116,6 +116,17 @@ def parse_date(s: str) -> datetime | None:
             return datetime.strptime(t, fmt)
         except ValueError:
             continue
+    # dateparse.ParseAny breadth (utils.go:393): bare epoch numerics —
+    # 10 digits = seconds, 13 = milliseconds (naive UTC, matching the
+    # Spark-side timestamp_seconds/timestamp_millis twins under a UTC
+    # session). Inference never reaches here for digit strings (Atoi wins
+    # first, exactly like the reference); this is conversion breadth for
+    # literals compared against DATE columns.
+    from datetime import timezone
+
+    if t.isdigit() and len(t) in (10, 13):
+        secs = int(t) / (1000.0 if len(t) == 13 else 1.0)
+        return datetime.fromtimestamp(secs, tz=timezone.utc).replace(tzinfo=None)
     return None
 
 

@@ -304,6 +304,51 @@ def q_dates_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_epoch_dates",
+    # Epoch-timestamp inference end to end (dateparse.ParseAny numeric
+    # breadth, utils.go:393): the Spark side round-trips events through a
+    # REAL CSV file whose ts column is bare epoch seconds, relying on the
+    # reader's column-level epoch promotion to get DATE back, then computes
+    # date parts. The oracle reads the parquet directly — if promotion
+    # failed, year()/hour() of a BIGINT column would error or drift.
+    """
+    SELECT event_id,
+           date_trunc('second', ts) AS edate,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(hour(ts) AS BIGINT) AS h
+    FROM events WHERE event_id < 2000
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_epoch_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from csvtool_spark.sources.csv import read_csv
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = os.path.join(tempfile.mkdtemp(prefix="csvtool_epoch_"), "events_epoch")
+    ev.select(
+        "event_id",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("edate"),
+    ).write.mode("overwrite").option("header", True).csv(out)
+    df, _names, types = read_csv(spark, out)
+    from csvtool_spark.dialect.types import T_DATE
+
+    if types[1] != T_DATE:
+        raise AssertionError(f"epoch column did not promote to DATE: {types}")
+    d = F.col("edate")
+    return df.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        d.alias("edate"),
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.hour(d).cast("long").alias("h"),
+    )
+
+
+@register(
     "q_scalar_misc",
     """
     SELECT c_custkey,
@@ -717,6 +762,9 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
     FROM events WHERE user_id < 20
     """,
+    registered=False,  # shadow (round-3 swap for q_ann_sq): windows stay
+    # driver-evidenced via q_sessionize + q_events_window; this running-sum
+    # twin remains oracle-checked in the local gate.
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window functions are absent from the reference (§2.8) — engine

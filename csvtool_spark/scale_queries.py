@@ -40,6 +40,9 @@ from csvtool_spark.queries import cents, load, register
            CAST(length(text) AS BIGINT) AS n_chars2
     FROM documents
     """,
+    registered=False,  # shadow (round-3 swap for q_chunk_docs): token
+    # counting stays driver-evidenced via q_text_quality / q_lm_score /
+    # q_heavy_hitters; this entry remains oracle-checked in the local gate.
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1224,7 +1227,8 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM qv v, q WHERE v.vec_id <> q.qid
     ORDER BY score_q DESC, v.vec_id LIMIT 10
     """,
-    registered=False,  # shadow: driver window full; locally gated
+    # driver-registered round 3 (swap with q_window_running): int8
+    # scalar-quantized ANN with bit-exact integer scoring.
 )
 def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8-code top-k: integer scores are exact, so ranking is bit-stable
@@ -1351,7 +1355,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_chunk_tokens
     FROM c
     """,
-    registered=False,  # shadow: driver window full; locally gated
+    # driver-registered round 3 (swap with q_text_tokens): document
+    # chunking is a first-class LLM-pipeline op.
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators.pipeline import chunk_documents

@@ -32,6 +32,7 @@ from csvtool_spark.dialect.types import (
     T_INT,
     T_NULL,
     T_STRING,
+    is_null_token,
     narrowest_type,
     widen,
 )
@@ -73,6 +74,37 @@ SPARK_DATE_FORMATS = [
 
 _NULL_TOKENS = ("", "null", "na")
 
+#: Sentinel "formats" for unix-epoch numeric timestamps (reference
+#: dateparse.ParseAny accepts bare epoch numerics, utils.go:393). They ride
+#: the same per-column format list as real patterns so the full-scan cast
+#: stays a single coalesce chain.
+EPOCH_SECONDS = "epoch_seconds"
+EPOCH_MILLIS = "epoch_millis"
+#: Column-promotion guard: every sampled value must be an epoch in
+#: [1990-01-01, 2040-01-01) UTC. Single values keep inferring INT exactly
+#: like the reference (Atoi wins before ParseAny, utils.go:389); the
+#: promotion is a deliberate column-level improvement for the common
+#: "epoch column" shape, applied only when the whole sample agrees.
+_EPOCH_S_MIN, _EPOCH_S_MAX = 631_152_000, 2_208_988_800
+
+_EPOCH_RE_S = r"^\d{10}$"
+_EPOCH_RE_MS = r"^\d{13}$"
+
+
+def _epoch_shape(v: str) -> str | None:
+    """EPOCH_SECONDS / EPOCH_MILLIS / None for one trimmed cell, with the
+    1990-2040 range guard."""
+    t = v.strip()
+    if len(t) == 10 and t.isdigit() and _EPOCH_S_MIN <= int(t) < _EPOCH_S_MAX:
+        return EPOCH_SECONDS
+    if (
+        len(t) == 13
+        and t.isdigit()
+        and _EPOCH_S_MIN * 1000 <= int(t) < _EPOCH_S_MAX * 1000
+    ):
+        return EPOCH_MILLIS
+    return None
+
 
 def _nulled(col: Column) -> Column:
     """Null tokens → SQL null (case-insensitive 'null', exact 'NA', '')."""
@@ -87,7 +119,15 @@ def parse_date_col(col: Column, formats: list[str] | None = None) -> Column:
     100 TB, one format attempt per cell instead of fifteen."""
     c = F.trim(col)
     fmts = formats or SPARK_DATE_FORMATS
-    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts])
+
+    def attempt(f: str) -> Column:
+        if f == EPOCH_SECONDS:
+            return F.when(c.rlike(_EPOCH_RE_S), F.timestamp_seconds(c.try_cast("long")))
+        if f == EPOCH_MILLIS:
+            return F.when(c.rlike(_EPOCH_RE_MS), F.timestamp_millis(c.try_cast("long")))
+        return F.try_to_timestamp(c, F.lit(f))
+
+    return F.coalesce(*[attempt(f) for f in fmts])
 
 
 #: Go-style compound duration part, mirrored from dialect.types._DUR_GO —
@@ -167,7 +207,16 @@ def observed_date_formats(samples: list[str]) -> list[str]:
     from csvtool_spark.dialect.types import DATE_FORMATS
 
     hit: set[int] = set()
+    epoch: list[str] = []
     for v in samples:
+        # A DATE column can carry bare epoch numerics alongside formatted
+        # dates (widen(T_INT, T_DATE) = T_DATE; the reference converts both
+        # via dateparse.ParseAny) — collect the epoch sentinel for them.
+        sh = _epoch_shape(v)
+        if sh is not None:
+            if sh not in epoch:
+                epoch.append(sh)
+            continue
         # Collect EVERY matching ladder entry (no break): one python shape
         # can fan out to several Java twins (e.g. %z → XXX and XX), and the
         # full-scan coalesce must be able to try each of them.
@@ -179,7 +228,8 @@ def observed_date_formats(samples: list[str]) -> list[str]:
                 hit.add(i)
             except ValueError:
                 continue
-    return [SPARK_DATE_FORMATS[i] for i in sorted(hit)] or SPARK_DATE_FORMATS
+    fmts = [SPARK_DATE_FORMATS[i] for i in sorted(hit)] + epoch
+    return fmts or SPARK_DATE_FORMATS
 
 
 def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
@@ -225,6 +275,22 @@ def read_csv(
         if t == T_DATE:
             vals = [r[i] for r in sample if r[i] is not None][:200]
             fmts[i] = observed_date_formats(vals)
+        elif t == T_INT:
+            # Column-level epoch promotion: an INT column whose every
+            # sampled value is a 10-digit epoch-second (or 13-digit milli)
+            # in 1990-2040 is a timestamp column in all but name. The
+            # reference infers INT here too (Atoi wins, utils.go:389) but
+            # its ParseAny breadth is the declared intent; divergence is
+            # deliberate and sample-unanimity-guarded.
+            vals = [
+                r[i]
+                for r in sample
+                if r[i] is not None and not is_null_token(r[i].strip())
+            ]
+            shapes = {_epoch_shape(v) for v in vals}
+            if vals and None not in shapes and len(shapes) == 1:
+                types[i] = T_DATE
+                fmts[i] = [shapes.pop()]
     # Backtick-quote raw column references: a header like 'a.b' would
     # otherwise parse as struct-field access and crash the read.
     typed = raw.select(

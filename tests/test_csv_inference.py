@@ -199,3 +199,79 @@ def test_glob_reads_shards_as_one_table(spark, tmp_path):
 
     with pytest.raises(SemanticError):
         eng.sql(f"select * from '{tmp_path}/nomatch*.csv'")
+
+
+# ---------------------------------------------------------------------------
+# epoch-timestamp columns (dateparse.ParseAny numeric breadth, utils.go:393)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_seconds_column_promotes_to_date(spark, tmp_path):
+    # unanimity-guarded column-level promotion: every sampled value is a
+    # 10-digit epoch in 1990-2040 → DATE (single values still infer INT,
+    # exactly like the reference's Atoi-first lattice)
+    path = _write(
+        tmp_path,
+        "epoch.csv",
+        "id,created\n1,1609459200\n2,1612137600\n3,null\n",
+    )
+    df, _, types = read_csv(spark, path)
+    assert types[1] == T_DATE
+    by_id = {r.id: r.created for r in df.collect()}
+    assert by_id[1] == datetime.datetime(2021, 1, 1, 0, 0)
+    assert by_id[2] == datetime.datetime(2021, 2, 1, 0, 0)
+    assert by_id[3] is None
+
+
+def test_epoch_millis_column_promotes_to_date(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "epochms.csv",
+        "id,t\n1,1609459200500\n2,1612137600000\n",
+    )
+    df, _, types = read_csv(spark, path)
+    assert types[1] == T_DATE
+    by_id = {r.id: r.t for r in df.collect()}
+    assert by_id[1] == datetime.datetime(2021, 1, 1, 0, 0, 0, 500000)
+    assert by_id[2] == datetime.datetime(2021, 2, 1, 0, 0)
+
+
+def test_epoch_outside_range_or_mixed_widths_stay_int(spark, tmp_path):
+    # 9999999999 (year 2286) violates the 1990-2040 guard; a column mixing
+    # 10-digit and small ints is not unanimous — both stay INT
+    path = _write(
+        tmp_path,
+        "notepoch.csv",
+        "a,b\n9999999999,1609459200\n1609459200,42\n",
+    )
+    df, _, types = read_csv(spark, path)
+    from csvtool_spark.dialect.types import T_INT
+
+    assert types == [T_INT, T_INT]
+    rows = df.collect()
+    assert {r.a for r in rows} == {9999999999, 1609459200}
+
+
+def test_mixed_date_and_epoch_cells_both_convert(spark, tmp_path):
+    # widen(T_INT, T_DATE) = T_DATE: the reference converts every cell of a
+    # DATE column via ParseAny, which accepts both shapes — so must we
+    path = _write(
+        tmp_path,
+        "mixed.csv",
+        "id,d\n1,2021-01-01\n2,1612137600\n3,1609459200500\n",
+    )
+    df, _, types = read_csv(spark, path)
+    assert types[1] == T_DATE
+    by_id = {r.id: r.d for r in df.collect()}
+    assert by_id[1] == datetime.datetime(2021, 1, 1)
+    assert by_id[2] == datetime.datetime(2021, 2, 1)
+    assert by_id[3] == datetime.datetime(2021, 1, 1, 0, 0, 0, 500000)
+
+
+def test_parse_date_literal_epoch():
+    # dialect literal conversion breadth: '1609459200' enforced to DATE
+    from csvtool_spark.dialect.types import parse_date
+
+    assert parse_date("1609459200") == datetime.datetime(2021, 1, 1)
+    assert parse_date("1609459200500") == datetime.datetime(2021, 1, 1, 0, 0, 0, 500000)
+    assert parse_date("123") is None
