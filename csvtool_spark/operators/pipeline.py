@@ -102,13 +102,23 @@ def quality_gate(
     # and DuckDB `quantile_cont` interpolate with different expression
     # shapes, and a last-ulp difference would flip rows sitting exactly on
     # the boundary.
-    thr = scored.groupBy(group_col).agg(
-        F.round(F.expr(f"percentile(quality, {float(quantile)})"), 6).alias("__thr")
-    )
+    thr = quality_thresholds(scored, group_col, quantile)
     return (
         scored.join(F.broadcast(thr), group_col)
         .filter(F.col("quality") >= F.col("__thr"))
         .select(id_col, group_col, "quality")
+    )
+
+
+def quality_thresholds(
+    scored: DataFrame, group_col: str, quantile: float = 0.25
+) -> DataFrame:
+    """(group, __thr) per-group quality quantile from a frame carrying a
+    ``quality`` column — the offline "training" half of the gate, reusable
+    by the streaming twin (an unbounded stream has no global quantile, so
+    production gates a stream against thresholds trained on a batch)."""
+    return scored.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile(quality, {float(quantile)})"), 6).alias("__thr")
     )
 
 

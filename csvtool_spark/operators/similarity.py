@@ -723,3 +723,68 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     return dedup_clusters(df, pairs, id_col)
+
+
+# --- per-label centroids + outlier mining ---------------------------------
+
+
+def group_centroids(
+    df: DataFrame, vec_col: str, label_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """(label, centroid array<double>, n) — per-label mean embedding with
+    ORDER-INDEPENDENT exact arithmetic: each component sums as
+    round(x·scale) BIGINTs (associative, partitioning-proof), the mean is
+    then (int_sum / scale) / n in doubles — bit-identical across engines.
+
+    Shape: posexplode → hash agg on (label, pos) → rebuild the ordered
+    array. The agg state is |labels|·dim rows — tiny; the explode is the
+    one pass over the data and combines map-side."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_vec_d(F.col(vec_col))).alias("pos", "x"),
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("x") * scale, 0).cast("long")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sx", "n"))),
+            lambda s: (s["sx"].cast("double") / F.lit(float(scale))) / s["n"],
+        ).alias("centroid"),
+        F.max("n").alias("n"),
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k vectors farthest (euclidean) from their own label centroid —
+    mislabel / outlier mining for embedding-labelled corpora. The centroid
+    table is |labels| rows → broadcast; distance is the usual sequential
+    zip_with/aggregate fold (DuckDB-reproducible); orderBy+limit compiles
+    to TakeOrderedAndProject."""
+    cent = group_centroids(df, vec_col, label_col, scale).select(
+        F.col("label").alias("__lbl"), "centroid"
+    )
+    v = _vec_d(F.col(vec_col))
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return (
+        df.join(F.broadcast(cent), df[label_col] == cent["__lbl"])
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -515,3 +515,49 @@ def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
             " div sum(tf) AS BIGINT)"
         ).alias("surprisal2_ppm"),
     )
+
+
+def boilerplate_stats(
+    df, text_col: str, id_col: str = "doc_id", k: int = 3, min_docs: int = 5
+):
+    """Per-document boilerplate ratio: the fraction of a document's distinct
+    k-word shingles that occur in ≥ ``min_docs`` documents corpus-wide
+    (CCNet-style repeated-content detection — navigation chrome, license
+    footers, templated text — without needing line structure).
+
+    Scale shape: shingles are distinct per doc (``word_shingles``), so the
+    doc-frequency aggregate is a plain count per shingle; only the HOT
+    shingles (df ≥ min_docs) survive into the join-back, which therefore
+    ships a small fraction of the exploded rows. Two shuffles on the
+    shingle key, one hash agg per doc — no all-pairs anything.
+    """
+    from csvtool_spark.operators.dedup import normalized, word_shingles
+
+    base = df.select(
+        F.col(id_col),
+        word_shingles(tokens(normalized(F.col(text_col))), k).alias("__sh"),
+    ).persist()  # two consumers: per-doc totals + the exploded table
+    ex = base.select(id_col, F.explode("__sh").alias("__s"))
+    hot = (
+        ex.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+    )
+    flagged = ex.join(hot, "__s").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    n_sh = F.col("n_shingles").cast("double")
+    return (
+        base.select(id_col, F.size("__sh").cast("long").alias("n_shingles"))
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.when(n_sh > 0, n_sh),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )

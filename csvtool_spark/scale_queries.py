@@ -1529,3 +1529,119 @@ def q_neg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return negative_pairs(e, "vec_id", k=4, n_buckets=64)
+
+
+# --- graph: deterministic integer PageRank --------------------------------
+
+_PR_EDGES_SQL = """
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT 's' || CAST(l_suppkey AS VARCHAR),
+             'c' || CAST(o_custkey AS VARCHAR)
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    from csvtool_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iters=5)
+
+
+@register(
+    "q_pagerank",
+    # 5 unrolled power iterations over the customer↔supplier order graph,
+    # exact fixed-point BIGINT arithmetic on both engines (integer sums are
+    # associative → partitioning/engine-proof). See operators/graph.py.
+    _pagerank_oracle(),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.graph import pagerank_int
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_int(edges, "src", "dst", iters=5)
+
+
+# --- boilerplate detection ------------------------------------------------
+
+
+@register(
+    "q_boilerplate",
+    # CCNet-style repeated-content signal: share of a doc's distinct
+    # 3-word shingles that occur in ≥ 5 documents corpus-wide. The shingle
+    # CTE is the q_dedup_ngram one (same tokenization, k=3, distinct).
+    f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 5),
+    flag AS (
+      SELECT e.doc_id, count(*) AS n_boiler
+      FROM ex e JOIN hot USING (s) GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(f.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(CAST(coalesce(f.n_boiler, 0) AS DOUBLE)
+                 / (CASE WHEN len(t.sh) > 0 THEN CAST(len(t.sh) AS DOUBLE) END),
+                 6) AS boiler_ratio
+    FROM sh t LEFT JOIN flag f USING (doc_id)
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textstats.boilerplate_stats(d, "text", "doc_id", k=3, min_docs=5)
+
+
+# --- embedding centroids / outlier mining ---------------------------------
+
+
+@register(
+    "q_embed_outliers",
+    # Per-label mean embedding via exact integer component sums (the cents
+    # pattern, order-independent), then top-20 farthest-from-own-centroid
+    # vectors; the distance fold shares the sequential list_reduce shape
+    # with the Spark zip_with/aggregate fold → bit-identical doubles.
+    """
+    WITH pos AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT label, i,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                           AS BIGINT)) AS BIGINT) AS sx,
+             count(*) AS n
+      FROM pos GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label,
+             list((CAST(sx AS DOUBLE) / 1000000.0) / n ORDER BY i) AS centroid
+      FROM agg GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+             (a, b) -> a + b)), 6) AS dist
+    FROM embeddings e JOIN cent c USING (label)
+    ORDER BY dist DESC, e.vec_id
+    LIMIT 20
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(e, "embedding", "vec_id", "label", k=20)

@@ -83,3 +83,50 @@ def curated_stream(
         .dropDuplicatesWithinWatermark(["text_hash"])
         .drop("__ingest_ts")
     )
+
+
+def quality_gated_stream(
+    stream: DataFrame, thresholds: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Streaming twin of ``pipeline.quality_gate``: per-source quantile
+    thresholds are trained OFFLINE on a reference batch
+    (``pipeline.quality_thresholds``) and applied online via a
+    stream-static broadcast join — an unbounded stream has no global
+    quantile, so the production shape is train-offline/apply-online.
+    Stateless: no watermark, no state store; each micro-batch is a scan +
+    broadcast probe. Streaming plans get no AQE, hence the explicit
+    ``F.broadcast`` (a shuffle join would re-shuffle every micro-batch).
+    Emits (doc_id, group, quality) for survivors."""
+    scored = stream.select(
+        "doc_id",
+        F.col(group_col),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("quality") >= F.col("__thr"))
+        .select("doc_id", group_col, "quality")
+    )
+
+
+def sampled_stream(
+    stream: DataFrame,
+    rates: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained per-source mixture keep-rates to an arriving stream:
+    ``rates`` is (source, keep_ppm) from an offline mixture computation
+    (e.g. derived from ``sampling.mixture_resample`` realized shares). The
+    keep decision is a DETERMINISTIC md5 coin on the document id — pure
+    function of the key, so an at-least-once replay keeps exactly the same
+    rows (idempotent under source re-delivery), unlike an RNG sample.
+    Stateless stream-static broadcast join, same scale shape as the gate."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    coin = md5_prefix_long(F.col(id_col).cast("string")) % 1_000_000
+    return (
+        stream.join(F.broadcast(rates), group_col)
+        .filter(coin < F.col("keep_ppm"))
+        .drop("keep_ppm")
+    )

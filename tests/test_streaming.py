@@ -237,3 +237,73 @@ def test_curated_stream_dedups_replayed_shard(spark):
         .count()
     )
     assert len(hashes) == expected
+
+
+def test_quality_gated_stream_matches_batch_gate(spark):
+    # thresholds trained on the batch, applied to the stream of the SAME
+    # shard → survivors must equal the batch quality_gate exactly
+    from csvtool_spark.operators import textstats
+    from csvtool_spark.operators.pipeline import quality_gate, quality_thresholds
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import (
+        document_stream,
+        quality_gated_stream,
+    )
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    scored = batch.select(
+        "doc_id", "source",
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    thr = quality_thresholds(scored, "source", 0.25)
+
+    stream = document_stream(spark, SF_SMALL)
+    run_to_memory(
+        quality_gated_stream(stream, thr), "qgate_out", output_mode="append"
+    )
+    got = {
+        (r.doc_id, r.source) for r in spark.sql("SELECT * FROM qgate_out").collect()
+    }
+    want = {
+        (r.doc_id, r.source)
+        for r in quality_gate(batch, "text", "doc_id", "source", 0.25).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sampled_stream_replay_idempotent_and_matches_coin(spark):
+    # same shard delivered twice: the deterministic md5 coin keeps the SAME
+    # doc ids both times (duplicates allowed — dedup is a separate stage);
+    # the kept set equals the batch coin filter
+    import shutil
+    import tempfile
+
+    from csvtool_spark.functions.hashing import md5_prefix_long
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import sampled_stream, stream_documents_dir
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="docs_samp_")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{d}/a.parquet")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{d}/b.parquet")
+    rates = spark.createDataFrame(
+        [("src0", 500_000), ("src1", 250_000), ("src2", 1_000_000)],
+        ["source", "keep_ppm"],
+    )
+    stream = stream_documents_dir(spark, d)
+    run_to_memory(sampled_stream(stream, rates), "samp_out", output_mode="append")
+    got = [r.doc_id for r in spark.sql("SELECT doc_id FROM samp_out").collect()]
+    # every id appears exactly twice (once per delivery) — replay-stable
+    from collections import Counter
+
+    counts = Counter(got)
+    assert set(counts.values()) == {2}
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    coin = md5_prefix_long(F.col("doc_id").cast("string")) % 1_000_000
+    want = {
+        r.doc_id
+        for r in batch.join(rates, "source").filter(coin < F.col("keep_ppm")).collect()
+    }
+    assert set(counts) == want and len(want) > 0
