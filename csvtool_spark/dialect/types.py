@@ -26,6 +26,12 @@ TYPE_NAMES = {
     T_STRING: "string",
 }
 
+#: Epoch plausibility window, shared by the CSV reader's column promotion,
+#: its full-scan cast guard, and dialect DATE-literal parsing — ONE
+#: effective range everywhere. 10-digit seconds additionally imply a floor
+#: of 1e9 (2001-09-09); millis use the same bounds × 1000.
+EPOCH_S_MIN, EPOCH_S_MAX = 1_000_000_000, 2_208_988_800  # 2001-09-09 .. 2040-01-01
+
 _LEADING_ZERO = re.compile(r"^0\d+$")
 _INT = re.compile(r"^-?\d+$")
 _FLOAT = re.compile(r"^-?(\d+\.\d*|\.\d+|\d+)([eE][-+]?\d+)?$")
@@ -122,11 +128,19 @@ def parse_date(s: str) -> datetime | None:
     # session). Inference never reaches here for digit strings (Atoi wins
     # first, exactly like the reference); this is conversion breadth for
     # literals compared against DATE columns.
-    from datetime import timezone
+    from datetime import timedelta, timezone
 
     if t.isdigit() and len(t) in (10, 13):
-        secs = int(t) / (1000.0 if len(t) == 13 else 1.0)
-        return datetime.fromtimestamp(secs, tz=timezone.utc).replace(tzinfo=None)
+        # exact integer arithmetic — float seconds would drift a microsecond
+        # against Spark's timestamp_millis for some millisecond values;
+        # range-guarded with the same window as the CSV reader so one
+        # feature has one effective range everywhere
+        n = int(t)
+        secs = n // 1000 if len(t) == 13 else n
+        if not (EPOCH_S_MIN <= secs < EPOCH_S_MAX):
+            return None
+        base = datetime.fromtimestamp(secs, tz=timezone.utc).replace(tzinfo=None)
+        return base + timedelta(milliseconds=n % 1000) if len(t) == 13 else base
     return None
 
 

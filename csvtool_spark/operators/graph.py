@@ -19,8 +19,10 @@ Scale: the per-iteration work is one equi-join edges⋈ranks (shuffle on the
 edge source key, or broadcast when the rank table fits) plus a hash
 aggregate on the destination key — the standard distributed PageRank shape.
 Rank state is |nodes| rows, far smaller than |edges|; AQE picks the join
-strategy. Overflow headroom: total mass ≤ |nodes|·scale; with the default
-scale 1e9 that allows ~9e9 nodes before ``d_num · in_sum`` nears int64.
+strategy. Overflow headroom: a node's ``in_sum`` is bounded by the total
+mass |nodes|·scale, and the damped update multiplies it by ``d_num``, so
+int64 holds while |nodes| < 2⁶³ / (d_num·scale) ≈ 1.08e8 nodes at the
+defaults — drop ``scale`` to 1e6 for ~1e11 nodes.
 """
 
 from __future__ import annotations
@@ -55,23 +57,32 @@ def pagerank_int(
     nodes = nodes.persist()
     base = ((d_den - d_num) * scale) // d_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iters):
-        contrib = ed.join(ranks, ed["__src"] == ranks["node"]).select(
-            F.col("__dst").alias("node"),
-            F.expr("rank div __deg").alias("__c"),
-        )
-        in_sum = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
-        ranks = nodes.join(in_sum, "node", "left").select(
-            "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr(f"({d_num} * coalesce(__in, 0L)) div {d_den}")
-            ).alias("rank"),
-        )
-        # Truncate lineage: without this the logical plan doubles per
-        # iteration and Catalyst re-optimizes (and could re-execute) the
-        # whole history each round.
-        ranks = ranks.localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            contrib = ed.join(ranks, ed["__src"] == ranks["node"]).select(
+                F.col("__dst").alias("node"),
+                F.expr("rank div __deg").alias("__c"),
+            )
+            in_sum = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+            ranks = nodes.join(in_sum, "node", "left").select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({d_num} * coalesce(__in, 0L)) div {d_den}")
+                ).alias("rank"),
+            )
+            # Truncate lineage: without this the logical plan doubles per
+            # iteration and Catalyst re-optimizes (and could re-execute)
+            # the whole history each round. Eager: materialized now, so the
+            # finally-block unpersists can't force a recompute later.
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        # The final ranks live in their own checkpoint blocks; the loop
+        # inputs must not linger in executor storage for the session's
+        # lifetime. (Superseded intermediate checkpoints are released by
+        # the ContextCleaner once unreferenced.)
+        ed.unpersist()
+        nodes.unpersist()
     return ranks
 
 

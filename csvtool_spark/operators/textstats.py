@@ -533,9 +533,14 @@ def boilerplate_stats(
     """
     from csvtool_spark.operators.dedup import normalized, word_shingles
 
+    # coalesce NULL text to '' BEFORE shingling: Spark's concat_ws would
+    # otherwise emit an '' shingle for null docs while a SQL oracle's
+    # array_to_string(NULL) emits a NULL shingle that never equi-joins —
+    # with the coalesce both engines agree ('' shingle, countable).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
-        word_shingles(tokens(normalized(F.col(text_col))), k).alias("__sh"),
+        word_shingles(tokens(normalized(txt)), k).alias("__sh"),
     ).persist()  # two consumers: per-doc totals + the exploded table
     ex = base.select(id_col, F.explode("__sh").alias("__s"))
     hot = (

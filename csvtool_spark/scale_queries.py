@@ -924,6 +924,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) WHERE rn <= 30
     """,
+    registered=False,  # shadow (round-3 swap for q_pagerank): the sampling
+    # family stays driver-evidenced via q_mixture; quota remains
+    # oracle-checked in the local gate.
 )
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators.sampling import source_quota
@@ -1556,7 +1559,8 @@ def _pagerank_oracle() -> str:
     # exact fixed-point BIGINT arithmetic on both engines (integer sums are
     # associative → partitioning/engine-proof). See operators/graph.py.
     _pagerank_oracle(),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver-registered round 3 (swap with q_source_quota): iterative graph
+    # computation is a new capability class for the driver window.
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators.graph import pagerank_int
@@ -1579,10 +1583,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_boilerplate",
     # CCNet-style repeated-content signal: share of a doc's distinct
-    # 3-word shingles that occur in ≥ 5 documents corpus-wide. The shingle
-    # CTE is the q_dedup_ngram one (same tokenization, k=3, distinct).
-    f"""
-    WITH {_SHINGLE_CTE},
+    # 3-word shingles that occur in ≥ 5 documents corpus-wide. Same shingle
+    # shape as q_dedup_ngram, but over coalesce(text, '') — the Spark side
+    # coalesces too, so NULL-text docs yield an '' shingle in BOTH engines
+    # (array_to_string(NULL) would make a NULL shingle that never joins).
+    """
+    WITH toks AS (SELECT doc_id,
+                         string_split(lower(trim(coalesce(text, ''))), ' ') AS t
+                  FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(0, len(t) - 2),
+                 i -> array_to_string(t[i+1:i+3], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks
+    ),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 5),
     flag AS (

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csvtool_spark.dialect.types import (
+    EPOCH_S_MAX,
+    EPOCH_S_MIN,
     T_DATE,
     T_DURATION,
     T_FLOAT,
@@ -80,27 +82,31 @@ _NULL_TOKENS = ("", "null", "na")
 #: stays a single coalesce chain.
 EPOCH_SECONDS = "epoch_seconds"
 EPOCH_MILLIS = "epoch_millis"
-#: Column-promotion guard: every sampled value must be an epoch in
-#: [1990-01-01, 2040-01-01) UTC. Single values keep inferring INT exactly
-#: like the reference (Atoi wins before ParseAny, utils.go:389); the
-#: promotion is a deliberate column-level improvement for the common
-#: "epoch column" shape, applied only when the whole sample agrees.
-_EPOCH_S_MIN, _EPOCH_S_MAX = 631_152_000, 2_208_988_800
 
 _EPOCH_RE_S = r"^\d{10}$"
 _EPOCH_RE_MS = r"^\d{13}$"
 
 
 def _epoch_shape(v: str) -> str | None:
-    """EPOCH_SECONDS / EPOCH_MILLIS / None for one trimmed cell, with the
-    1990-2040 range guard."""
+    """EPOCH_SECONDS / EPOCH_MILLIS / None for one trimmed cell. The
+    10-digit requirement plus the range guard make the effective window
+    [2001-09-09, 2040-01-01) UTC for seconds (13-digit millis reach back
+    to 2001 too) — see dialect.types.EPOCH_S_MIN.
+
+    KNOWN HAZARD (documented, promotion is opt-out via
+    ``read_csv(epoch_promotion=False)``): any unanimous 10-digit numeric-ID
+    column whose values land in ~1.0e9..2.2e9 — e.g. US phone numbers with
+    area codes 100..220 — satisfies the shape test and would promote. The
+    reference infers INT for such columns (Atoi wins, utils.go:389); our
+    column-level promotion trades that fidelity for the common
+    epoch-column shape and requires whole-sample unanimity."""
     t = v.strip()
-    if len(t) == 10 and t.isdigit() and _EPOCH_S_MIN <= int(t) < _EPOCH_S_MAX:
+    if len(t) == 10 and t.isdigit() and EPOCH_S_MIN <= int(t) < EPOCH_S_MAX:
         return EPOCH_SECONDS
     if (
         len(t) == 13
         and t.isdigit()
-        and _EPOCH_S_MIN * 1000 <= int(t) < _EPOCH_S_MAX * 1000
+        and EPOCH_S_MIN * 1000 <= int(t) < EPOCH_S_MAX * 1000
     ):
         return EPOCH_MILLIS
     return None
@@ -121,10 +127,22 @@ def parse_date_col(col: Column, formats: list[str] | None = None) -> Column:
     fmts = formats or SPARK_DATE_FORMATS
 
     def attempt(f: str) -> Column:
+        # Epoch conversions carry the SAME range guard as detection — a
+        # cell like '9999999999' beyond the sampled rows reads as null, not
+        # as a year-2286 timestamp the sample never promised.
         if f == EPOCH_SECONDS:
-            return F.when(c.rlike(_EPOCH_RE_S), F.timestamp_seconds(c.try_cast("long")))
+            v = c.try_cast("long")
+            return F.when(
+                c.rlike(_EPOCH_RE_S) & v.between(EPOCH_S_MIN, EPOCH_S_MAX - 1),
+                F.timestamp_seconds(v),
+            )
         if f == EPOCH_MILLIS:
-            return F.when(c.rlike(_EPOCH_RE_MS), F.timestamp_millis(c.try_cast("long")))
+            v = c.try_cast("long")
+            return F.when(
+                c.rlike(_EPOCH_RE_MS)
+                & v.between(EPOCH_S_MIN * 1000, EPOCH_S_MAX * 1000 - 1),
+                F.timestamp_millis(v),
+            )
         return F.try_to_timestamp(c, F.lit(f))
 
     return F.coalesce(*[attempt(f) for f in fmts])
@@ -228,8 +246,12 @@ def observed_date_formats(samples: list[str]) -> list[str]:
                 hit.add(i)
             except ValueError:
                 continue
-    fmts = [SPARK_DATE_FORMATS[i] for i in sorted(hit)] + epoch
-    return fmts or SPARK_DATE_FORMATS
+    # If NO ladder format matched (the [:200] sample slice may be all-epoch
+    # while the date string that made this column T_DATE sits beyond it),
+    # keep the full-ladder fallback — epoch sentinels alone must never
+    # narrow a DATE column into silently nulling its formatted cells.
+    ladder = [SPARK_DATE_FORMATS[i] for i in sorted(hit)] or SPARK_DATE_FORMATS
+    return ladder + epoch
 
 
 def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
@@ -242,7 +264,11 @@ def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
 
 
 def read_csv(
-    spark: SparkSession, path: str, noheader: bool = False, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    noheader: bool = False,
+    multiline: bool = False,
+    epoch_promotion: bool = True,
 ) -> tuple[DataFrame, list[str], list[int]]:
     """Read a CSV with inferred dialect types.
 
@@ -250,6 +276,10 @@ def read_csv(
     reference's encoding/csv always does) at the cost of intra-file split
     parallelism — Spark must read each multiline file as one unit, so keep
     it off for large single files and shard such data upstream.
+
+    ``epoch_promotion=False`` disables the column-level epoch-timestamp
+    promotion (see ``_epoch_shape`` for the numeric-ID hazard it trades
+    against); epoch cells inside mixed DATE columns still convert.
 
     Returns (typed DataFrame, display names, dialect type per column).
     """
@@ -275,13 +305,14 @@ def read_csv(
         if t == T_DATE:
             vals = [r[i] for r in sample if r[i] is not None][:200]
             fmts[i] = observed_date_formats(vals)
-        elif t == T_INT:
+        elif t == T_INT and epoch_promotion:
             # Column-level epoch promotion: an INT column whose every
             # sampled value is a 10-digit epoch-second (or 13-digit milli)
-            # in 1990-2040 is a timestamp column in all but name. The
+            # in 2001-2040 is a timestamp column in all but name. The
             # reference infers INT here too (Atoi wins, utils.go:389) but
             # its ParseAny breadth is the declared intent; divergence is
-            # deliberate and sample-unanimity-guarded.
+            # deliberate, sample-unanimity-guarded, and opt-out (see
+            # ``_epoch_shape`` for the numeric-ID hazard).
             vals = [
                 r[i]
                 for r in sample

@@ -10,5 +10,8 @@ from csvtool_spark.streaming.events import (  # noqa: F401
 from csvtool_spark.streaming.documents import (  # noqa: F401
     curated_stream,
     document_stream,
+    quality_gated_stream,
+    sampled_stream,
+    stream_documents_dir,
     streaming_vocab,
 )

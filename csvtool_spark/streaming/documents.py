@@ -86,7 +86,10 @@ def curated_stream(
 
 
 def quality_gated_stream(
-    stream: DataFrame, thresholds: DataFrame, group_col: str = "source"
+    stream: DataFrame,
+    thresholds: DataFrame,
+    group_col: str = "source",
+    default_threshold: float | None = None,
 ) -> DataFrame:
     """Streaming twin of ``pipeline.quality_gate``: per-source quantile
     thresholds are trained OFFLINE on a reference batch
@@ -96,15 +99,27 @@ def quality_gated_stream(
     Stateless: no watermark, no state store; each micro-batch is a scan +
     broadcast probe. Streaming plans get no AQE, hence the explicit
     ``F.broadcast`` (a shuffle join would re-shuffle every micro-batch).
-    Emits (doc_id, group, quality) for survivors."""
+    Emits (doc_id, group, quality) for survivors.
+
+    Sources ABSENT from ``thresholds`` — the one case only the online
+    gate can meet (a new crawl source appears after training) — fall back
+    to ``default_threshold``; with the default ``None`` they pass
+    ungated (conservative: keep-and-flag beats silently discarding 100%
+    of a new source; downstream can route by the null quality vs
+    threshold comparison or retrain)."""
     scored = stream.select(
         "doc_id",
         F.col(group_col),
         textstats.quality_score(F.col("text")).alias("quality"),
     )
+    thr = (
+        F.coalesce(F.col("__thr"), F.lit(float(default_threshold)))
+        if default_threshold is not None
+        else F.col("__thr")
+    )
     return (
-        scored.join(F.broadcast(thresholds), group_col)
-        .filter(F.col("quality") >= F.col("__thr"))
+        scored.join(F.broadcast(thresholds), group_col, "left")
+        .filter(thr.isNull() | (F.col("quality") >= thr))
         .select("doc_id", group_col, "quality")
     )
 
@@ -114,6 +129,7 @@ def sampled_stream(
     rates: DataFrame,
     group_col: str = "source",
     id_col: str = "doc_id",
+    default_ppm: int = 1_000_000,
 ) -> DataFrame:
     """Apply trained per-source mixture keep-rates to an arriving stream:
     ``rates`` is (source, keep_ppm) from an offline mixture computation
@@ -121,12 +137,16 @@ def sampled_stream(
     keep decision is a DETERMINISTIC md5 coin on the document id — pure
     function of the key, so an at-least-once replay keeps exactly the same
     rows (idempotent under source re-delivery), unlike an RNG sample.
-    Stateless stream-static broadcast join, same scale shape as the gate."""
+    Stateless stream-static broadcast join, same scale shape as the gate.
+
+    Sources absent from ``rates`` keep at ``default_ppm`` (default: keep
+    everything — a new source appearing after training must not silently
+    vanish; set 0 to drop unknown sources explicitly)."""
     from csvtool_spark.functions.hashing import md5_prefix_long
 
     coin = md5_prefix_long(F.col(id_col).cast("string")) % 1_000_000
     return (
-        stream.join(F.broadcast(rates), group_col)
-        .filter(coin < F.col("keep_ppm"))
+        stream.join(F.broadcast(rates), group_col, "left")
+        .filter(coin < F.coalesce(F.col("keep_ppm"), F.lit(int(default_ppm))))
         .drop("keep_ppm")
     )

@@ -275,3 +275,48 @@ def test_parse_date_literal_epoch():
     assert parse_date("1609459200") == datetime.datetime(2021, 1, 1)
     assert parse_date("1609459200500") == datetime.datetime(2021, 1, 1, 0, 0, 0, 500000)
     assert parse_date("123") is None
+
+
+def test_epoch_promotion_optout(spark, tmp_path):
+    path = _write(
+        tmp_path, "optout.csv", "id,created\n1,1609459200\n2,1612137600\n"
+    )
+    from csvtool_spark.dialect.types import T_INT
+
+    df, _, types = read_csv(spark, path, epoch_promotion=False)
+    assert types[1] == T_INT
+    assert {r.created for r in df.collect()} == {1609459200, 1612137600}
+
+
+def test_epoch_cast_range_guard(spark):
+    # full-scan conversion carries the same range guard as detection: a
+    # 10-digit value beyond 2040 (possible past the sampled head) → null
+    from csvtool_spark.sources.csv import EPOCH_SECONDS, parse_date_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("1609459200",), ("9999999999",), ("0999999999",)], ["v"]
+    )
+    out = df.select(parse_date_col(F.col("v"), [EPOCH_SECONDS]).alias("t")).collect()
+    vals = [r.t for r in out]
+    assert vals[0] == datetime.datetime(2021, 1, 1)
+    assert vals[1] is None and vals[2] is None
+
+
+def test_observed_formats_keep_ladder_fallback_when_only_epoch_sampled():
+    # a DATE column whose first 200 non-null values are all epoch must not
+    # lose the format ladder — the date string that made it DATE may sit
+    # beyond the [:200] slice
+    from csvtool_spark.sources.csv import (
+        EPOCH_SECONDS,
+        SPARK_DATE_FORMATS,
+        observed_date_formats,
+    )
+
+    fmts = observed_date_formats(["1609459200"] * 200)
+    assert fmts[-1] == EPOCH_SECONDS
+    assert fmts[:-1] == SPARK_DATE_FORMATS
+    # and a matched ladder entry narrows as before, epoch appended
+    fmts2 = observed_date_formats(["2021-01-01", "1609459200"])
+    assert "yyyy-MM-dd" in fmts2 and fmts2[-1] == EPOCH_SECONDS
+    assert len(fmts2) < 6

@@ -55,15 +55,19 @@ def test_pagerank_partitioning_invariant(spark):
 
 
 def test_pagerank_multi_edge_weighting(spark):
-    # duplicate edges contribute multiply: a->c twice vs once changes c
-    once = spark.createDataFrame([("a", "c")], ["src", "dst"])
-    twice = spark.createDataFrame([("a", "c"), ("a", "c")], ["src", "dst"])
-    r1, r2 = _ranks(pagerank_int(once, "src", "dst", iters=1)), _ranks(
-        pagerank_int(twice, "src", "dst", iters=1)
+    # a splits its mass across two out-edges; the DUPLICATED a->c edge must
+    # get 2/3 of it vs 1/3 for a->d — deduplicating edges before the degree
+    # count would send both ranks to base + 0.85*(SCALE//2) and fail here
+    from csvtool_spark.operators.graph import SCALE as S
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("a", "d")], ["src", "dst"]
     )
-    # with two copies, deg=2 and each edge ships rank//2 — same total here,
-    # so the *sum* matches but the per-edge pipeline exercised differs
-    assert r1["c"] == r2["c"]
+    r = _ranks(pagerank_int(edges, "src", "dst", iters=1))
+    base = (15 * S) // 100
+    assert r["c"] == base + (85 * (2 * (S // 3))) // 100
+    assert r["d"] == base + (85 * (S // 3)) // 100
+    assert r["c"] > r["d"]
 
 
 # ---------------------------------------------------------------------------

@@ -302,8 +302,54 @@ def test_sampled_stream_replay_idempotent_and_matches_coin(spark):
 
     batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     coin = md5_prefix_long(F.col("doc_id").cast("string")) % 1_000_000
+    # mirror the stream's unseen-source policy: left join, absent → keep
     want = {
         r.doc_id
-        for r in batch.join(rates, "source").filter(coin < F.col("keep_ppm")).collect()
+        for r in batch.join(rates, "source", "left")
+        .filter(coin < F.coalesce(F.col("keep_ppm"), F.lit(1_000_000)))
+        .collect()
     }
     assert set(counts) == want and len(want) > 0
+
+
+def test_streaming_gate_and_sampler_unseen_source_policy(spark):
+    # a source that appears only AFTER training must not silently vanish:
+    # default policy keeps it (gate: pass ungated; sampler: keep_ppm=1e6),
+    # and an explicit default_threshold gates it like any other source
+    from csvtool_spark.streaming import (
+        quality_gated_stream,
+        run_to_memory,
+        sampled_stream,
+        stream_documents_dir,
+    )
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="docs_unseen_")
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{d}/a.parquet")
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+
+    # thresholds/rates tables that know NONE of the stream's sources
+    thr = spark.createDataFrame([("elsewhere", 0.99)], ["source", "__thr"])
+    rates = spark.createDataFrame([("elsewhere", 0)], ["source", "keep_ppm"])
+
+    run_to_memory(
+        quality_gated_stream(stream_documents_dir(spark, d), thr),
+        "unseen_gate_out", output_mode="append",
+    )
+    assert spark.sql("SELECT count(*) c FROM unseen_gate_out").first().c == total
+
+    run_to_memory(
+        sampled_stream(stream_documents_dir(spark, d), rates),
+        "unseen_samp_out", output_mode="append",
+    )
+    assert spark.sql("SELECT count(*) c FROM unseen_samp_out").first().c == total
+
+    # strict variant: unknown sources gated at an impossible threshold
+    run_to_memory(
+        quality_gated_stream(
+            stream_documents_dir(spark, d), thr, default_threshold=2.0
+        ),
+        "unseen_strict_out", output_mode="append",
+    )
+    assert spark.sql("SELECT count(*) c FROM unseen_strict_out").first().c == 0
