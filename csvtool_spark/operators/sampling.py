@@ -210,3 +210,27 @@ def negative_pairs(
         .filter(F.col("__rn2") == 1)
         .select("anchor", "j", "neg_id")
     )
+
+
+def deterministic_shuffle(
+    df, id_col: str, seed: int = 0, n_shards: int | None = None
+):
+    """Training-order shuffle as a PURE FUNCTION of the row id: order by
+    ``md5(seed # id)``. Unlike ``orderBy(rand())`` this is reproducible
+    across runs, engines and restarts (resume mid-epoch = skip to offset),
+    and changing ``seed`` gives an independent permutation per epoch.
+
+    ``n_shards`` set → range-repartition on the key + sort within shards:
+    the standard write shape for sharded training data (one shuffle, each
+    output file internally ordered, global order = shard order then file
+    order). ``None`` → total order (Spark range-samples the key — still
+    one shuffle, no single-task sort).
+    Returns the input columns plus ``shuffle_key``. DuckDB twin of the key:
+    ``md5('{seed}#' || CAST(id AS VARCHAR))``."""
+    key = F.md5(F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key)
+    if n_shards is not None:
+        return out.repartitionByRange(n_shards, "shuffle_key").sortWithinPartitions(
+            "shuffle_key"
+        )
+    return out.orderBy("shuffle_key", id_col)

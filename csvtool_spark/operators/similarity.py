@@ -788,3 +788,15 @@ def centroid_outliers(
         .orderBy(F.col("dist").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def l2_normalize(col: Column) -> Column:
+    """Unit-L2-norm embedding; a zero vector normalizes to all-null (no
+    ANSI divide error). The norm is LET-BOUND via the one-element-array
+    transform trick so Catalyst evaluates the O(d) norm fold once per row,
+    not once per element (O(d²) if inlined)."""
+    v = _vec_d(col)
+    return F.transform(
+        F.array(norm(v)),
+        lambda n: F.transform(v, lambda x: x / F.when(n > 0, n)),
+    )[0]

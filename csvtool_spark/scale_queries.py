@@ -1661,3 +1661,54 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.centroid_outliers(e, "embedding", "vec_id", "label", k=20)
+
+
+# --- embedding normalization + deterministic shuffle ----------------------
+
+
+@register(
+    "q_embed_normalize",
+    # unit-norm embeddings, rounded to 6 — the norm fold shares the
+    # sequential list_reduce shape with the Spark let-bound norm
+    """
+    SELECT vec_id,
+           list_transform(embedding, x ->
+             round(CAST(x AS DOUBLE)
+               / (CASE WHEN sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, len(embedding)+1),
+                      i -> CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE))),
+                    (a, b) -> a + b)) > 0
+                  THEN sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, len(embedding)+1),
+                      i -> CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE))),
+                    (a, b) -> a + b)) END), 6)) AS unit
+    FROM embeddings WHERE vec_id < 50
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    unit = similarity.l2_normalize(F.col("embedding"))
+    return e.select(
+        "vec_id", F.transform(unit, lambda x: F.round(x, 6)).alias("unit")
+    )
+
+
+@register(
+    "q_det_shuffle",
+    # the md5 epoch-shuffle key per document (the ORDER itself is the sort
+    # by this key; the order-insensitive driver compare validates the key
+    # mapping, pytest validates the realized ordering/sharding)
+    """
+    SELECT doc_id, md5('7#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.sampling import deterministic_shuffle
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed=7)

@@ -147,3 +147,63 @@ def test_centroid_outliers_plan_is_take_ordered(spark):
     df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
     plan = centroid_outliers(df, "embedding", "vec_id", "label", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# l2_normalize / deterministic_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    from csvtool_spark.operators.similarity import l2_normalize, norm, _vec_d
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "v"]
+    )
+    out = {r.id: r.u for r in df.select("id", l2_normalize(F.col("v")).alias("u")).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [None, None]  # zero vector → nulls, no ANSI error
+
+
+def test_l2_normalize_plan_evaluates_norm_once(spark):
+    # the let-binding trick: the O(d) norm fold must appear ONCE in the
+    # optimized plan, not once per element
+    from csvtool_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])], ["id", "v"])
+    plan = df.select(l2_normalize(F.col("v")).alias("u"))._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") <= 2  # norm fold (sqrt(dot)) let-bound
+
+
+def test_deterministic_shuffle_reproducible_and_seeded(spark):
+    from csvtool_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    o1 = [r.id for r in deterministic_shuffle(df, "id", seed=1).collect()]
+    o2 = [r.id for r in deterministic_shuffle(df.repartition(13), "id", seed=1).collect()]
+    o3 = [r.id for r in deterministic_shuffle(df, "id", seed=2).collect()]
+    assert o1 == o2                      # partitioning-independent
+    assert sorted(o1) == list(range(100))  # a permutation
+    assert o1 != o3                      # new seed → new epoch order
+    assert o1 != list(range(100))        # actually shuffled
+
+
+def test_deterministic_shuffle_sharded(spark):
+    from csvtool_spark.operators.sampling import deterministic_shuffle
+    from pyspark.sql.functions import spark_partition_id
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    out = deterministic_shuffle(df, "id", seed=3, n_shards=4)
+    rows = out.withColumn("p", spark_partition_id()).collect()
+    assert len({r.p for r in rows}) == 4
+    # within each shard, rows are ordered by the key; shards are key ranges
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r.p, []).append(r.shuffle_key)
+    bounds = []
+    for p in sorted(by_p):
+        ks = by_p[p]
+        assert ks == sorted(ks)
+        bounds.append((min(ks), max(ks)))
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2  # range partitioning: non-overlapping key ranges
