@@ -49,14 +49,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """k-word shingles; documents shorter than k words get one whole-text
-    shingle (guards F.sequence against negative ranges)."""
+    shingle (guards F.sequence against negative ranges). NULL tokens (null
+    text) yield a NULL shingle set — without the guard, concat_ws would
+    quietly turn null into an '' shingle that equi-joins with real empty
+    docs, while a SQL oracle's array_to_string(NULL) yields a NULL shingle
+    that never joins; with it, a null doc produces no candidate pairs in
+    either engine."""
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", toks))
+    return F.when(
+        toks.isNotNull(),
+        F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        ),
     )
 
 
@@ -76,8 +84,12 @@ def hashed_shingles(toks: Column, k: int = 3) -> Column:
     acc = F.slice(h, 1, m)
     for j in range(1, k):
         acc = F.zip_with(acc, F.slice(h, j + 1, m), lambda a, b: F.xxhash64(a, b))
-    return F.when(n >= k, F.array_distinct(acc)).otherwise(
-        F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    # NULL tokens → NULL shingle set (same contract as word_shingles)
+    return F.when(
+        toks.isNotNull(),
+        F.when(n >= k, F.array_distinct(acc)).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        ),
     )
 
 

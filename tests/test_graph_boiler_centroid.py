@@ -207,3 +207,43 @@ def test_deterministic_shuffle_sharded(spark):
         bounds.append((min(ks), max(ks)))
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2  # range partitioning: non-overlapping key ranges
+
+
+# ---------------------------------------------------------------------------
+# null-text contract across the shingle pipelines
+# ---------------------------------------------------------------------------
+
+
+def test_null_text_produces_no_pairs_or_boiler_counts(spark):
+    # NULL text must behave like the SQL oracles: no shingles, no candidate
+    # pairs, never an '' shingle that equi-joins with real empty docs
+    from csvtool_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        near_dup_pairs_minhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, "the quick brown fox jumps"),
+            (5, "the quick brown fox jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    ng = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in ng} == {(4, 5)}  # nulls pair with nothing
+
+    mh = near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.5, hash_family="md5"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(4, 5)}
+
+    bo = {
+        r.doc_id: r
+        for r in boilerplate_stats(docs, "text", "doc_id", k=3, min_docs=2).collect()
+    }
+    # boilerplate coalesces null→'' so null and empty docs share the ''
+    # shingle (counted consistently by its own coalescing oracle)
+    assert bo[1].n_shingles == 1 and bo[4].n_boiler == bo[5].n_boiler
