@@ -1712,3 +1712,52 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(d, "doc_id", seed=7)
+
+
+# --- table profiling ------------------------------------------------------
+
+
+@register(
+    "q_profile",
+    # exact-distinct mode for the cross-engine comparison (the scale
+    # default is HLL — see operators/profiling.py); columns restricted to
+    # BIGINT/VARCHAR so min/max string casts format identically
+    """
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.profiling import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )

@@ -247,3 +247,36 @@ def test_null_text_produces_no_pairs_or_boiler_counts(spark):
     # boilerplate coalesces null→'' so null and empty docs share the ''
     # shingle (counted consistently by its own coalescing oracle)
     assert bo[1].n_shingles == 1 and bo[4].n_boiler == bo[5].n_boiler
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_metrics(spark):
+    from csvtool_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (4, None, 2.5)],
+        ["id", "s", "x"],
+    )
+    p = {r.col_name: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert p["id"].n_rows == 4 and p["id"].n_nulls == 0 and p["id"].n_distinct == 4
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["x"].n_nulls == 1 and p["x"].n_distinct == 2
+    assert p["id"].min_str == "1" and p["id"].max_str == "4"
+    # typed ordering, not string ordering: min of [1.5, 2.5] is 1.5 even
+    # though '10' < '9' lexicographically
+    assert p["x"].min_str == "1.5" and p["x"].max_str == "2.5"
+
+
+def test_profile_table_single_scan(spark):
+    # approx mode: one aggregate, NO Expand operator (exact mode plans one)
+    from csvtool_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    approx = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    exact = profile_table(df, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx
+    assert "Expand" in exact  # the documented exact-mode cost
