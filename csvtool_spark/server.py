@@ -2,9 +2,11 @@
 (/root/reference/server.go:99-177): ``POST /query/`` runs ;-separated
 dialect statements and returns the ReturnData JSON contract
 (utils.go:590-608 — status bits, per-statement entries, browser row cap),
-``GET /info?info=fileClick`` serves the directory browser. The webgui
-static bundle and the websocket password/progress channel are display
-plumbing and deliberately out of engine scope (SURVEY.md §2.1).
+``GET /info?info=fileClick`` serves the directory browser, and ``GET /``
+serves a minimal bundled browser UI (csvtool_spark.webui — original
+single-file page over the same JSON contract). The websocket
+password/progress channel remains display plumbing out of engine scope
+(SURVEY.md §2.1).
 
 Scale note: the row cap exists because this surface is interactive — the
 server clips each statement to ``SHOW_CAP/numcols`` rows exactly like the
@@ -154,6 +156,15 @@ class CsvToolServer:
             def do_GET(self):
                 if self.path.startswith("/info"):
                     self._do_info()
+                elif self.path in ("/", "/index.html"):
+                    from csvtool_spark.webui import INDEX_HTML
+
+                    body = INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self.send_error(404)
 

@@ -108,3 +108,23 @@ def test_browse_dir_bad_path():
 
     out = browse_dir("/no/such/dir/anywhere")
     assert out.get("status") == DAT_BADPATH
+
+
+def test_webui_served_at_root(eng):
+    import urllib.request
+
+    from csvtool_spark.server import CsvToolServer
+
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=30
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        # the page drives the same JSON contract the API tests pin
+        assert "/query/" in page and "csvtool-spark" in page
+        assert "colnames" in page and "showLimit" in page
+    finally:
+        srv.stop()
