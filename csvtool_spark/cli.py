@@ -26,15 +26,37 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true",
         help="print the Catalyst physical plan instead of executing",
     )
+    ap.add_argument(
+        "--serve", nargs="?", const=8060, type=int, metavar="PORT",
+        help="serve the browser UI + JSON query API instead of running a "
+        "query (the reference's primary mode, main.go:80-97; default port "
+        "8060, 0 = ephemeral)",
+    )
     args = ap.parse_args(argv)
+
+    from csvtool_spark.engine import CsvEngine
+    from csvtool_spark.session import get_spark
+
+    if args.serve is not None:
+        from csvtool_spark.server import CsvToolServer
+
+        srv = CsvToolServer(CsvEngine(get_spark("csvtool-serve")), port=args.serve)
+        srv.start()
+        print(f"serving on http://127.0.0.1:{srv.port}/ (ctrl-c to stop)")
+        try:
+            import signal
+
+            signal.pause()
+        except (KeyboardInterrupt, AttributeError):
+            pass
+        finally:
+            srv.stop()
+        return 0
 
     text = args.command if args.command else sys.stdin.read()
     if not text.strip():
         print("no query given", file=sys.stderr)
         return 2
-
-    from csvtool_spark.engine import CsvEngine
-    from csvtool_spark.session import get_spark
 
     eng = CsvEngine(get_spark("csvtool-cli"))
     if args.explain:
