@@ -1,0 +1,86 @@
+"""End-to-end training-data pipeline composition: curate → chunk →
+token-count → pack → deterministic shuffle. Each stage is individually
+oracle-backed; this suite pins the INVARIANTS of their composition — the
+path a real corpus takes from raw documents to training shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import textstats
+from csvtool_spark.operators.packing import pack_sequences
+from csvtool_spark.operators.pipeline import chunk_documents, curate
+from csvtool_spark.operators.sampling import deterministic_shuffle
+from tests.conftest import SF_SMALL
+
+BUDGET = 64
+
+
+def test_full_pipeline_invariants(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. curate: language + quality + near-dup gate
+    kept = curate(docs, "text", "doc_id", min_quality=0.3).persist()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_raw
+
+    # 2. chunk into 32-token windows, 8 overlap
+    chunks = chunk_documents(kept, "text", "doc_id", chunk_tokens=32, overlap=8)
+    chunks = chunks.withColumn(
+        "n_tok", textstats.token_count(F.col("chunk_text"))
+    ).persist()
+    # every kept doc produced ≥1 chunk; no chunk exceeds the window
+    assert chunks.select("doc_id").distinct().count() == n_kept
+    assert chunks.filter(F.col("n_chunk_tokens") > 32).count() == 0
+    # chunk token accounting: first chunk starts the doc, windows overlap
+    # by ≤ 8, and the concatenation covers every token of the doc
+    tok_sum = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("s"), F.count("*").alias("c")
+    )
+    doc_toks = kept.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n")
+    )
+    j = tok_sum.join(doc_toks, "doc_id")
+    # sum of chunk lengths = doc length + overlap·(chunks−1)
+    assert (
+        j.filter(F.col("s") != F.col("n") + 8 * (F.col("c") - 1)).count() == 0
+    )
+
+    # 3. pack chunks into fixed-budget sequences
+    cid = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")).alias("cid"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+    )
+    packed = pack_sequences(cid, "cid", "n_tok", BUDGET).persist()
+    # conservation: every chunk's tokens land somewhere, exactly once
+    total_chunk_tokens = cid.agg(F.sum("n_tok")).first()[0]
+    assert packed.agg(F.sum("n_tok")).first()[0] == total_chunk_tokens
+    # no sequence overflows its budget
+    per_seq = packed.groupBy("seq_id").agg(F.sum("n_tok").alias("t"))
+    assert per_seq.filter(F.col("t") > BUDGET).count() == 0
+    # all sequences except the last are exactly full (greedy packing)
+    last = per_seq.agg(F.max("seq_id")).first()[0]
+    assert (
+        per_seq.filter((F.col("seq_id") != last) & (F.col("t") != BUDGET)).count()
+        == 0
+    )
+
+    # 4. deterministic shuffle of the packed sequence ids is a permutation
+    seqs = per_seq.select("seq_id")
+    shuffled = deterministic_shuffle(seqs, "seq_id", seed=11)
+    ids = [r.seq_id for r in shuffled.collect()]
+    assert sorted(ids) == [r.seq_id for r in seqs.orderBy("seq_id").collect()]
+    assert ids != sorted(ids)  # genuinely shuffled
+
+    kept.unpersist(), chunks.unpersist(), packed.unpersist()
+
+
+def test_pipeline_is_one_spark_plan_until_pack(spark):
+    # curate→chunk composes into ONE declarative plan (no driver
+    # materialization until pack's bounded per-partition-count collect)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    kept = curate(docs, "text", "doc_id", min_quality=0.3, near_dup_threshold=None)
+    chunks = chunk_documents(kept, "text", "doc_id", chunk_tokens=32, overlap=8)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
