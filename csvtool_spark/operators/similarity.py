@@ -800,3 +800,54 @@ def l2_normalize(col: Column) -> Column:
         F.array(norm(v)),
         lambda n: F.transform(v, lambda x: x / F.when(n > 0, n)),
     )[0]
+
+
+# --- batch ANN: many queries in one corpus pass ---------------------------
+
+
+def ann_bruteforce_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine for a BATCH of query vectors in ONE corpus scan:
+    the queries ship as a literal array of (qid, vec) structs (like the
+    SRP hyperplanes — driver-bounded, no broadcast join machinery), each
+    corpus row explodes into |Q| scored rows, and a per-query window takes
+    the top k. Returns (qid, id, cos) rows, k per query.
+
+    Scale: cost is the unavoidable |corpus|·|Q| score matrix, but it runs
+    as a map-only projection fused into the scan (no join, no cartesian
+    operator) followed by ONE shuffle on qid for the per-query top-k —
+    with rank<=k filtering inside the window aggregation
+    (WindowGroupLimit pushes the limit into the sort). For large |Q| use
+    the bucketed index twins instead (``ann_lsh_indexed``/``ann_ivf_sq``:
+    each query probes its buckets, not the whole corpus)."""
+    from pyspark.sql import Window
+
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            )
+            for qid, vec in sorted(queries.items())
+        ]
+    )
+    v = _vec_d(F.col(vec_col))
+    scored = (
+        df.select(F.col(id_col), v.alias("__v"), F.explode(qarr).alias("q"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col(id_col),
+            cosine(F.col("__v"), F.col("q.qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1761,3 +1761,37 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         exact_distinct=True,
     )
+
+
+# --- batch ANN ------------------------------------------------------------
+
+
+@register(
+    "q_ann_batch",
+    # 4 query vectors (vec_id 0-3) scored against the whole corpus in one
+    # pass; per-query top-5 with the usual round(cos,6)+id tie-break. The
+    # oracle ranks with the same sequential-fold cosine per (query, row).
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, cos
+    FROM scored WHERE rn <= 5
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    return similarity.ann_bruteforce_batch(e, "embedding", "vec_id", qs, k=5)

@@ -280,3 +280,37 @@ def test_profile_table_single_scan(spark):
     exact = profile_table(df, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in approx
     assert "Expand" in exact  # the documented exact-mode cost
+
+
+# ---------------------------------------------------------------------------
+# batch ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ann_batch_matches_single_query_bruteforce(spark):
+    from csvtool_spark.operators.similarity import ann_bruteforce, ann_bruteforce_batch
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = {0: rows[0][1], 17: rows[17][1]}
+    batch = ann_bruteforce_batch(df, "embedding", "vec_id", queries, k=3).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos))
+    for qid, vec in queries.items():
+        single = [(r.vec_id, r.cos) for r in ann_bruteforce(df, "embedding", "vec_id", vec, k=3).collect()]
+        assert by_q[qid] == single
+    assert len(by_q[0]) == 3
+
+
+def test_ann_batch_plan_has_no_join(spark):
+    # the score matrix is a map-only explode projection — no join operator,
+    # one shuffle (the per-query window), limit pushed into the sort
+    from csvtool_spark.operators.similarity import ann_bruteforce_batch
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    plan = ann_bruteforce_batch(df, "embedding", "vec_id", {0: [1.0, 0.0]}, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
