@@ -1,0 +1,248 @@
+"""Naive Bayes text classification: train by aggregation, score by
+broadcast join — the distributed analog of the fastText-style quality /
+language classifiers real pre-training pipelines run over every document
+(CCNet, GPT-3 quality filtering).
+
+Design for 100 TB:
+
+- **Train** is two linear passes over the corpus: one explode + hash
+  aggregation on ``token`` (map-side partial combine, one shuffle) to get
+  per-class token counts, then a corpus top-V vocabulary via
+  ``TakeOrderedAndProject`` (no global window).  The resulting model is a
+  bounded artifact — V rows × C classes — independent of corpus size.
+- **Score** is one linear pass: explode + broadcast join against the model
+  (the model never shuffles the corpus side) + one hash aggregation on
+  ``doc_id``.  Per-occurrence OOV handling is a ``coalesce`` with the
+  per-class default, so no second pass is needed.
+- All log-probabilities are scaled to **fixed-point int64**
+  (``round(ln(p) * 1e6)``), so score sums are exact integer arithmetic —
+  invariant to aggregation order, reproducible bit-for-bit in DuckDB, and
+  immune to float-summation non-determinism across partitionings.
+
+Per-doc score magnitude is bounded by ``n_tokens * |min logp| * 1e6``
+(≈ 5e9 for 500-token docs) — far inside int64 even for million-token
+documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for log-probabilities.
+LOGP_SCALE = 1_000_000
+
+
+def _logp_fixed(num: Column, den: Column) -> Column:
+    """``round(ln(num/den) * 1e6)`` as int64 — the fixed-point log-prob."""
+    return F.round(F.log(num.cast("double") / den.cast("double")) * LOGP_SCALE, 0).cast(
+        "long"
+    )
+
+
+@dataclass
+class NBModel:
+    """A trained model: bounded, broadcastable.
+
+    ``tokens`` has one row per vocabulary token with a ``lp_<class>``
+    int64 column per class; ``priors``/``defaults`` map class → fixed-point
+    prior / unseen-token log-prob.
+    """
+
+    classes: list[str]
+    tokens: DataFrame
+    priors: dict[str, int]
+    defaults: dict[str, int]
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    vocab_size: int = 2000,
+) -> NBModel:
+    """Train multinomial Naive Bayes with Laplace smoothing.
+
+    Vocabulary is the corpus top-``vocab_size`` whitespace tokens by total
+    count (ties broken by token string — deterministic).  Class-conditional
+    probabilities use add-one smoothing over the *in-vocabulary* token
+    totals: ``p(t|c) = (cnt_tc + 1) / (tok_c + V)``; unseen/OOV tokens get
+    ``1 / (tok_c + V)``.
+    """
+    classes = sorted(
+        r[0] for r in df.select(label_col).distinct().collect() if r[0] is not None
+    )
+
+    tok = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("c_all"),
+        *[
+            F.count(F.when(F.col("_lbl") == c, 1)).alias(f"c_{i}")
+            for i, c in enumerate(classes)
+        ],
+    )
+    vocab = counts.orderBy(F.desc("c_all"), F.asc("token")).limit(vocab_size)
+
+    totals = vocab.agg(
+        F.count("*").alias("v"),
+        *[F.sum(f"c_{i}").alias(f"t_{i}") for i in range(len(classes))],
+    ).collect()[0]
+    v = totals["v"]
+    tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
+
+    model_tokens = vocab.select(
+        "token",
+        *[
+            _logp_fixed(F.col(f"c_{i}") + F.lit(1), F.lit(tok_c[i] + v)).alias(
+                f"lp_{i}"
+            )
+            for i in range(len(classes))
+        ],
+    )
+
+    by_class = {
+        r["_lbl"]: r["n"]
+        for r in df.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["_lbl"] is not None
+    }
+    n_total = sum(by_class.values())
+    import math
+
+    priors = {
+        c: int(round(math.log(by_class[c] / n_total) * LOGP_SCALE)) for c in classes
+    }
+    defaults = {
+        c: int(round(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE))
+        for i, c in enumerate(classes)
+    }
+    return NBModel(classes=classes, tokens=model_tokens, priors=priors, defaults=defaults)
+
+
+def nb_score(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: per-class fixed-point log-posterior + argmax.
+
+    One explode, one broadcast join, one hash agg on ``id_col``.  Documents
+    with no tokens (null/empty text) fall back to the prior-only argmax via
+    the left join from ``df``.  Ties in the argmax break toward the
+    lexicographically first class — same rule as the oracle SQL.
+    """
+    k = len(model.classes)
+    occ = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    joined = occ.join(F.broadcast(model.tokens), "token", "left")
+    sums = joined.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.coalesce(F.col(f"lp_{i}"), F.lit(model.defaults[model.classes[i]]))
+            ).alias(f"s_{i}")
+            for i in range(k)
+        ]
+    )
+    out = df.join(sums, id_col, "left")
+    score_cols = [
+        (F.coalesce(F.col(f"s_{i}"), F.lit(0)) + F.lit(model.priors[c])).alias(
+            f"score_{c}"
+        )
+        for i, c in enumerate(model.classes)
+    ]
+    out = out.select(id_col, *[c for c in df.columns if c != id_col], *score_cols)
+    best = F.greatest(*[F.col(f"score_{c}") for c in model.classes])
+    pred = F.lit(None).cast("string")
+    # first class (sorted order) matching the max wins — fold from the last
+    # class backward so earlier classes override on ties
+    for c in reversed(model.classes):
+        pred = F.when(F.col(f"score_{c}") == best, F.lit(c)).otherwise(pred)
+    return out.withColumn("pred", pred).withColumn("score_pred", best)
+
+
+def nb_oracle_sql(
+    classes: list[str],
+    vocab_size: int = 2000,
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``nb_train`` + ``nb_score`` — same vocabulary
+    tie-break, same fixed-point rounding, same coalesce-per-occurrence OOV
+    rule, same first-class-wins argmax.  Integer score sums make the
+    comparison exact."""
+    cls = sorted(classes)
+    c_cols = ",\n             ".join(
+        f"count(*) FILTER (_lbl = '{c}') AS c_{i}" for i, c in enumerate(cls)
+    )
+    t_cols = ", ".join(f"sum(c_{i}) AS t_{i}" for i in range(len(cls)))
+    lp_cols = ",\n             ".join(
+        f"CAST(round(ln((c_{i} + 1.0) / (t_{i} + v)) * {LOGP_SCALE}) AS BIGINT) AS lp_{i}"
+        for i in range(len(cls))
+    )
+    d_cols = ", ".join(
+        f"CAST(round(ln(1.0 / (t_{i} + v)) * {LOGP_SCALE}) AS BIGINT) AS d_{i}"
+        for i in range(len(cls))
+    )
+    # denominator counts labeled docs only — matches nb_train's sum(by_class)
+    p_cols = ", ".join(
+        f"CAST(round(ln((count(*) FILTER ({label_col} = '{c}')) * 1.0 / "
+        f"(count(*) FILTER ({label_col} IS NOT NULL))) * {LOGP_SCALE}) AS BIGINT) AS p_{i}"
+        for i, c in enumerate(cls)
+    )
+    s_cols = ",\n             ".join(
+        f"sum(coalesce(m.lp_{i}, d.d_{i})) AS s_{i}" for i in range(len(cls))
+    )
+    score_cols = ",\n           ".join(
+        f"coalesce(s.s_{i}, 0) + p.p_{i} AS score_{c}" for i, c in enumerate(cls)
+    )
+    greatest = ", ".join(f"score_{c}" for c in cls)
+    pred_case = "\n                ".join(
+        f"WHEN score_{c} = greatest({greatest}) THEN '{c}'" for c in cls
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {label_col} AS _lbl, unnest(string_split({text_col}, ' ')) AS token
+      FROM {table}
+    ),
+    counts AS (
+      SELECT token, count(*) AS c_all,
+             {c_cols}
+      FROM tok GROUP BY token
+    ),
+    vocab AS (
+      SELECT * FROM counts ORDER BY c_all DESC, token ASC LIMIT {vocab_size}
+    ),
+    tot AS (SELECT count(*) AS v, {t_cols} FROM vocab),
+    model AS (
+      SELECT token,
+             {lp_cols}
+      FROM vocab, tot
+    ),
+    defaults AS (SELECT {d_cols} FROM tot),
+    priors AS (SELECT {p_cols} FROM {table}),
+    sums AS (
+      SELECT t.{id_col},
+             {s_cols}
+      FROM tok t LEFT JOIN model m USING (token), defaults d
+      GROUP BY t.{id_col}
+    ),
+    scored AS (
+      SELECT doc.{id_col}, doc.{label_col},
+           {score_cols}
+      FROM {table} doc LEFT JOIN sums s USING ({id_col}), priors p
+    )
+    SELECT {id_col}, {label_col},
+           CASE {pred_case} END AS pred,
+           greatest({greatest}) AS score_pred
+    FROM scored
+    """

@@ -550,3 +550,101 @@ def near_dup_pairs_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- duplicate passage (span) detection -----------------------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicate-passage detection at k-token span
+    granularity (the span analog of Lee et al. 2021's substring dedup):
+    every positional k-token window is hashed (md5 — reproducible
+    cross-engine); a span is *duplicated* when it occurs in at least
+    ``min_docs`` distinct documents. Returns one row per input document:
+    ``n_spans`` (token windows), ``n_dup`` (occurrences of duplicated
+    spans) and ``dup_frac`` — the signal used to drop or trim
+    boilerplate-heavy documents.
+
+    Scale shape: one explode pass (linear in corpus tokens), a hash agg on
+    ``(id, span_hash)`` with map-side combine, a hash agg on ``span_hash``
+    (bounded by distinct-span count), and a join back on ``span_hash``
+    that AQE co-partitions with the aggregation. No windows, no
+    collect — everything is count-sketched per span hash, never the span
+    text itself beyond the md5 input.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    spans = F.when(
+        F.col(text_col).isNotNull() & (n >= k),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    )
+    occ = df.select(F.col(id_col), F.explode(spans).alias("__h"))
+    per = occ.groupBy(id_col, "__h").agg(F.count("*").alias("__n"))
+    byh = per.groupBy("__h").agg(F.count("*").alias("__ndocs"))
+    per_doc = (
+        per.join(byh, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("__spans"),
+            F.sum(F.when(F.col("__ndocs") >= min_docs, F.col("__n")).otherwise(0)).alias(
+                "__dup"
+            ),
+        )
+    )
+    n_spans = F.coalesce(F.col("__spans"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("__dup"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup"),
+            F.when(
+                n_spans > 0, F.round(n_dup.cast("double") * 1.0 / n_spans, 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_span_oracle_sql(
+    k: int = 8,
+    min_docs: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``duplicate_span_stats`` — identical md5 span
+    hashes, counts and rounding, so the comparison is exact."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    g AS (
+      SELECT {id_col}, unnest(range(1, len(t) - {k} + 2)) AS i, t
+      FROM toks WHERE len(t) >= {k}
+    ),
+    occ AS (
+      SELECT {id_col}, md5(array_to_string(t[i:i + {k - 1}], ' ')) AS h FROM g
+    ),
+    per AS (SELECT {id_col}, h, count(*) AS n FROM occ GROUP BY {id_col}, h),
+    byh AS (SELECT h, count(*) AS n_docs FROM per GROUP BY h),
+    pd AS (
+      SELECT {id_col}, sum(n) AS n_spans,
+             sum(CASE WHEN n_docs >= {min_docs} THEN n ELSE 0 END) AS n_dup
+      FROM per JOIN byh USING (h) GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN coalesce(pd.n_spans, 0) > 0
+                THEN round(pd.n_dup * 1.0 / pd.n_spans, 6) ELSE 0.0 END AS dup_frac
+    FROM {table} d LEFT JOIN pd USING ({id_col})
+    """

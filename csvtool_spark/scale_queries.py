@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from csvtool_spark.operators import (
     bloomjoin,
+    classify,
     contamination,
     dedup,
     multimodal,
@@ -1795,3 +1796,34 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < 4).collect()
     }
     return similarity.ann_bruteforce_batch(e, "embedding", "vec_id", qs, k=5)
+
+
+# --- Naive Bayes classification ------------------------------------------
+
+
+@register(
+    "q_nb_classify",
+    # train-on-corpus / score-on-corpus language classifier: top-2000
+    # vocabulary, add-one smoothing, fixed-point int64 log-probs (exact
+    # integer score sums cross-engine). Classes are the 5 lang values.
+    classify.nb_oracle_sql(["de", "en", "es", "fr", "zh"], vocab_size=2000),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    model = classify.nb_train(d, "text", "lang", vocab_size=2000)
+    scored = classify.nb_score(d, model, "text", "doc_id")
+    return scored.select("doc_id", "lang", "pred", "score_pred")
+
+
+# --- duplicate passage spans ----------------------------------------------
+
+
+@register(
+    "q_dup_spans",
+    dedup.duplicate_span_oracle_sql(k=8, min_docs=2),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(d, "text", "doc_id", k=8, min_docs=2)

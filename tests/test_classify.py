@@ -1,0 +1,82 @@
+"""Naive Bayes classifier: training semantics, scoring, edge cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators import classify
+
+
+def _labeled(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the food", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "le chien mange le repas", "fr"),
+        (5, "the cat and the dog", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_nb_train_model_shape(spark):
+    m = classify.nb_train(_labeled(spark), vocab_size=100)
+    assert m.classes == ["en", "fr"]
+    toks = {r.token for r in m.tokens.collect()}
+    assert "the" in toks and "le" in toks
+    assert set(m.priors) == {"en", "fr"} and set(m.defaults) == {"en", "fr"}
+    # priors: 3 en docs of 5, 2 fr docs of 5, fixed-point 1e6
+    assert m.priors["en"] == round(math.log(3 / 5) * classify.LOGP_SCALE)
+    assert m.priors["fr"] == round(math.log(2 / 5) * classify.LOGP_SCALE)
+
+
+def test_nb_predicts_training_languages(spark):
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=100)
+    out = {r.doc_id: r.pred for r in classify.nb_score(d, m).collect()}
+    assert out == {1: "en", 2: "en", 3: "fr", 4: "fr", 5: "en"}
+
+
+def test_nb_scores_are_exact_integers(spark):
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=100)
+    row = classify.nb_score(d, m).filter(F.col("doc_id") == 1).collect()[0]
+    # hand-computed: en has 14 in-vocab token occurrences, vocab size V
+    v = m.tokens.count()
+    t_en = 16  # tokens in en docs: 6 + 5 + 5 (docs 1,2,5 whitespace tokens)
+    lp = {r.token: r.lp_0 for r in m.tokens.collect()}
+    expect = m.priors["en"] + sum(
+        lp[t] for t in "the cat sat on the mat".split(" ")
+    )
+    assert row.score_en == expect
+    # every token of doc 1 is in-vocab; "the" occurs 6× in en docs
+    assert lp["the"] == round(math.log((6 + 1) / (t_en + v)) * classify.LOGP_SCALE)
+
+
+def test_nb_vocab_cap_and_oov_default(spark):
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=3)  # tiny vocab forces OOV scoring
+    assert m.tokens.count() == 3
+    out = classify.nb_score(d, m)
+    assert out.filter(F.col("pred").isNull()).count() == 0
+
+
+def test_nb_null_and_empty_text(spark):
+    rows = [(1, "a b", "en"), (2, None, "fr"), (3, "", "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = classify.nb_train(d, vocab_size=10)
+    out = {r.doc_id: r for r in classify.nb_score(d, m).collect()}
+    # null text → prior-only argmax (en prior 2/3 beats fr 1/3)
+    assert out[2].pred == "en"
+    assert out[2].score_pred == m.priors["en"]
+    assert len(out) == 3
+
+
+def test_nb_tie_breaks_to_first_class(spark):
+    # symmetric corpus: both classes identical → every score ties → 'a' wins
+    rows = [(1, "x y", "a"), (2, "x y", "b")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = classify.nb_train(d, vocab_size=10)
+    out = classify.nb_score(d, m).collect()
+    assert all(r.pred == "a" for r in out)

@@ -238,3 +238,36 @@ def test_langid_arrow_twin_identical(spark):
         "doc_id", textstats.lang_id(F.col("text")).alias("g2")  # arrow default
     )
     assert a.join(b, "doc_id").filter("g != g2").count() == 0
+
+
+# --- duplicate passage spans ----------------------------------------------
+
+
+def test_duplicate_span_stats(spark):
+    rows = [
+        (1, "a b c d e f"),        # shares the full 4-gram window set with 2
+        (2, "a b c d e g"),        # spans 'a b c d'/'b c d e' duplicated
+        (3, "x y z w v u"),        # unique spans
+        (4, "a b"),                # shorter than k → zero spans
+        (5, None),                 # null text → zero spans
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_span_stats(d, "text", "doc_id", k=4).collect()}
+    assert len(out) == 5
+    assert out[1].n_spans == 3 and out[2].n_spans == 3
+    assert out[1].n_dup == 2 and out[2].n_dup == 2   # 'a b c d', 'b c d e'
+    assert out[3].n_dup == 0 and out[3].n_spans == 3
+    assert out[4].n_spans == 0 and out[4].dup_frac == 0.0
+    assert out[5].n_spans == 0 and out[5].n_dup == 0
+    assert out[1].dup_frac == round(2 / 3, 6)
+
+
+def test_duplicate_span_within_doc_repeat(spark):
+    # min_docs=1 counts every span occurring ≥1 time... use a repeat inside
+    # one doc with min_docs=2 across docs: the repeated span within doc 1
+    # alone is NOT duplicated (distinct-doc criterion).
+    rows = [(1, "p q r s p q r s"), (2, "t u v w x y z q")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_span_stats(d, "text", "doc_id", k=4).collect()}
+    assert out[1].n_dup == 0                        # repeats only within doc 1
+    assert out[1].n_spans == 5
