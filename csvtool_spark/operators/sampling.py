@@ -234,3 +234,60 @@ def deterministic_shuffle(
             "shuffle_key"
         )
     return out.orderBy("shuffle_key", id_col)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "ps",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets a priority ``ln(u)/w`` where ``u`` is a
+    key-derived uniform in (0, 1] (md5 coin — pure function of the key, no
+    RNG) and ``w`` its weight; the global top-k priorities are the sample.
+    ``ln(u)/w`` is a monotone transform of the textbook ``u^(1/w)``, so
+    selection probabilities are the classic weighted-without-replacement
+    ones, but re-runs (and the DuckDB oracle) pick the exact same rows.
+
+    Scale shape: one linear projection pass + ``TakeOrderedAndProject``
+    for the top-k — no full sort, no shuffle of the table body. Priorities
+    are rounded to 12 decimals with a key tie-break so the boundary is
+    stable cross-engine. Rows with null or non-positive weight are
+    excluded (they have zero selection probability).
+    """
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_prefix_long(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    priority = F.round(F.log(u) / w, 12)
+    return (
+        df.filter(w > 0)
+        .select(F.col(key_col), F.col(weight_col), priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def priority_sample_oracle_sql(
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "ps",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``priority_sample`` — identical md5 coin, uniform,
+    log-priority rounding and tie-break."""
+    return f"""
+    WITH p AS (
+      SELECT {key_col}, {weight_col},
+             round(ln((CAST(concat('0x', substr(md5('{salt}#' || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                      / 4294967296.0) / CAST({weight_col} AS DOUBLE), 12) AS priority
+      FROM {table} WHERE CAST({weight_col} AS DOUBLE) > 0
+    )
+    SELECT * FROM p ORDER BY priority DESC, {key_col} ASC LIMIT {k}
+    """

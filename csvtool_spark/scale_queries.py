@@ -23,6 +23,7 @@ from csvtool_spark.operators import (
     contamination,
     dedup,
     multimodal,
+    sampling,
     similarity,
     sketches,
     textstats,
@@ -1827,3 +1828,16 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.duplicate_span_stats(d, "text", "doc_id", k=8, min_docs=2)
+
+
+# --- weighted priority sampling -------------------------------------------
+
+
+@register(
+    "q_priority_sample",
+    sampling.priority_sample_oracle_sql("n_chars", "doc_id", 100),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sampling.priority_sample(d, "n_chars", "doc_id", k=100)

@@ -168,3 +168,48 @@ def test_negative_pairs_deterministic_and_well_formed(spark):
     sdf = spark.createDataFrame([(f"doc_{i}",) for i in range(40)], "doc_id string")
     srows = negative_pairs(sdf, "doc_id", k=2, n_buckets=8).collect()
     assert srows and all(r.neg_id.startswith("doc_") for r in srows)
+
+
+# --- weighted priority sampling -------------------------------------------
+
+
+def test_priority_sample_deterministic_and_capped(spark):
+    from csvtool_spark.operators.sampling import priority_sample
+
+    d = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "id long, w long"
+    )
+    a = {r.id for r in priority_sample(d, "w", "id", k=30).collect()}
+    b = {r.id for r in priority_sample(d, "w", "id", k=30).collect()}
+    assert a == b and len(a) == 30
+
+
+def test_priority_sample_weight_bias(spark):
+    from csvtool_spark.operators.sampling import priority_sample
+
+    # half the keys carry 50x the weight — they should dominate the sample
+    d = spark.createDataFrame(
+        [(i, 50 if i % 2 == 0 else 1) for i in range(400)], "id long, w long"
+    )
+    heavy = sum(
+        1 for r in priority_sample(d, "w", "id", k=50).collect() if r.w == 50
+    )
+    assert heavy >= 40
+
+
+def test_priority_sample_drops_nonpositive_weights(spark):
+    from csvtool_spark.operators.sampling import priority_sample
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None), (5, 2)], "id long, w long"
+    )
+    out = priority_sample(d, "w", "id", k=10).collect()
+    assert {r.id for r in out} == {1, 5}
+
+
+def test_priority_sample_is_take_ordered(spark):
+    from csvtool_spark.operators.sampling import priority_sample
+
+    d = spark.createDataFrame([(i, i + 1) for i in range(100)], "id long, w long")
+    plan = priority_sample(d, "w", "id", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
