@@ -1,0 +1,214 @@
+"""Fixed-point PCA power iteration over embedding columns: the top
+principal direction and per-vector projections, computed with exact
+integer aggregation so every run — and the DuckDB oracle — produces
+bit-identical results.
+
+Real pipelines use the top principal components for embedding whitening,
+ABBA-style outlier pruning, and the SemDeDup preprocessing step. Spark has
+no distributed eigensolver in `pyspark.sql`; power iteration *is* the
+scalable algorithm: each step is one linear pass (a dot product per row +
+a per-dimension column sum), and only the dim-sized direction vector ever
+reaches the driver.
+
+Determinism strategy (the repo's fixed-point pattern, cf. integer
+PageRank in ``operators/graph.py``):
+
+- embeddings quantize to int64 on a ``scale`` grid (round-half-away, the
+  shared Spark/DuckDB semantics);
+- centering subtracts the rounded integer mean (exact int sums → identical
+  double division → identical rounding);
+- per-iteration sums ``s_j = Σ_i c_ij · (c_i · v)`` are exact int64
+  arithmetic — invariant to partitioning/aggregation order;
+- the driver renormalizes ``s`` to an integer direction on a ``vscale``
+  grid using an explicit ``floor(|x| + 0.5)`` half-away formula (NOT
+  Python's banker's ``round``), the same formula the oracle SQL uses.
+
+Value-range bound (document per deployment): with ``|x| ≤ X`` the int64
+row dot is ≤ ``dim · X·scale · vscale`` and the per-dimension sum is
+≤ ``N · X·scale · dim·X·scale·vscale`` — for X=1, scale=1e3, vscale=1e4,
+dim=64 that stays inside int64 up to N ≈ 1.4e7 rows; larger corpora
+should sample for the direction fit (the projection pass itself cannot
+overflow) or lower ``vscale``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _half_away(x: float) -> int:
+    """Round-half-away-from-zero — matches Spark/DuckDB ``round`` and the
+    oracle's ``floor(|x| + 0.5)`` formula (Python ``round`` is banker's)."""
+    r = math.floor(abs(x) + 0.5)
+    return int(r) if x >= 0 else -int(r)
+
+
+def _quantized(vec_col: str, scale: int):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+
+
+def _dot(arr, lit_vec: list[int]):
+    vlit = F.array(*[F.lit(int(v)) for v in lit_vec])
+    return F.aggregate(
+        F.zip_with(arr, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def power_iteration(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+    vscale: int = 10000,
+    iters: int = 2,
+) -> tuple[list[int], list[int]]:
+    """Fit: returns ``(mean, direction)`` — the integer mean vector on the
+    ``scale`` grid and the top-direction vector on the ``vscale`` grid.
+
+    Passes over the data: one for the mean, one per iteration for the
+    per-dimension sums. Each collect is dim-sized (64 longs), never rows.
+    """
+    q = df.select(_quantized(vec_col, scale).alias("__q"))
+    comp = q.select(F.posexplode("__q").alias("__j", "__x"))
+    stats = (
+        comp.groupBy("__j").agg(F.sum("__x").alias("s"), F.count("*").alias("n"))
+    ).collect()
+    by_j = {r["__j"]: r for r in stats}
+    if len(by_j) != dim:
+        raise ValueError(f"expected {dim}-dim vectors, saw positions {sorted(by_j)}")
+    mean = [_half_away(float(by_j[j]["s"]) / by_j[j]["n"]) for j in range(dim)]
+
+    mlit = F.array(*[F.lit(int(m)) for m in mean])
+    centered = q.select(
+        F.zip_with(F.col("__q"), mlit, lambda a, b: a - b).alias("__c")
+    ).persist()
+    try:
+        v = [vscale] + [0] * (dim - 1)  # deterministic start: e1 on the grid
+        for _ in range(iters):
+            d = centered.select(F.col("__c"), _dot(F.col("__c"), v).alias("__d"))
+            rows = (
+                d.select(F.posexplode("__c").alias("__j", "__x"), "__d")
+                .groupBy("__j")
+                .agg(F.sum(F.col("__x") * F.col("__d")).alias("s"))
+            ).collect()
+            s = [0] * dim
+            for r in rows:
+                s[r["__j"]] = r["s"]
+            nrm = math.sqrt(float(sum(x * x for x in s)))
+            if nrm == 0.0:
+                break  # degenerate (constant data): keep current direction
+            v = [_half_away(float(x) / nrm * vscale) for x in s]
+    finally:
+        centered.unpersist()
+    return mean, v
+
+
+def project(
+    df: DataFrame,
+    vec_col: str,
+    mean: list[int],
+    direction: list[int],
+    scale: int = 1000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """One linear pass: exact int64 projection of every (centered,
+    quantized) vector onto the fitted direction — appended as ``out_col``."""
+    mlit = F.array(*[F.lit(int(m)) for m in mean])
+    c = F.zip_with(_quantized(vec_col, scale), mlit, lambda a, b: a - b)
+    return df.withColumn(out_col, _dot(c, direction))
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+    vscale: int = 10000,
+    iters: int = 2,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Fit + project in one call (the catalog entry's shape)."""
+    mean, v = power_iteration(df, vec_col, dim, scale, vscale, iters)
+    return project(df, vec_col, mean, v, scale, out_col)
+
+
+def pca_oracle_sql(
+    dim: int,
+    scale: int = 1000,
+    vscale: int = 10000,
+    iters: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: str = "label",
+) -> str:
+    """DuckDB CTE twin: the same quantize → center → unrolled power
+    iteration → project pipeline, with the identical half-away floor
+    formula at each renormalization. All sums exact (HUGEINT), cast back
+    to BIGINT at the edges."""
+
+    def half_away(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN {expr} >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    its = []
+    prev_v = None
+    for t in range(1, iters + 1):
+        if prev_v is None:
+            d_expr = f"sum(CASE WHEN j = 1 THEN cx * {vscale} ELSE 0 END)"
+            d_src = "c"
+            its.append(
+                f"d{t} AS (SELECT {id_col}, {d_expr} AS d FROM {d_src} GROUP BY {id_col})"
+            )
+        else:
+            its.append(
+                f"d{t} AS (SELECT {id_col}, sum(cx * vj) AS d "
+                f"FROM c JOIN {prev_v} USING (j) GROUP BY {id_col})"
+            )
+        its.append(
+            f"s{t} AS (SELECT j, CAST(sum(cx * d) AS BIGINT) AS s "
+            f"FROM c JOIN d{t} USING ({id_col}) GROUP BY j)"
+        )
+        its.append(
+            # s*s overflows INT64 — square in HUGEINT, exact, then to DOUBLE
+            f"n{t} AS (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM s{t})"
+        )
+        ratio = f"CAST(s AS DOUBLE) / nrm * {vscale}"
+        its.append(
+            f"v{t} AS (SELECT j, {half_away(ratio)} AS vj FROM s{t}, n{t})"
+        )
+        prev_v = f"v{t}"
+    iter_sql = ",\n    ".join(its)
+    sel_extra = f", {extra_cols}" if extra_cols else ""
+    return f"""
+    WITH q AS (
+      SELECT {id_col}{sel_extra},
+             list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {table}
+    ),
+    comp AS (
+      SELECT {id_col}, unnest(range(1, {dim} + 1)) AS j, qv FROM q
+    ),
+    xs AS (SELECT {id_col}, j, qv[j] AS x FROM comp),
+    m AS (
+      SELECT j, {half_away("CAST(sum(x) AS DOUBLE) / count(*)")} AS mj
+      FROM xs GROUP BY j
+    ),
+    c AS (SELECT xs.{id_col}, xs.j, x - mj AS cx FROM xs JOIN m USING (j)),
+    {iter_sql},
+    pr AS (
+      SELECT c.{id_col}, CAST(sum(cx * vj) AS BIGINT) AS proj
+      FROM c JOIN {prev_v} USING (j) GROUP BY c.{id_col}
+    )
+    SELECT q.{id_col}{sel_extra}, pr.proj FROM q JOIN pr USING ({id_col})
+    """

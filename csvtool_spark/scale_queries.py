@@ -23,6 +23,7 @@ from csvtool_spark.operators import (
     contamination,
     dedup,
     multimodal,
+    pca,
     sampling,
     similarity,
     sketches,
@@ -1841,3 +1842,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return sampling.priority_sample(d, "n_chars", "doc_id", k=100)
+
+
+# --- PCA power iteration --------------------------------------------------
+
+
+@register(
+    "q_pca_project",
+    pca.pca_oracle_sql(dim=64, scale=1000, vscale=10000, iters=2),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = pca.pca_project(e, "embedding", dim=64, scale=1000, vscale=10000, iters=2)
+    return out.select("vec_id", "label", "proj")

@@ -1,0 +1,66 @@
+"""Fixed-point PCA power iteration: direction recovery, determinism,
+degenerate inputs."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from csvtool_spark.operators import pca
+
+
+def _aniso(spark, n=300, dim=8, seed=7):
+    """Synthetic cloud stretched 20x along a known direction u."""
+    rng = random.Random(seed)
+    u = [1.0 / math.sqrt(dim)] * dim
+    rows = []
+    for i in range(n):
+        t = rng.gauss(0, 20.0)
+        noise = [rng.gauss(0, 1.0) for _ in range(dim)]
+        vec = [t * u[j] + noise[j] for j in range(dim)]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), u
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    df, u = _aniso(spark)
+    mean, v = pca.power_iteration(df, "embedding", dim=8, scale=1000, vscale=10000)
+    nv = math.sqrt(sum(x * x for x in v))
+    cos = abs(sum(vi * ui for vi, ui in zip(v, u)) / nv)
+    assert cos > 0.95  # aligned with the planted stretched axis
+
+
+def test_pca_project_deterministic(spark):
+    df, _ = _aniso(spark)
+    a = {r.vec_id: r.proj for r in pca.pca_project(df, "embedding", dim=8).collect()}
+    b = {r.vec_id: r.proj for r in pca.pca_project(df, "embedding", dim=8).collect()}
+    assert a == b
+    assert all(isinstance(x, int) for x in a.values())
+
+
+def test_pca_projection_separates_extremes(spark):
+    df, u = _aniso(spark)
+    out = pca.pca_project(df, "embedding", dim=8).collect()
+    projs = [r.proj for r in out]
+    # the stretched axis has std ~20*scale*vscale/|u|: spread must be wide
+    assert max(projs) - min(projs) > 10_000_000
+
+
+def test_pca_constant_data_does_not_crash(spark):
+    rows = [(i, [1.0] * 4) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mean, v = pca.power_iteration(df, "embedding", dim=4, scale=1000, vscale=10000)
+    assert mean == [1000] * 4
+    assert v == [10000, 0, 0, 0]  # degenerate: start direction kept
+    out = pca.project(df, "embedding", mean, v).collect()
+    assert all(r.proj == 0 for r in out)  # centered constant data → zero
+
+
+def test_pca_wrong_dim_raises(spark):
+    rows = [(i, [1.0, 2.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        pca.power_iteration(df, "embedding", dim=4)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "4-dim" in str(e)
