@@ -147,3 +147,76 @@ def test_asof_bucketed_equals_plain(spark, seed):
         ).collect()
     }
     assert bucketed == plain, f"seed={seed} width={width}"
+
+
+# --- Naive Bayes classifier vs pure-Python model ---------------------------
+
+
+def _py_nb(rows, vocab_size):
+    """Naive model: same vocab cap, Laplace smoothing, fixed-point 1e6
+    log-probs, first-class-wins argmax — all in plain Python."""
+    import math
+    from collections import Counter
+
+    classes = sorted({lbl for _, _, lbl in rows if lbl is not None})
+    tok_counts = Counter()
+    per_class = {c: Counter() for c in classes}
+    for _, text, lbl in rows:
+        for t in (text or "").split(" ") if text is not None else []:
+            tok_counts[t] += 1
+            if lbl is not None:
+                per_class[lbl][t] += 1
+    # top-V by (count desc, token asc)
+    vocab = sorted(tok_counts, key=lambda t: (-tok_counts[t], t))[:vocab_size]
+    vset = set(vocab)
+    v = len(vocab)
+    tot = {c: sum(per_class[c][t] for t in vocab) for c in classes}
+    lp = {
+        (t, c): round(math.log((per_class[c][t] + 1) / (tot[c] + v)) * 1e6)
+        for t in vocab
+        for c in classes
+    }
+    dflt = {c: round(math.log(1.0 / (tot[c] + v)) * 1e6) for c in classes}
+    n_lbl = sum(1 for _, _, lbl in rows if lbl is not None)
+    prior = {
+        c: round(math.log(sum(1 for _, _, l in rows if l == c) / n_lbl) * 1e6)
+        for c in classes
+    }
+    out = {}
+    for doc_id, text, lbl in rows:
+        scores = {}
+        for c in classes:
+            s = prior[c]
+            for t in (text or "").split(" ") if text is not None else []:
+                s += lp[(t, c)] if t in vset else dflt[c]
+            scores[c] = s
+        best = max(scores.values())
+        pred = next(c for c in classes if scores[c] == best)
+        out[doc_id] = (pred, best)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_nb_matches_naive_model(spark, seed):
+    from csvtool_spark.operators import classify
+
+    r = random.Random(seed)
+    words = {
+        "x": ["aa", "bb", "cc", "dd", "shared"],
+        "y": ["ee", "ff", "gg", "shared", "hh"],
+        "z": ["ii", "jj", "shared", "kk", "ll"],
+    }
+    rows = []
+    for i in range(50):
+        lbl = r.choice(list(words))
+        n = r.randint(0, 10)
+        rows.append((i, " ".join(r.choice(words[lbl]) for _ in range(n)), lbl))
+    rows.append((50, None, "x"))
+    vocab_size = r.choice([3, 8, 100])
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = classify.nb_train(d, vocab_size=vocab_size)
+    got = {
+        r2.doc_id: (r2.pred, r2.score_pred)
+        for r2 in classify.nb_score(d, model).collect()
+    }
+    assert got == _py_nb(rows, vocab_size)
