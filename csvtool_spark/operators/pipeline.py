@@ -203,3 +203,38 @@ def chunk_documents(
         F.concat_ws(" ", F.col("__ck")).alias("chunk_text"),
         F.size("__ck").cast("long").alias("n_chunk_tokens"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    side_a: str,
+    side_b: str,
+    threshold: float = 0.2,
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs that straddle a
+    deterministic hash split — the check run before any held-out set is
+    trusted (a test doc with a training near-dup inflates eval scores).
+
+    Composition of existing primitives: exact n-gram-Jaccard pairs
+    (shingle-blocked equi-join) + ``sampling.split_label``. Because the
+    split is a pure function of the id, each pair's sides are labeled by
+    *recomputing* the hash — no join against a label table. Returns one
+    row per leaked pair: ``{side_a}_id``, ``{side_b}_id``, ``jaccard``.
+    """
+    from csvtool_spark.operators.sampling import split_label
+
+    pairs = dedup.ngram_jaccard_pairs(df, text_col, id_col, threshold, k)
+    la = split_label(F.col("id_a"), fractions)
+    lb = split_label(F.col("id_b"), fractions)
+    cross = pairs.filter(
+        ((la == side_a) & (lb == side_b)) | ((la == side_b) & (lb == side_a))
+    )
+    return cross.select(
+        F.when(la == side_a, F.col("id_a")).otherwise(F.col("id_b")).alias(f"{side_a}_id"),
+        F.when(la == side_a, F.col("id_b")).otherwise(F.col("id_a")).alias(f"{side_b}_id"),
+        "jaccard",
+    )

@@ -37,10 +37,17 @@ def hash_split(
     maps label → fraction (must sum to ≤ 1; rows past the last boundary get
     null — use an explicit remainder label to avoid that). Adds a
     ``split`` column; filter on it for the actual subsets."""
+    return df.withColumn("split", split_label(F.col(key), fractions))
+
+
+def split_label(key_col, fractions: dict[str, float]):
+    """The split-assignment expression itself — a pure function of the key
+    column, so consumers (e.g. ``split_leakage``) can recompute a row's
+    split from its key with no join."""
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    b = split_bucket(F.col(key))
+    b = split_bucket(key_col)
     expr = F.lit(None).cast("string")
     # boundaries from the CUMULATIVE fraction — per-label rounding could
     # leave a bucket sliver unlabeled even when fractions sum to 1
@@ -51,7 +58,7 @@ def hash_split(
         cum += frac
         lo, hi = hi, int(round(cum * _BUCKETS))
         expr = F.when((b >= lo) & (b < hi), F.lit(label)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return expr
 
 
 def stratified_sample(

@@ -1856,3 +1856,54 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = pca.pca_project(e, "embedding", dim=64, scale=1000, vscale=10000, iters=2)
     return out.select("vec_id", "label", "proj")
+
+
+# --- train/eval split leakage ---------------------------------------------
+
+
+@register(
+    "q_split_leakage",
+    # 80/20 hash split (md5 buckets, boundary 8000/10000) + the exact
+    # n-gram-Jaccard pair CTE (q_dedup_ngram shape); pairs straddling the
+    # split are the leaks. Labels recomputed from ids on both engines.
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+                 i -> array_to_string((string_split(lower(trim(text)), ' '))[i+1:i+3], ' ')))
+             ELSE [array_to_string(string_split(lower(trim(text)), ' '), ' ')] END AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                           THEN CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END),
+                   6) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    lab AS (
+      SELECT id_a, id_b, jaccard,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                  THEN 'train' ELSE 'eval' END AS la,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                  THEN 'train' ELSE 'eval' END AS lb
+      FROM pairs WHERE jaccard >= 0.2
+    )
+    SELECT CASE WHEN la = 'train' THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN la = 'train' THEN id_b ELSE id_a END AS eval_id,
+           jaccard
+    FROM lab WHERE la <> lb
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators.pipeline import split_leakage
+
+    d = load(spark, sf_dir, "documents")
+    return split_leakage(
+        d, "text", "doc_id", {"train": 0.8, "eval": 0.2}, "train", "eval", 0.2
+    )

@@ -213,3 +213,40 @@ def test_priority_sample_is_take_ordered(spark):
     d = spark.createDataFrame([(i, i + 1) for i in range(100)], "id long, w long")
     plan = priority_sample(d, "w", "id", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- split leakage audit --------------------------------------------------
+
+
+def test_split_label_matches_hash_split(spark):
+    from csvtool_spark.operators.sampling import hash_split, split_label
+
+    d = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    fr = {"train": 0.7, "eval": 0.3}
+    a = {r.id: r.split for r in hash_split(d, "id", fr).collect()}
+    b = {
+        r.id: r.s
+        for r in d.select("id", split_label(F.col("id"), fr).alias("s")).collect()
+    }
+    assert a == b and set(a.values()) == {"train", "eval"}
+
+
+def test_split_leakage_finds_cross_split_neardups(spark):
+    from csvtool_spark.operators.pipeline import split_leakage
+    from csvtool_spark.operators.sampling import hash_split
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text if i < 40 else f"unique content number {i} nothing shared here at all {i}")
+            for i in range(80)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.5, "eval": 0.5}
+    out = split_leakage(d, "text", "doc_id", fr, "train", "eval", threshold=0.9)
+    rowsout = out.collect()
+    labels = {r.doc_id: r.split for r in hash_split(d, "doc_id", fr).collect()}
+    n_train = sum(1 for i in range(40) if labels[i] == "train")
+    n_eval = 40 - n_train
+    # every identical-text pair straddling the split leaks
+    assert len(rowsout) == n_train * n_eval and n_train > 0 and n_eval > 0
+    for r in rowsout:
+        assert labels[r.train_id] == "train" and labels[r.eval_id] == "eval"
+        assert r.jaccard == 1.0
