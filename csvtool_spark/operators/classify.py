@@ -246,3 +246,48 @@ def nb_oracle_sql(
            greatest({greatest}) AS score_pred
     FROM scored
     """
+
+
+def nb_score_map(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-only scoring twin of ``nb_score``: the bounded model becomes a
+    LITERAL map (token → per-class log-prob array) and each row folds its
+    tokens through it — no explode, no join, no aggregation shuffle, so
+    the plan is a pure projection. That makes it legal in a stateless
+    streaming micro-batch (no watermark needed) and fusable into any scan.
+
+    Trade-off vs ``nb_score``: the fold runs on Spark's interpreted HOF
+    path, so for huge BATCH corpora the explode+broadcast-join form wins;
+    this form wins where a shuffle is unavailable (streams) or unwanted.
+    Same fixed-point integer arithmetic — results are identical."""
+    rows = model.tokens.collect()
+    k = len(model.classes)
+    keys = [r["token"] for r in rows]
+    vals = [[int(r[f"lp_{i}"]) for i in range(k)] for r in rows]
+    lp_map = F.map_from_arrays(F.lit(keys), F.lit(vals))
+    defaults = F.array(*[F.lit(model.defaults[c]).cast("long") for c in model.classes])
+    priors = F.array(*[F.lit(model.priors[c]).cast("long") for c in model.classes])
+    folded = F.aggregate(
+        F.split(F.col(text_col), " "),
+        priors,
+        lambda acc, t: F.zip_with(
+            acc, F.coalesce(lp_map[t], defaults), lambda a, b: a + b
+        ),
+    )
+    scores = F.coalesce(folded, priors)  # null text → prior-only
+    best = F.array_max(scores)
+    pred = F.element_at(
+        F.lit(model.classes), F.array_position(scores, best).cast("int")
+    )
+    out = df.withColumn("__scores", scores)
+    for i, c in enumerate(model.classes):
+        out = out.withColumn(f"score_{c}", F.col("__scores")[i])
+    return (
+        out.withColumn("pred", pred)
+        .withColumn("score_pred", best)
+        .drop("__scores")
+    )

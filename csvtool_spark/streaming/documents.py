@@ -150,3 +150,27 @@ def sampled_stream(
         .filter(coin < F.coalesce(F.col("keep_ppm"), F.lit(int(default_ppm))))
         .drop("keep_ppm")
     )
+
+
+def classified_stream(
+    stream: DataFrame,
+    model,
+    keep: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Streaming language/quality classifier gate: a Naive Bayes model
+    trained OFFLINE (``classify.nb_train`` on a reference batch) scores
+    every arriving document ONLINE via the map-only form
+    (``classify.nb_score_map`` — literal-map fold, no explode, no join, no
+    aggregation), so the stream stays stateless: no watermark, no state
+    store, each micro-batch is a pure projection. Same
+    train-offline/apply-online shape as ``quality_gated_stream``.
+
+    ``keep`` filters to documents whose predicted class is in the tuple
+    (None keeps everything, annotated). Emits (doc_id, source, pred,
+    score_pred). Deterministic — replayed shards classify identically."""
+    from csvtool_spark.operators import classify
+
+    scored = classify.nb_score_map(stream, model)
+    if keep is not None:
+        scored = scored.filter(F.col("pred").isin(*keep))
+    return scored.select("doc_id", "source", "pred", "score_pred")

@@ -353,3 +353,39 @@ def test_streaming_gate_and_sampler_unseen_source_policy(spark):
         "unseen_strict_out", output_mode="append",
     )
     assert spark.sql("SELECT count(*) c FROM unseen_strict_out").first().c == 0
+
+
+def test_classified_stream_matches_batch_and_is_stateless(spark):
+    # model trained offline on the batch; the stream of the same shard must
+    # classify identically, and non-kept languages must be gone
+    from csvtool_spark.operators import classify
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import classified_stream, document_stream
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = classify.nb_train(batch, vocab_size=500)
+    stream = document_stream(spark, SF_SMALL)
+    out = classified_stream(stream, model, keep=("en", "fr"))
+    assert out.isStreaming
+    run_to_memory(out, "cls_out", output_mode="append")
+    got = {r.doc_id: (r.pred, r.score_pred)
+           for r in spark.sql("SELECT * FROM cls_out").collect()}
+    exp = {
+        r.doc_id: (r.pred, r.score_pred)
+        for r in classify.nb_score(batch, model)
+        .filter(F.col("pred").isin("en", "fr"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_nb_score_map_equals_join_form(spark):
+    from csvtool_spark.operators import classify
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = classify.nb_train(batch, vocab_size=300)
+    cols = ["doc_id", "pred", "score_pred"] + [f"score_{c}" for c in model.classes]
+    a = sorted(tuple(r) for r in classify.nb_score(batch, model).select(*cols).collect())
+    b = sorted(tuple(r) for r in classify.nb_score_map(batch, model).select(*cols).collect())
+    assert a == b
