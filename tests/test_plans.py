@@ -140,3 +140,34 @@ def test_no_cartesian_product_in_any_catalog_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_nb_score_broadcasts_model(spark):
+    """The NB model side must broadcast — a shuffle join would re-shuffle
+    the exploded corpus on token, the classic scale killer for scoring."""
+    from csvtool_spark.operators import classify
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = classify.nb_train(d, vocab_size=50)
+    plan = _plan(classify.nb_score(d, model))
+    assert "BroadcastHashJoin" in plan
+    # corpus side never sorts for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_spans_reads_only_needed_columns(spark):
+    from csvtool_spark.scale_queries import q_dup_spans
+
+    plan = _plan(q_dup_spans(spark, SF_SMALL))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_nb_score_map_is_shuffle_free(spark):
+    """The map-only scoring form must plan as a pure projection: no
+    Exchange of the corpus at all (that is its reason to exist)."""
+    from csvtool_spark.operators import classify
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = classify.nb_train(d, vocab_size=50)
+    plan = _plan(classify.nb_score_map(d, model))
+    assert "Exchange" not in plan
