@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 LOGP_SCALE = 1_000_000
 
 
+def _half_away(x: float) -> int:
+    """Round-half-away-from-zero — matches Spark round / DuckDB round.
+    Python's builtin ``round`` is banker's (round(2.5) == 2) and would
+    diverge from the oracle on exact-.5 doubles."""
+    import math
+
+    r = math.floor(abs(x) + 0.5)
+    return int(r) if x >= 0 else -int(r)
+
+
 def _logp_fixed(num: Column, den: Column) -> Column:
     """``round(ln(num/den) * 1e6)`` as int64 — the fixed-point log-prob."""
     return F.round(F.log(num.cast("double") / den.cast("double")) * LOGP_SCALE, 0).cast(
@@ -71,9 +81,15 @@ def nb_train(
     totals: ``p(t|c) = (cnt_tc + 1) / (tok_c + V)``; unseen/OOV tokens get
     ``1 / (tok_c + V)``.
     """
-    classes = sorted(
-        r[0] for r in df.select(label_col).distinct().collect() if r[0] is not None
-    )
+    # one corpus pass yields both the class list and the prior counts
+    by_class = {
+        r["_lbl"]: r["n"]
+        for r in df.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["_lbl"] is not None
+    }
+    classes = sorted(by_class)
 
     tok = df.select(
         F.col(label_col).alias("_lbl"),
@@ -86,40 +102,42 @@ def nb_train(
             for i, c in enumerate(classes)
         ],
     )
-    vocab = counts.orderBy(F.desc("c_all"), F.asc("token")).limit(vocab_size)
+    vocab = counts.orderBy(F.desc("c_all"), F.asc("token")).limit(vocab_size).persist()
+    try:
+        totals = vocab.agg(
+            F.count("*").alias("v"),
+            *[F.sum(f"c_{i}").alias(f"t_{i}") for i in range(len(classes))],
+        ).collect()[0]
+        v = totals["v"]
+        tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
 
-    totals = vocab.agg(
-        F.count("*").alias("v"),
-        *[F.sum(f"c_{i}").alias(f"t_{i}") for i in range(len(classes))],
-    ).collect()[0]
-    v = totals["v"]
-    tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
+        # materialize the bounded model locally: scoring must never re-run
+        # the training aggregation (a lazy plan here would re-shuffle the
+        # corpus on every broadcast build / collect)
+        model_plan = vocab.select(
+            "token",
+            *[
+                _logp_fixed(F.col(f"c_{i}") + F.lit(1), F.lit(tok_c[i] + v)).alias(
+                    f"lp_{i}"
+                )
+                for i in range(len(classes))
+            ],
+        )
+        schema = model_plan.schema
+        model_tokens = df.sparkSession.createDataFrame(model_plan.collect(), schema)
+    finally:
+        vocab.unpersist()
 
-    model_tokens = vocab.select(
-        "token",
-        *[
-            _logp_fixed(F.col(f"c_{i}") + F.lit(1), F.lit(tok_c[i] + v)).alias(
-                f"lp_{i}"
-            )
-            for i in range(len(classes))
-        ],
-    )
-
-    by_class = {
-        r["_lbl"]: r["n"]
-        for r in df.groupBy(F.col(label_col).alias("_lbl"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-        if r["_lbl"] is not None
-    }
     n_total = sum(by_class.values())
     import math
 
+    # _half_away, not round(): priors/defaults must round exactly like the
+    # Spark/DuckDB fixed-point log-probs
     priors = {
-        c: int(round(math.log(by_class[c] / n_total) * LOGP_SCALE)) for c in classes
+        c: _half_away(math.log(by_class[c] / n_total) * LOGP_SCALE) for c in classes
     }
     defaults = {
-        c: int(round(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE))
+        c: _half_away(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE)
         for i, c in enumerate(classes)
     }
     return NBModel(classes=classes, tokens=model_tokens, priors=priors, defaults=defaults)
@@ -159,7 +177,12 @@ def nb_score(
         for i, c in enumerate(model.classes)
     ]
     out = out.select(id_col, *[c for c in df.columns if c != id_col], *score_cols)
-    best = F.greatest(*[F.col(f"score_{c}") for c in model.classes])
+    # greatest() needs ≥2 columns — a one-class model (degenerate but legal:
+    # an all-one-label shard) short-circuits to its only score
+    if k == 1:
+        best = F.col(f"score_{model.classes[0]}")
+    else:
+        best = F.greatest(*[F.col(f"score_{c}") for c in model.classes])
     pred = F.lit(None).cast("string")
     # first class (sorted order) matching the max wins — fold from the last
     # class backward so earlier classes override on ties

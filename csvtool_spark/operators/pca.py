@@ -184,8 +184,18 @@ def pca_oracle_sql(
             f"n{t} AS (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM s{t})"
         )
         ratio = f"CAST(s AS DOUBLE) / nrm * {vscale}"
+        # zero-norm guard mirrors the Spark break-and-keep-direction: carry
+        # the previous direction forward (a zero s is a fixed point, so
+        # continuing ≡ breaking)
+        if prev_v is None:
+            keep = f"CASE WHEN j = 1 THEN {vscale} ELSE 0 END"
+            src = f"FROM s{t}, n{t}"
+        else:
+            keep = f"{prev_v}.vj"
+            src = f"FROM s{t} JOIN {prev_v} USING (j), n{t}"
         its.append(
-            f"v{t} AS (SELECT j, {half_away(ratio)} AS vj FROM s{t}, n{t})"
+            f"v{t} AS (SELECT j, CASE WHEN nrm = 0 THEN {keep} "
+            f"ELSE {half_away(ratio)} END AS vj {src})"
         )
         prev_v = f"v{t}"
     iter_sql = ",\n    ".join(its)

@@ -7,6 +7,7 @@ import math
 from pyspark.sql import functions as F
 
 from csvtool_spark.operators import classify
+from csvtool_spark.operators.classify import _half_away
 
 
 def _labeled(spark):
@@ -27,8 +28,8 @@ def test_nb_train_model_shape(spark):
     assert "the" in toks and "le" in toks
     assert set(m.priors) == {"en", "fr"} and set(m.defaults) == {"en", "fr"}
     # priors: 3 en docs of 5, 2 fr docs of 5, fixed-point 1e6
-    assert m.priors["en"] == round(math.log(3 / 5) * classify.LOGP_SCALE)
-    assert m.priors["fr"] == round(math.log(2 / 5) * classify.LOGP_SCALE)
+    assert m.priors["en"] == _half_away(math.log(3 / 5) * classify.LOGP_SCALE)
+    assert m.priors["fr"] == _half_away(math.log(2 / 5) * classify.LOGP_SCALE)
 
 
 def test_nb_predicts_training_languages(spark):
@@ -80,3 +81,26 @@ def test_nb_tie_breaks_to_first_class(spark):
     m = classify.nb_train(d, vocab_size=10)
     out = classify.nb_score(d, m).collect()
     assert all(r.pred == "a" for r in out)
+
+
+def test_nb_single_class_model(spark):
+    # degenerate but legal: an all-one-label shard
+    rows = [(1, "a b c", "en"), (2, "a d", "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = classify.nb_train(d, vocab_size=10)
+    assert m.classes == ["en"]
+    for fn in (classify.nb_score, classify.nb_score_map):
+        out = {r.doc_id: r for r in fn(d, m).collect()}
+        assert all(r.pred == "en" for r in out.values())
+        assert out[1].score_pred == out[1].score_en
+
+
+def test_nb_model_is_materialized(spark):
+    """Scoring must not re-run the training aggregation: the model token
+    table has to be a local relation, not a lazy plan over the corpus."""
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=100)
+    plan = m.tokens._jdf.queryExecution().optimizedPlan().toString()
+    # a local relation/RDD, not a lazy Aggregate over the training corpus
+    assert "Aggregate" not in plan and "Sort" not in plan
+    assert "LocalRelation" in plan or "LogicalRDD" in plan

@@ -158,6 +158,8 @@ def _py_nb(rows, vocab_size):
     import math
     from collections import Counter
 
+    from csvtool_spark.operators.classify import _half_away
+
     classes = sorted({lbl for _, _, lbl in rows if lbl is not None})
     tok_counts = Counter()
     per_class = {c: Counter() for c in classes}
@@ -172,14 +174,14 @@ def _py_nb(rows, vocab_size):
     v = len(vocab)
     tot = {c: sum(per_class[c][t] for t in vocab) for c in classes}
     lp = {
-        (t, c): round(math.log((per_class[c][t] + 1) / (tot[c] + v)) * 1e6)
+        (t, c): _half_away(math.log((per_class[c][t] + 1) / (tot[c] + v)) * 1e6)
         for t in vocab
         for c in classes
     }
-    dflt = {c: round(math.log(1.0 / (tot[c] + v)) * 1e6) for c in classes}
+    dflt = {c: _half_away(math.log(1.0 / (tot[c] + v)) * 1e6) for c in classes}
     n_lbl = sum(1 for _, _, lbl in rows if lbl is not None)
     prior = {
-        c: round(math.log(sum(1 for _, _, l in rows if l == c) / n_lbl) * 1e6)
+        c: _half_away(math.log(sum(1 for _, _, l in rows if l == c) / n_lbl) * 1e6)
         for c in classes
     }
     out = {}

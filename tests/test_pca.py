@@ -64,3 +64,19 @@ def test_pca_wrong_dim_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "4-dim" in str(e)
+
+
+def test_pca_oracle_zero_norm_guard_matches_spark():
+    """Degenerate (constant) data: the oracle must carry the start
+    direction exactly like the Spark break — not emit NULLs."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT i AS vec_id, 0 AS label, "
+        "[1.0, 1.0, 1.0, 1.0]::FLOAT[] AS embedding FROM range(10) t(i)"
+    )
+    sql = pca.pca_oracle_sql(dim=4, scale=1000, vscale=10000, iters=2)
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == 10
+    assert all(r[2] == 0 for r in rows)  # proj = 0, never NULL

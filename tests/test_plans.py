@@ -151,8 +151,11 @@ def test_nb_score_broadcasts_model(spark):
     model = classify.nb_train(d, vocab_size=50)
     plan = _plan(classify.nb_score(d, model))
     assert "BroadcastHashJoin" in plan
-    # corpus side never sorts for the join
-    assert "SortMergeJoin" not in plan
+    # the exploded corpus must never sort/shuffle on token for the model
+    # join (the doc_id rejoin of two corpus-sized sides may legitimately
+    # sort-merge — that one AQE turns into broadcast only at small SF)
+    assert "SortMergeJoin [token" not in plan
+    assert "hashpartitioning(token" not in plan
 
 
 def test_dup_spans_reads_only_needed_columns(spark):
