@@ -1907,3 +1907,25 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(
         d, "text", "doc_id", {"train": 0.8, "eval": 0.2}, "train", "eval", 0.2
     )
+
+
+@register(
+    "q_nb_confusion",
+    # classifier eval: the full NB pipeline (same CTE twin) aggregated to
+    # a per-(true, predicted) confusion matrix — the quality check run
+    # before trusting any model-based corpus filter.
+    f"""
+    SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+    FROM ({classify.nb_oracle_sql(["de", "en", "es", "fr", "zh"], vocab_size=2000)})
+    GROUP BY lang, pred
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    model = classify.nb_train(d, "text", "lang", vocab_size=2000)
+    return (
+        classify.nb_score(d, model, "text", "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

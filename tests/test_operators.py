@@ -271,3 +271,15 @@ def test_duplicate_span_within_doc_repeat(spark):
     out = {r.doc_id: r for r in dedup.duplicate_span_stats(d, "text", "doc_id", k=4).collect()}
     assert out[1].n_dup == 0                        # repeats only within doc 1
     assert out[1].n_spans == 5
+
+
+def test_duplicate_span_invariants(spark):
+    # n_dup never exceeds n_spans; a doc duplicated wholesale has every
+    # span duplicated (dup_frac 1.0) in both copies
+    rows = [(1, "m n o p q r s t"), (2, "m n o p q r s t"), (3, "z y x w v u t s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_span_stats(d, "text", "doc_id", k=4).collect()}
+    for r in out.values():
+        assert 0 <= r.n_dup <= r.n_spans
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].n_dup == 0

@@ -250,3 +250,18 @@ def test_split_leakage_finds_cross_split_neardups(spark):
     for r in rowsout:
         assert labels[r.train_id] == "train" and labels[r.eval_id] == "eval"
         assert r.jaccard == 1.0
+
+
+def test_priority_sample_is_nested_in_k(spark):
+    """Top-k priority samples are nested: the k=10 sample is a subset of
+    the k=25 sample (priorities are fixed per row — only the cutoff
+    moves). This is the property that makes the sampler reusable for
+    budget sweeps without re-hashing."""
+    from csvtool_spark.operators.sampling import priority_sample
+
+    d = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(300)], "id long, w long"
+    )
+    s10 = {r.id for r in priority_sample(d, "w", "id", k=10).collect()}
+    s25 = {r.id for r in priority_sample(d, "w", "id", k=25).collect()}
+    assert s10 < s25
