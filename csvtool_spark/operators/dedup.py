@@ -648,3 +648,42 @@ def duplicate_span_oracle_sql(
                 THEN round(pd.n_dup * 1.0 / pd.n_spans, 6) ELSE 0.0 END AS dup_frac
     FROM {table} d LEFT JOIN pd USING ({id_col})
     """
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Pairwise source-overlap diagnostic: for every pair of groups
+    (sources), the number of distinct k-token spans both contain — the
+    curation heatmap answering "how much does crawl A duplicate crawl B"
+    before mixing them.
+
+    Shape: spans hashed as in ``duplicate_span_stats``, reduced to
+    distinct (group, span) rows (first agg bounds everything downstream by
+    corpus vocabulary, not corpus size), then a self-equi-join on the span
+    hash with ``group_a < group_b`` and a count per pair. Output is at
+    most |groups|² rows."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    spans = F.when(
+        F.col(text_col).isNotNull() & (n >= k),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    )
+    gs = (
+        df.select(F.col(group_col).alias("__g"), F.explode(spans).alias("__h"))
+        .distinct()
+    )
+    a = gs.select(F.col("__g").alias("group_a"), "__h")
+    b = gs.select(F.col("__g").alias("group_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared_spans"))
+    )

@@ -57,3 +57,52 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> DataFrame:
+    """Equi-width histogram over ``[lo, hi)``: one hash aggregation on the
+    bucket id (map-side combine — shuffle rows = ``bins``, not corpus
+    rows). Values below ``lo`` clamp into bucket 0, at/above ``hi`` into
+    bucket ``bins - 1`` (standard edge-clamp semantics); nulls are
+    dropped. Bucket arithmetic is plain double math shared with the
+    oracle, and empty buckets are materialized as zero rows so the output
+    shape is fixed (``bins`` rows) regardless of the data."""
+    x = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins - 1)))
+    counts = (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").alias("bucket"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(float(width))).alias("lo"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def histogram_oracle_sql(
+    col: str, lo: float, hi: float, bins: int, table: str
+) -> str:
+    """DuckDB twin: same clamp + double bucket arithmetic + zero-filled
+    grid."""
+    width = (hi - lo) / bins
+    return f"""
+    WITH c AS (
+      SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT), 0),
+                   {bins - 1}) AS bucket,
+             count(*) AS n
+      FROM {table} WHERE {col} IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT g.bucket, {lo!r} + g.bucket * {width!r} AS lo,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT unnest(range(0, {bins})) AS bucket) g LEFT JOIN c USING (bucket)
+    """

@@ -24,6 +24,7 @@ from csvtool_spark.operators import (
     dedup,
     multimodal,
     pca,
+    profiling,
     sampling,
     similarity,
     sketches,
@@ -1929,3 +1930,41 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# --- histogram + source overlap -------------------------------------------
+
+
+@register(
+    "q_histogram",
+    profiling.histogram_oracle_sql("n_chars", 0.0, 600.0, 12, "documents"),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return profiling.histogram(d, "n_chars", 0.0, 600.0, 12)
+
+
+@register(
+    "q_source_overlap",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT source, unnest(range(1, len(t) - 8 + 2)) AS i, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    gs AS (
+      SELECT DISTINCT source, md5(array_to_string(t[i:i + 7], ' ')) AS h FROM g
+    )
+    SELECT a.source AS group_a, b.source AS group_b,
+           CAST(count(*) AS BIGINT) AS shared_spans
+    FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(d, "text", "source", k=8)

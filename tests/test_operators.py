@@ -283,3 +283,32 @@ def test_duplicate_span_invariants(spark):
         assert 0 <= r.n_dup <= r.n_spans
     assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
     assert out[3].n_dup == 0
+
+
+def test_histogram_clamps_and_zero_fills(spark):
+    from csvtool_spark.operators.profiling import histogram
+
+    d = spark.createDataFrame(
+        [(None if v is None else float(v),) for v in [-5, 0, 1, 9.9, 10, 55, 99, 200, None]],
+        "x double",
+    )
+    out = {r.bucket: (r.lo, r.n) for r in histogram(d, "x", 0.0, 100.0, 10).collect()}
+    assert len(out) == 10                      # fixed shape, empties zero-filled
+    assert out[0] == (0.0, 4)                  # -5 clamps in; 0, 1, 9.9
+    assert out[1][1] == 1                      # 10
+    assert out[5][1] == 1                      # 55
+    assert out[9][1] == 2                      # 99 + 200 clamped
+    assert sum(n for _, n in out.values()) == 8  # null dropped
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        (1, "a b c d e f g h", "s1"),
+        (2, "a b c d e f g h", "s2"),   # full overlap with s1
+        (3, "q r s t u v w x", "s3"),   # no overlap
+        (4, "a b c d e f g z", "s1"),   # within-s1 overlap must NOT pair
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.group_a, r.group_b): r.shared_spans
+           for r in dedup.source_overlap_matrix(d, "text", "source", k=8).collect()}
+    assert out == {("s1", "s2"): 1}   # one shared distinct 8-span
