@@ -151,3 +151,17 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as parquet (rank column preserves
+    training order — application order IS the model)."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).collect()
+    return [(r["a"], r["b"]) for r in sorted(rows, key=lambda r: r["rank"])]

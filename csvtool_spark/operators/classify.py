@@ -314,3 +314,37 @@ def nb_score_map(
         .withColumn("score_pred", best)
         .drop("__scores")
     )
+
+
+def save_model(model: NBModel, path: str) -> None:
+    """Persist a trained model as a parquet dataset (works on any Hadoop
+    filesystem — local, HDFS, object stores): ``<path>/tokens`` holds the
+    vocabulary log-probs, ``<path>/meta`` one row per class with its prior
+    and default. Train-once/score-many across jobs needs the artifact on
+    shared storage, not in a driver's memory."""
+    spark = model.tokens.sparkSession
+    model.tokens.write.mode("overwrite").parquet(f"{path}/tokens")
+    meta = spark.createDataFrame(
+        [
+            (i, c, model.priors[c], model.defaults[c])
+            for i, c in enumerate(model.classes)
+        ],
+        "idx int, class string, prior long, dflt long",
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_model(spark, path: str) -> NBModel:
+    """Inverse of ``save_model`` — scoring-ready (token table re-read from
+    parquet is bounded; it broadcasts/collects exactly like a fresh one)."""
+    meta = sorted(
+        ((r["idx"], r["class"], r["prior"], r["dflt"])
+         for r in spark.read.parquet(f"{path}/meta").collect())
+    )
+    classes = [c for _, c, _, _ in meta]
+    return NBModel(
+        classes=classes,
+        tokens=spark.read.parquet(f"{path}/tokens"),
+        priors={c: p for _, c, p, _ in meta},
+        defaults={c: d for _, c, _, d in meta},
+    )

@@ -83,3 +83,15 @@ def test_word_histogram_cap_and_ties(spark):
     hist = bpe.word_histogram(d, "text", max_words=2).collect()
     # counts: a=2, b=2, c=1 → cap 2 keeps a,b (tie broken by word asc)
     assert [(r.word, r.n) for r in hist] == [("a", 2), ("b", 2)]
+
+
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    rows = [(i, "banana bandana cabana") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(d, "text", n_merges=12)
+    bpe.save_merges(spark, merges, str(tmp_path / "merges"))
+    loaded = bpe.load_merges(spark, str(tmp_path / "merges"))
+    assert loaded == merges
+    a = bpe.bpe_encode(d, "text", merges).select("doc_id", "bpe_tokens").collect()
+    b = bpe.bpe_encode(d, "text", loaded).select("doc_id", "bpe_tokens").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

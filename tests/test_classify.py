@@ -104,3 +104,17 @@ def test_nb_model_is_materialized(spark):
     # a local relation/RDD, not a lazy Aggregate over the training corpus
     assert "Aggregate" not in plan and "Sort" not in plan
     assert "LocalRelation" in plan or "LogicalRDD" in plan
+
+
+def test_nb_model_save_load_roundtrip(spark, tmp_path):
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=100)
+    classify.save_model(m, str(tmp_path / "nb"))
+    m2 = classify.load_model(spark, str(tmp_path / "nb"))
+    assert m2.classes == m.classes
+    assert m2.priors == m.priors and m2.defaults == m.defaults
+    cols = ["doc_id", "pred", "score_pred"]
+    a = sorted(tuple(r) for r in classify.nb_score(d, m).select(*cols).collect())
+    b = sorted(tuple(r) for r in classify.nb_score(d, m2).select(*cols).collect())
+    c = sorted(tuple(r) for r in classify.nb_score_map(d, m2).select(*cols).collect())
+    assert a == b == c
