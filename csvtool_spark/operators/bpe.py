@@ -159,7 +159,8 @@ def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
     df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
     )
-    df.write.mode("overwrite").parquet(path)
+    # bounded artifact: one part file, not one per default-parallelism slot
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_merges(spark, path: str) -> list[tuple[str, str]]:

@@ -323,7 +323,12 @@ def save_model(model: NBModel, path: str) -> None:
     and default. Train-once/score-many across jobs needs the artifact on
     shared storage, not in a driver's memory."""
     spark = model.tokens.sparkSession
-    model.tokens.write.mode("overwrite").parquet(f"{path}/tokens")
+    # materialize BEFORE writing: a load_model-loaded tokens DataFrame lazily
+    # reads from this very path — mode("overwrite") would truncate it mid-scan
+    # (save-back-to-own-path crashes and destroys the artifact otherwise)
+    local = spark.createDataFrame(model.tokens.collect(), model.tokens.schema)
+    # bounded artifacts: one part file, not one per default-parallelism slot
+    local.coalesce(1).write.mode("overwrite").parquet(f"{path}/tokens")
     meta = spark.createDataFrame(
         [
             (i, c, model.priors[c], model.defaults[c])
@@ -331,7 +336,7 @@ def save_model(model: NBModel, path: str) -> None:
         ],
         "idx int, class string, prior long, dflt long",
     )
-    meta.write.mode("overwrite").parquet(f"{path}/meta")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_model(spark, path: str) -> NBModel:

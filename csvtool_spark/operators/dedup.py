@@ -555,6 +555,22 @@ def near_dup_pairs_simhash(
 # --- duplicate passage (span) detection -----------------------------------
 
 
+def _span_hashes(text_col: str, k: int) -> Column:
+    """md5 hash per positional k-token window — the shared span identity
+    for duplicate_span_stats and source_overlap_matrix (one definition so
+    the two operators can never silently diverge). NULL for null/short
+    texts (callers explode, so those docs simply produce no spans)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return F.when(
+        F.col(text_col).isNotNull() & (n >= k),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, min_docs: int = 2
 ) -> DataFrame:
@@ -574,15 +590,7 @@ def duplicate_span_stats(
     collect — everything is count-sketched per span hash, never the span
     text itself beyond the md5 input.
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    spans = F.when(
-        F.col(text_col).isNotNull() & (n >= k),
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    )
+    spans = _span_hashes(text_col, k)
     occ = df.select(F.col(id_col), F.explode(spans).alias("__h"))
     per = occ.groupBy(id_col, "__h").agg(F.count("*").alias("__n"))
     byh = per.groupBy("__h").agg(F.count("*").alias("__ndocs"))
@@ -666,15 +674,7 @@ def source_overlap_matrix(
     corpus vocabulary, not corpus size), then a self-equi-join on the span
     hash with ``group_a < group_b`` and a count per pair. Output is at
     most |groups|² rows."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    spans = F.when(
-        F.col(text_col).isNotNull() & (n >= k),
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    )
+    spans = _span_hashes(text_col, k)
     gs = (
         df.select(F.col(group_col).alias("__g"), F.explode(spans).alias("__h"))
         .distinct()

@@ -63,16 +63,18 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> DataF
     """Equi-width histogram over ``[lo, hi)``: one hash aggregation on the
     bucket id (map-side combine — shuffle rows = ``bins``, not corpus
     rows). Values below ``lo`` clamp into bucket 0, at/above ``hi`` into
-    bucket ``bins - 1`` (standard edge-clamp semantics); nulls are
-    dropped. Bucket arithmetic is plain double math shared with the
-    oracle, and empty buckets are materialized as zero rows so the output
-    shape is fixed (``bins`` rows) regardless of the data."""
+    bucket ``bins - 1`` (standard edge-clamp semantics); nulls and NaNs
+    are dropped (NaN would otherwise cast into bucket 0 on Spark and
+    error in DuckDB; ±Infinity clamps like any out-of-range value).
+    Bucket arithmetic is plain double math shared with the oracle, and
+    empty buckets are materialized as zero rows so the output shape is
+    fixed (``bins`` rows) regardless of the data."""
     x = F.col(col).cast("double")
     width = (hi - lo) / bins
     raw = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins - 1)))
     counts = (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -99,7 +101,7 @@ def histogram_oracle_sql(
       SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT), 0),
                    {bins - 1}) AS bucket,
              count(*) AS n
-      FROM {table} WHERE {col} IS NOT NULL
+      FROM {table} WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
       GROUP BY 1
     )
     SELECT g.bucket, {lo!r} + g.bucket * {width!r} AS lo,

@@ -118,3 +118,16 @@ def test_nb_model_save_load_roundtrip(spark, tmp_path):
     b = sorted(tuple(r) for r in classify.nb_score(d, m2).select(*cols).collect())
     c = sorted(tuple(r) for r in classify.nb_score_map(d, m2).select(*cols).collect())
     assert a == b == c
+
+
+def test_nb_model_save_back_to_own_path(spark, tmp_path):
+    """Re-publishing a loaded model to its own path must not truncate the
+    files the lazy reader still points at."""
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=50)
+    p = str(tmp_path / "nb")
+    classify.save_model(m, p)
+    m2 = classify.load_model(spark, p)
+    classify.save_model(m2, p)  # crashed (and destroyed the artifact) before
+    m3 = classify.load_model(spark, p)
+    assert m3.priors == m.priors and m3.tokens.count() == m.tokens.count()

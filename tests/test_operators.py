@@ -312,3 +312,15 @@ def test_source_overlap_matrix(spark):
     out = {(r.group_a, r.group_b): r.shared_spans
            for r in dedup.source_overlap_matrix(d, "text", "source", k=8).collect()}
     assert out == {("s1", "s2"): 1}   # one shared distinct 8-span
+
+
+def test_histogram_drops_nan_and_clamps_infinity(spark):
+    from csvtool_spark.operators.profiling import histogram
+
+    d = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),), (5.0,)], "x double"
+    )
+    out = {r.bucket: r.n for r in histogram(d, "x", 0.0, 100.0, 10).collect()}
+    assert out[0] == 2      # 5.0 and -inf (clamped)
+    assert out[9] == 1      # +inf (clamped)
+    assert sum(out.values()) == 3  # NaN dropped
