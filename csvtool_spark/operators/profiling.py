@@ -94,17 +94,23 @@ def histogram_oracle_sql(
     col: str, lo: float, hi: float, bins: int, table: str
 ) -> str:
     """DuckDB twin: same clamp + double bucket arithmetic + zero-filled
-    grid."""
+    grid. Float literals are CAST to DOUBLE explicitly — DuckDB parses a
+    bare decimal literal as DECIMAL, and decimal arithmetic on the bucket
+    edges diverges from Spark's double math in the last digits (caught by
+    the randomized differential; the round-number catalog entry never
+    tripped it)."""
     width = (hi - lo) / bins
+    lo_d = f"CAST({lo!r} AS DOUBLE)"
+    w_d = f"CAST({width!r} AS DOUBLE)"
     return f"""
     WITH c AS (
-      SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT), 0),
+      SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo_d}) / {w_d}) AS BIGINT), 0),
                    {bins - 1}) AS bucket,
              count(*) AS n
       FROM {table} WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
       GROUP BY 1
     )
-    SELECT g.bucket, {lo!r} + g.bucket * {width!r} AS lo,
+    SELECT g.bucket, {lo_d} + g.bucket * {w_d} AS lo,
            CAST(coalesce(c.n, 0) AS BIGINT) AS n
     FROM (SELECT unnest(range(0, {bins})) AS bucket) g LEFT JOIN c USING (bucket)
     """
