@@ -96,3 +96,80 @@ def test_priority_sample_oracle_on_random_weights(spark, seed):
     out = priority_sample(d, "n_chars", "doc_id", k=25)
     sql = priority_sample_oracle_sql("n_chars", "doc_id", 25)
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_pca_oracle_on_random_embeddings(spark, seed):
+    from csvtool_spark.operators import pca
+
+    r = random.Random(seed + 1300)
+    dim = 6
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(80),
+            "label": [r.randint(0, 2) for _ in range(80)],
+            "embedding": [
+                [r.uniform(-0.6, 0.6) for _ in range(dim)] for _ in range(80)
+            ],
+        }
+    )
+    d = spark.createDataFrame(
+        list(pdf.itertuples(index=False, name=None)),
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = pca.pca_project(d, "embedding", dim=dim, iters=2).select(
+        "vec_id", "label", "proj"
+    )
+    con = duckdb.connect()
+    # register float32 embeddings so both engines quantize identical values
+    con.register("emb_raw", pdf)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, label, "
+        "CAST(embedding AS FLOAT[]) AS embedding FROM emb_raw"
+    )
+    sql = pca.pca_oracle_sql(dim=dim, iters=2)
+    assert compare(out, con, sql) is None
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_source_overlap_oracle_on_random_corpora(spark, seed):
+    from csvtool_spark.queries import SHADOW_ORACLES
+    from csvtool_spark.operators import dedup
+
+    r = random.Random(seed + 1700)
+    base = "a b c d e f g h i j k l"
+    rows = []
+    for i in range(60):
+        toks = base.split(" ")[: r.randint(4, 12)]
+        if r.random() < 0.3:
+            toks = toks + [f"u{i}"]
+        rows.append(
+            {"doc_id": i, "text": " ".join(toks), "lang": "en",
+             "source": f"s{r.randint(0, 2)}", "n_chars": 10}
+        )
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    out = dedup.source_overlap_matrix(d, "text", "source", k=8)
+    assert compare(out, _con_with(pdf), SHADOW_ORACLES["q_source_overlap"]) is None
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_split_leakage_oracle_on_random_corpora(spark, seed):
+    from csvtool_spark.queries import SHADOW_ORACLES
+    from csvtool_spark.operators.pipeline import split_leakage
+
+    r = random.Random(seed + 2100)
+    rows = []
+    for i in range(70):
+        if r.random() < 0.4:
+            text = "shared doc body repeated across the split boundary here"
+        else:
+            text = " ".join(f"w{i}_{j}" for j in range(r.randint(3, 9)))
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": "s0", "n_chars": len(text)})
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    out = split_leakage(
+        d, "text", "doc_id", {"train": 0.8, "eval": 0.2}, "train", "eval", 0.2
+    )
+    assert compare(out, _con_with(pdf), SHADOW_ORACLES["q_split_leakage"]) is None
