@@ -33,6 +33,11 @@ from pyspark.sql import types as T
 #: end-of-word marker (classic Sennrich et al. formulation).
 EOW = "</w>"
 
+# Per-task memo cap for bpe_encode: ~1M entries ≈ low hundreds of MB worst
+# case — covers any real vocabulary's head while bounding executor memory
+# on adversarial long tails.
+_CACHE_CAP = 1_000_000
+
 
 def word_histogram(df: DataFrame, text_col: str, max_words: int = 50_000) -> DataFrame:
     """Exact corpus word histogram capped to the top ``max_words`` by
@@ -121,8 +126,16 @@ def bpe_encode(
     ``mapInPandas``, one linear pass, merges shipped in the closure
     (broadcast by Spark's task serialization — the merge list is KBs).
 
-    Adds ``out_col`` (array<string>) and ``n_bpe_tokens`` (long)."""
+    Adds ``out_col`` (array<string>) and ``n_bpe_tokens`` (long).
+
+    The per-task word→tokens memo is size-capped (``_CACHE_CAP`` entries):
+    natural-language word frequency is Zipfian, so a bounded cache keeps
+    nearly all the hit rate, while an unbounded dict on long-tail
+    vocabularies (URLs, typos, hashes) would grow with the partition and
+    eventually evict the executor, not the cache. Past the cap, misses
+    are simply encoded without inserting — correctness is unaffected."""
     merges_local = list(merges)
+    cache_cap = _CACHE_CAP  # bound at call time → pickled by value into tasks
     fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.StringType())),
         T.StructField("n_bpe_tokens", T.LongType()),
@@ -141,7 +154,9 @@ def bpe_encode(
                     continue
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = encode_word(w, merges_local)
+                    got = encode_word(w, merges_local)
+                    if len(cache) < cache_cap:
+                        cache[w] = got
                 out.extend(got)
             return out
 

@@ -23,12 +23,21 @@ PageRank in ``operators/graph.py``):
   grid using an explicit ``floor(|x| + 0.5)`` half-away formula (NOT
   Python's banker's ``round``), the same formula the oracle SQL uses.
 
-Value-range bound (document per deployment): with ``|x| ≤ X`` the int64
-row dot is ≤ ``dim · X·scale · vscale`` and the per-dimension sum is
-≤ ``N · X·scale · dim·X·scale·vscale`` — for X=1, scale=1e3, vscale=1e4,
-dim=64 that stays inside int64 up to N ≈ 1.4e7 rows; larger corpora
-should sample for the direction fit (the projection pass itself cannot
-overflow) or lower ``vscale``.
+Value-range bound (ENFORCED, not just documented): with ``|x| ≤ X`` a
+centered component is ≤ ``2·X·scale``, the int64 row dot is
+≤ ``dim · 2·X·scale · vscale`` and the per-dimension sum is
+≤ ``N · 2·X·scale · dim·2·X·scale·vscale`` — for X=1, scale=1e3,
+vscale=1e4, dim=64 that stays inside int64 up to N ≈ 3.6e6 rows (half
+that envelope at X=1 without the centering factor is the ≈1.4e7 figure
+earlier rounds documented). ``power_iteration`` now measures ``N`` and
+``X`` in its validation pass and raises a clear ``ValueError`` before
+fitting when the envelope is exceeded (silent wraparound — or an ANSI
+overflow error mid-job — is what a 100× scale-up would otherwise hit);
+the caller's remedies are sampling the direction fit (pass
+``df.sample(...)`` to ``power_iteration`` and the full corpus to
+``project`` — the projection pass itself cannot overflow its
+``dim · 2·X·scale · vscale`` bound without the N factor) or lowering
+``scale``/``vscale``.
 """
 
 from __future__ import annotations
@@ -73,9 +82,62 @@ def power_iteration(
     """Fit: returns ``(mean, direction)`` — the integer mean vector on the
     ``scale`` grid and the top-direction vector on the ``vscale`` grid.
 
-    Passes over the data: one for the mean, one per iteration for the
-    per-dimension sums. Each collect is dim-sized (64 longs), never rows.
+    Passes over the data: one cheap validation agg (shape + overflow
+    envelope), one for the mean, one per iteration for the per-dimension
+    sums. Each collect is dim-sized (64 longs) or a single row, never rows.
+
+    Raises ``ValueError`` on ragged/null vectors (a short vector among
+    full-dim ones would silently shift per-position counts and diverge
+    from the oracle's NULL-slot counting) and when ``N``/``max|x|`` exceed
+    the int64 envelope documented in the module docstring (beyond it the
+    exact-integer guarantee is void — sample the fit or lower the grids).
     """
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(vec_col).alias("n_vecs"),
+        F.min(F.size(F.col(vec_col))).alias("d_min"),
+        F.max(F.size(F.col(vec_col))).alias("d_max"),
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        ).alias("x_max"),
+    ).collect()[0]
+    n_rows = int(chk["n_rows"])
+    if n_rows == 0:
+        raise ValueError("power_iteration: empty input")
+    if chk["n_vecs"] != n_rows:
+        raise ValueError(
+            f"power_iteration: {n_rows - int(chk['n_vecs'])} null vector(s) in "
+            f"'{vec_col}' — drop or impute them before fitting"
+        )
+    if chk["d_min"] != dim or chk["d_max"] != dim:
+        raise ValueError(
+            f"power_iteration: expected uniform {dim}-dim vectors, saw sizes "
+            f"[{chk['d_min']}, {chk['d_max']}] — ragged input would diverge "
+            f"from the oracle's per-position counts"
+        )
+    # int64 envelope: centered component ≤ 2·X·scale, row dot ≤ dim·that·vscale,
+    # per-dimension sum ≤ N·that·dot — all exact-int math, so enforce exactly.
+    x_max = float(chk["x_max"])
+    if not math.isfinite(x_max):
+        raise ValueError(
+            f"power_iteration: non-finite value in '{vec_col}' (max|x|={x_max}) "
+            f"— quantization to the int64 grid is undefined for NaN/Infinity"
+        )
+    x_q = math.ceil(x_max * scale) + 1  # +1 rounding headroom
+    comp_bound = 2 * x_q
+    dot_bound = dim * comp_bound * vscale
+    sum_bound = n_rows * comp_bound * dot_bound
+    if sum_bound >= 2**63:
+        max_n = (2**63 - 1) // (comp_bound * dot_bound)
+        raise ValueError(
+            f"power_iteration: int64 overflow envelope exceeded "
+            f"(N={n_rows}, max|x|≈{float(chk['x_max']):.4g}, scale={scale}, "
+            f"vscale={vscale}, dim={dim} → bound {sum_bound:.3e} ≥ 2^63). "
+            f"Fit on a sample (≤{max_n} rows at this value range, e.g. "
+            f"df.sample(...), then project the full corpus) or lower "
+            f"scale/vscale."
+        )
+
     q = df.select(_quantized(vec_col, scale).alias("__q"))
     comp = q.select(F.posexplode("__q").alias("__j", "__x"))
     stats = (

@@ -71,8 +71,13 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> DataF
     fixed (``bins`` rows) regardless of the data."""
     x = F.col(col).cast("double")
     width = (hi - lo) / bins
-    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins - 1)))
+    # clamp in DOUBLE *before* the BIGINT cast: ±Infinity (and doubles
+    # beyond int64, which ANSI Spark and DuckDB both refuse to cast) land
+    # in the edge buckets instead of erroring — same shape as the oracle.
+    pos = (x - F.lit(float(lo))) / F.lit(float(width))
+    b = F.floor(
+        F.least(F.greatest(pos, F.lit(0.0)), F.lit(float(bins - 1)))
+    ).cast("long")
     counts = (
         df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(b.alias("bucket"))
@@ -104,8 +109,9 @@ def histogram_oracle_sql(
     w_d = f"CAST({width!r} AS DOUBLE)"
     return f"""
     WITH c AS (
-      SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo_d}) / {w_d}) AS BIGINT), 0),
-                   {bins - 1}) AS bucket,
+      SELECT CAST(floor(least(greatest((CAST({col} AS DOUBLE) - {lo_d}) / {w_d},
+                              CAST(0 AS DOUBLE)),
+                        CAST({float(bins - 1)!r} AS DOUBLE))) AS BIGINT) AS bucket,
              count(*) AS n
       FROM {table} WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
       GROUP BY 1

@@ -261,8 +261,11 @@ def priority_sample(
     Scale shape: one linear projection pass + ``TakeOrderedAndProject``
     for the top-k — no full sort, no shuffle of the table body. Priorities
     are rounded to 12 decimals with a key tie-break so the boundary is
-    stable cross-engine. Rows with null or non-positive weight are
-    excluded (they have zero selection probability).
+    stable cross-engine. Rows with null, NaN or non-positive weight are
+    excluded (they have zero selection probability; NaN passes ``w > 0``
+    on both engines and would sort first under DESC, silently capturing
+    sample slots — the explicit isnan guard applies the repo's standard
+    NaN-bucketing rule).
     """
     from csvtool_spark.functions.hashing import md5_prefix_long
 
@@ -273,7 +276,7 @@ def priority_sample(
     ) / F.lit(4294967296.0)
     priority = F.round(F.log(u) / w, 12)
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .select(F.col(key_col), F.col(weight_col), priority.alias("priority"))
         .orderBy(F.desc("priority"), F.asc(key_col))
         .limit(k)
@@ -295,6 +298,7 @@ def priority_sample_oracle_sql(
              round(ln((CAST(concat('0x', substr(md5('{salt}#' || CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
                       / 4294967296.0) / CAST({weight_col} AS DOUBLE), 12) AS priority
       FROM {table} WHERE CAST({weight_col} AS DOUBLE) > 0
+        AND NOT isnan(CAST({weight_col} AS DOUBLE))
     )
     SELECT * FROM p ORDER BY priority DESC, {key_col} ASC LIMIT {k}
     """

@@ -128,6 +128,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
     FROM documents
     """,
+    registered=False,  # shadow (r4 swap): window slot given to q_nb_classify
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -847,7 +848,11 @@ def q_reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_distinct_sketch", sketches.kmv_oracle_sql("orders", "o_custkey", 256))
+@register(
+    "q_distinct_sketch",
+    sketches.kmv_oracle_sql("orders", "o_custkey", 256),
+    registered=False,  # shadow (r4 swap): window slot given to q_priority_sample
+)
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import sketches
 
@@ -991,6 +996,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
            1.0 - CAST(s.n_distinct_3gram AS DOUBLE) / CAST(s.n_3gram AS DOUBLE) AS dup_3gram_frac
     FROM s JOIN m USING (doc_id)
     """,
+    registered=False,  # shadow (r4 swap): window slot given to q_pca_project
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1810,7 +1816,7 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary, add-one smoothing, fixed-point int64 log-probs (exact
     # integer score sums cross-engine). Classes are the 5 lang values.
     classify.nb_oracle_sql(["de", "en", "es", "fr", "zh"], vocab_size=2000),
-    registered=False,  # shadow: driver window full; locally gated
+    # promoted to the driver window in round 4 (swap with q_text_fingerprint)
 )
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1838,7 +1844,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_priority_sample",
     sampling.priority_sample_oracle_sql("n_chars", "doc_id", 100),
-    registered=False,  # shadow: driver window full; locally gated
+    # promoted to the driver window in round 4 (swap with q_distinct_sketch)
 )
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1851,7 +1857,7 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pca_project",
     pca.pca_oracle_sql(dim=64, scale=1000, vscale=10000, iters=2),
-    registered=False,  # shadow: driver window full; locally gated
+    # promoted to the driver window in round 4 (swap with q_text_repetition)
 )
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

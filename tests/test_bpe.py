@@ -95,3 +95,17 @@ def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
     a = bpe.bpe_encode(d, "text", merges).select("doc_id", "bpe_tokens").collect()
     b = bpe.bpe_encode(d, "text", loaded).select("doc_id", "bpe_tokens").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_encode_cache_cap_preserves_output(spark, monkeypatch):
+    """With the memo cap forced tiny, every output token stream is still
+    identical — the cap bounds memory, never changes results (ADVICE r3)."""
+    from csvtool_spark.operators import bpe as bpe_mod
+
+    rows = [(i, f"low lower lowest unique{i} word{i % 3}") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_mod.bpe_train(d, "text", n_merges=20)
+    full = bpe_mod.bpe_encode(d, "text", merges).select("doc_id", "bpe_tokens").collect()
+    monkeypatch.setattr(bpe_mod, "_CACHE_CAP", 2)
+    capped = bpe_mod.bpe_encode(d, "text", merges).select("doc_id", "bpe_tokens").collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, capped))

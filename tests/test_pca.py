@@ -80,3 +80,68 @@ def test_pca_oracle_zero_norm_guard_matches_spark():
     rows = con.execute(sql).fetchall()
     assert len(rows) == 10
     assert all(r[2] == 0 for r in rows)  # proj = 0, never NULL
+
+
+def test_pca_ragged_input_raises(spark):
+    """One short vector among full-dim ones must be rejected up front —
+    it would silently shift per-position counts vs the oracle (ADVICE r3)."""
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        pca.power_iteration(df, "embedding", dim=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "ragged" in str(e)
+
+
+def test_pca_null_vector_raises(spark):
+    rows = [(0, [1.0, 2.0]), (1, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        pca.power_iteration(df, "embedding", dim=2)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "null vector" in str(e)
+
+
+def test_pca_overflow_envelope_raises(spark):
+    """Huge values put N·(2Xs)·(dim·2Xs·vs) past 2^63 even with few rows —
+    the precheck must refuse rather than wrap (VERDICT r3 #2)."""
+    rows = [(i, [1.0e6, -1.0e6]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        pca.power_iteration(df, "embedding", dim=2)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "overflow envelope" in str(e)
+        assert "sample" in str(e)
+
+
+def test_pca_envelope_boundary_is_tight(spark):
+    """Just inside the envelope fits fine; the same data with vscale bumped
+    past the bound raises — the check is the documented formula, not a
+    vibe."""
+    dim, scale = 2, 1000
+    rows = [(i, [1.0, -1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # x_q = ceil(1.0*1000)+1 = 1001; comp=2002; bound = N*comp*(dim*comp*vs)
+    # fits iff 8*2002*2*2002*vs < 2^63  →  vs < ~1.44e11
+    mean, v = pca.power_iteration(df, "embedding", dim=dim, scale=scale,
+                                  vscale=100_000_000_000, iters=1)
+    assert len(v) == dim
+    try:
+        pca.power_iteration(df, "embedding", dim=dim, scale=scale,
+                            vscale=200_000_000_000, iters=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "overflow envelope" in str(e)
+
+
+def test_pca_nonfinite_value_raises(spark):
+    rows = [(0, [1.0, float("nan")]), (1, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        pca.power_iteration(df, "embedding", dim=2)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "non-finite" in str(e)

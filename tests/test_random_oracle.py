@@ -173,3 +173,45 @@ def test_split_leakage_oracle_on_random_corpora(spark, seed):
         d, "text", "doc_id", {"train": 0.8, "eval": 0.2}, "train", "eval", 0.2
     )
     assert compare(out, _con_with(pdf), SHADOW_ORACLES["q_split_leakage"]) is None
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_histogram_oracle_with_nonfinite_values(spark, seed):
+    """±Infinity must clamp into the edge buckets on BOTH engines (the
+    pre-fix oracle crashed casting floor(inf) to BIGINT — ADVICE r3);
+    NaN stays dropped. Also mixes doubles far beyond int64 range, which
+    the double-side clamp must absorb before the cast."""
+    from csvtool_spark.operators.profiling import histogram, histogram_oracle_sql
+
+    r = random.Random(seed + 4200)
+    vals = [r.uniform(-100, 400) for _ in range(120)]
+    vals += [float("inf"), float("-inf"), float("nan"), 1e300, -1e300]
+    pdf = pd.DataFrame({"n_chars": vals, "doc_id": range(len(vals))})
+    d = spark.createDataFrame(pdf)
+    lo, hi, bins = 0.0, 260.0, 13
+    out = histogram(d, "n_chars", lo, hi, bins)
+    sql = histogram_oracle_sql("n_chars", lo, hi, bins, "documents")
+    assert compare(out, _con_with(pdf), sql) is None
+    got = {row.bucket: row.n for row in out.collect()}
+    assert got[0] >= 1 and got[bins - 1] >= 1  # ±inf landed in edge buckets
+    assert sum(got.values()) == len(vals) - 1  # only NaN dropped
+
+
+def test_priority_sample_oracle_with_nan_weights(spark):
+    """NaN weights pass ``w > 0`` on both engines and would sort first
+    under DESC, silently capturing sample slots (ADVICE r3) — the isnan
+    guard must exclude them on BOTH sides."""
+    from csvtool_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_oracle_sql,
+    )
+
+    pdf = _random_docs(7700)
+    pdf["n_chars"] = pdf["n_chars"].astype(float)
+    pdf.loc[pdf.index[:10], "n_chars"] = float("nan")
+    d = spark.createDataFrame(pdf)
+    out = priority_sample(d, "n_chars", "doc_id", k=25)
+    sql = priority_sample_oracle_sql("n_chars", "doc_id", 25)
+    assert compare(out, _con_with(pdf), sql) is None
+    nan_ids = set(pdf["doc_id"][:10])
+    assert not nan_ids & {r.doc_id for r in out.collect()}
