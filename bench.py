@@ -5,12 +5,19 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes end-to-end through the `noop` sink (full computation on
 executors, no driver collect), timed after a JVM/session warmup pass.
+
+Timing is median-of-3 per query (post-warmup): one-shot numbers on this
+box swing ±30% with ambient load (round 3 recorded 8.6-13.3 s totals for
+identical code), which drowned the round-over-round regression signal.
+The reported per-query value and the headline total are medians; min/max
+spreads ride along in the JSON so a noisy run is visibly noisy.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,17 +90,30 @@ def main() -> None:
     ]:
         run(read_table(spark, sf_dir, t))
 
-    times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        run(pool[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    # Median-of-3: run the whole list three times (round-robin, not
+    # back-to-back per query, so a transient load spike hits one sweep of
+    # every query rather than all repeats of one) and take per-query
+    # medians. Round-over-round deltas then reflect code, not the box.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            run(pool[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
 
+    times = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: {"min": round(min(s), 3), "max": round(max(s), 3)}
+        for n, s in samples.items()
+    }
     out = {
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "spread": spread,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -324,3 +324,40 @@ def test_histogram_drops_nan_and_clamps_infinity(spark):
     assert out[0] == 2      # 5.0 and -inf (clamped)
     assert out[9] == 1      # +inf (clamped)
     assert sum(out.values()) == 3  # NaN dropped
+
+
+def test_simhash_arrow_and_jvm_kernels_identical(spark):
+    """The Arrow vote-fold kernel and the JVM Column fold must produce
+    bit-identical simhash signatures — the chunk-blocked pair set cannot
+    depend on the kernel choice (VERDICT r3 #4)."""
+    from pyspark.sql import functions as F
+    from csvtool_spark.operators.textstats import tokens
+    from tests.conftest import SF_SMALL
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = tokens(dedup.normalized(F.col("text")))
+    staged = d.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    jvm = staged.select("doc_id", dedup.simhash64(F.col("__toks"), "xx64").alias("s"))
+    arrow = staged.select("doc_id", dedup.simhash64_arrow()(F.col("__th")).alias("s"))
+    assert jvm.join(arrow, "doc_id").filter(jvm["s"] != arrow["s"]).count() == 0
+    assert jvm.count() == arrow.count() > 0
+    # degenerate battery: null array, empty array, single huge-bit-63 hash
+    raw = spark.createDataFrame(
+        [(1, [5, 7, 1]), (2, []), (3, None), (4, [-(2**63) + 11]), (5, [-1])],
+        "doc_id long, arr array<long>",
+    )
+    ra = {r.doc_id: r.s for r in raw.select(
+        "doc_id", dedup.simhash64_arrow()(F.col("arr")).alias("s")).collect()}
+    assert ra[3] is None and ra[2] == 0
+    assert ra[5] == -1  # every bit votes +1 → all 64 sign bits set
+    assert ra[4] == -(2**63) + 11  # single token → signature = its hash
+    # pair-set equivalence end-to-end
+    pa = {(r.id_a, r.id_b) for r in dedup.near_dup_pairs_simhash(
+        d, "text", "doc_id", kernel="arrow").collect()}
+    pj = {(r.id_a, r.id_b) for r in dedup.near_dup_pairs_simhash(
+        d, "text", "doc_id", kernel="jvm").collect()}
+    assert pa == pj
