@@ -96,13 +96,19 @@ def stream_events_dir(spark: SparkSession, stream_dir: str) -> DataFrame:
         )
     if units[shards[0]] == "ns":
         # read epoch-nanos as long, truncate to micros with integer
-        # arithmetic (nanos exceed 2^53 — double math would corrupt them)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_events_schema(T.LongType()))
-            .format("parquet")
-            .load(stream_dir)
-        )
+        # arithmetic (nanos exceed 2^53 — double math would corrupt them).
+        # The conf is scoped: the stream source captures it at load()
+        # time, so micro-batches planned after the restore still read
+        # nanos correctly (verified; pinned by
+        # test_nanos_conf_is_scoped_for_streams).
+        from csvtool_spark.sources.parquet import scoped_nanos_as_long
+
+        with scoped_nanos_as_long(spark):
+            raw = (
+                spark.readStream.schema(_events_schema(T.LongType()))
+                .format("parquet")
+                .load(stream_dir)
+            )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
         spark.readStream.schema(_events_schema(T.TimestampNTZType()))
