@@ -58,34 +58,50 @@ def main(argv: list[str] | None = None) -> int:
         print("no query given", file=sys.stderr)
         return 2
 
-    eng = CsvEngine(get_spark("csvtool-cli"))
-    if args.explain:
-        for df in eng.run(text):
-            df.explain("formatted")
-        return 0
-    if args.output:
-        # sink dispatch by extension: .parquet → distributed parquet dir,
-        # anything else → the reference's single-file CSV shape
-        if args.output.lower().endswith(".parquet"):
-            paths = eng.save_parquet(text, args.output)
-        else:
-            paths = eng.save_csv(text, args.output)
-        for p in paths:
-            print(p)
-        return 0
-    if args.json:
-        for block in eng.to_json(text, limit=args.limit or None):
-            for line in block:
-                print(line)
-        return 0
+    # Interactive parity with the reference: encrypt()/decrypt() without a
+    # password prompt via getpass (reference: parser.go:979-1007). getpass
+    # reads /dev/tty directly, so it works even when the query itself came
+    # through stdin. Programmatic use of the engine stays strict.
+    import getpass
 
-    w = csv.writer(sys.stdout)
-    for df in eng.run(text):
-        w.writerow(df.columns)
-        it = df.toLocalIterator() if not args.limit else iter(df.take(args.limit))
-        for row in it:
-            w.writerow(["" if v is None else v for v in row])
-    return 0
+    from csvtool_spark.dialect.compiler import set_password_provider
+
+    set_password_provider(
+        lambda fn: getpass.getpass(f"{fn}() password: ")
+    )
+    try:
+        eng = CsvEngine(get_spark("csvtool-cli"))
+        if args.explain:
+            for df in eng.run(text):
+                df.explain("formatted")
+            return 0
+        if args.output:
+            # sink dispatch by extension: .parquet → distributed parquet dir,
+            # anything else → the reference's single-file CSV shape
+            if args.output.lower().endswith(".parquet"):
+                paths = eng.save_parquet(text, args.output)
+            else:
+                paths = eng.save_csv(text, args.output)
+            for p in paths:
+                print(p)
+            return 0
+        if args.json:
+            for block in eng.to_json(text, limit=args.limit or None):
+                for line in block:
+                    print(line)
+            return 0
+
+        w = csv.writer(sys.stdout)
+        for df in eng.run(text):
+            w.writerow(df.columns)
+            it = df.toLocalIterator() if not args.limit else iter(df.take(args.limit))
+            for row in it:
+                w.writerow(["" if v is None else v for v in row])
+        return 0
+    finally:
+        # the provider is CLI-scoped: in-process callers (tests, embedding
+        # apps) must get the strict SemanticError behavior back
+        set_password_provider(None)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,20 @@ _SPARK_TYPES = {
 }
 
 
+#: Interactive password source for encrypt()/decrypt() with the password
+#: omitted — mirrors the reference's prompt (parser.go:979-1007). ``None``
+#: (the default) keeps programmatic paths strict: omitting the password
+#: raises SemanticError. The CLI installs a getpass-backed provider.
+#: Signature: provider(func_name) -> password.
+PASSWORD_PROVIDER = None
+
+
+def set_password_provider(provider) -> None:
+    """Install (or clear, with ``None``) the interactive password source."""
+    global PASSWORD_PROVIDER
+    PASSWORD_PROVIDER = provider
+
+
 def _cast(col: Column, t: int | None) -> Column:
     if t is None:
         return col
@@ -208,11 +222,21 @@ class Compiler:
             return (F.col(INCBASE).cast("double") + F.lit(1.0)) * F.lit(float(step))
         if name == "encrypt" or name == "decrypt":
             if len(node.args) < 2:
-                raise SemanticError(
-                    f"{name}() requires an explicit password in this engine "
-                    "(the reference prompts interactively)"
-                )
-            password = node.args[1].raw
+                # Reference prompts interactively when the password is
+                # omitted (parser.go:979-1007; websocket prompt
+                # server.go:40-60). Programmatic/oracle paths stay strict
+                # (clean SemanticError); the CLI installs a getpass-backed
+                # provider for interactive runs (cli.py).
+                if PASSWORD_PROVIDER is not None:
+                    password = PASSWORD_PROVIDER(name)
+                else:
+                    raise SemanticError(
+                        f"{name}() requires an explicit password in this "
+                        "engine (the reference prompts interactively; the "
+                        "CLI prompts via getpass)"
+                    )
+            else:
+                password = node.args[1].raw
             if name == "encrypt":
                 return crypto_encrypt(arg0, password)
             return crypto_decrypt(arg0, password)

@@ -355,3 +355,33 @@ def test_cli_output_dispatches_parquet_by_extension(eng, spark, tmp_path, monkey
     assert capsys.readouterr().out.strip() == out
     back = spark.read.parquet(out)
     assert back.columns == ["plate", "fine"] and back.count() == 5
+
+
+def test_encrypt_prompts_via_getpass_in_cli(eng, monkeypatch, capsys):
+    """Password-less encrypt()/decrypt() prompts in the CLI (reference
+    parity: parser.go:979-1007) and round-trips; the provider is cleared
+    afterward so programmatic paths stay strict (VERDICT r3 #6)."""
+    import getpass as getpass_mod
+
+    from csvtool_spark import cli
+    from csvtool_spark.dialect import compiler
+    from csvtool_spark.dialect.errors import SemanticError
+
+    prompts = []
+
+    def fake_getpass(prompt=""):
+        prompts.append(prompt)
+        return "s3cret"
+
+    monkeypatch.setattr(getpass_mod, "getpass", fake_getpass)
+    rc = cli.main(
+        ["-c", "select decrypt(encrypt(plate), 's3cret') as rt from" + V + "limit 3"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert lines[0] == "rt" and len(lines) == 4  # header + 3 round-tripped rows
+    assert prompts and "encrypt() password" in prompts[0]
+    # provider cleared: in-process engine use is strict again
+    assert compiler.PASSWORD_PROVIDER is None
+    with pytest.raises(SemanticError, match="password"):
+        eng.sql("select encrypt(plate) from" + V + "limit 1")
