@@ -4,9 +4,16 @@ dialect statements and returns the ReturnData JSON contract
 (utils.go:590-608 — status bits, per-statement entries, browser row cap),
 ``GET /info?info=fileClick`` serves the directory browser, and ``GET /``
 serves a minimal bundled browser UI (csvtool_spark.webui — original
-single-file page over the same JSON contract). The websocket
-password/progress channel remains display plumbing out of engine scope
-(SURVEY.md §2.1).
+single-file page over the same JSON contract).
+
+Progress/cancel channel: the reference streams 1-second progress messages
+and accepts cancel over a websocket (server.go:19-70, utils.go:803-834).
+Here the same contract rides plain HTTP — a client that sends ``"id"``
+with its ``POST /query/`` can follow ``GET /progress?id=…`` (Server-Sent
+Events: one JSON line per active-stage tick, then a ``done`` event) and
+abort via ``POST /cancel/`` ``{"id": …}``, which cancels the Spark job
+group mid-flight (``progress.CancellableRun``). SSE over stdlib http —
+no websocket dependency.
 
 Scale note: the row cap exists because this surface is interactive — the
 server clips each statement to ``SHOW_CAP/numcols`` rows exactly like the
@@ -48,9 +55,59 @@ def _json_val(v):
     return str(v)
 
 
-def query_response(engine, text: str) -> dict:
+class QueryJob:
+    """Progress/cancel state for one in-flight ``/query`` request: a
+    monotonically growing event list (SSE readers replay from any offset,
+    so a late-connecting client still sees every tick) plus the
+    ``CancellableRun`` job group the statements execute under."""
+
+    def __init__(self, spark, qid: str):
+        from csvtool_spark.progress import CancellableRun
+
+        self.id = qid
+        self.run = CancellableRun(spark, f"http query {qid}")
+        self._cond = threading.Condition()
+        self._events: list[dict] = []
+        self._done = False
+
+    def post(self, stage_id: int, completed: int, total: int) -> None:
+        """ProgressReporter callback — one event per active-stage tick."""
+        with self._cond:
+            self._events.append(
+                {"stage": stage_id, "completed": completed, "total": total}
+            )
+            self._cond.notify_all()
+
+    def finish(self) -> None:
+        with self._cond:
+            self._done = True
+            self._cond.notify_all()
+
+    def cancel(self) -> None:
+        self.run.cancel()
+
+    def stream(self, poll: float = 0.5):
+        """Yield ``(new_events, done)`` tuples until the job finishes —
+        the SSE writer loop, kept free of any HTTP details for tests."""
+        i = 0
+        while True:
+            with self._cond:
+                while len(self._events) <= i and not self._done:
+                    self._cond.wait(poll)
+                evs = self._events[i:]
+                i = len(self._events)
+                done = self._done
+            yield evs, done
+            if done:
+                return
+
+
+def query_response(engine, text: str, runner=None) -> dict:
     """Run ``text`` and build the ReturnData dict (pure function — the
-    HTTP handler is a thin wrapper, so this is directly testable)."""
+    HTTP handler is a thin wrapper, so this is directly testable).
+    ``runner``: optional callable wrapping each collect (the server passes
+    ``QueryJob.run`` so the statements execute under a cancellable job
+    group)."""
     from csvtool_spark.engine import _dialect_type
 
     ret: dict = {
@@ -66,7 +123,8 @@ def query_response(engine, text: str) -> dict:
             df = engine.sql(stmt)
             numcols = len(df.columns)
             show_limit = max(1, SHOW_CAP // max(1, numcols))
-            rows = df.limit(show_limit + 1).collect()
+            collect = lambda: df.limit(show_limit + 1).collect()  # noqa: E731,B023
+            rows = runner(collect) if runner is not None else collect()
             clipped = len(rows) > show_limit
             if clipped:
                 rows = rows[:show_limit]
@@ -120,8 +178,17 @@ class CsvToolServer:
         srv.stop()
     """
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8060):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 8060,
+        progress_interval: float = 1.0,
+    ):
         self.engine = engine
+        self.progress_interval = progress_interval
+        self._jobs: dict[str, QueryJob] = {}
+        self._jobs_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -147,14 +214,39 @@ class CsvToolServer:
             def do_POST(self):
                 if self.path.startswith("/query"):
                     req = self._body()
-                    self._send(query_response(outer.engine, req.get("query", "")))
+                    text = req.get("query", "")
+                    qid = req.get("id")
+                    if not qid:
+                        self._send(query_response(outer.engine, text))
+                        return
+                    from csvtool_spark.progress import ProgressReporter
+
+                    job = outer._register_job(str(qid))
+                    try:
+                        with ProgressReporter(
+                            outer.engine.spark, job.post, outer.progress_interval
+                        ):
+                            resp = query_response(outer.engine, text, runner=job.run)
+                    finally:
+                        job.finish()
+                    self._send(resp)
+                elif self.path.startswith("/cancel"):
+                    req = self._body()
+                    job = outer._get_job(str(req.get("id", "")))
+                    if job is None:
+                        self._send({"status": DAT_BADPATH, "message": "unknown id"})
+                    else:
+                        job.cancel()
+                        self._send({"status": DAT_GOOD, "message": "cancel requested"})
                 elif self.path.startswith("/info"):
                     self._do_info()
                 else:
                     self.send_error(404)
 
             def do_GET(self):
-                if self.path.startswith("/info"):
+                if self.path.startswith("/progress"):
+                    self._do_progress()
+                elif self.path.startswith("/info"):
                     self._do_info()
                 elif self.path in ("/", "/index.html"):
                     from csvtool_spark.webui import INDEX_HTML
@@ -179,8 +271,57 @@ class CsvToolServer:
                 else:
                     self._send({})
 
+            def _do_progress(self):
+                """SSE: stream the job's progress events, then ``done``.
+                Waits briefly for the job to register — an EventSource
+                opened in the same tick as the POST can win the race."""
+                import time
+                from urllib.parse import parse_qs, urlparse
+
+                qid = (parse_qs(urlparse(self.path).query).get("id") or [""])[0]
+                deadline = time.monotonic() + 2.0
+                job = outer._get_job(qid)
+                while job is None and time.monotonic() < deadline:
+                    time.sleep(0.05)
+                    job = outer._get_job(qid)
+                if job is None:
+                    self.send_error(404, "unknown query id")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-control", "no-store")
+                self.end_headers()
+                try:
+                    for evs, done in job.stream():
+                        for ev in evs:
+                            self.wfile.write(
+                                f"data: {json.dumps(ev)}\n\n".encode()
+                            )
+                        if done:
+                            self.wfile.write(b"event: done\ndata: {}\n\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away — the query keeps running
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+
+    def _register_job(self, qid: str) -> QueryJob:
+        job = QueryJob(self.engine.spark, qid)
+        with self._jobs_lock:
+            self._jobs[qid] = job
+            # bounded registry: finished jobs stay visible for late SSE
+            # connects, evicted oldest-first past the cap
+            while len(self._jobs) > 64:
+                k = next(iter(self._jobs))
+                if k == qid:
+                    break
+                del self._jobs[k]
+        return job
+
+    def _get_job(self, qid: str) -> QueryJob | None:
+        with self._jobs_lock:
+            return self._jobs.get(qid)
 
     @property
     def port(self) -> int:

@@ -5,9 +5,12 @@ to ``/query/`` and renders each statement's ReturnData entry as a table
 (the same JSON contract tests and programmatic clients use). This is an
 original page written for this engine — the reference ships a separate
 JS bundle (/root/reference/webgui/) whose query logic lives server-side
-there too; only the *surface* (textarea → run → table, row-clip notice)
-is mirrored. Display plumbing the engine does not need (websocket
-progress, password prompts, file-click browser UI) stays out of scope.
+there too; only the *surface* (textarea → run → table, row-clip notice,
+live progress + cancel) is mirrored. The reference pushes per-second
+progress and takes cancel over a websocket (server.go:19-70,
+utils.go:803-834); this page uses the server's SSE twin — an EventSource
+on ``/progress?id=…`` plus ``POST /cancel/``. Password prompts and the
+file-click browser UI stay out of scope.
 """
 
 INDEX_HTML = """<!doctype html>
@@ -36,6 +39,8 @@ INDEX_HTML = """<!doctype html>
 <h2>csvtool-spark</h2>
 <textarea id="q" placeholder="select * from 'file.csv' where ...;  (ctrl+enter runs)"></textarea>
 <br><button id="run">run</button>
+<button id="cancel" hidden>cancel</button>
+<span id="prog" style="opacity:.7; margin-left:.8rem;"></span>
 <div id="msg"></div>
 <div id="out"></div>
 <script>
@@ -72,23 +77,51 @@ function render(data) {
   }
 }
 
+let currentId = null;
+
 async function run() {
   $("msg").textContent = "running\\u2026";
   $("msg").className = "";
+  const qid = "q" + Date.now().toString(36) + Math.random().toString(36).slice(2, 8);
+  currentId = qid;
+  $("cancel").hidden = false;
+  // live progress: one SSE event per active-stage tick, then `done`
+  const es = new EventSource("/progress?id=" + qid);
+  es.onmessage = (ev) => {
+    const p = JSON.parse(ev.data);
+    $("prog").textContent = "stage " + p.stage + ": " + p.completed + "/" + p.total + " tasks";
+  };
+  es.addEventListener("done", () => es.close());
   try {
     const r = await fetch("/query/", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ query: $("q").value }),
+      body: JSON.stringify({ query: $("q").value, id: qid }),
     });
     render(await r.json());
   } catch (err) {
     $("msg").textContent = String(err);
     $("msg").className = "err";
+  } finally {
+    es.close();
+    currentId = null;
+    $("cancel").hidden = true;
+    $("prog").textContent = "";
   }
 }
 
+async function cancelRun() {
+  if (!currentId) return;
+  $("prog").textContent = "cancelling\\u2026";
+  await fetch("/cancel/", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ id: currentId }),
+  });
+}
+
 $("run").addEventListener("click", run);
+$("cancel").addEventListener("click", cancelRun);
 $("q").addEventListener("keydown", (ev) => {
   if (ev.key === "Enter" && (ev.ctrlKey || ev.metaKey)) { ev.preventDefault(); run(); }
 });

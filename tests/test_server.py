@@ -128,3 +128,92 @@ def test_webui_served_at_root(eng):
         assert "colnames" in page and "showLimit" in page
     finally:
         srv.stop()
+
+
+def test_progress_events_stream_and_cancel_aborts(spark):
+    """The SSE progress channel emits per-stage ticks during a slow query
+    and POST /cancel aborts the job group mid-flight (reference parity:
+    websocket progress+cancel, server.go:19-70 / utils.go:803-834)."""
+    import threading
+    import time
+    import urllib.request
+
+    from csvtool_spark.server import DAT_ERROR, CsvToolServer
+
+    class SlowEngine:
+        """Engine stub: every statement is a multi-second JVM-side scan
+        (sha2 over 500M longs) — enough runtime for progress ticks and a
+        meaningful cancel."""
+
+        def __init__(self, s):
+            self.spark = s
+
+        def sql(self, stmt):
+            return self.spark.range(500_000_000).selectExpr(
+                "count(sha2(cast(id as string), 256)) as n"
+            )
+
+    srv = CsvToolServer(SlowEngine(spark), port=0, progress_interval=0.05)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    resp_box: list[dict] = []
+    try:
+        qid = "t-cancel-1"
+
+        def post_query():
+            req = urllib.request.Request(
+                f"{base}/query/",
+                data=json.dumps({"query": "select slow", "id": qid}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                resp_box.append(json.loads(r.read()))
+
+        t = threading.Thread(target=post_query, daemon=True)
+        t0 = time.monotonic()
+        t.start()
+
+        # SSE: wait for at least one progress tick
+        events = []
+        with urllib.request.urlopen(f"{base}/progress?id={qid}", timeout=60) as es:
+            assert es.headers["Content-Type"].startswith("text/event-stream")
+            for raw in es:
+                line = raw.decode().strip()
+                if line.startswith("data:") and line != "data: {}":
+                    events.append(json.loads(line[5:]))
+                    break  # got a live tick — now cancel
+
+        creq = urllib.request.Request(
+            f"{base}/cancel/",
+            data=json.dumps({"id": qid}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(creq, timeout=30) as r:
+            assert json.loads(r.read())["message"] == "cancel requested"
+
+        t.join(60)
+        elapsed = time.monotonic() - t0
+        assert not t.is_alive() and resp_box, "query thread never returned"
+        ret = resp_box[0]
+        assert ret["status"] & DAT_ERROR  # aborted, surfaced as error
+        assert "cancel" in ret["message"].lower()
+        assert elapsed < 45  # came back early: 500M-row sha2 scan takes far longer
+        assert events and events[0]["total"] > 0  # live tick observed mid-run
+
+        # unknown id → DAT_BADPATH, not a crash
+        breq = urllib.request.Request(
+            f"{base}/cancel/",
+            data=json.dumps({"id": "nope"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(breq, timeout=30) as r:
+            assert json.loads(r.read())["status"] != 0
+    finally:
+        srv.stop()
+
+
+def test_webui_wires_progress_channel(eng):
+    from csvtool_spark.webui import INDEX_HTML
+
+    assert "/progress?id=" in INDEX_HTML and "/cancel/" in INDEX_HTML
+    assert "EventSource" in INDEX_HTML
