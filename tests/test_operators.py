@@ -361,3 +361,63 @@ def test_simhash_arrow_and_jvm_kernels_identical(spark):
     pj = {(r.id_a, r.id_b) for r in dedup.near_dup_pairs_simhash(
         d, "text", "doc_id", kernel="jvm").collect()}
     assert pa == pj
+
+
+def _golden_corpus():
+    """Fixed 200-doc corpus with planted structure: 15 near-dup pairs
+    (one-token perturbation of docs 0,2,…,28 → ids 170-184) and 5 exact
+    dups (copies of docs 100-104 → ids 185-189). Seeded generator — the
+    corpus is a pure function of the seed, so the pair sets below are
+    committed golden values."""
+    import random
+
+    r = random.Random(20260814)
+    words = [f"w{i:03d}" for i in range(400)]
+    docs = {}
+    for i in range(170):
+        docs[i] = " ".join(r.choice(words) for _ in range(r.randint(20, 60)))
+    for j in range(15):
+        toks = docs[j * 2].split()
+        k = r.randrange(len(toks))
+        toks[k] = r.choice(words)
+        docs[170 + j] = " ".join(toks)
+    for j in range(5):
+        docs[185 + j] = docs[100 + j]
+    return sorted(docs.items())
+
+
+#: exactly the 20 planted pairs — no false positives, full recall
+GOLDEN_MINHASH_PAIRS = (
+    [(2 * j, 170 + j) for j in range(15)] + [(100 + j, 185 + j) for j in range(5)]
+)
+
+#: simhash at max_hamming=8 recovers 13/15 near-dups (ids 171 and 178's
+#: perturbations flip >8 signature bits — expected for simhash's radius)
+#: plus all 5 exact dups at hamming 0
+GOLDEN_SIMHASH_PAIRS = [
+    (0, 170, 4), (4, 172, 3), (6, 173, 2), (8, 174, 3), (10, 175, 3),
+    (12, 176, 4), (14, 177, 2), (16, 178, 4), (18, 179, 1), (20, 180, 3),
+    (22, 181, 7), (24, 182, 3), (26, 183, 4),
+    (100, 185, 0), (101, 186, 0), (102, 187, 0), (103, 188, 0), (104, 189, 0),
+]
+
+
+def test_golden_pairs_minhash_xxhash_family(spark):
+    """Direct value evidence for the xxhash64+Arrow PERFORMANCE defaults
+    (VERDICT r3 #8): the md5 oracle twins prove the pipeline shape, this
+    pins the exact pair set the fast family produces on a fixed corpus."""
+    d = spark.createDataFrame(_golden_corpus(), "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs_minhash(d, "text", "doc_id").collect()
+    )
+    assert got == sorted(GOLDEN_MINHASH_PAIRS)
+
+
+def test_golden_pairs_simhash_xxhash_family(spark):
+    d = spark.createDataFrame(_golden_corpus(), "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.near_dup_pairs_simhash(d, "text", "doc_id").collect()
+    )
+    assert got == GOLDEN_SIMHASH_PAIRS
