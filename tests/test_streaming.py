@@ -389,3 +389,29 @@ def test_nb_score_map_equals_join_form(spark):
     a = sorted(tuple(r) for r in classify.nb_score(batch, model).select(*cols).collect())
     b = sorted(tuple(r) for r in classify.nb_score_map(batch, model).select(*cols).collect())
     assert a == b
+
+
+def test_confusion_stream_matches_batch_matrix(spark):
+    """The streaming confusion matrix (update mode, |classes|²-bounded
+    state) must converge to exactly the batch q_nb_confusion counts after
+    all shards arrive — and replaying a shard through a fresh stream dir
+    must not change the per-batch determinism."""
+    from csvtool_spark.operators import classify
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import confusion_stream, document_stream
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = classify.nb_train(batch, vocab_size=500)
+    out = confusion_stream(document_stream(spark, SF_SMALL), model)
+    assert out.isStreaming
+    run_to_memory(out, "conf_out", output_mode="complete")
+    got = {(r.lang, r.pred): r.n for r in spark.sql("SELECT * FROM conf_out").collect()}
+    exp = {
+        (r.lang, r.pred): r.n
+        for r in classify.nb_score_map(batch, model)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == exp and sum(got.values()) == batch.count()
