@@ -25,6 +25,7 @@ from csvtool_spark.operators import (
     multimodal,
     pca,
     profiling,
+    retrieval,
     sampling,
     similarity,
     sketches,
@@ -1974,3 +1975,21 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.source_overlap_matrix(d, "text", "source", k=8)
+
+
+# --- BM25 retrieval --------------------------------------------------------
+
+
+@register(
+    "q_bm25",
+    retrieval.bm25_oracle_sql(["spark", "query", "join", "vector"], top_k=25),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k keyword retrieval (fixed-point exact ranking):
+    corpus-bounded model artifacts, filter-before-shuffle tf pass,
+    TakeOrderedAndProject top-k. operators/retrieval.py."""
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        d, "text", "doc_id", ["spark", "query", "join", "vector"], top_k=25
+    )

@@ -421,3 +421,38 @@ def test_golden_pairs_simhash_xxhash_family(spark):
         for r in dedup.near_dup_pairs_simhash(d, "text", "doc_id").collect()
     )
     assert got == GOLDEN_SIMHASH_PAIRS
+
+
+def test_bm25_ranks_matching_docs_and_is_take_ordered(spark):
+    from csvtool_spark.operators.retrieval import bm25_scores
+
+    rows = [
+        (1, "spark query engine spark spark"),
+        (2, "spark query"),
+        (3, "nothing relevant here at all"),
+        (4, "query " * 30),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_scores(d, "text", "doc_id", ["spark", "query"], top_k=10)
+    got = {r.doc_id: r.score_fp for r in out.collect()}
+    assert set(got) == {1, 2, 4}            # non-matching + null docs omitted
+    assert got[1] == max(got.values())      # highest tf on both terms wins
+    assert all(v > 0 for v in got.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+def test_bm25_rejects_empty_query_and_handles_no_hits(spark):
+    from csvtool_spark.operators.retrieval import bm25_scores
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    try:
+        bm25_scores(d, "text", "doc_id", ["  ", ""])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "at least one term" in str(e)
+    # terms that hit nothing → empty result with the contract schema
+    out = bm25_scores(d, "text", "doc_id", ["zzz-not-here"])
+    assert out.columns == ["doc_id", "score_fp", "score"]
+    assert out.count() == 0

@@ -215,3 +215,19 @@ def test_priority_sample_oracle_with_nan_weights(spark):
     assert compare(out, _con_with(pdf), sql) is None
     nan_ids = set(pdf["doc_id"][:10])
     assert not nan_ids & {r.doc_id for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bm25_oracle_on_random_corpora(spark, seed):
+    """BM25's fixed-point ranking must be hash-exact cross-engine on
+    random shapes: skewed tf, absent terms, empty docs, null text."""
+    from csvtool_spark.operators.retrieval import bm25_oracle_sql, bm25_scores
+
+    r = random.Random(seed + 6100)
+    pdf = _random_docs(seed + 6100, n=150)
+    pdf.loc[pdf.index[:3], "text"] = None  # null docs: counted out of N
+    d = spark.createDataFrame(pdf)
+    terms = r.sample(["red", "eins", "deux", "tie", "x", "absent-term"], k=4)
+    out = bm25_scores(d, "text", "doc_id", terms, k1=1.5, b=0.6, top_k=30)
+    sql = bm25_oracle_sql(terms, k1=1.5, b=0.6, top_k=30)
+    assert compare(out, _con_with(pdf), sql) is None
