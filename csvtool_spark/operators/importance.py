@@ -1,0 +1,231 @@
+"""DSIR-style importance resampling: select pretraining documents whose
+hashed-n-gram distribution looks like a TARGET corpus (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling" — public
+method; this is an original Spark-first implementation).
+
+Pipeline (all corpus passes linear, all model state bounded):
+
+1. **Features**: unigrams + bigrams of the whitespace tokens, hashed into
+   ``n_buckets`` buckets with the repo's cross-engine md5 prefix hash.
+2. **Bucket models**: ONE pass counts every bucket twice — raw (all docs)
+   and target (docs matching ``target_sql``) — collected as ≤``n_buckets``
+   rows (the only driver artifact; 1024 longs by default).
+3. **Log-ratio weights**: add-one-smoothed
+   ``lr_b = ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))`` on a 1e-6 fixed-point
+   grid → a bucket-indexed int64 literal array shipped in the task
+   closure. Per-doc log-weight is then a ZERO-SHUFFLE array fold:
+   exact integer sums, order-invariant, streaming-legal (the
+   ``nb_score_map`` shape).
+4. **Resampling**: top-k by Gumbel-perturbed log-weight
+   (``logw + g``, ``g = -ln(-ln(u))`` with a key-derived md5 coin —
+   samples ∝ exp(logw) without replacement, the Gumbel-top-k identity),
+   or deterministic top-k with ``gumbel=False``. Either way the plan is
+   ``TakeOrderedAndProject`` — no full sort, no body shuffle.
+
+Cross-engine exactness: integer counts → identical double formulas
+(same parenthesization) → half-away 1e-6 grid → int64 sums; the DuckDB
+oracle reproduces every stage from the same table.
+
+At 100 TB the md5 bucket hash is the deliberate determinism lane (same
+trade-off as ``dedup.hash_family='md5'``); a deployment chasing
+signature throughput would swap ``xxhash64 % B`` into ``_bucket`` — the
+fold shape is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csvtool_spark.functions.hashing import md5_prefix_long
+from csvtool_spark.operators.dedup import normalized
+from csvtool_spark.operators.textstats import tokens
+
+_SCALE = 1_000_000.0
+
+
+def _half_away_int(x: float) -> int:
+    r = math.floor(abs(x) + 0.5)
+    return int(r) if x >= 0 else -int(r)
+
+
+def _features(toks):
+    """Unigrams + space-joined bigrams (null tokens array → null)."""
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return F.when(
+        F.size(toks) >= 2, F.concat(toks, bigrams)
+    ).otherwise(toks)
+
+
+def _bucket(feat, n_buckets: int):
+    return md5_prefix_long(feat) % F.lit(int(n_buckets))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_sql: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document fixed-point log importance weight ``logw_fp``
+    (×1e-6): positive → the doc's feature mix resembles the target
+    corpus more than the raw pool. ``target_sql`` is a boolean SQL
+    predicate over the input columns (e.g. ``"lang = 'en'"``) defining
+    the target subset — mirrored verbatim in the oracle.
+
+    Returns all input columns plus ``logw_fp`` (long). Null/empty text
+    → 0 (no evidence)."""
+    toks = tokens(normalized(F.col(text_col)))
+    feats = _features(toks)
+    is_t = F.expr(target_sql)
+
+    # ONE counting pass for both models: ≤n_buckets rows to the driver
+    counts = (
+        df.select(is_t.alias("__t"), F.explode(feats).alias("__f"))
+        .select("__t", _bucket(F.col("__f"), n_buckets).alias("__b"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t"),
+        )
+        .collect()
+    )
+    by_b = {int(r["__b"]): (int(r["t"]), int(r["r"])) for r in counts}
+    t_total = sum(t for t, _ in by_b.values())
+    r_total = sum(r for _, r in by_b.values())
+    lr6 = [
+        _half_away_int(
+            (
+                math.log((by_b.get(b, (0, 0))[0] + 1.0) / (t_total + n_buckets))
+                - math.log((by_b.get(b, (0, 0))[1] + 1.0) / (r_total + n_buckets))
+            )
+            * _SCALE
+        )
+        for b in range(n_buckets)
+    ]
+    lr_lit = F.array(*[F.lit(v).cast("long") for v in lr6])
+
+    # zero-shuffle scoring fold: bucket each feature, sum its lr6
+    logw = F.aggregate(
+        F.transform(feats, lambda f: _bucket(f, n_buckets)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(lr_lit, (b + F.lit(1)).cast("int")),
+    )
+    return df.withColumn("logw_fp", F.coalesce(logw, F.lit(0).cast("long")))
+
+
+def dsir_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_sql: str,
+    k: int,
+    n_buckets: int = 1024,
+    gumbel: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance-resample ``k`` documents toward the target distribution.
+
+    ``gumbel=True`` (default): priority = ``logw + g`` with the standard
+    Gumbel noise ``g = -ln(-ln(u))`` from a key-derived md5 coin — the
+    Gumbel-top-k identity makes the draw ∝ exp(logw) without
+    replacement, yet fully deterministic and oracle-reproducible.
+    ``gumbel=False``: plain top-k by weight (mode selection, no
+    sampling). Priorities round to 6 dp with an id tie-break (the
+    ``priority_sample`` boundary rule). Returns (id, logw_fp, priority).
+    """
+    w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets)
+    logw_d = F.col("logw_fp").cast("double") / F.lit(_SCALE)
+    if gumbel:
+        u = (
+            md5_prefix_long(
+                F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)  # strictly inside (0,1): no ±inf Gumbel
+        priority = F.round(logw_d + -F.log(-F.log(u)), 6)
+    else:
+        priority = F.round(logw_d, 6)
+    return (
+        w.select(F.col(id_col), "logw_fp", priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def dsir_oracle_sql(
+    target_sql: str,
+    k: int,
+    n_buckets: int = 1024,
+    gumbel: bool = True,
+    salt: str = "dsir",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``dsir_sample``: identical features, md5 buckets,
+    smoothing formula (same parenthesization), 1e-6 grid, integer sums,
+    Gumbel coin and tie-break."""
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, ({target_sql}) AS is_t,
+             string_split(lower(trim({text_col})), ' ') AS toks
+      FROM {table}
+    ),
+    f AS (
+      SELECT {id_col}, is_t, unnest(
+        CASE WHEN len(toks) >= 2 THEN
+          list_concat(toks, list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1]))
+        ELSE toks END) AS feat
+      FROM t WHERE toks IS NOT NULL
+    ),
+    fb AS (
+      SELECT {id_col}, is_t,
+             CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT) % {n_buckets} AS b
+      FROM f
+    ),
+    cnt AS (
+      SELECT b, count(*) AS r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM fb GROUP BY b
+    ),
+    tot AS (SELECT sum(r) AS rt, sum(tc) AS tt FROM cnt),
+    lr AS (
+      SELECT g.b,
+             CAST(floor(abs((ln((coalesce(cnt.tc, 0) + {d(1.0)}) / (tot.tt + {n_buckets}))
+                           - ln((coalesce(cnt.r, 0) + {d(1.0)}) / (tot.rt + {n_buckets})))
+                          * {d(1_000_000.0)}) + {d(0.5)}) AS BIGINT)
+             * CASE WHEN (ln((coalesce(cnt.tc, 0) + {d(1.0)}) / (tot.tt + {n_buckets}))
+                        - ln((coalesce(cnt.r, 0) + {d(1.0)}) / (tot.rt + {n_buckets}))) >= 0
+                    THEN 1 ELSE -1 END AS lr6
+      FROM (SELECT unnest(range(0, {n_buckets})) AS b) g
+      LEFT JOIN cnt ON cnt.b = g.b, tot
+    ),
+    docw AS (
+      SELECT t.{id_col},
+             CAST(coalesce(sum(lr.lr6), 0) AS BIGINT) AS logw_fp
+      FROM t LEFT JOIN fb ON fb.{id_col} = t.{id_col}
+             LEFT JOIN lr ON lr.b = fb.b
+      GROUP BY t.{id_col}
+    ),
+    pr AS (
+      SELECT {id_col}, logw_fp,
+             round((logw_fp / {d(1_000_000.0)})
+                   {"+ (-ln(-ln((CAST(concat('0x', substr(md5('" + salt + "#' || CAST(" + id_col + " AS VARCHAR)), 1, 8)) AS BIGINT) + " + d(0.5) + ") / " + d(4294967296.0) + ")))" if gumbel else ""},
+                   6) AS priority
+      FROM docw
+    )
+    SELECT {id_col}, logw_fp, priority
+    FROM pr ORDER BY priority DESC, {id_col} ASC LIMIT {int(k)}
+    """

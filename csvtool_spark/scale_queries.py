@@ -22,6 +22,7 @@ from csvtool_spark.operators import (
     classify,
     contamination,
     dedup,
+    importance,
     multimodal,
     pca,
     profiling,
@@ -1992,4 +1993,23 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return retrieval.bm25_scores(
         d, "text", "doc_id", ["spark", "query", "join", "vector"], top_k=25
+    )
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+
+@register(
+    "q_dsir_sample",
+    importance.dsir_oracle_sql("lang = 'en'", k=80, n_buckets=256),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the English sub-corpus:
+    hashed unigram+bigram bucket models (one counting pass, bounded),
+    zero-shuffle log-weight fold, Gumbel-top-k draw ∝ exp(logw).
+    operators/importance.py."""
+    d = load(spark, sf_dir, "documents")
+    return importance.dsir_sample(
+        d, "text", "doc_id", "lang = 'en'", k=80, n_buckets=256
     )

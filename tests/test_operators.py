@@ -456,3 +456,25 @@ def test_bm25_rejects_empty_query_and_handles_no_hits(spark):
     out = bm25_scores(d, "text", "doc_id", ["zzz-not-here"])
     assert out.columns == ["doc_id", "score_fp", "score"]
     assert out.count() == 0
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs written in the target vocabulary must out-weigh docs from a
+    disjoint vocabulary, and the no-evidence cases (null/empty) sit at 0."""
+    from csvtool_spark.operators.importance import dsir_logweights, dsir_sample
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "tgt") for i in range(20)]
+        + [(100 + i, "omega psi chi phi omega psi", "other") for i in range(20)]
+        + [(200, None, "other"), (201, "", "other")]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    w = {r.doc_id: r.logw_fp for r in
+         dsir_logweights(d, "text", "doc_id", "src = 'tgt'", n_buckets=64).collect()}
+    assert w[200] == 0                      # null text → no evidence
+    assert min(w[i] for i in range(20)) > max(w[100 + i] for i in range(20))
+    top = dsir_sample(d, "text", "doc_id", "src = 'tgt'", k=20,
+                      n_buckets=64, gumbel=False)
+    assert {r.doc_id for r in top.collect()} == set(range(20))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort

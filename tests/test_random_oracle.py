@@ -231,3 +231,21 @@ def test_bm25_oracle_on_random_corpora(spark, seed):
     out = bm25_scores(d, "text", "doc_id", terms, k1=1.5, b=0.6, top_k=30)
     sql = bm25_oracle_sql(terms, k1=1.5, b=0.6, top_k=30)
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("gumbel", [True, False])
+def test_dsir_oracle_on_random_corpora(spark, seed, gumbel):
+    """DSIR's bucket models, fixed-point log-weights and Gumbel draw must
+    be hash-exact cross-engine on random corpora with nulls and empties."""
+    from csvtool_spark.operators.importance import dsir_oracle_sql, dsir_sample
+
+    pdf = _random_docs(seed + 8800, n=140)
+    pdf.loc[pdf.index[:4], "text"] = None
+    pdf.loc[pdf.index[4:7], "text"] = ""
+    d = spark.createDataFrame(pdf)
+    out = dsir_sample(
+        d, "text", "doc_id", "lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel
+    )
+    sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel)
+    assert compare(out, _con_with(pdf), sql) is None
