@@ -30,6 +30,7 @@ from csvtool_spark.operators import (
     sampling,
     similarity,
     sketches,
+    stats,
     textstats,
 )
 from csvtool_spark.queries import cents, load, register
@@ -2013,3 +2014,30 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance.dsir_sample(
         d, "text", "doc_id", "lang = 'en'", k=80, n_buckets=256
     )
+
+
+# --- grouped order statistics ---------------------------------------------
+
+
+@register(
+    "q_group_quantiles",
+    stats.quantiles_oracle_sql("n_chars", ["lang"], (0.25, 0.5, 0.9), "documents"),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (percentile_disc rank rule,
+    one shared Exchange for both window functions). operators/stats.py."""
+    d = load(spark, sf_dir, "documents")
+    return stats.group_quantiles(d, "n_chars", ["lang"], (0.25, 0.5, 0.9))
+
+
+@register(
+    "q_group_mode",
+    stats.mode_oracle_sql("o_orderpriority", ["o_orderstatus"], "orders"),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per status — two hash aggregations,
+    deterministic (count DESC, value ASC) tie rule, no sort."""
+    o = load(spark, sf_dir, "orders")
+    return stats.group_mode(o, "o_orderpriority", ["o_orderstatus"])

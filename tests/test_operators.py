@@ -478,3 +478,35 @@ def test_dsir_weights_favor_target_distribution(spark):
     assert {r.doc_id for r in top.collect()} == set(range(20))
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+def test_group_quantiles_shares_one_exchange(spark):
+    """Both window functions (rank + group count) must ride a single
+    shuffle — a second Exchange would double the dominant cost."""
+    from csvtool_spark.operators.stats import group_quantiles
+    from tests.conftest import SF_SMALL
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = (
+        group_quantiles(d, "n_chars", ["lang"], (0.5,))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    # semantics: rank rule on a known tiny group
+    t = spark.createDataFrame(
+        [("g", v) for v in [10, 20, 30, 40]], "lang string, n_chars long"
+    )
+    got = {r.q: r.value for r in
+           group_quantiles(t, "n_chars", ["lang"], (0.25, 0.5, 1.0)).collect()}
+    assert got == {0.25: 10, 0.5: 20, 1.0: 40}  # ceil(q*4) → ranks 1,2,4
+
+
+def test_group_mode_tie_breaks_to_smallest(spark):
+    from csvtool_spark.operators.stats import group_mode
+
+    t = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "b"), ("g", "a"), ("g", "c")],
+        "k string, v string",
+    )
+    row = group_mode(t, "v", ["k"]).collect()[0]
+    assert (row.mode_value, row.mode_count) == ("a", 2)  # tie a/b → smallest

@@ -249,3 +249,40 @@ def test_dsir_oracle_on_random_corpora(spark, seed, gumbel):
     )
     sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel)
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_quantiles_oracle_on_random_data(spark, seed):
+    """percentile_disc rank rule must match cross-engine on random group
+    sizes (incl. size-1 groups), duplicate values, NaN and nulls."""
+    from csvtool_spark.operators.stats import group_quantiles, quantiles_oracle_sql
+
+    r = random.Random(seed + 9400)
+    rows = []
+    for i in range(260):
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": r.choice(["aa", "bb", "cc", "solo"][: 3 + (i == 0)]),
+                "n_chars": r.choice(
+                    [None, float("nan")] + [float(r.randint(0, 40)) for _ in range(8)]
+                ),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    qs = (0.1, 0.5, 0.95, 1.0)
+    out = group_quantiles(d, "n_chars", ["lang"], qs)
+    sql = quantiles_oracle_sql("n_chars", ["lang"], qs, "documents")
+    assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_mode_oracle_on_random_data(spark, seed):
+    from csvtool_spark.operators.stats import group_mode, mode_oracle_sql
+
+    pdf = _random_docs(seed + 9900, n=200)
+    d = spark.createDataFrame(pdf)
+    out = group_mode(d, "lang", ["source"])
+    sql = mode_oracle_sql("lang", ["source"], "documents")
+    assert compare(out, _con_with(pdf), sql) is None
