@@ -141,3 +141,52 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col(id_col) == F.col("component")).alias("is_survivor"),
     )
+
+
+def canonical_select(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep the BEST document per duplicate cluster — the curation policy
+    real pipelines want instead of ``dedup_clusters``' min-id survivor:
+    given near-dup ``pairs`` and a per-row ``score_col`` (quality score,
+    length, recency…), each cluster keeps its highest-scoring member
+    (ties → lowest id). Returns every input row as
+    ``(id, component, score, keep_id, is_kept)`` — the ``id → keep_id``
+    mapping is exactly what a downstream join needs to redirect
+    references from dropped duplicates to their canonical survivor.
+
+    Scale shape: O(log n) alternating-star closure (``connected_
+    components``), one id-keyed join (AQE picks the strategy — the
+    component map tracks duplicate count, not corpus size), then ONE
+    window pass per component computing the arg-max as a struct-max
+    fold: (score, -id) max ≡ score DESC, id ASC, no per-cluster sort.
+    Null scores lose to every real score (coalesced to -Infinity on both
+    engines)."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    ids = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.coalesce(
+            F.col(score_col).cast("double"), F.lit(float("-inf"))
+        ).alias("__score"),
+    )
+    out = ids.join(comp, ids[id_col] == comp["node"], "left").select(
+        id_col,
+        "__score",
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+    w = Window.partitionBy("component")
+    best = F.max(
+        F.struct(F.col("__score").alias("s"), (-F.col(id_col)).alias("nid"))
+    ).over(w)
+    return out.select(
+        id_col,
+        "component",
+        F.col("__score").alias("score"),
+        (-best["nid"]).cast("long").alias("keep_id"),
+        (F.col(id_col) == -best["nid"]).alias("is_kept"),
+    )

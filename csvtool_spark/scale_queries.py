@@ -2041,3 +2041,60 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count DESC, value ASC) tie rule, no sort."""
     o = load(spark, sf_dir, "orders")
     return stats.group_mode(o, "o_orderpriority", ["o_orderstatus"])
+
+
+# --- canonical-survivor selection -----------------------------------------
+
+
+@register(
+    "q_canonical_keep",
+    # same recursive-closure oracle as q_dedup_clusters, but the survivor
+    # is the arg-max by (n_chars DESC, doc_id ASC) — "keep the best, not
+    # the first" curation policy. Null scores coalesce to -Infinity.
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+                 i -> array_to_string((string_split(lower(trim(text)), ' '))[i+1:i+3], ' ')))
+             ELSE [array_to_string(string_split(lower(trim(text)), ' '), ' ')] END AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                          THEN CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END),
+                  6) >= 0.2
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    sc AS (
+      SELECT c.doc_id, c.component,
+             coalesce(CAST(d.n_chars AS DOUBLE), CAST('-infinity' AS DOUBLE)) AS score
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    k AS (
+      SELECT component,
+             first(doc_id ORDER BY score DESC, doc_id ASC) AS keep_id
+      FROM sc GROUP BY component
+    )
+    SELECT sc.doc_id, sc.component, sc.score, k.keep_id,
+           sc.doc_id = k.keep_id AS is_kept
+    FROM sc JOIN k USING (component)
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csvtool_spark.operators import components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    return components.canonical_select(d, pairs, "doc_id", "n_chars")

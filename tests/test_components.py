@@ -125,3 +125,22 @@ def test_cc_plan_has_no_cartesian(spark):
     plan = components.connected_components(edges)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_canonical_select_keeps_best_scoring_member(spark):
+    """Clusters keep the highest score (tie → lowest id); singletons keep
+    themselves; null scores lose to any real score."""
+    from csvtool_spark.operators.components import canonical_select
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, None), (6, 2.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.keep_id, r.is_kept)
+           for r in canonical_select(docs, pairs, "doc_id", "q").collect()}
+    assert out[1] == (2, False) and out[2] == (2, True) and out[3] == (2, False)
+    assert out[4] == (4, True)                 # singleton keeps itself
+    assert out[5] == (6, False) and out[6] == (6, True)  # null loses
