@@ -22,6 +22,7 @@ from csvtool_spark.operators import (
     classify,
     contamination,
     dedup,
+    funnel,
     importance,
     multimodal,
     pca,
@@ -2098,3 +2099,22 @@ def q_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
     return components.canonical_select(d, pairs, "doc_id", "n_chars")
+
+
+# --- funnel analysis -------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    funnel.funnel_oracle_sql(
+        "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel: strict event-time progression,
+    greedy earliest-match chain as a single-shuffle array fold (the
+    oracle is the independent k-pass min-chain). operators/funnel.py."""
+    e = load(spark, sf_dir, "events")
+    return funnel.funnel(e, "user_id", "ts", "event_type",
+                         ["signup", "click", "purchase"])

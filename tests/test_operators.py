@@ -510,3 +510,38 @@ def test_group_mode_tie_breaks_to_smallest(spark):
     )
     row = group_mode(t, "v", ["k"]).collect()[0]
     assert (row.mode_value, row.mode_count) == ("a", 2)  # tie a/b → smallest
+
+
+def test_funnel_strict_progression_and_zero_steps(spark):
+    from csvtool_spark.operators.funnel import funnel
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1 completes in order
+        (1, "a", t0), (1, "b", t0 + s), (1, "c", t0 + 2 * s),
+        # u2: b BEFORE a → stops at a
+        (2, "b", t0), (2, "a", t0 + s),
+        # u3: a and b at the SAME ts → strict < rejects b
+        (3, "a", t0), (3, "b", t0),
+        # u4: only noise
+        (4, "x", t0),
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step_name: r.users for r in
+           funnel(d, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}  # zero-user steps still emitted
+
+    plan = (
+        funnel(d, "user_id", "ts", "event_type", ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 3  # user groupBy + step count + grid join
+
+    try:
+        funnel(d, "user_id", "ts", "event_type", ["a", "a"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "distinct" in str(e)

@@ -286,3 +286,33 @@ def test_mode_oracle_on_random_data(spark, seed):
     out = group_mode(d, "lang", ["source"])
     sql = mode_oracle_sql("lang", ["source"], "documents")
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_funnel_oracle_on_random_event_logs(spark, seed):
+    """The single-shuffle greedy fold and the k-pass min-chain oracle are
+    INDEPENDENT implementations of the strict-progression semantics —
+    they must agree on random logs with heavy timestamp ties (the case
+    the strict rule exists for)."""
+    from csvtool_spark.operators.funnel import funnel, funnel_oracle_sql
+
+    r = random.Random(seed + 12000)
+    types = ["a", "b", "c", "noise"]
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "user_id": r.randint(0, 25),
+                "event_type": r.choice(types),
+                # coarse integer seconds → many exact ties
+                "ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=r.randint(0, 30)),
+                "event_id": i,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    out = funnel(d, "user_id", "ts", "event_type", ["a", "b", "c"])
+    sql = funnel_oracle_sql("user_id", "ts", "event_type", ["a", "b", "c"])
+    con = duckdb.connect()
+    con.register("events", pdf)
+    assert compare(out, con, sql) is None
