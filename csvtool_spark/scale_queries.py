@@ -26,6 +26,7 @@ from csvtool_spark.operators import (
     importance,
     multimodal,
     pca,
+    pii,
     profiling,
     retrieval,
     sampling,
@@ -2118,3 +2119,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return funnel.funnel(e, "user_id", "ts", "event_type",
                          ["signup", "click", "purchase"])
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+
+@register(
+    "q_pii_scrub",
+    pii.pii_oracle_sql(max_pii_fraction=0.2),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub policy: density-gate then redact (emails, IPv4, phones,
+    long digit runs) — pure Column trees in the Java∩RE2 regex subset so
+    the DuckDB twin matches byte-for-byte. operators/pii.py."""
+    d = load(spark, sf_dir, "documents")
+    return pii.redact_documents(d, "text", "doc_id", max_pii_fraction=0.2)

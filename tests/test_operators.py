@@ -545,3 +545,24 @@ def test_funnel_strict_progression_and_zero_steps(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "distinct" in str(e)
+
+
+def test_pii_redaction_semantics(spark):
+    from csvtool_spark.operators.pii import pii_stats, redact_documents
+
+    rows = [
+        (1, "mail a@b.com ip 1.2.3.4 phone 212-555-0199 card 4111111111111111 ok"),
+        (2, "pii@dense.net 9.9.9.9"),   # 2 matches / 3 tokens → dropped at 0.2
+        (3, "clean prose with no personal data in it at all"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_digit_run, r.n_pii)
+          for r in pii_stats(d, "text", "doc_id").collect()}
+    assert st[1] == (1, 1, 1, 1, 4)
+    assert st[4] == (0, 0, 0, 0, 0)     # null text → zero counts, not null
+    out = {r.doc_id: r.text for r in
+           redact_documents(d, "text", "doc_id", max_pii_fraction=0.5).collect()}
+    assert 2 not in out                  # 2 matches / 3 tokens → dropped
+    assert out[1] == "mail <EMAIL> ip <IP> phone <PHONE> card <NUM> ok"  # 4/9 kept
+    assert out[4] is None                # null passes through (density 0)

@@ -316,3 +316,38 @@ def test_funnel_oracle_on_random_event_logs(spark, seed):
     con = duckdb.connect()
     con.register("events", pdf)
     assert compare(out, con, sql) is None
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pii_oracle_on_injected_pii(spark, seed):
+    """Java (Spark) and RE2 (DuckDB) must agree byte-for-byte on the
+    conservative pattern subset — verified on text with real matches,
+    boundary cases (digit runs inside words, dotted numbers), nulls and
+    empties; the catalog corpus has no PII so this is the load-bearing
+    check."""
+    from csvtool_spark.operators.pii import pii_oracle_sql, redact_documents
+
+    r = random.Random(seed + 13000)
+    snippets = [
+        "contact me at john.doe+spam@ex-ample.co.uk thanks",
+        "server 10.0.255.3 and 999.999.999.999 pinged",  # permissive ipv4
+        "call +4915112345678 or 212-555-0199 now",
+        "card 4111111111111111 expires soon",
+        "order 123456789012 is only 12 digits",            # below digit-run floor
+        "v1.2.3.4beta is a version not an ip",             # \\b boundary case
+        "x12345678901234567y has no word boundary",
+        "plain text with no pii at all",
+        "", None,
+    ]
+    rows = []
+    for i in range(160):
+        parts = [r.choice(snippets) for _ in range(r.randint(1, 3))]
+        if any(p is None for p in parts):
+            rows.append({"doc_id": i, "text": None})
+        else:
+            rows.append({"doc_id": i, "text": " ".join(parts)})
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    out = redact_documents(d, "text", "doc_id", max_pii_fraction=0.5)
+    sql = pii_oracle_sql(max_pii_fraction=0.5)
+    assert compare(out, _con_with(pdf), sql) is None
