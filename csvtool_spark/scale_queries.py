@@ -26,8 +26,8 @@ from csvtool_spark.operators import (
     importance,
     multimodal,
     pca,
-    pii,
     profiling,
+    redact,
     retrieval,
     sampling,
     similarity,
@@ -2126,12 +2126,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pii_scrub",
-    pii.pii_oracle_sql(max_pii_fraction=0.2),
+    redact.pii_scrub_oracle_sql(max_pii_fraction=0.2),
     registered=False,  # shadow: driver window full; locally gated
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub policy: density-gate then redact (emails, IPv4, phones,
-    long digit runs) — pure Column trees in the Java∩RE2 regex subset so
-    the DuckDB twin matches byte-for-byte. operators/pii.py."""
+    """PII scrub policy: density-gate then redact with the precision-
+    biased battery (emails, IPv4, strict phones, long digit runs) — pure
+    Column trees in the Java∩RE2 regex subset so the DuckDB twin matches
+    byte-for-byte. operators/redact.py."""
     d = load(spark, sf_dir, "documents")
-    return pii.redact_documents(d, "text", "doc_id", max_pii_fraction=0.2)
+    return redact.redact_documents(d, "text", "doc_id", max_pii_fraction=0.2)

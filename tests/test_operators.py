@@ -548,7 +548,7 @@ def test_funnel_strict_progression_and_zero_steps(spark):
 
 
 def test_pii_redaction_semantics(spark):
-    from csvtool_spark.operators.pii import pii_stats, redact_documents
+    from csvtool_spark.operators.redact import STRICT_PATTERNS, pii_counts, redact_documents
 
     rows = [
         (1, "mail a@b.com ip 1.2.3.4 phone 212-555-0199 card 4111111111111111 ok"),
@@ -557,10 +557,13 @@ def test_pii_redaction_semantics(spark):
         (4, None),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    st = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_digit_run, r.n_pii)
-          for r in pii_stats(d, "text", "doc_id").collect()}
-    assert st[1] == (1, 1, 1, 1, 4)
-    assert st[4] == (0, 0, 0, 0, 0)     # null text → zero counts, not null
+    from pyspark.sql import functions as F
+
+    cols = pii_counts(F.col("text"), STRICT_PATTERNS)
+    st = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.n_digit_run)
+          for r in d.select("doc_id", *[c.alias(f"n_{n}") for n, c in cols.items()]).collect()}
+    assert st[1] == (1, 1, 1, 1)
+    assert st[4] == (0, 0, 0, 0)        # null text → zero counts, not null
     out = {r.doc_id: r.text for r in
            redact_documents(d, "text", "doc_id", max_pii_fraction=0.5).collect()}
     assert 2 not in out                  # 2 matches / 3 tokens → dropped

@@ -325,7 +325,7 @@ def test_pii_oracle_on_injected_pii(spark, seed):
     boundary cases (digit runs inside words, dotted numbers), nulls and
     empties; the catalog corpus has no PII so this is the load-bearing
     check."""
-    from csvtool_spark.operators.pii import pii_oracle_sql, redact_documents
+    from csvtool_spark.operators.redact import pii_scrub_oracle_sql, redact_documents
 
     r = random.Random(seed + 13000)
     snippets = [
@@ -349,5 +349,5 @@ def test_pii_oracle_on_injected_pii(spark, seed):
     pdf = pd.DataFrame(rows)
     d = spark.createDataFrame(pdf)
     out = redact_documents(d, "text", "doc_id", max_pii_fraction=0.5)
-    sql = pii_oracle_sql(max_pii_fraction=0.5)
+    sql = pii_scrub_oracle_sql(max_pii_fraction=0.5)
     assert compare(out, _con_with(pdf), sql) is None
