@@ -32,21 +32,25 @@ from pyspark.sql import functions as F
 _NEG_INF = -(2**62)
 
 
-def funnel(
+def _check_steps(steps: list[str]) -> None:
+    if not steps:
+        raise ValueError("funnel: steps must be a non-empty ordered list")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel: steps must be distinct, got {steps!r}")
+
+
+def funnel_user_depths(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     type_col: str,
     steps: list[str],
 ) -> DataFrame:
-    """(step, step_name, users) — users reaching each funnel step.
-
-    ``steps`` is the ordered list of event types; every step row is
-    emitted even when zero users reach it."""
-    if not steps:
-        raise ValueError("funnel: steps must be a non-empty ordered list")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel: steps must be distinct, got {steps!r}")
+    """(user, depth) — how many funnel steps each user completed (users
+    with no step events are absent). The greedy chain fold described in
+    the module docstring; shared by ``funnel`` and the streaming twin's
+    batch-equality tests."""
+    _check_steps(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
 
@@ -73,7 +77,26 @@ def funnel(
             F.struct((acc["k"] + 1).alias("k"), e["t"].alias("t")),
         ).otherwise(acc),
     )
-    reached = evs.select(state["k"].alias("depth")).filter(F.col("depth") > 0)
+    return evs.select("user", state["k"].alias("depth"))
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """(step, step_name, users) — users reaching each funnel step.
+
+    ``steps`` is the ordered list of event types; every step row is
+    emitted even when zero users reach it."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    reached = (
+        funnel_user_depths(df, user_col, ts_col, type_col, steps)
+        .select("depth")
+        .filter(F.col("depth") > 0)
+    )
     counts = (
         reached.select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step"))
         .groupBy("step")
