@@ -40,7 +40,10 @@ def user_error_monitor(stream: DataFrame, idle_timeout_ms: int | None = None) ->
         if state.hasTimedOut:
             state.remove()
             return
-        n_events, n_errors = state.get() if state.exists else (0, 0)
+        # GroupState.get is a PROPERTY in PySpark (calling the returned
+        # tuple raised TypeError) — latent until a key carried state into
+        # a second micro-batch; caught by the forced two-batch funnel test
+        n_events, n_errors = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n_events += len(pdf)
             n_errors += int((pdf["event_type"] == "error").sum())
@@ -114,7 +117,8 @@ def funnel_monitor(
         if state.hasTimedOut:
             state.remove()
             return
-        depth, last_t = state.get() if state.exists else (0, neg_inf)
+        # NB: GroupState.get is a property, not a method (see above)
+        depth, last_t = state.get if state.exists else (0, neg_inf)
         evs = []
         for pdf in pdfs:
             evs.extend(zip(pdf["t"].tolist(), pdf["y"].tolist()))

@@ -474,3 +474,48 @@ def test_funnel_monitor_matches_batch_depths(spark, tmp_path):
     ).collect()
     got = {r.user_id: r.depth for r in rows if r.depth > 0}
     assert got == exp and len(got) > 0
+
+
+def test_error_monitor_state_carries_across_batches(spark, tmp_path):
+    """Regression for the GroupState.get property bug: counts must
+    ACCUMULATE when a user appears in two separate micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from csvtool_spark.streaming.events import _events_schema
+    from csvtool_spark.streaming.stateful import user_error_monitor
+
+    src = pq.read_table(f"{SF_SMALL}/events.parquet")
+    order = pa.compute.sort_indices(src, sort_keys=[("ts", "ascending")])
+    src = src.take(order)
+    half = src.num_rows // 2
+    d = tmp_path / "err_shards"
+    d.mkdir()
+    pq.write_table(src.slice(0, half), str(d / "a.parquet"))
+    pq.write_table(src.slice(half), str(d / "b.parquet"))
+    raw = (
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        user_error_monitor(raw)
+        .writeStream.format("memory").queryName("err_mem")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {r.user_id: r.n_events for r in spark.sql(
+        "SELECT user_id, n_events FROM (SELECT user_id, n_events, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+        "FROM err_mem) WHERE rn = 1").collect()}
+    exp = {r.user_id: r.n for r in
+           spark.read.parquet(f"{SF_SMALL}/events.parquet")
+           .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == exp  # totals, not per-batch counts
