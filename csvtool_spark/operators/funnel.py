@@ -136,9 +136,12 @@ def funnel_oracle_sql(
     prev = None
     for i, s in enumerate(steps, start=1):
         if prev is None:
+            # t IS NOT NULL: a user whose only step-1 events carry NULL
+            # timestamps must not count (Spark's fold never advances on a
+            # NULL t; without the guard min(t)=NULL still emits a group row)
             ctes.append(
                 f"s{i} AS (SELECT u, min(t) AS t{i} FROM e "
-                f"WHERE y = '{esc(s)}' GROUP BY u)"
+                f"WHERE y = '{esc(s)}' AND t IS NOT NULL GROUP BY u)"
             )
         else:
             ctes.append(

@@ -176,6 +176,7 @@ def dsir_oracle_sql(
     def d(x: float) -> str:
         return f"CAST({x!r} AS DOUBLE)"
 
+    salt_sql = salt.replace("'", "''")  # quote-doubled into the md5 literal
     return f"""
     WITH t AS (
       SELECT {id_col}, ({target_sql}) AS is_t,
@@ -222,7 +223,7 @@ def dsir_oracle_sql(
     pr AS (
       SELECT {id_col}, logw_fp,
              round((logw_fp / {d(1_000_000.0)})
-                   {"+ (-ln(-ln((CAST(concat('0x', substr(md5('" + salt + "#' || CAST(" + id_col + " AS VARCHAR)), 1, 8)) AS BIGINT) + " + d(0.5) + ") / " + d(4294967296.0) + ")))" if gumbel else ""},
+                   {"+ (-ln(-ln((CAST(concat('0x', substr(md5('" + salt_sql + "#' || CAST(" + id_col + " AS VARCHAR)), 1, 8)) AS BIGINT) + " + d(0.5) + ") / " + d(4294967296.0) + ")))" if gumbel else ""},
                    6) AS priority
       FROM docw
     )

@@ -100,6 +100,13 @@ def power_iteration(
         F.max(
             F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
         ).alias("x_max"),
+        # array_max SKIPS null elements, so [1.0, NULL, 2.0] would sail
+        # through the size check — count element-level nulls explicitly
+        F.sum(
+            F.when(
+                F.exists(F.col(vec_col), lambda x: x.isNull()), 1
+            ).otherwise(0)
+        ).alias("n_null_elem"),
     ).collect()[0]
     n_rows = int(chk["n_rows"])
     if n_rows == 0:
@@ -114,6 +121,12 @@ def power_iteration(
             f"power_iteration: expected uniform {dim}-dim vectors, saw sizes "
             f"[{chk['d_min']}, {chk['d_max']}] — ragged input would diverge "
             f"from the oracle's per-position counts"
+        )
+    if int(chk["n_null_elem"]) > 0:
+        raise ValueError(
+            f"power_iteration: {int(chk['n_null_elem'])} vector(s) contain "
+            f"null ELEMENTS — quantization would silently drop their "
+            f"positions; impute or drop those rows first"
         )
     # int64 envelope: centered component ≤ 2·X·scale, row dot ≤ dim·that·vscale,
     # per-dimension sum ≤ N·that·dot — all exact-int math, so enforce exactly.

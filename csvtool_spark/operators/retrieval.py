@@ -77,7 +77,11 @@ def bm25_scores(
         raise ValueError("bm25_scores: corpus has no non-null documents")
     avgdl = int(st["total"]) / n_docs  # Python int/int ≡ DuckDB DOUBLE/BIGINT
 
-    # per-(doc, term) tf — tokens filtered to query terms BEFORE the shuffle
+    # per-(doc, term) tf — tokens filtered to query terms BEFORE the
+    # shuffle. Persisted: the dfreq collect below AND the returned scoring
+    # plan both read it; without the persist the corpus tokenize + explode
+    # + shuffle (the dominant cost) would run twice (the near_dup_pairs
+    # pattern). Tiny: matching docs × |q| rows.
     tf = (
         df.select(
             F.col(id_col),
@@ -87,7 +91,7 @@ def bm25_scores(
         .filter(F.col("__tok").isin(*terms))
         .groupBy(id_col, "__dl", "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
-    )
+    ).persist()
 
     # per-term df → idf6 literal map (≤|q| rows; same ln formula as oracle)
     dfreq = {r["__tok"]: int(r["n"]) for r in

@@ -61,6 +61,12 @@ class QueryJob:
     so a late-connecting client still sees every tick) plus the
     ``CancellableRun`` job group the statements execute under."""
 
+    #: retained progress events per job: a multi-hour query at 1 tick/s
+    #: with several active stages would otherwise grow driver memory (and
+    #: every late SSE connect replays the history). The newest MAX_EVENTS
+    #: are kept; readers that fall behind resume from the oldest retained.
+    MAX_EVENTS = 10_000
+
     def __init__(self, spark, qid: str):
         from csvtool_spark.progress import CancellableRun
 
@@ -68,7 +74,13 @@ class QueryJob:
         self.run = CancellableRun(spark, f"http query {qid}")
         self._cond = threading.Condition()
         self._events: list[dict] = []
+        self._dropped = 0  # count trimmed off the front (absolute offsets)
         self._done = False
+
+    @property
+    def done(self) -> bool:
+        with self._cond:
+            return self._done
 
     def post(self, stage_id: int, completed: int, total: int) -> None:
         """ProgressReporter callback — one event per active-stage tick."""
@@ -76,6 +88,10 @@ class QueryJob:
             self._events.append(
                 {"stage": stage_id, "completed": completed, "total": total}
             )
+            if len(self._events) > self.MAX_EVENTS:
+                trim = len(self._events) - self.MAX_EVENTS
+                del self._events[:trim]
+                self._dropped += trim
             self._cond.notify_all()
 
     def finish(self) -> None:
@@ -88,14 +104,17 @@ class QueryJob:
 
     def stream(self, poll: float = 0.5):
         """Yield ``(new_events, done)`` tuples until the job finishes —
-        the SSE writer loop, kept free of any HTTP details for tests."""
+        the SSE writer loop, kept free of any HTTP details for tests.
+        The cursor is an ABSOLUTE event offset so trimming old events
+        never replays or corrupts a reader's position."""
         i = 0
         while True:
             with self._cond:
-                while len(self._events) <= i and not self._done:
+                while self._dropped + len(self._events) <= i and not self._done:
                     self._cond.wait(poll)
-                evs = self._events[i:]
-                i = len(self._events)
+                lo = max(i - self._dropped, 0)  # fell behind a trim → skip
+                evs = self._events[lo:]
+                i = self._dropped + len(self._events)
                 done = self._done
             yield evs, done
             if done:
@@ -310,13 +329,19 @@ class CsvToolServer:
         job = QueryJob(self.engine.spark, qid)
         with self._jobs_lock:
             self._jobs[qid] = job
-            # bounded registry: finished jobs stay visible for late SSE
-            # connects, evicted oldest-first past the cap
-            while len(self._jobs) > 64:
-                k = next(iter(self._jobs))
-                if k == qid:
-                    break
-                del self._jobs[k]
+            # bounded registry: FINISHED jobs stay visible for late SSE
+            # connects and are evicted oldest-first past the cap. Running
+            # jobs are never evicted — dropping one would orphan its
+            # /cancel and /progress handles mid-query — so under extreme
+            # concurrency the registry may exceed the cap by the number
+            # of in-flight queries (each of which also holds a handler
+            # thread, the real bound).
+            if len(self._jobs) > 64:
+                for k in [k for k, j in self._jobs.items()
+                          if j.done and k != qid]:
+                    del self._jobs[k]
+                    if len(self._jobs) <= 64:
+                        break
         return job
 
     def _get_job(self, qid: str) -> QueryJob | None:

@@ -11,6 +11,7 @@ long (micros files read natively as TIMESTAMP_NTZ and pass through).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +22,13 @@ from pyspark.sql import types as T
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+#: The session conf is process-global; two threads interleaving their
+#: save→set→read→restore windows (e.g. concurrent HTTP handler threads)
+#: could restore over each other's live window. The lock serializes the
+#: whole scope — it only covers driver-side schema resolution, so the
+#: hold time is milliseconds.
+_NANOS_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -37,15 +45,16 @@ def scoped_nanos_as_long(spark: SparkSession):
     copy, not the live session conf. Verified empirically (batch collect
     and an availableNow stream both return bit-correct nanos values after
     the restore; pinned by ``test_nanos_conf_is_scoped_*``)."""
-    prev = spark.conf.get(_NANOS_CONF, None)
-    spark.conf.set(_NANOS_CONF, "true")
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prev)
+    with _NANOS_LOCK:
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

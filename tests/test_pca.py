@@ -145,3 +145,15 @@ def test_pca_nonfinite_value_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "non-finite" in str(e)
+
+
+def test_pca_null_element_raises(spark):
+    """[1.0, NULL, 2.0] passes the size check (array_max skips nulls) —
+    the element-level null count must still reject it (review r4)."""
+    rows = [(0, [1.0, None, 2.0]), (1, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        pca.power_iteration(df, "embedding", dim=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "null ELEMENTS" in str(e)

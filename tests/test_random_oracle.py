@@ -244,10 +244,13 @@ def test_dsir_oracle_on_random_corpora(spark, seed, gumbel):
     pdf.loc[pdf.index[:4], "text"] = None
     pdf.loc[pdf.index[4:7], "text"] = ""
     d = spark.createDataFrame(pdf)
+    salt = "o'neill"  # quote in the salt: must be escaped into the oracle
     out = dsir_sample(
-        d, "text", "doc_id", "lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel
+        d, "text", "doc_id", "lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
+        salt=salt,
     )
-    sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel)
+    sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
+                          salt=salt)
     assert compare(out, _con_with(pdf), sql) is None
 
 
@@ -304,8 +307,10 @@ def test_funnel_oracle_on_random_event_logs(spark, seed):
             {
                 "user_id": r.randint(0, 25),
                 "event_type": r.choice(types),
-                # coarse integer seconds → many exact ties
-                "ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=r.randint(0, 30)),
+                # coarse integer seconds → many exact ties; ~5% NULL ts
+                # (a NULL-ts step-1 event must not count on either engine)
+                "ts": (None if r.random() < 0.05 else
+                       pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=r.randint(0, 30))),
                 "event_id": i,
             }
         )

@@ -217,3 +217,46 @@ def test_webui_wires_progress_channel(eng):
 
     assert "/progress?id=" in INDEX_HTML and "/cancel/" in INDEX_HTML
     assert "EventSource" in INDEX_HTML
+
+
+def test_job_registry_never_evicts_running_jobs(spark):
+    """Past the 64-job cap only FINISHED jobs are evicted — evicting a
+    live job would orphan its /cancel and /progress handles (review r4)."""
+    from csvtool_spark.server import CsvToolServer
+
+    class NullEngine:
+        def __init__(self, s):
+            self.spark = s
+
+    srv = CsvToolServer(NullEngine(spark), port=0)
+    live = srv._register_job("live-0")
+    for i in range(70):
+        srv._register_job(f"done-{i}").finish()
+    srv._register_job("trigger")  # pushes past the cap → eviction sweep
+    assert srv._get_job("live-0") is live        # running job survives
+    assert len(srv._jobs) <= 66                  # finished ones trimmed
+    live.finish()
+
+
+def test_query_job_event_cap_keeps_readers_consistent():
+    """The event list trims past MAX_EVENTS; a reader that connects late
+    (or fell behind a trim) resumes from the oldest retained event with
+    an intact absolute cursor."""
+    from csvtool_spark.server import QueryJob
+
+    job = QueryJob.__new__(QueryJob)  # no Spark needed for the buffer
+    import threading
+
+    job._cond = threading.Condition()
+    job._events, job._dropped, job._done = [], 0, False
+    job.MAX_EVENTS = 100
+    for i in range(250):
+        QueryJob.post(job, 0, i, 250)
+    QueryJob.finish(job)
+    got = []
+    for evs, done in QueryJob.stream(job):
+        got.extend(e["completed"] for e in evs)
+        if done:
+            break
+    assert got == list(range(150, 250))  # newest 100, no dupes, in order
+    assert job._dropped == 150
