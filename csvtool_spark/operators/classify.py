@@ -31,18 +31,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from csvtool_spark.functions.fixedpoint import half_away
+
 #: Fixed-point scale for log-probabilities.
 LOGP_SCALE = 1_000_000
 
 
-def _half_away(x: float) -> int:
-    """Round-half-away-from-zero — matches Spark round / DuckDB round.
-    Python's builtin ``round`` is banker's (round(2.5) == 2) and would
-    diverge from the oracle on exact-.5 doubles."""
-    import math
-
-    r = math.floor(abs(x) + 0.5)
-    return int(r) if x >= 0 else -int(r)
 
 
 def _logp_fixed(num: Column, den: Column) -> Column:
@@ -134,10 +128,10 @@ def nb_train(
     # _half_away, not round(): priors/defaults must round exactly like the
     # Spark/DuckDB fixed-point log-probs
     priors = {
-        c: _half_away(math.log(by_class[c] / n_total) * LOGP_SCALE) for c in classes
+        c: half_away(math.log(by_class[c] / n_total) * LOGP_SCALE) for c in classes
     }
     defaults = {
-        c: _half_away(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE)
+        c: half_away(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE)
         for i, c in enumerate(classes)
     }
     return NBModel(classes=classes, tokens=model_tokens, priors=priors, defaults=defaults)

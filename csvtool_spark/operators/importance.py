@@ -39,6 +39,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvtool_spark.functions.fixedpoint import half_away
+
 from csvtool_spark.functions.hashing import md5_prefix_long
 from csvtool_spark.operators.dedup import normalized
 from csvtool_spark.operators.textstats import tokens
@@ -46,9 +48,6 @@ from csvtool_spark.operators.textstats import tokens
 _SCALE = 1_000_000.0
 
 
-def _half_away_int(x: float) -> int:
-    r = math.floor(abs(x) + 0.5)
-    return int(r) if x >= 0 else -int(r)
 
 
 def _features(toks):
@@ -100,7 +99,7 @@ def dsir_logweights(
     t_total = sum(t for t, _ in by_b.values())
     r_total = sum(r for _, r in by_b.values())
     lr6 = [
-        _half_away_int(
+        half_away(
             (
                 math.log((by_b.get(b, (0, 0))[0] + 1.0) / (t_total + n_buckets))
                 - math.log((by_b.get(b, (0, 0))[1] + 1.0) / (r_total + n_buckets))

@@ -47,12 +47,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvtool_spark.functions.fixedpoint import half_away
 
-def _half_away(x: float) -> int:
-    """Round-half-away-from-zero — matches Spark/DuckDB ``round`` and the
-    oracle's ``floor(|x| + 0.5)`` formula (Python ``round`` is banker's)."""
-    r = math.floor(abs(x) + 0.5)
-    return int(r) if x >= 0 else -int(r)
+
 
 
 def _quantized(vec_col: str, scale: int):
@@ -159,7 +156,7 @@ def power_iteration(
     by_j = {r["__j"]: r for r in stats}
     if len(by_j) != dim:
         raise ValueError(f"expected {dim}-dim vectors, saw positions {sorted(by_j)}")
-    mean = [_half_away(float(by_j[j]["s"]) / by_j[j]["n"]) for j in range(dim)]
+    mean = [half_away(float(by_j[j]["s"]) / by_j[j]["n"]) for j in range(dim)]
 
     mlit = F.array(*[F.lit(int(m)) for m in mean])
     centered = q.select(
@@ -180,7 +177,7 @@ def power_iteration(
             nrm = math.sqrt(float(sum(x * x for x in s)))
             if nrm == 0.0:
                 break  # degenerate (constant data): keep current direction
-            v = [_half_away(float(x) / nrm * vscale) for x in s]
+            v = [half_away(float(x) / nrm * vscale) for x in s]
     finally:
         centered.unpersist()
     return mean, v

@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvtool_spark.functions.fixedpoint import half_away
+
 from csvtool_spark.operators.dedup import normalized
 from csvtool_spark.operators.textstats import tokens
 
@@ -37,10 +39,6 @@ from csvtool_spark.operators.textstats import tokens
 _SCALE = 1_000_000.0
 
 
-def _half_away_int(x: float) -> int:
-    """Driver-side half-away rounding (Python ``round`` is banker's)."""
-    r = math.floor(abs(x) + 0.5)
-    return int(r) if x >= 0 else -int(r)
 
 
 def bm25_scores(
@@ -97,7 +95,7 @@ def bm25_scores(
     dfreq = {r["__tok"]: int(r["n"]) for r in
              tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("n")).collect()}
     idf6 = {
-        t: _half_away_int(
+        t: half_away(
             math.log(1.0 + (n_docs - dfn + 0.5) / (dfn + 0.5)) * _SCALE
         )
         for t, dfn in dfreq.items()

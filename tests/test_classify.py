@@ -7,7 +7,7 @@ import math
 from pyspark.sql import functions as F
 
 from csvtool_spark.operators import classify
-from csvtool_spark.operators.classify import _half_away
+from csvtool_spark.functions.fixedpoint import half_away as _half_away
 
 
 def _labeled(spark):

@@ -158,7 +158,7 @@ def _py_nb(rows, vocab_size):
     import math
     from collections import Counter
 
-    from csvtool_spark.operators.classify import _half_away
+    from csvtool_spark.functions.fixedpoint import half_away as _half_away
 
     classes = sorted({lbl for _, _, lbl in rows if lbl is not None})
     tok_counts = Counter()
