@@ -238,3 +238,109 @@ def split_leakage(
         F.when(la == side_a, F.col("id_b")).otherwise(F.col("id_a")).alias(f"{side_b}_id"),
         "jaccard",
     )
+
+
+def dataset_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass dataset datasheet: the corpus-level numbers a training-run
+    writeup (or a "datasheet for datasets") leads with, as (metric, value)
+    rows — composition of the repo's curation primitives over a single
+    aggregation pass plus one rank pass for the median.
+
+    Metrics: n_docs, n_tokens, n_sources, n_langs, mean_n_chars,
+    p50_n_chars (percentile_disc rank rule), exact_dup_rate (1 − distinct
+    md5 / docs), pii_doc_rate (docs with ≥1 STRICT-battery match).
+
+    Scale shape: everything except the median is ONE hash aggregation
+    (count_distinct plans the documented Expand — swap in
+    approx_count_distinct at 100 TB if ±2% is acceptable); the median is
+    the shared-Exchange rank pass from ``stats.group_quantiles``. The
+    result is 8 rows regardless of corpus size. All divisions are
+    int-derived doubles in the same operation order as the oracle."""
+    from csvtool_spark.operators.dedup import normalized
+    from csvtool_spark.operators.redact import STRICT_PATTERNS, pii_counts
+    from csvtool_spark.operators.stats import group_quantiles
+    from csvtool_spark.operators.textstats import tokens
+
+    counts = pii_counts(F.col(text_col), STRICT_PATTERNS)
+    n_pii = None
+    for name, _, _ in STRICT_PATTERNS:
+        n_pii = counts[name] if n_pii is None else n_pii + counts[name]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(normalized(F.col(text_col))))).alias("n_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.md5(normalized(F.col(text_col)))).alias("n_distinct"),
+        F.sum(F.when(n_pii > 0, 1).otherwise(0)).alias("n_pii_docs"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(7,"
+            " 'n_docs', CAST(n_docs AS DOUBLE),"
+            " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+            " 'n_sources', CAST(n_sources AS DOUBLE),"
+            " 'n_langs', CAST(n_langs AS DOUBLE),"
+            " 'mean_n_chars', CAST(sum_chars AS DOUBLE) / n_docs,"
+            " 'exact_dup_rate', CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_docs,"
+            " 'pii_doc_rate', CAST(n_pii_docs AS DOUBLE) / n_docs"
+            ") AS (metric, value)"
+        )
+    )
+    p50 = (
+        group_quantiles(df.withColumn("__g", F.lit(1)), "n_chars", ["__g"], (0.5,))
+        .select(F.lit("p50_n_chars").alias("metric"), F.col("value").cast("double"))
+    )
+    return stacked.unionByName(p50)
+
+
+def dataset_report_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin — same metric set, same int-derived double divisions
+    (operation order mirrored), same percentile_disc rank rule, and the
+    same STRICT pii battery (progressive counting)."""
+    from csvtool_spark.operators.redact import STRICT_PATTERNS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cnt, cur = [], text_col
+    for name, pat, repl in STRICT_PATTERNS:
+        cnt.append(f"coalesce(len(regexp_extract_all({cur}, {lit(pat)})), 0)")
+        cur = f"regexp_replace({cur}, {lit(pat)}, {lit(repl)}, 'g')"
+    n_pii = " + ".join(cnt)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {text_col}, lang, source, n_chars,
+             len(string_split(lower(trim({text_col})), ' ')) AS n_toks,
+             md5(lower(trim({text_col}))) AS h,
+             ({n_pii}) AS n_pii
+      FROM {table}
+    ),
+    a AS (
+      SELECT count(*) AS n_docs, sum(n_toks) AS n_tokens,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             sum(n_chars) AS sum_chars,
+             count(DISTINCT h) AS n_distinct,
+             sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS n_pii_docs
+      FROM base
+    ),
+    r AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS n
+      FROM base WHERE n_chars IS NOT NULL
+        AND NOT isnan(CAST(n_chars AS DOUBLE))
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+    UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+    UNION ALL SELECT 'mean_n_chars', CAST(sum_chars AS DOUBLE) / n_docs FROM a
+    UNION ALL SELECT 'exact_dup_rate',
+              CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_docs FROM a
+    UNION ALL SELECT 'pii_doc_rate', CAST(n_pii_docs AS DOUBLE) / n_docs FROM a
+    UNION ALL SELECT 'p50_n_chars', CAST(n_chars AS DOUBLE)
+              FROM r WHERE rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+    """

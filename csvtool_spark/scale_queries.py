@@ -2136,3 +2136,24 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte. operators/redact.py."""
     d = load(spark, sf_dir, "documents")
     return redact.redact_documents(d, "text", "doc_id", max_pii_fraction=0.2)
+
+
+# --- dataset datasheet -----------------------------------------------------
+
+
+from csvtool_spark.operators.pipeline import dataset_report_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_dataset_report",
+    dataset_report_oracle_sql(),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet: docs/tokens/sources/langs, mean+median length,
+    exact-dup rate, PII-doc rate — 8 rows from one aggregation pass plus
+    the median rank pass. operators/pipeline.py:dataset_report."""
+    from csvtool_spark.operators import pipeline as pipeline_ops2
+
+    d = load(spark, sf_dir, "documents")
+    return pipeline_ops2.dataset_report(d)

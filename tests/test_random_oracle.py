@@ -356,3 +356,25 @@ def test_pii_oracle_on_injected_pii(spark, seed):
     out = redact_documents(d, "text", "doc_id", max_pii_fraction=0.5)
     sql = pii_scrub_oracle_sql(max_pii_fraction=0.5)
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_dataset_report_oracle_on_random_corpora(spark, seed):
+    """The datasheet's 8 metrics must be value-exact cross-engine on
+    random corpora with duplicate texts and injected PII."""
+    from csvtool_spark.operators.pipeline import (
+        dataset_report,
+        dataset_report_oracle_sql,
+    )
+
+    r = random.Random(seed + 15000)
+    pdf = _random_docs(seed + 15000, n=180)
+    # plant exact dups and PII
+    for i in range(10):
+        pdf.loc[pdf.index[i + 20], "text"] = pdf.loc[pdf.index[i], "text"]
+    for i in range(8):
+        pdf.loc[pdf.index[i + 50], "text"] += " mail me a@b.com now"
+    d = spark.createDataFrame(pdf)
+    out = dataset_report(d)
+    sql = dataset_report_oracle_sql()
+    assert compare(out, _con_with(pdf), sql) is None
