@@ -26,10 +26,14 @@ Cross-engine exactness: integer counts → identical double formulas
 (same parenthesization) → half-away 1e-6 grid → int64 sums; the DuckDB
 oracle reproduces every stage from the same table.
 
-At 100 TB the md5 bucket hash is the deliberate determinism lane (same
-trade-off as ``dedup.hash_family='md5'``); a deployment chasing
-signature throughput would swap ``xxhash64 % B`` into ``_bucket`` — the
-fold shape is hash-agnostic.
+Hash families (the ``dedup`` convention): ``hash_family='xx64'`` is the
+throughput default — one JVM ``xxhash64`` per feature; ``'md5'`` is the
+cross-engine determinism lane the DuckDB oracle reproduces (the catalog
+entry uses it). The bucket arrays are computed ONCE into a persisted
+projection shared by the counting pass and the scoring fold — without
+it the feature hashing (the dominant cost) runs twice; at extreme scale
+where the persist won't fit, pass ``persist_buckets=False`` to trade
+the second hashing pass for zero cache footprint.
 """
 
 from __future__ import annotations
@@ -61,8 +65,12 @@ def _features(toks):
     ).otherwise(toks)
 
 
-def _bucket(feat, n_buckets: int):
-    return md5_prefix_long(feat) % F.lit(int(n_buckets))
+def _bucket(feat, n_buckets: int, hash_family: str = "md5"):
+    if hash_family == "md5":
+        return md5_prefix_long(feat) % F.lit(int(n_buckets))
+    if hash_family == "xx64":
+        return F.pmod(F.xxhash64(feat), F.lit(int(n_buckets)))
+    raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
 
 
 def dsir_logweights(
@@ -71,6 +79,8 @@ def dsir_logweights(
     id_col: str,
     target_sql: str,
     n_buckets: int = 1024,
+    hash_family: str = "xx64",
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Per-document fixed-point log importance weight ``logw_fp``
     (×1e-6): positive → the doc's feature mix resembles the target
@@ -79,15 +89,24 @@ def dsir_logweights(
     the target subset — mirrored verbatim in the oracle.
 
     Returns all input columns plus ``logw_fp`` (long). Null/empty text
-    → 0 (no evidence)."""
+    → 0 (no evidence). ``hash_family``/``persist_buckets``: see module
+    docstring."""
     toks = tokens(normalized(F.col(text_col)))
     feats = _features(toks)
     is_t = F.expr(target_sql)
 
+    # bucket arrays computed ONCE (hashing is the dominant cost) and
+    # shared by the counting pass and the scoring fold
+    staged = df.withColumn(
+        "__buckets",
+        F.transform(feats, lambda f: _bucket(f, n_buckets, hash_family)),
+    )
+    if persist_buckets:
+        staged = staged.persist()
+
     # ONE counting pass for both models: ≤n_buckets rows to the driver
     counts = (
-        df.select(is_t.alias("__t"), F.explode(feats).alias("__f"))
-        .select("__t", _bucket(F.col("__f"), n_buckets).alias("__b"))
+        staged.select(is_t.alias("__t"), F.explode("__buckets").alias("__b"))
         .groupBy("__b")
         .agg(
             F.count(F.lit(1)).alias("r"),
@@ -110,13 +129,15 @@ def dsir_logweights(
     ]
     lr_lit = F.array(*[F.lit(v).cast("long") for v in lr6])
 
-    # zero-shuffle scoring fold: bucket each feature, sum its lr6
+    # zero-shuffle scoring fold over the SAME staged bucket arrays
     logw = F.aggregate(
-        F.transform(feats, lambda f: _bucket(f, n_buckets)),
+        F.col("__buckets"),
         F.lit(0).cast("long"),
         lambda acc, b: acc + F.element_at(lr_lit, (b + F.lit(1)).cast("int")),
     )
-    return df.withColumn("logw_fp", F.coalesce(logw, F.lit(0).cast("long")))
+    return staged.withColumn(
+        "logw_fp", F.coalesce(logw, F.lit(0).cast("long"))
+    ).drop("__buckets")
 
 
 def dsir_sample(
@@ -128,6 +149,7 @@ def dsir_sample(
     n_buckets: int = 1024,
     gumbel: bool = True,
     salt: str = "dsir",
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """Importance-resample ``k`` documents toward the target distribution.
 
@@ -139,7 +161,8 @@ def dsir_sample(
     sampling). Priorities round to 6 dp with an id tie-break (the
     ``priority_sample`` boundary rule). Returns (id, logw_fp, priority).
     """
-    w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets)
+    w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets,
+                        hash_family=hash_family)
     logw_d = F.col("logw_fp").cast("double") / F.lit(_SCALE)
     if gumbel:
         u = (

@@ -2014,7 +2014,8 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/importance.py."""
     d = load(spark, sf_dir, "documents")
     return importance.dsir_sample(
-        d, "text", "doc_id", "lang = 'en'", k=80, n_buckets=256
+        d, "text", "doc_id", "lang = 'en'", k=80, n_buckets=256,
+        hash_family="md5",  # determinism lane: the oracle replays md5 buckets
     )
 
 

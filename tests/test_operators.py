@@ -469,6 +469,7 @@ def test_dsir_weights_favor_target_distribution(spark):
         + [(200, None, "other"), (201, "", "other")]
     )
     d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    # xx64 default (throughput lane) — semantics must hold on it too
     w = {r.doc_id: r.logw_fp for r in
          dsir_logweights(d, "text", "doc_id", "src = 'tgt'", n_buckets=64).collect()}
     assert w[200] == 0                      # null text → no evidence
@@ -569,3 +570,25 @@ def test_pii_redaction_semantics(spark):
     assert 2 not in out                  # 2 matches / 3 tokens → dropped
     assert out[1] == "mail <EMAIL> ip <IP> phone <PHONE> card <NUM> ok"  # 4/9 kept
     assert out[4] is None                # null passes through (density 0)
+
+
+def test_dsir_hash_families_agree_on_ranking_shape(spark):
+    """xx64 (throughput) and md5 (oracle) lanes share every stage except
+    the bucket hash — both must rank target-vocabulary docs above the
+    disjoint-vocabulary ones, and both must be deterministic run-to-run."""
+    from csvtool_spark.operators.importance import dsir_logweights
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "tgt") for i in range(15)]
+        + [(100 + i, "omega psi chi phi omega psi", "other") for i in range(15)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for fam in ("xx64", "md5"):
+        a = {r.doc_id: r.logw_fp for r in dsir_logweights(
+            d, "text", "doc_id", "src = 'tgt'", n_buckets=64, hash_family=fam
+        ).collect()}
+        b = {r.doc_id: r.logw_fp for r in dsir_logweights(
+            d, "text", "doc_id", "src = 'tgt'", n_buckets=64, hash_family=fam
+        ).collect()}
+        assert a == b  # deterministic
+        assert min(a[i] for i in range(15)) > max(a[100 + i] for i in range(15))

@@ -247,7 +247,7 @@ def test_dsir_oracle_on_random_corpora(spark, seed, gumbel):
     salt = "o'neill"  # quote in the salt: must be escaped into the oracle
     out = dsir_sample(
         d, "text", "doc_id", "lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
-        salt=salt,
+        salt=salt, hash_family="md5",
     )
     sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
                           salt=salt)
