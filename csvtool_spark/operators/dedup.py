@@ -318,6 +318,42 @@ def jaccard(tok_a: Column, tok_b: Column) -> Column:
     return F.round(inter / F.when(union > 0, union), 6)
 
 
+def _minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    shingle_k: int,
+    kernel: str,
+    hash_family: str,
+) -> DataFrame:
+    """(id, __sig) — the staged shingle→signature pipeline shared by the
+    within-corpus and cross-corpus operators. Tokens/shingles materialize
+    as columns so the signature fold consumes a computed array instead of
+    re-inlining the shingle expression."""
+    if kernel not in ("arrow", "jvm"):
+        raise ValueError(f"kernel must be 'arrow' or 'jvm', got {kernel!r}")
+    if hash_family not in ("xx64", "md5"):
+        raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
+    toks = tokens(normalized(F.col(text_col)))
+    if hash_family == "md5":
+        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+            id_col,
+            md5_lane_hashes(word_shingles(F.col("__toks"), shingle_k)).alias("__shingles"),
+        )
+        sig_expr = minhash_signature_md5(F.col("__shingles"), n_hashes)
+    else:
+        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+            id_col, hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
+        )
+        sig_expr = (
+            minhash_signature_arrow(n_hashes)(F.col("__shingles"))
+            if kernel == "arrow"
+            else minhash_signature(F.col("__shingles"), n_hashes)
+        )
+    return staged.select(id_col, sig_expr.alias("__sig"))
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     text_col: str,
@@ -345,29 +381,9 @@ def near_dup_pairs_minhash(
     The md5 family always uses the JVM fold (its cost profile is the md5
     calls, not the lane fold)."""
     rows = n_hashes // bands
-    toks = tokens(normalized(F.col(text_col)))
-    if kernel not in ("arrow", "jvm"):
-        raise ValueError(f"kernel must be 'arrow' or 'jvm', got {kernel!r}")
-    if hash_family not in ("xx64", "md5"):
-        raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
-    # Materialize tokens/shingles as columns so the signature fold consumes
-    # a computed array instead of re-inlining the shingle expression.
-    if hash_family == "md5":
-        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
-            id_col,
-            md5_lane_hashes(word_shingles(F.col("__toks"), shingle_k)).alias("__shingles"),
-        )
-        sig_expr = minhash_signature_md5(F.col("__shingles"), n_hashes)
-    else:
-        staged = df.select(F.col(id_col), toks.alias("__toks")).select(
-            id_col, hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
-        )
-        sig_expr = (
-            minhash_signature_arrow(n_hashes)(F.col("__shingles"))
-            if kernel == "arrow"
-            else minhash_signature(F.col("__shingles"), n_hashes)
-        )
-    sigs = staged.select(id_col, sig_expr.alias("__sig"))
+    sigs = _minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, kernel, hash_family
+    )
     band_hash = "string" if hash_family == "md5" else "xx64"
     pairs = candidate_pairs(
         _banded(sigs, id_col, "__sig", bands, rows, band_hash), id_col
@@ -764,4 +780,83 @@ def source_overlap_matrix(
         .filter(F.col("group_a") < F.col("group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.count("*").alias("shared_spans"))
+    )
+
+
+def cross_corpus_neardup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    kernel: str = "arrow",
+    hash_family: str = "xx64",
+) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora, never within one: "does this
+    new crawl duplicate my existing training set (or my eval set)?" —
+    the decontamination join run before a new source is mixed in.
+
+    Returns (new_id, ref_id, jaccard ≥ threshold). Same MinHash-LSH
+    machinery as ``near_dup_pairs_minhash`` (shared ``_minhash_
+    signatures``), but candidates come from a new×ref equi-join on
+    (band_id, band_key) instead of a within-corpus pair expansion — the
+    quadratic within-side blowup a degenerate bucket would cause simply
+    cannot happen, and each side's hot buckets are still capped at
+    ``MAX_BUCKET`` members before the join (bounded join fan-out of
+    MAX_BUCKET² per bucket worst-case; documented recall trade, exactly
+    the within-corpus cap's contract).
+
+    Scale shape: ref signatures/bands are typically computed once and
+    reused across many new-crawl checks — persist or write out the ref
+    banded table and hand it to repeated calls via ``ref_banded`` in a
+    follow-up; here both sides stage fresh (one linear pass each)."""
+    rows = n_hashes // bands
+    band_hash = "string" if hash_family == "md5" else "xx64"
+    b_new = _banded(
+        _minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_k,
+                            kernel, hash_family),
+        id_col, "__sig", bands, rows, band_hash,
+    ).persist()
+    b_ref = _banded(
+        _minhash_signatures(ref_df, text_col, id_col, n_hashes, shingle_k,
+                            kernel, hash_family),
+        id_col, "__sig", bands, rows, band_hash,
+    ).persist()
+
+    def capped(b: DataFrame) -> DataFrame:
+        sizes = b.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        return b.join(
+            sizes.filter(F.col("__bn") <= MAX_BUCKET), ["band_id", "band_key"]
+        ).drop("__bn")
+
+    cand = (
+        capped(b_new).select("band_id", "band_key", F.col(id_col).alias("new_id"))
+        .join(
+            capped(b_ref).select(
+                "band_id", "band_key", F.col(id_col).alias("ref_id")
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    tn = new_df.select(
+        F.col(id_col).alias("new_id"),
+        tokens(normalized(F.col(text_col))).alias("__ta"),
+    )
+    tr = ref_df.select(
+        F.col(id_col).alias("ref_id"),
+        tokens(normalized(F.col(text_col))).alias("__tb"),
+    )
+    return (
+        cand.join(tn, "new_id")
+        .join(tr, "ref_id")
+        .select("new_id", "ref_id",
+                jaccard(F.col("__ta"), F.col("__tb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

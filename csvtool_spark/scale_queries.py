@@ -2158,3 +2158,62 @@ def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pipeline_ops2.dataset_report(d)
+
+
+# --- cross-corpus decontamination ------------------------------------------
+
+
+@register(
+    "q_cross_dedup",
+    # the md5-lane cross-corpus pipeline end to end in DuckDB: both sides
+    # signed with the same KM lanes, banded, candidates from the new×ref
+    # band equi-join ONLY (never within a side), exact-Jaccard verified.
+    # "new" = src3/src4 documents, "ref" = the rest of the corpus.
+    f"""
+    WITH {_SHINGLE_CTE},
+    side AS (SELECT doc_id, source IN ('src3', 'src4') AS is_new FROM documents),
+    hs AS (
+      SELECT sh.doc_id,
+             list_transform(sh.sh, s -> {{
+               'h1': CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
+               'h2': CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)}}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), i ->
+               list_min(list_transform(hs,
+                 h -> (h.h1 + i * (h.h2 | 1)) % 4294967296))) AS sig
+      FROM hs
+    ),
+    bands AS (
+      SELECT s.doc_id, side.is_new, b AS band_id,
+             array_to_string(list_transform(s.sig[b*4 + 1 : b*4 + 4],
+               x -> CAST(x AS VARCHAR)), ',') AS band_key
+      FROM sig s JOIN side USING (doc_id), unnest(generate_series(0, 7)) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.is_new AND NOT b.is_new
+    ),
+    tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
+    SELECT c.new_id, c.ref_id, {_JACC} AS jaccard
+    FROM cand c JOIN tokset x ON x.doc_id = c.new_id
+                JOIN tokset y ON y.doc_id = c.ref_id
+    WHERE {_JACC} >= 0.4e0
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (md5 determinism lane): near-dups
+    BETWEEN the incoming src3/src4 shard and the existing corpus, never
+    within a side. dedup.cross_corpus_neardup."""
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("source").isin("src3", "src4"))
+    ref = d.filter(~F.col("source").isin("src3", "src4"))
+    return dedup.cross_corpus_neardup(
+        new, ref, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
+        hash_family="md5",
+    )

@@ -592,3 +592,25 @@ def test_dsir_hash_families_agree_on_ranking_shape(spark):
         ).collect()}
         assert a == b  # deterministic
         assert min(a[i] for i in range(15)) > max(a[100 + i] for i in range(15))
+
+
+def test_cross_corpus_neardup_never_pairs_within_a_side(spark):
+    """Candidates must come ONLY from the new×ref join: two exact dups
+    inside the same side produce no pair, an exact dup across sides does;
+    both hash families agree on the planted structure."""
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # within-new dup of 1
+         (3, "totally unrelated fresh content here now")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),  # cross dup of 1,2
+         (101, "other reference material entirely different words")],
+        "doc_id long, text string",
+    )
+    for fam in ("xx64", "md5"):
+        got = {(r.new_id, r.ref_id): r.jaccard for r in
+               dedup.cross_corpus_neardup(new, ref, "text", "doc_id",
+                                          threshold=0.5, hash_family=fam).collect()}
+        assert got == {(1, 100): 1.0, (2, 100): 1.0}  # no (1,2), no ref-side pairs
