@@ -812,7 +812,11 @@ def cross_corpus_neardup(
     Scale shape: ref signatures/bands are typically computed once and
     reused across many new-crawl checks — persist or write out the ref
     banded table and hand it to repeated calls via ``ref_banded`` in a
-    follow-up; here both sides stage fresh (one linear pass each)."""
+    follow-up; here both sides stage fresh (one linear pass each). The
+    two banded tables stay persisted for the life of the returned lazy
+    (data-dependent-size) DataFrame — there is no safe in-function
+    unpersist point; blocks age out via LRU, and cluster deployments
+    should write the ref banded table out instead of caching it."""
     rows = n_hashes // bands
     band_hash = "string" if hash_family == "md5" else "xx64"
     b_new = _banded(

@@ -90,7 +90,17 @@ def dsir_logweights(
 
     Returns all input columns plus ``logw_fp`` (long). Null/empty text
     → 0 (no evidence). ``hash_family``/``persist_buckets``: see module
-    docstring."""
+    docstring — and note the PAIRING RULE: only ``hash_family='md5'``
+    is reproducible by ``dsir_oracle_sql`` (which refuses 'xx64');
+    the xx64 default is the throughput lane for production use.
+
+    Persist lifecycle: with ``persist_buckets=True`` the staged plan
+    stays cached for the life of the returned (lazy, corpus-sized)
+    DataFrame — there is no safe in-function unpersist point. Callers
+    that loop over many corpora should pass ``persist_buckets=False``
+    (recompute trade) or unpersist via the blocks' natural LRU eviction;
+    ``dsir_sample`` — whose output is bounded — materializes and
+    releases the cache itself."""
     toks = tokens(normalized(F.col(text_col)))
     feats = _features(toks)
     is_t = F.expr(target_sql)
@@ -135,9 +145,11 @@ def dsir_logweights(
         F.lit(0).cast("long"),
         lambda acc, b: acc + F.element_at(lr_lit, (b + F.lit(1)).cast("int")),
     )
-    return staged.withColumn(
+    out = staged.withColumn(
         "logw_fp", F.coalesce(logw, F.lit(0).cast("long"))
     ).drop("__buckets")
+    out._dsir_staged = staged  # handle for dsir_sample's eager release
+    return out
 
 
 def dsir_sample(
@@ -150,8 +162,15 @@ def dsir_sample(
     gumbel: bool = True,
     salt: str = "dsir",
     hash_family: str = "xx64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Importance-resample ``k`` documents toward the target distribution.
+
+    ``materialize=True`` (default) runs the bounded top-k eagerly and
+    releases the staged bucket cache (long-lived sessions must not
+    accumulate corpus-sized cached plans); ``materialize=False`` returns
+    the lazy TakeOrderedAndProject plan and leaves the cache to the
+    caller (plan inspection / further composition).
 
     ``gumbel=True`` (default): priority = ``logw + g`` with the standard
     Gumbel noise ``g = -ln(-ln(u))`` from a key-derived md5 coin — the
@@ -161,6 +180,7 @@ def dsir_sample(
     sampling). Priorities round to 6 dp with an id tie-break (the
     ``priority_sample`` boundary rule). Returns (id, logw_fp, priority).
     """
+    spark = df.sparkSession
     w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets,
                         hash_family=hash_family)
     logw_d = F.col("logw_fp").cast("double") / F.lit(_SCALE)
@@ -174,11 +194,21 @@ def dsir_sample(
         priority = F.round(logw_d + -F.log(-F.log(u)), 6)
     else:
         priority = F.round(logw_d, 6)
-    return (
+    lazy = (
         w.select(F.col(id_col), "logw_fp", priority.alias("priority"))
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(int(k))
     )
+    if not materialize:
+        return lazy
+    # the output is BOUNDED (k rows): materialize it, then release the
+    # staged bucket cache — a long-lived session (the HTTP server) calling
+    # this repeatedly must not accumulate corpus-sized cached plans
+    rows = lazy.collect()
+    staged = getattr(w, "_dsir_staged", None)
+    if staged is not None:
+        staged.unpersist()
+    return spark.createDataFrame(rows, schema=lazy.schema)
 
 
 def dsir_oracle_sql(
@@ -190,10 +220,23 @@ def dsir_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "md5",
 ) -> str:
     """DuckDB twin of ``dsir_sample``: identical features, md5 buckets,
     smoothing formula (same parenthesization), 1e-6 grid, integer sums,
-    Gumbel coin and tie-break."""
+    Gumbel coin and tie-break.
+
+    PAIRING RULE: only the md5 bucket lane is engine-reproducible — pass
+    ``hash_family='md5'`` to the Spark side when comparing against this
+    oracle. Requesting 'xx64' here raises instead of silently generating
+    SQL that can never match (xxhash64 has no DuckDB twin)."""
+    if hash_family != "md5":
+        raise ValueError(
+            f"dsir_oracle_sql reproduces only the md5 bucket lane; got "
+            f"{hash_family!r} — run dsir_sample(..., hash_family='md5') "
+            f"for oracle comparison (xx64 is the non-reproducible "
+            f"throughput lane)"
+        )
 
     def d(x: float) -> str:
         return f"CAST({x!r} AS DOUBLE)"

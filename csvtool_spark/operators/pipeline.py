@@ -240,11 +240,18 @@ def split_leakage(
     )
 
 
-def dataset_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dataset_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    length_col: str = "n_chars",
+) -> DataFrame:
     """One-pass dataset datasheet: the corpus-level numbers a training-run
     writeup (or a "datasheet for datasets") leads with, as (metric, value)
-    rows — composition of the repo's curation primitives over a single
-    aggregation pass plus one rank pass for the median.
+    rows — composition of the repo's curation primitives. The column
+    parameters are the documents-schema defaults; any table with a text,
+    a grouping/source, a language and a numeric length column fits.
 
     Metrics: n_docs, n_tokens, n_sources, n_langs, mean_n_chars,
     p50_n_chars (percentile_disc rank rule), exact_dup_rate (1 − distinct
@@ -252,13 +259,19 @@ def dataset_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     Scale shape: everything except the median is ONE hash aggregation
     (count_distinct plans the documented Expand — swap in
-    approx_count_distinct at 100 TB if ±2% is acceptable); the median is
-    the shared-Exchange rank pass from ``stats.group_quantiles``. The
-    result is 8 rows regardless of corpus size. All divisions are
-    int-derived doubles in the same operation order as the oracle."""
+    approx_count_distinct at 100 TB if ±2% is acceptable); the exact
+    median comes from the VALUE HISTOGRAM — group by the length value
+    (distinct lengths, a bounded set), then a cumulative count over that
+    tiny histogram picks the smallest value whose running count reaches
+    ``ceil(0.5·n)``, which is exactly the percentile_disc rank value. A
+    corpus-wide rank window would move every row to one partition; the
+    histogram window moves |distinct lengths| rows. The result is 8 rows
+    regardless of corpus size; all divisions are int-derived doubles in
+    the same operation order as the oracle."""
+    from pyspark.sql import Window
+
     from csvtool_spark.operators.dedup import normalized
     from csvtool_spark.operators.redact import STRICT_PATTERNS, pii_counts
-    from csvtool_spark.operators.stats import group_quantiles
     from csvtool_spark.operators.textstats import tokens
 
     counts = pii_counts(F.col(text_col), STRICT_PATTERNS)
@@ -268,9 +281,9 @@ def dataset_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     agg = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(normalized(F.col(text_col))))).alias("n_tokens"),
-        F.count_distinct(F.col("source")).alias("n_sources"),
-        F.count_distinct(F.col("lang")).alias("n_langs"),
-        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.col(source_col)).alias("n_sources"),
+        F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        F.sum(length_col).alias("sum_chars"),
         F.count_distinct(F.md5(normalized(F.col(text_col)))).alias("n_distinct"),
         F.sum(F.when(n_pii > 0, 1).otherwise(0)).alias("n_pii_docs"),
     )
@@ -287,19 +300,45 @@ def dataset_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             ") AS (metric, value)"
         )
     )
+    # exact p50 via the value histogram (the packing two-phase pattern):
+    # corpus pass = one combinable groupBy; the window runs over the
+    # bounded histogram, never the corpus
+    v = F.col(length_col)
+    hist = (
+        df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     p50 = (
-        group_quantiles(df.withColumn("__g", F.lit(1)), "n_chars", ["__g"], (0.5,))
-        .select(F.lit("p50_n_chars").alias("metric"), F.col("value").cast("double"))
+        hist.select(
+            "__v",
+            F.sum("__c").over(w_cum).alias("__cum"),
+            F.sum("__c").over(w_all).alias("__n"),
+        )
+        .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__n")))
+        .agg(F.min("__v").alias("value"))
+        .select(
+            F.lit("p50_n_chars").alias("metric"), F.col("value").cast("double")
+        )
     )
     return stacked.unionByName(p50)
 
 
 def dataset_report_oracle_sql(
-    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    length_col: str = "n_chars",
 ) -> str:
     """DuckDB twin — same metric set, same int-derived double divisions
-    (operation order mirrored), same percentile_disc rank rule, and the
-    same STRICT pii battery (progressive counting)."""
+    (operation order mirrored), and the same STRICT pii battery
+    (progressive counting). The median stays in the row_number rank form
+    here — an INDEPENDENT implementation of the pinned percentile_disc
+    semantics (the Spark side uses the value-histogram cumulative form;
+    smallest value with running count ≥ ceil(0.5·n) ≡ the rank value)."""
     from csvtool_spark.operators.redact import STRICT_PATTERNS
 
     def lit(s: str) -> str:
@@ -312,7 +351,8 @@ def dataset_report_oracle_sql(
     n_pii = " + ".join(cnt)
     return f"""
     WITH base AS (
-      SELECT {id_col}, {text_col}, lang, source, n_chars,
+      SELECT {text_col}, {lang_col} AS lang, {source_col} AS source,
+             {length_col} AS n_chars,
              len(string_split(lower(trim({text_col})), ' ')) AS n_toks,
              md5(lower(trim({text_col}))) AS h,
              ({n_pii}) AS n_pii

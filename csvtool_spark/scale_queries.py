@@ -2199,6 +2199,11 @@ def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.is_new AND NOT b.is_new
     ),
     tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
+    -- NB: no MAX_BUCKET cap here (same deliberate omission as the
+    -- within-corpus det twin): at oracle scale (500 docs) no band bucket
+    -- can approach the 1000-member cap the Spark side applies, so the
+    -- pair sets are identical. A degenerate-boilerplate corpus would
+    -- need the cap mirrored before the cand join.
     SELECT c.new_id, c.ref_id, {_JACC} AS jaccard
     FROM cand c JOIN tokset x ON x.doc_id = c.new_id
                 JOIN tokset y ON y.doc_id = c.ref_id

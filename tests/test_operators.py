@@ -477,7 +477,11 @@ def test_dsir_weights_favor_target_distribution(spark):
     top = dsir_sample(d, "text", "doc_id", "src = 'tgt'", k=20,
                       n_buckets=64, gumbel=False)
     assert {r.doc_id for r in top.collect()} == set(range(20))
-    plan = top._jdf.queryExecution().executedPlan().toString()
+    # plan shape checked on the lazy form (default materializes the
+    # bounded top-k eagerly and releases the staged bucket cache)
+    lazy = dsir_sample(d, "text", "doc_id", "src = 'tgt'", k=20,
+                       n_buckets=64, gumbel=False, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
 
 
