@@ -2163,15 +2163,29 @@ def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cross-corpus decontamination ------------------------------------------
 
 
-@register(
-    "q_cross_dedup",
-    # the md5-lane cross-corpus pipeline end to end in DuckDB: both sides
-    # signed with the same KM lanes, banded, candidates from the new×ref
-    # band equi-join ONLY (never within a side), exact-Jaccard verified.
-    # "new" = src3/src4 documents, "ref" = the rest of the corpus.
-    f"""
-    WITH {_SHINGLE_CTE},
-    side AS (SELECT doc_id, source IN ('src3', 'src4') AS is_new FROM documents),
+def cross_dedup_oracle_sql(
+    new_pred: str,
+    threshold: float = 0.4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    table: str = "documents",
+) -> str:
+    """The md5-lane cross-corpus pipeline end to end in DuckDB: both
+    sides signed with the same KM lanes, banded, candidates from the
+    new×ref band equi-join ONLY (never within a side), exact-Jaccard
+    verified. ``new_pred`` is the SQL predicate naming the NEW side.
+    Parameterized so the randomized differentials can replay it on
+    arbitrary corpora, not just the fixed catalog split.
+    NB: no MAX_BUCKET cap here (same deliberate omission as the
+    within-corpus det twin q_dedup_minhash_det): at oracle scale no band
+    bucket can approach the 1000-member cap the Spark side applies, so
+    the pair sets are identical; a degenerate-boilerplate corpus would
+    need the cap mirrored before the cand join."""
+    rows = n_hashes // bands
+    shingle_cte = _SHINGLE_CTE.replace("FROM documents", f"FROM {table}")
+    return f"""
+    WITH {shingle_cte},
+    side AS (SELECT doc_id, ({new_pred}) AS is_new FROM {table}),
     hs AS (
       SELECT sh.doc_id,
              list_transform(sh.sh, s -> {{
@@ -2181,16 +2195,16 @@ def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT doc_id,
-             list_transform(range(0, 32), i ->
+             list_transform(range(0, {n_hashes}), i ->
                list_min(list_transform(hs,
                  h -> (h.h1 + i * (h.h2 | 1)) % 4294967296))) AS sig
       FROM hs
     ),
     bands AS (
       SELECT s.doc_id, side.is_new, b AS band_id,
-             array_to_string(list_transform(s.sig[b*4 + 1 : b*4 + 4],
+             array_to_string(list_transform(s.sig[b*{rows} + 1 : b*{rows} + {rows}],
                x -> CAST(x AS VARCHAR)), ',') AS band_key
-      FROM sig s JOIN side USING (doc_id), unnest(generate_series(0, 7)) AS u(b)
+      FROM sig s JOIN side USING (doc_id), unnest(generate_series(0, {bands - 1})) AS u(b)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
@@ -2199,16 +2213,17 @@ def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.is_new AND NOT b.is_new
     ),
     tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
-    -- NB: no MAX_BUCKET cap here (same deliberate omission as the
-    -- within-corpus det twin): at oracle scale (500 docs) no band bucket
-    -- can approach the 1000-member cap the Spark side applies, so the
-    -- pair sets are identical. A degenerate-boilerplate corpus would
-    -- need the cap mirrored before the cand join.
     SELECT c.new_id, c.ref_id, {_JACC} AS jaccard
     FROM cand c JOIN tokset x ON x.doc_id = c.new_id
                 JOIN tokset y ON y.doc_id = c.ref_id
-    WHERE {_JACC} >= 0.4e0
-    """,
+    WHERE {_JACC} >= {threshold}e0
+    """
+
+
+@register(
+    "q_cross_dedup",
+    # "new" = src3/src4 documents, "ref" = the rest of the corpus.
+    cross_dedup_oracle_sql("source IN ('src3', 'src4')"),
     registered=False,  # shadow: driver window full; locally gated
 )
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,6 +10,7 @@ import random
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from csvtool_spark.oracle import compare
 
@@ -377,4 +378,30 @@ def test_dataset_report_oracle_on_random_corpora(spark, seed):
     d = spark.createDataFrame(pdf)
     out = dataset_report(d)
     sql = dataset_report_oracle_sql()
+    assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_cross_dedup_oracle_on_random_corpora(spark, seed):
+    """The full cross-corpus LSH pipeline (signatures → bands → new×ref
+    join → verify) must be hash-exact cross-engine on random corpora with
+    planted cross-side and within-side duplicates (within-side pairs must
+    appear in NEITHER engine)."""
+    from csvtool_spark.operators import dedup
+    from csvtool_spark.scale_queries import cross_dedup_oracle_sql
+
+    r = random.Random(seed + 17000)
+    pdf = _random_docs(seed + 17000, n=120)
+    # plant: duplicates across the source boundary and within each side
+    pdf.loc[pdf.index[5], "text"] = pdf.loc[pdf.index[0], "text"]
+    pdf.loc[pdf.index[6], "text"] = pdf.loc[pdf.index[1], "text"]
+    d = spark.createDataFrame(pdf)
+    pred = "source IN ('s0', 's1')"
+    new = d.filter(F.expr(pred))
+    ref = d.filter(~F.expr(pred))
+    out = dedup.cross_corpus_neardup(
+        new, ref, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
+        hash_family="md5",
+    )
+    sql = cross_dedup_oracle_sql(pred)
     assert compare(out, _con_with(pdf), sql) is None
