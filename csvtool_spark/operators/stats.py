@@ -138,3 +138,94 @@ def mode_oracle_sql(value_col: str, group_cols: list[str], table: str) -> str:
     SELECT {g}, value AS mode_value, CAST(n AS BIGINT) AS mode_count
     FROM r WHERE rn = 1
     """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` into its per-group ``[p_lo, p_hi]``
+    percentile_disc bounds — the standard outlier-taming transform before
+    length/quality statistics feed a sampler or a mixture weight.
+
+    Returns the input columns plus ``out_col`` (default
+    ``<value_col>_wins``). Semantics (pinned): null stays null, NaN stays
+    NaN (NaN would otherwise clamp to the upper bound on BOTH engines —
+    greatest(NaN, lo)=NaN then least(NaN, hi)=hi — so it is preserved
+    explicitly); a group with no clampable values (all null/NaN) passes
+    its rows through unchanged.
+
+    Scale shape: bounds come from ``group_quantiles`` (one shared-
+    Exchange rank pass), pivot to one (group, lo, hi) row per group —
+    a |groups|-sized table AQE broadcast-joins back onto the scan."""
+    out_col = out_col or f"{value_col}_wins"
+    if not (0.0 < p_lo < p_hi <= 1.0):
+        raise ValueError(f"need 0 < p_lo < p_hi <= 1, got {(p_lo, p_hi)!r}")
+    q = group_quantiles(df, value_col, group_cols, (p_lo, p_hi))
+    bounds = q.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == float(p_lo), F.col("value"))).alias("__lo"),
+        F.min(F.when(F.col("q") == float(p_hi), F.col("value"))).alias("__hi"),
+    )
+    v = F.col(value_col)
+    clamped = F.when(v.isNull() | F.isnan(v.cast("double")), v).otherwise(
+        F.when(
+            F.col("__lo").isNull(), v
+        ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    )
+    return (
+        df.join(bounds, group_cols, "left")
+        .withColumn(out_col, clamped)
+        .drop("__lo", "__hi")
+    )
+
+
+def winsorize_oracle_sql(
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float,
+    p_hi: float,
+    table: str,
+    select_cols: list[str],
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin — the same rank-rule bounds and clamp semantics.
+    ``select_cols``: the output projection (must match the Spark side's
+    column set for the hash compare)."""
+    out_col = out_col or f"{value_col}_wins"
+    g = ", ".join(group_cols)
+    q_list = f"CAST({float(p_lo)!r} AS DOUBLE), CAST({float(p_hi)!r} AS DOUBLE)"
+    sel = ", ".join(f"t.{c}" for c in select_cols)
+    return f"""
+    WITH b AS (
+      SELECT {g}, {value_col} AS value FROM {table}
+      WHERE {value_col} IS NOT NULL AND NOT isnan(CAST({value_col} AS DOUBLE))
+    ),
+    r AS (
+      SELECT {g}, value,
+             row_number() OVER (PARTITION BY {g} ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY {g}) AS n
+      FROM b
+    ),
+    qv AS (
+      SELECT {g}, q, value
+      FROM r, (SELECT unnest([{q_list}]) AS q) qq
+      WHERE rn = CAST(ceil(qq.q * n) AS BIGINT)
+    ),
+    bounds AS (
+      SELECT {g},
+             min(CASE WHEN q = CAST({float(p_lo)!r} AS DOUBLE) THEN value END) AS lo,
+             min(CASE WHEN q = CAST({float(p_hi)!r} AS DOUBLE) THEN value END) AS hi
+      FROM qv GROUP BY {g}
+    )
+    SELECT {sel},
+           CASE WHEN t.{value_col} IS NULL
+                  OR isnan(CAST(t.{value_col} AS DOUBLE)) THEN t.{value_col}
+                WHEN bd.lo IS NULL THEN t.{value_col}
+                ELSE least(greatest(t.{value_col}, bd.lo), bd.hi)
+           END AS {out_col}
+    FROM {table} t LEFT JOIN bounds bd USING ({g})
+    """

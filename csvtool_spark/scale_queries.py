@@ -2237,3 +2237,22 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, ref, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
         hash_family="md5",
     )
+
+
+# --- winsorization ---------------------------------------------------------
+
+
+@register(
+    "q_winsorize",
+    stats.winsorize_oracle_sql(
+        "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized document lengths ([p10, p90] clamp):
+    rank-pass bounds broadcast back onto the scan. stats.winsorize."""
+    d = load(spark, sf_dir, "documents")
+    return stats.winsorize(d, "n_chars", ["lang"], 0.1, 0.9).select(
+        "doc_id", "lang", "n_chars", "n_chars_wins"
+    )

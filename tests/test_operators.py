@@ -618,3 +618,27 @@ def test_cross_corpus_neardup_never_pairs_within_a_side(spark):
                dedup.cross_corpus_neardup(new, ref, "text", "doc_id",
                                           threshold=0.5, hash_family=fam).collect()}
         assert got == {(1, 100): 1.0, (2, 100): 1.0}  # no (1,2), no ref-side pairs
+
+
+def test_winsorize_semantics(spark):
+    from csvtool_spark.operators.stats import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 11)] + [
+        ("g", None), ("g", float("nan")), ("empty", None)
+    ]
+    d = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(d, "v", ["k"], 0.2, 0.8)
+    got = [(r.k, r.v, r.v_wins) for r in out.collect()]
+    for k, v, w in got:
+        if v is None:
+            assert w is None                      # null passes through
+        elif v != v:
+            assert w != w                         # NaN preserved
+        elif k == "g":
+            assert 2.0 <= w <= 8.0                # clamped to [p20, p80]
+            assert w == min(max(v, 2.0), 8.0)
+    try:
+        winsorize(d, "v", ["k"], 0.9, 0.1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "p_lo < p_hi" in str(e)

@@ -405,3 +405,29 @@ def test_cross_dedup_oracle_on_random_corpora(spark, seed):
     )
     sql = cross_dedup_oracle_sql(pred)
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_winsorize_oracle_on_random_data(spark, seed):
+    """Per-group clamp bounds and the null/NaN/empty-group pass-through
+    must agree cross-engine on random group shapes."""
+    from csvtool_spark.operators.stats import winsorize, winsorize_oracle_sql
+
+    r = random.Random(seed + 18000)
+    rows = []
+    for i in range(240):
+        lang = r.choice(["aa", "bb", "cc", "nanonly"])
+        v = (
+            float("nan") if lang == "nanonly" or r.random() < 0.05
+            else (None if r.random() < 0.05 else float(r.randint(0, 60)))
+        )
+        rows.append({"doc_id": i, "lang": lang, "n_chars": v})
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    out = winsorize(d, "n_chars", ["lang"], 0.1, 0.9).select(
+        "doc_id", "lang", "n_chars", "n_chars_wins"
+    )
+    sql = winsorize_oracle_sql(
+        "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
+    )
+    assert compare(out, _con_with(pdf), sql) is None
