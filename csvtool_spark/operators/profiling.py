@@ -120,3 +120,92 @@ def histogram_oracle_sql(
            CAST(coalesce(c.n, 0) AS BIGINT) AS n
     FROM (SELECT unnest(range(0, {bins})) AS bucket) g LEFT JOIN c USING (bucket)
     """
+
+
+def profile_melted(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = False
+) -> DataFrame:
+    """``profile_table`` unpivoted to (col_name, metric, val) string rows
+    — the join-ready shape ``profile_drift`` compares."""
+    p = profile_table(df, columns, exact_distinct)
+    return p.select(
+        "col_name",
+        F.expr(
+            "stack(5,"
+            " 'n_rows', CAST(n_rows AS STRING),"
+            " 'n_nulls', CAST(n_nulls AS STRING),"
+            " 'n_distinct', CAST(n_distinct AS STRING),"
+            " 'min', min_str,"
+            " 'max', max_str) AS (metric, val)"
+        ),
+    )
+
+
+def profile_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    columns_old: list[str] | None = None,
+    columns_new: list[str] | None = None,
+) -> DataFrame:
+    """Data-contract drift between two table snapshots: profile both
+    sides (exact cardinality — drift needs comparable numbers, not HLL
+    estimates whose error differs per side) and full-outer join the
+    melted metrics. Emits (col_name, metric, old_val, new_val, changed);
+    a column present on only one side shows null for the other — the
+    schema-change signal — and ``changed`` uses null-safe equality so it
+    is never null itself.
+
+    Scale shape: two single-pass profile aggregates (each: one
+    aggregation job, see ``profile_table``) joined on a ≤ 5·|columns|-row
+    result — the comparison itself is negligible at any corpus size."""
+    mo = profile_melted(old_df, columns_old, exact_distinct=True).withColumnRenamed(
+        "val", "old_val"
+    )
+    mn = profile_melted(new_df, columns_new, exact_distinct=True).withColumnRenamed(
+        "val", "new_val"
+    )
+    j = mo.join(mn, ["col_name", "metric"], "full_outer")
+    return j.select(
+        "col_name",
+        "metric",
+        "old_val",
+        "new_val",
+        (~F.col("old_val").eqNullSafe(F.col("new_val"))).alias("changed"),
+    )
+
+
+def _profile_melted_sql(table_expr: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+      SELECT '{c}' AS col_name, m.metric,
+             CASE m.metric
+               WHEN 'n_rows' THEN CAST(count(*) AS VARCHAR)
+               WHEN 'n_nulls' THEN CAST(count(*) - count({c}) AS VARCHAR)
+               WHEN 'n_distinct' THEN CAST(count(DISTINCT {c}) AS VARCHAR)
+               WHEN 'min' THEN CAST(min({c}) AS VARCHAR)
+               WHEN 'max' THEN CAST(max({c}) AS VARCHAR)
+             END AS val
+      FROM {table_expr},
+           (SELECT unnest(['n_rows','n_nulls','n_distinct','min','max']) AS metric) m
+      GROUP BY m.metric""")
+    return "\n      UNION ALL".join(parts)
+
+
+def profile_drift_oracle_sql(
+    old_expr: str, old_cols: list[str], new_expr: str, new_cols: list[str]
+) -> str:
+    """DuckDB twin of ``profile_drift``: the same five metrics per column
+    per side (VARCHAR-rendered like Spark's string casts), full-outer
+    joined with null-safe change detection (IS DISTINCT FROM ≡ Spark's
+    negated eqNullSafe)."""
+    return f"""
+    WITH mo AS ({_profile_melted_sql(old_expr, old_cols)}),
+    mn AS ({_profile_melted_sql(new_expr, new_cols)})
+    SELECT coalesce(mo.col_name, mn.col_name) AS col_name,
+           coalesce(mo.metric, mn.metric) AS metric,
+           mo.val AS old_val, mn.val AS new_val,
+           mo.val IS DISTINCT FROM mn.val AS changed
+    FROM mo FULL OUTER JOIN mn
+      ON mo.col_name = mn.col_name AND mo.metric = mn.metric
+    """

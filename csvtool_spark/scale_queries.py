@@ -2256,3 +2256,28 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.winsorize(d, "n_chars", ["lang"], 0.1, 0.9).select(
         "doc_id", "lang", "n_chars", "n_chars_wins"
     )
+
+
+# --- profile drift ---------------------------------------------------------
+
+
+@register(
+    "q_profile_drift",
+    profiling.profile_drift_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus"],
+        "(SELECT * FROM orders WHERE o_orderkey % 3 <> 0)",
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift between two snapshots (here: full orders vs a
+    filtered next-day cut with one column swapped — row-count, null,
+    cardinality, min/max and schema-presence changes all surface).
+    profiling.profile_drift."""
+    o = load(spark, sf_dir, "orders")
+    return profiling.profile_drift(
+        o, o.filter(F.col("o_orderkey") % 3 != 0),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )

@@ -642,3 +642,22 @@ def test_winsorize_semantics(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "p_lo < p_hi" in str(e)
+
+
+def test_profile_drift_flags_changes_and_schema_diff(spark):
+    from csvtool_spark.operators.profiling import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (9, 9.5), (10, 10.5)], "id long, w double"
+    )
+    rows = {(r.col_name, r.metric): (r.old_val, r.new_val, r.changed)
+            for r in profile_drift(old, new).collect()}
+    assert rows[("id", "n_rows")] == ("3", "4", True)
+    assert rows[("id", "max")] == ("3", "10", True)
+    assert rows[("id", "n_nulls")] == ("0", "0", False)
+    assert rows[("v", "n_rows")][1] is None and rows[("v", "n_rows")][2]  # dropped col
+    assert rows[("w", "n_rows")][0] is None and rows[("w", "n_rows")][2]  # added col
+    assert all(r[2] is not None for r in rows.values())  # changed never null
