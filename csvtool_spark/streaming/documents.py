@@ -192,3 +192,18 @@ def confusion_stream(stream: DataFrame, model) -> DataFrame:
 
     scored = classify.nb_score_map(stream, model)
     return scored.groupBy("lang", "pred").agg(F.count("*").cast("long").alias("n"))
+
+
+def scrubbed_stream(
+    stream: DataFrame,
+    max_pii_fraction: float = 0.2,
+) -> DataFrame:
+    """Streaming PII policy gate: the batch ``redact.redact_documents``
+    density rule applied per micro-batch — pure Column trees (regex
+    count + progressive replace), so the stream stays STATELESS: no
+    watermark, no state store, deterministic on replay. Documents over
+    the density cut are dropped in-flight; survivors flow on with
+    ``text`` redacted plus (n_pii, pii_fraction)."""
+    from csvtool_spark.operators.redact import redact_documents
+
+    return redact_documents(stream, "text", "doc_id", max_pii_fraction)

@@ -661,3 +661,32 @@ def test_profile_drift_flags_changes_and_schema_diff(spark):
     assert rows[("v", "n_rows")][1] is None and rows[("v", "n_rows")][2]  # dropped col
     assert rows[("w", "n_rows")][0] is None and rows[("w", "n_rows")][2]  # added col
     assert all(r[2] is not None for r in rows.values())  # changed never null
+
+
+def test_funnel_is_arrival_order_invariant(spark):
+    """The greedy chain folds over (ts, type)-SORTED per-user events, so
+    shuffling the input row order cannot change any user's depth."""
+    import datetime as dt
+    import random as _random
+
+    from csvtool_spark.operators.funnel import funnel_user_depths
+
+    r = _random.Random(99)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (r.randint(0, 15), r.choice(["a", "b", "c", "x"]),
+         t0 + dt.timedelta(seconds=r.randint(0, 20)))
+        for _ in range(300)
+    ]
+    shuffled = rows[:]
+    r.shuffle(shuffled)
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "user_id long, event_type string, ts timestamp"
+    )
+    a = {x.user: x.depth for x in
+         funnel_user_depths(mk(rows), "user_id", "ts", "event_type",
+                            ["a", "b", "c"]).collect()}
+    b = {x.user: x.depth for x in
+         funnel_user_depths(mk(shuffled), "user_id", "ts", "event_type",
+                            ["a", "b", "c"]).collect()}
+    assert a == b and len(a) > 0

@@ -519,3 +519,20 @@ def test_error_monitor_state_carries_across_batches(spark, tmp_path):
            spark.read.parquet(f"{SF_SMALL}/events.parquet")
            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == exp  # totals, not per-batch counts
+
+
+def test_scrubbed_stream_matches_batch_policy(spark):
+    from csvtool_spark.operators.redact import redact_documents
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import document_stream, scrubbed_stream
+
+    stream = document_stream(spark, SF_SMALL)
+    out = scrubbed_stream(stream, max_pii_fraction=0.3)
+    assert out.isStreaming
+    run_to_memory(out, "scrub_out", output_mode="append")
+    got = {r.doc_id: (r.text, r.n_pii, float(r.pii_fraction))
+           for r in spark.sql("SELECT * FROM scrub_out").collect()}
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exp = {r.doc_id: (r.text, r.n_pii, float(r.pii_fraction))
+           for r in redact_documents(batch, "text", "doc_id", 0.3).collect()}
+    assert got == exp and len(got) > 0
