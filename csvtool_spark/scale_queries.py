@@ -24,6 +24,7 @@ from csvtool_spark.operators import (
     dedup,
     funnel,
     importance,
+    linkage,
     multimodal,
     pca,
     profiling,
@@ -2280,4 +2281,37 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, o.filter(F.col("o_orderkey") % 3 != 0),
         ["o_orderkey", "o_custkey", "o_orderstatus"],
         ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+
+
+# --- fuzzy record linkage --------------------------------------------------
+
+
+@register(
+    "q_fuzzy_linkage",
+    linkage.fuzzy_pairs_oracle_sql(
+        "(SELECT doc_id, substr(text, 1, 40) AS title FROM documents "
+        " WHERE source IN ('src0', 'src1'))",
+        "(SELECT doc_id AS doc_id_b, substr(text, 1, 40) AS title_b "
+        " FROM documents WHERE source NOT IN ('src0', 'src1'))",
+        "title", "title_b", "doc_id", "doc_id_b",
+        threshold=0.5, max_gram_freq=200,
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution demo: link documents across source groups by
+    char-trigram Jaccard of their 40-char title prefixes (near-dup docs
+    share prefixes; the gram-frequency prune kills stop-grams).
+    operators/linkage.py."""
+    d = load(spark, sf_dir, "documents")
+    a = d.filter(F.col("source").isin("src0", "src1")).select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    )
+    b = d.filter(~F.col("source").isin("src0", "src1")).select(
+        F.col("doc_id").alias("doc_id_b"), F.substring("text", 1, 40).alias("title_b")
+    )
+    return linkage.fuzzy_string_pairs(
+        a, b, "title", "title_b", "doc_id", "doc_id_b",
+        threshold=0.5, max_gram_freq=200,
     )

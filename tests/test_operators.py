@@ -690,3 +690,25 @@ def test_funnel_is_arrival_order_invariant(spark):
          funnel_user_depths(mk(shuffled), "user_id", "ts", "event_type",
                             ["a", "b", "c"]).collect()}
     assert a == b and len(a) > 0
+
+
+def test_fuzzy_linkage_semantics(spark):
+    """Exact match → 1.0; one-char typo scores high; disjoint names never
+    pair; a×a / b×b pairs never form."""
+    from csvtool_spark.operators.linkage import fuzzy_string_pairs
+
+    a = spark.createDataFrame(
+        [(1, "anna schmidt"), (2, "acme gmbh"), (3, "zzz qqq vvv"), (4, None)],
+        "aid long, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "anna schmidt"), (11, "anna schmitd"), (12, "unrelated co")],
+        "bid long, name string",
+    )
+    got = {(r.a_id, r.b_id): r.sim for r in fuzzy_string_pairs(
+        a, b, "name", "name", "aid", "bid", threshold=0.4, max_gram_freq=None
+    ).collect()}
+    assert got[(1, 10)] == 1.0
+    assert 0.4 <= got[(1, 11)] < 1.0          # typo still links
+    assert all(k[0] != 3 for k in got)        # disjoint never pairs
+    assert all(k[0] in (1, 2) or k[1] in (10, 11, 12) for k in got)

@@ -431,3 +431,39 @@ def test_winsorize_oracle_on_random_data(spark, seed):
         "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
     )
     assert compare(out, _con_with(pdf), sql) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzzy_linkage_oracle_on_perturbed_names(spark, seed):
+    """Char-trigram Jaccard linkage must be hash-exact cross-engine on
+    typo-perturbed name tables (incl. short strings, nulls, and the
+    gram-frequency prune)."""
+    from csvtool_spark.operators.linkage import (
+        fuzzy_pairs_oracle_sql,
+        fuzzy_string_pairs,
+    )
+
+    r = random.Random(seed + 21000)
+    base = ["anna schmidt", "j. k. rowling", "acme corp gmbh", "openai",
+            "universitaet bonn", "al", "", None]
+    a_rows, b_rows = [], []
+    for i in range(120):
+        s = r.choice(base)
+        a_rows.append({"aid": i, "name": s})
+        if s and r.random() < 0.6:  # perturbed twin on the other side
+            chars = list(s)
+            if chars:
+                chars[r.randrange(len(chars))] = r.choice("abcdefgh ")
+            b_rows.append({"bid": 1000 + i, "title": "".join(chars)})
+        else:
+            b_rows.append({"bid": 1000 + i, "title": r.choice(base)})
+    pa, pb = pd.DataFrame(a_rows), pd.DataFrame(b_rows)
+    da, db = spark.createDataFrame(pa), spark.createDataFrame(pb)
+    out = fuzzy_string_pairs(da, db, "name", "title", "aid", "bid",
+                             threshold=0.3, max_gram_freq=40)
+    sql = fuzzy_pairs_oracle_sql("authors", "titles", "name", "title",
+                                 "aid", "bid", threshold=0.3, max_gram_freq=40)
+    con = duckdb.connect()
+    con.register("authors", pa)
+    con.register("titles", pb)
+    assert compare(out, con, sql) is None
