@@ -69,11 +69,18 @@ def fuzzy_string_pairs(
         g = df.select(
             F.col(idc).alias(alias), char_grams(F.col(colc), n).alias("__g")
         ).select(alias, F.explode("__g").alias("g"))
+        # persisted: the gram explode feeds the freq aggregate, the prune
+        # join, the per-row sizes AND the cross-side join — different
+        # shuffles, so without the persist the scan+explode re-runs per
+        # consumer (the ngram_jaccard_pairs precedent; BM25's tf had the
+        # same review finding). Left cached for the life of the returned
+        # lazy result, like the repo's other multi-consumer stages.
+        g = g.persist()
         if max_gram_freq is not None:
             freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
             g = g.join(
                 freq.filter(F.col("__f") <= int(max_gram_freq)), "g"
-            ).drop("__f")
+            ).drop("__f").persist()
         sizes = g.groupBy(alias).agg(F.count(F.lit(1)).alias(f"__n_{alias}"))
         return g, sizes
 

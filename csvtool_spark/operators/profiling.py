@@ -175,20 +175,29 @@ def profile_drift(
 
 
 def _profile_melted_sql(table_expr: str, cols: list[str]) -> str:
+    # aggregate-first shape (no GROUP BY): a bare aggregate always yields
+    # ONE row, so an EMPTY snapshot still melts to 5 rows per column with
+    # n_rows='0' — exactly like Spark's df.agg + stack. (A GROUP BY
+    # m.metric formulation emits ZERO rows on an empty table and silently
+    # diverges — an empty new snapshot is precisely the drift case this
+    # check exists for.)
     parts = []
     for c in cols:
         parts.append(f"""
       SELECT '{c}' AS col_name, m.metric,
              CASE m.metric
-               WHEN 'n_rows' THEN CAST(count(*) AS VARCHAR)
-               WHEN 'n_nulls' THEN CAST(count(*) - count({c}) AS VARCHAR)
-               WHEN 'n_distinct' THEN CAST(count(DISTINCT {c}) AS VARCHAR)
-               WHEN 'min' THEN CAST(min({c}) AS VARCHAR)
-               WHEN 'max' THEN CAST(max({c}) AS VARCHAR)
+               WHEN 'n_rows' THEN CAST(a.nr AS VARCHAR)
+               WHEN 'n_nulls' THEN CAST(a.nr - a.nn AS VARCHAR)
+               WHEN 'n_distinct' THEN CAST(a.nd AS VARCHAR)
+               WHEN 'min' THEN a.mn
+               WHEN 'max' THEN a.mx
              END AS val
-      FROM {table_expr},
-           (SELECT unnest(['n_rows','n_nulls','n_distinct','min','max']) AS metric) m
-      GROUP BY m.metric""")
+      FROM (SELECT count(*) AS nr, count({c}) AS nn,
+                   count(DISTINCT {c}) AS nd,
+                   CAST(min({c}) AS VARCHAR) AS mn,
+                   CAST(max({c}) AS VARCHAR) AS mx
+            FROM {table_expr}) a,
+           (SELECT unnest(['n_rows','n_nulls','n_distinct','min','max']) AS metric) m""")
     return "\n      UNION ALL".join(parts)
 
 

@@ -191,9 +191,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shingle CTE shared with q_dedup_ngram (same tokenization / k=3 / distinct).
-_SHINGLE_CTE = """
+# Parameterized by table so cross_dedup_oracle_sql can retarget it without
+# string surgery on the constant (a .replace() would silently no-op if the
+# formatting ever changed).
+def _shingle_cte(table: str = "documents") -> str:
+    return f"""
     toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-             FROM documents),
+             FROM {table}),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3 THEN
@@ -202,6 +206,9 @@ _SHINGLE_CTE = """
              ELSE [array_to_string(t, ' ')] END AS sh
       FROM toks
     )"""
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 _JACC = """round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
              / (CASE WHEN len(list_distinct(list_concat(x.ts, y.ts))) > 0
@@ -2183,7 +2190,7 @@ def cross_dedup_oracle_sql(
     the pair sets are identical; a degenerate-boilerplate corpus would
     need the cap mirrored before the cand join."""
     rows = n_hashes // bands
-    shingle_cte = _SHINGLE_CTE.replace("FROM documents", f"FROM {table}")
+    shingle_cte = _shingle_cte(table)
     return f"""
     WITH {shingle_cte},
     side AS (SELECT doc_id, ({new_pred}) AS is_new FROM {table}),
@@ -2217,7 +2224,7 @@ def cross_dedup_oracle_sql(
     SELECT c.new_id, c.ref_id, {_JACC} AS jaccard
     FROM cand c JOIN tokset x ON x.doc_id = c.new_id
                 JOIN tokset y ON y.doc_id = c.ref_id
-    WHERE {_JACC} >= {threshold}e0
+    WHERE {_JACC} >= CAST({float(threshold)!r} AS DOUBLE)
     """
 
 

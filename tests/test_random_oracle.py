@@ -390,11 +390,17 @@ def test_cross_dedup_oracle_on_random_corpora(spark, seed):
     from csvtool_spark.operators import dedup
     from csvtool_spark.scale_queries import cross_dedup_oracle_sql
 
-    r = random.Random(seed + 17000)
     pdf = _random_docs(seed + 17000, n=120)
-    # plant: duplicates across the source boundary and within each side
+    # plant duplicates on FORCED sides: (0,5) straddles the boundary (a
+    # cross pair both engines must emit), (1,6) sits inside the new side
+    # (a pair NEITHER engine may emit) — guaranteed per seed, not left to
+    # the random source draw
     pdf.loc[pdf.index[5], "text"] = pdf.loc[pdf.index[0], "text"]
     pdf.loc[pdf.index[6], "text"] = pdf.loc[pdf.index[1], "text"]
+    pdf.loc[pdf.index[0], "source"] = "s0"   # new side
+    pdf.loc[pdf.index[5], "source"] = "s2"   # ref side → cross pair
+    pdf.loc[pdf.index[1], "source"] = "s0"   # both new → within-side,
+    pdf.loc[pdf.index[6], "source"] = "s1"   # must never pair
     d = spark.createDataFrame(pdf)
     pred = "source IN ('s0', 's1')"
     new = d.filter(F.expr(pred))
@@ -405,6 +411,10 @@ def test_cross_dedup_oracle_on_random_corpora(spark, seed):
     )
     sql = cross_dedup_oracle_sql(pred)
     assert compare(out, _con_with(pdf), sql) is None
+    got = {(x.new_id, x.ref_id) for x in out.collect()}
+    assert (0, 5) in got                       # forced cross pair found
+    assert not any(0 in p_ and 5 not in p_ and p_ in {(1, 6), (6, 1)} for p_ in got)
+    assert (1, 6) not in got and (6, 1) not in got  # within-new never pairs
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -417,20 +427,29 @@ def test_winsorize_oracle_on_random_data(spark, seed):
     rows = []
     for i in range(240):
         lang = r.choice(["aa", "bb", "cc", "nanonly"])
-        v = (
-            float("nan") if lang == "nanonly" or r.random() < 0.05
-            else (None if r.random() < 0.05 else float(r.randint(0, 60)))
-        )
+        v = None if r.random() < 0.08 else float(r.randint(0, 60))
         rows.append({"doc_id": i, "lang": lang, "n_chars": v})
     pdf = pd.DataFrame(rows)
-    d = spark.createDataFrame(pdf)
+    # NaN must be constructed IN-ENGINE on both sides: pandas→Arrow and
+    # duckdb.register both convert a float64 NaN to NULL in transit, so a
+    # NaN planted in the frame never reaches either engine (review r4).
+    nan_pred = "doc_id % 11 = 0 OR lang = 'nanonly'"
+    d = spark.createDataFrame(pdf).withColumn(
+        "n_chars",
+        F.when(F.expr(nan_pred), F.lit(float("nan"))).otherwise(F.col("n_chars")),
+    )
     out = winsorize(d, "n_chars", ["lang"], 0.1, 0.9).select(
         "doc_id", "lang", "n_chars", "n_chars_wins"
     )
+    nan_docs = "(SELECT doc_id, lang, CASE WHEN " + nan_pred + \
+        " THEN CAST('nan' AS DOUBLE) ELSE n_chars END AS n_chars FROM documents)"
     sql = winsorize_oracle_sql(
-        "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
+        "n_chars", ["lang"], 0.1, 0.9, nan_docs, ["doc_id", "lang", "n_chars"]
     )
     assert compare(out, _con_with(pdf), sql) is None
+    # the NaN leg is live: NaN rows exist and pass through unclamped
+    nan_rows = [x for x in out.collect() if x.n_chars != x.n_chars]
+    assert nan_rows and all(x.n_chars_wins != x.n_chars_wins for x in nan_rows)
 
 
 @pytest.mark.parametrize("seed", range(3))
