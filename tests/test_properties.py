@@ -139,3 +139,36 @@ def test_between_halfopen_randomized_vs_model(spark):
     ]
     expected = [(x < b) if x >= a else (x >= b) for x, a, b in rows]
     assert got == expected
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64,
+                 min_value=-1e12, max_value=1e12))
+def test_half_away_matches_duckdb_round(x):
+    """functions.fixedpoint.half_away must agree with DuckDB round(x, 0)
+    for every finite double — the cross-engine grid contract every
+    fixed-point operator (NB, PCA, BM25, DSIR) rests on."""
+    import duckdb
+
+    from csvtool_spark.functions.fixedpoint import half_away
+
+    got = half_away(x)
+    want = duckdb.sql(
+        f"SELECT CAST(round(CAST({x!r} AS DOUBLE), 0) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == want, (x, got, want)
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=40))
+def test_md5_prefix_long_matches_duckdb(s):
+    """The repo's canonical cross-engine hash: DuckDB's formula over the
+    same string must equal the driver-side reference for ANY unicode
+    payload (hashing operates on UTF-8 bytes in both engines)."""
+    import hashlib
+
+    import duckdb
+
+    ref = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    got = duckdb.sql(
+        "SELECT CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT)", params=[s]
+    ).fetchone()[0]
+    assert got == ref, (s, got, ref)
