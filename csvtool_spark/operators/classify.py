@@ -18,6 +18,13 @@ Design for 100 TB:
   (``round(ln(p) * 1e6)``), so score sums are exact integer arithmetic —
   invariant to aggregation order, reproducible bit-for-bit in DuckDB, and
   immune to float-summation non-determinism across partitionings.
+- The log itself is computed **driver-side** (Python ``math.log`` +
+  ``half_away``) from the collected integer counts and shipped into the
+  model as literal int64s — never via Spark's ``F.log``.  JVM
+  ``Math.log`` can differ from glibc ``log`` by 1 ulp, which flips the
+  rounded integer at half-grid boundaries; Python and DuckDB both call
+  glibc libm, so the driver-computed grid matches the oracle bit-for-bit
+  on any machine (the BM25 ``idf6`` pattern; round-4 ADVICE finding).
 
 Per-doc score magnitude is bounded by ``n_tokens * |min logp| * 1e6``
 (≈ 5e9 for 500-token docs) — far inside int64 even for million-token
@@ -26,9 +33,10 @@ documents.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csvtool_spark.functions.fixedpoint import half_away
@@ -37,13 +45,10 @@ from csvtool_spark.functions.fixedpoint import half_away
 LOGP_SCALE = 1_000_000
 
 
-
-
-def _logp_fixed(num: Column, den: Column) -> Column:
-    """``round(ln(num/den) * 1e6)`` as int64 — the fixed-point log-prob."""
-    return F.round(F.log(num.cast("double") / den.cast("double")) * LOGP_SCALE, 0).cast(
-        "long"
-    )
+def _logp_fixed(num: int, den: int) -> int:
+    """``round(ln(num/den) * 1e6)`` as int — driver-side fixed-point
+    log-prob on the glibc-libm / half-away grid shared with DuckDB."""
+    return half_away(math.log(num / den) * LOGP_SCALE)
 
 
 @dataclass
@@ -105,35 +110,37 @@ def nb_train(
         v = totals["v"]
         tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
 
-        # materialize the bounded model locally: scoring must never re-run
-        # the training aggregation (a lazy plan here would re-shuffle the
-        # corpus on every broadcast build / collect)
-        model_plan = vocab.select(
-            "token",
-            *[
-                _logp_fixed(F.col(f"c_{i}") + F.lit(1), F.lit(tok_c[i] + v)).alias(
-                    f"lp_{i}"
-                )
-                for i in range(len(classes))
-            ],
+        # materialize the bounded model locally (scoring must never re-run
+        # the training aggregation) and compute every lp_i DRIVER-SIDE:
+        # only the integer counts leave Spark; the log + rounding happen in
+        # Python so the Spark model and the DuckDB oracle consume identical
+        # int64 literals (JVM Math.log is NOT ulp-identical to glibc log)
+        count_rows = vocab.select(
+            "token", *[f"c_{i}" for i in range(len(classes))]
+        ).collect()
+        model_rows = [
+            tuple(
+                [r["token"]]
+                + [
+                    _logp_fixed(int(r[f"c_{i}"]) + 1, tok_c[i] + v)
+                    for i in range(len(classes))
+                ]
+            )
+            for r in count_rows
+        ]
+        schema = "token string" + "".join(
+            f", lp_{i} long" for i in range(len(classes))
         )
-        schema = model_plan.schema
-        model_tokens = df.sparkSession.createDataFrame(model_plan.collect(), schema)
+        model_tokens = df.sparkSession.createDataFrame(model_rows, schema)
     finally:
         vocab.unpersist()
 
     n_total = sum(by_class.values())
-    import math
 
-    # _half_away, not round(): priors/defaults must round exactly like the
+    # half_away, not round(): priors/defaults must round exactly like the
     # Spark/DuckDB fixed-point log-probs
-    priors = {
-        c: half_away(math.log(by_class[c] / n_total) * LOGP_SCALE) for c in classes
-    }
-    defaults = {
-        c: half_away(math.log(1.0 / (tok_c[i] + v)) * LOGP_SCALE)
-        for i, c in enumerate(classes)
-    }
+    priors = {c: _logp_fixed(by_class[c], n_total) for c in classes}
+    defaults = {c: _logp_fixed(1, tok_c[i] + v) for i, c in enumerate(classes)}
     return NBModel(classes=classes, tokens=model_tokens, priors=priors, defaults=defaults)
 
 
@@ -196,24 +203,35 @@ def nb_oracle_sql(
     """DuckDB CTE twin of ``nb_train`` + ``nb_score`` — same vocabulary
     tie-break, same fixed-point rounding, same coalesce-per-occurrence OOV
     rule, same first-class-wins argmax.  Integer score sums make the
-    comparison exact."""
+    comparison exact.
+
+    Every ``ln`` argument is an explicit DOUBLE/DOUBLE division — DuckDB
+    parses bare decimal literals as DECIMAL and a DECIMAL quotient can
+    differ from IEEE double division in the last ulp, which flips the
+    rounded grid.  With the casts, DuckDB feeds glibc ``log`` the exact
+    double Python's ``int / int`` produces in ``nb_train``, so the
+    engine's driver-computed literal grid and this oracle agree
+    bit-for-bit."""
     cls = sorted(classes)
     c_cols = ",\n             ".join(
         f"count(*) FILTER (_lbl = '{c}') AS c_{i}" for i, c in enumerate(cls)
     )
     t_cols = ", ".join(f"sum(c_{i}) AS t_{i}" for i in range(len(cls)))
     lp_cols = ",\n             ".join(
-        f"CAST(round(ln((c_{i} + 1.0) / (t_{i} + v)) * {LOGP_SCALE}) AS BIGINT) AS lp_{i}"
+        f"CAST(round(ln(CAST(c_{i} + 1 AS DOUBLE) / CAST(t_{i} + v AS DOUBLE))"
+        f" * {LOGP_SCALE}) AS BIGINT) AS lp_{i}"
         for i in range(len(cls))
     )
     d_cols = ", ".join(
-        f"CAST(round(ln(1.0 / (t_{i} + v)) * {LOGP_SCALE}) AS BIGINT) AS d_{i}"
+        f"CAST(round(ln(CAST(1 AS DOUBLE) / CAST(t_{i} + v AS DOUBLE))"
+        f" * {LOGP_SCALE}) AS BIGINT) AS d_{i}"
         for i in range(len(cls))
     )
     # denominator counts labeled docs only — matches nb_train's sum(by_class)
     p_cols = ", ".join(
-        f"CAST(round(ln((count(*) FILTER ({label_col} = '{c}')) * 1.0 / "
-        f"(count(*) FILTER ({label_col} IS NOT NULL))) * {LOGP_SCALE}) AS BIGINT) AS p_{i}"
+        f"CAST(round(ln(CAST(count(*) FILTER ({label_col} = '{c}') AS DOUBLE) / "
+        f"CAST(count(*) FILTER ({label_col} IS NOT NULL) AS DOUBLE))"
+        f" * {LOGP_SCALE}) AS BIGINT) AS p_{i}"
         for i, c in enumerate(cls)
     )
     s_cols = ",\n             ".join(

@@ -185,13 +185,15 @@ def dsir_sample(
                         hash_family=hash_family)
     logw_d = F.col("logw_fp").cast("double") / F.lit(_SCALE)
     if gumbel:
-        u = (
-            md5_prefix_long(
-                F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
-            ).cast("double")
-            + F.lit(0.5)
-        ) / F.lit(4294967296.0)  # strictly inside (0,1): no ±inf Gumbel
-        priority = F.round(logw_d + -F.log(-F.log(u)), 6)
+        from csvtool_spark.functions.libm import gumbel_coin
+
+        m = md5_prefix_long(
+            F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+        )
+        # offset 0.5 keeps u strictly inside (0,1): no ±inf Gumbel.
+        # glibc-libm kernel, not F.log — JVM Math.log is JIT-tier-
+        # dependent and can flip the 6-dp grid vs the DuckDB oracle
+        priority = F.round(logw_d + gumbel_coin(m, 0.5), 6)
     else:
         priority = F.round(logw_d, 6)
     lazy = (

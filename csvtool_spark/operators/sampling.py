@@ -268,13 +268,14 @@ def priority_sample(
     NaN-bucketing rule).
     """
     from csvtool_spark.functions.hashing import md5_prefix_long
+    from csvtool_spark.functions.libm import ln_coin
 
     w = F.col(weight_col).cast("double")
-    u = (
-        md5_prefix_long(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string")))
-        + F.lit(1)
-    ) / F.lit(4294967296.0)
-    priority = F.round(F.log(u) / w, 12)
+    m = md5_prefix_long(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string")))
+    # ln through glibc libm (functions/libm.py), NOT F.log: JVM Math.log
+    # is JIT-tier-dependent and can flip the 12-dp rounding at half-grid
+    # boundaries vs the DuckDB oracle's libm ln (the NB round-4 bug class)
+    priority = F.round(ln_coin(m, 1.0) / w, 12)
     return (
         df.filter((w > 0) & ~F.isnan(w))
         .select(F.col(key_col), F.col(weight_col), priority.alias("priority"))
