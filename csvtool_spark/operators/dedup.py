@@ -815,8 +815,11 @@ def cross_corpus_neardup(
     follow-up; here both sides stage fresh (one linear pass each). The
     two banded tables stay persisted for the life of the returned lazy
     (data-dependent-size) DataFrame — there is no safe in-function
-    unpersist point; blocks age out via LRU, and cluster deployments
+    unpersist point; they are attached to the result via
+    ``functions.caching.attach_stages`` so long-lived sessions can call
+    ``release_stages(result)`` after consuming it. Cluster deployments
     should write the ref banded table out instead of caching it."""
+    from csvtool_spark.functions.caching import attach_stages
     rows = n_hashes // bands
     band_hash = "string" if hash_family == "md5" else "xx64"
     b_new = _banded(
@@ -857,10 +860,11 @@ def cross_corpus_neardup(
         F.col(id_col).alias("ref_id"),
         tokens(normalized(F.col(text_col))).alias("__tb"),
     )
-    return (
+    return attach_stages(
         cand.join(tn, "new_id")
         .join(tr, "ref_id")
         .select("new_id", "ref_id",
                 jaccard(F.col("__ta"), F.col("__tb")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        [b_new, b_ref],
     )

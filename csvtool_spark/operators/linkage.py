@@ -63,7 +63,16 @@ def fuzzy_string_pairs(
     per-row gram counts (tiny), the (gram → pair) equi-join, a
     (pair, shared-count) aggregation, and two id-keyed joins back to the
     count tables (AQE broadcasts them when small). Join rows are
-    (gram, id) pairs — never the strings, never gram arrays."""
+    (gram, id) pairs — never the strings, never gram arrays.
+
+    Persist lifecycle: up to four gram tables stay cached for the life
+    of the returned lazy result (multi-consumer stages — freq aggregate,
+    prune join, sizes, cross-side join). They are attached to the result
+    via ``functions.caching.attach_stages``; long-lived sessions should
+    call ``release_stages(result)`` once the pairs are consumed."""
+    from csvtool_spark.functions.caching import attach_stages
+
+    stages: list[DataFrame] = []
 
     def side(df: DataFrame, idc: str, colc: str, alias: str):
         g = df.select(
@@ -73,14 +82,15 @@ def fuzzy_string_pairs(
         # join, the per-row sizes AND the cross-side join — different
         # shuffles, so without the persist the scan+explode re-runs per
         # consumer (the ngram_jaccard_pairs precedent; BM25's tf had the
-        # same review finding). Left cached for the life of the returned
-        # lazy result, like the repo's other multi-consumer stages.
+        # same review finding).
         g = g.persist()
+        stages.append(g)
         if max_gram_freq is not None:
             freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
             g = g.join(
                 freq.filter(F.col("__f") <= int(max_gram_freq)), "g"
             ).drop("__f").persist()
+            stages.append(g)
         sizes = g.groupBy(alias).agg(F.count(F.lit(1)).alias(f"__n_{alias}"))
         return g, sizes
 
@@ -96,11 +106,12 @@ def fuzzy_string_pairs(
         / (F.col("__n_a_id") + F.col("__n_b_id") - F.col("__i")).cast("double"),
         6,
     )
-    return (
+    return attach_stages(
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .select("a_id", "b_id", sim.alias("sim"))
-        .filter(F.col("sim") >= float(threshold))
+        .filter(F.col("sim") >= float(threshold)),
+        stages,
     )
 
 

@@ -266,8 +266,11 @@ def dataset_report(
     ``ceil(0.5·n)``, which is exactly the percentile_disc rank value. A
     corpus-wide rank window would move every row to one partition; the
     histogram window moves |distinct lengths| rows. The result is 8 rows
-    regardless of corpus size; all divisions are int-derived doubles in
-    the same operation order as the oracle."""
+    regardless of corpus size (7 on an EMPTY snapshot: rate metrics go
+    NULL via nullif — ANSI Spark would otherwise error where DuckDB's
+    x/0 yields NULL — and the p50 row is skipped on both engines); all
+    divisions are int-derived doubles in the same operation order as the
+    oracle."""
     from pyspark.sql import Window
 
     from csvtool_spark.operators.dedup import normalized
@@ -294,9 +297,9 @@ def dataset_report(
             " 'n_tokens', CAST(n_tokens AS DOUBLE),"
             " 'n_sources', CAST(n_sources AS DOUBLE),"
             " 'n_langs', CAST(n_langs AS DOUBLE),"
-            " 'mean_n_chars', CAST(sum_chars AS DOUBLE) / n_docs,"
-            " 'exact_dup_rate', CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_docs,"
-            " 'pii_doc_rate', CAST(n_pii_docs AS DOUBLE) / n_docs"
+            " 'mean_n_chars', CAST(sum_chars AS DOUBLE) / nullif(n_docs, 0),"
+            " 'exact_dup_rate', CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / nullif(n_docs, 0),"
+            " 'pii_doc_rate', CAST(n_pii_docs AS DOUBLE) / nullif(n_docs, 0)"
             ") AS (metric, value)"
         )
     )
@@ -319,6 +322,11 @@ def dataset_report(
         )
         .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__n")))
         .agg(F.min("__v").alias("value"))
+        # no measurable lengths (empty corpus / all-null) → NO p50 row,
+        # matching the oracle's rank form which emits zero rows there —
+        # a bare agg would otherwise emit a NULL-value row only on the
+        # Spark side (round-4 ADVICE)
+        .filter(F.col("value").isNotNull())
         .select(
             F.lit("p50_n_chars").alias("metric"), F.col("value").cast("double")
         )

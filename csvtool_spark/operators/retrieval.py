@@ -79,7 +79,9 @@ def bm25_scores(
     # shuffle. Persisted: the dfreq collect below AND the returned scoring
     # plan both read it; without the persist the corpus tokenize + explode
     # + shuffle (the dominant cost) would run twice (the near_dup_pairs
-    # pattern). Tiny: matching docs × |q| rows.
+    # pattern). Tiny: matching docs × |q| rows. Attached to the result
+    # (functions.caching) so repeated calls in a long-lived session can
+    # release_stages() after consuming the ranking.
     tf = (
         df.select(
             F.col(id_col),
@@ -100,7 +102,10 @@ def bm25_scores(
         )
         for t, dfn in dfreq.items()
     }
+    from csvtool_spark.functions.caching import attach_stages
+
     if not idf6:  # no term matched any document
+        tf.unpersist()
         return (
             df.select(F.col(id_col))
             .limit(0)
@@ -124,7 +129,7 @@ def bm25_scores(
     part = (idf_map[F.col("__tok")].cast("double") / F.lit(_SCALE)) * tfpart
     part6 = F.floor(part * F.lit(_SCALE) + F.lit(0.5)).cast("long")  # part ≥ 0
 
-    return (
+    return attach_stages(
         tf.select(F.col(id_col), part6.alias("__p6"))
         .groupBy(id_col)
         .agg(F.sum("__p6").alias("score_fp"))
@@ -134,7 +139,8 @@ def bm25_scores(
             F.round(F.col("score_fp") / F.lit(_SCALE), 6).alias("score"),
         )
         .orderBy(F.desc("score_fp"), F.asc(id_col))
-        .limit(int(top_k))
+        .limit(int(top_k)),
+        [tf],
     )
 
 

@@ -29,6 +29,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _require_numeric(df: DataFrame, value_col: str, op: str) -> None:
+    """Misuse on a non-numeric column must fail loudly at plan-build
+    time: the NaN guard's ``cast('double')`` would otherwise null out
+    uncastable values and silently drop their rows in Spark while the
+    DuckDB oracle's CAST errors on the same input (round-4 ADVICE)."""
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, T.NumericType):
+        raise ValueError(
+            f"{op}: value_col {value_col!r} must be numeric, got {dt.simpleString()}"
+        )
 
 
 def group_quantiles(
@@ -44,6 +57,7 @@ def group_quantiles(
     smaller than any rank still emit every q (rank ceil(q·n) ≤ n)."""
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError(f"qs must be in (0, 1], got {qs!r}")
+    _require_numeric(df, value_col, "group_quantiles")
     v = F.col(value_col)
     base = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
     wp = Window.partitionBy(*group_cols)
@@ -165,6 +179,7 @@ def winsorize(
     out_col = out_col or f"{value_col}_wins"
     if not (0.0 < p_lo < p_hi <= 1.0):
         raise ValueError(f"need 0 < p_lo < p_hi <= 1, got {(p_lo, p_hi)!r}")
+    _require_numeric(df, value_col, "winsorize")
     q = group_quantiles(df, value_col, group_cols, (p_lo, p_hi))
     bounds = q.groupBy(*group_cols).agg(
         F.min(F.when(F.col("q") == float(p_lo), F.col("value"))).alias("__lo"),

@@ -55,6 +55,14 @@ def _json_val(v):
     return str(v)
 
 
+class JobIdInUse(ValueError):
+    """A client reused a query id while its previous job is still
+    running — rejected rather than overwritten (round-4 ADVICE)."""
+
+    def __init__(self, qid: str):
+        super().__init__(f"query id {qid!r} is already running")
+
+
 class QueryJob:
     """Progress/cancel state for one in-flight ``/query`` request: a
     monotonically growing event list (SSE readers replay from any offset,
@@ -240,7 +248,11 @@ class CsvToolServer:
                         return
                     from csvtool_spark.progress import ProgressReporter
 
-                    job = outer._register_job(str(qid))
+                    try:
+                        job = outer._register_job(str(qid))
+                    except JobIdInUse as e:
+                        self._send({"status": DAT_BADPATH, "message": str(e)})
+                        return
                     try:
                         with ProgressReporter(
                             outer.engine.spark, job.post, outer.progress_interval
@@ -328,6 +340,13 @@ class CsvToolServer:
     def _register_job(self, qid: str) -> QueryJob:
         job = QueryJob(self.engine.spark, qid)
         with self._jobs_lock:
+            # a qid may only be reused once its previous job finished:
+            # overwriting a RUNNING job would orphan its cancel/progress
+            # handles (POST /cancel would kill the new job while the old
+            # query kept running uncancellable)
+            prev = self._jobs.get(qid)
+            if prev is not None and not prev.done:
+                raise JobIdInUse(qid)
             self._jobs[qid] = job
             # bounded registry: FINISHED jobs stay visible for late SSE
             # connects and are evicted oldest-first past the cap. Running

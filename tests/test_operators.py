@@ -712,3 +712,66 @@ def test_fuzzy_linkage_semantics(spark):
     assert 0.4 <= got[(1, 11)] < 1.0          # typo still links
     assert all(k[0] != 3 for k in got)        # disjoint never pairs
     assert all(k[0] in (1, 2) or k[1] in (10, 11, 12) for k in got)
+
+
+def test_group_quantiles_rejects_non_numeric(spark):
+    """Misuse on a non-numeric column fails loudly at plan-build time —
+    the NaN guard's cast would otherwise silently drop uncastable rows
+    in Spark while the DuckDB oracle errors (round-4 ADVICE)."""
+    import pytest
+
+    from csvtool_spark.operators.stats import group_quantiles, winsorize
+
+    d = spark.createDataFrame([("a", "x")], "g string, v string")
+    with pytest.raises(ValueError, match="must be numeric"):
+        group_quantiles(d, "v", ["g"])
+    with pytest.raises(ValueError, match="must be numeric"):
+        winsorize(d, "v", ["g"])
+
+
+def test_fuzzy_linkage_release_stages_unpersists(spark):
+    """fuzzy_string_pairs attaches its persisted gram tables to the
+    result; release_stages drops them all (round-4 ADVICE — a long-lived
+    session must not accumulate corpus-sized cached blocks)."""
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators.linkage import fuzzy_string_pairs
+
+    a = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zebra ltd")], "id long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "acme corp."), (20, "yak inc")], "id long, name string"
+    )
+    out = fuzzy_string_pairs(a, b, "name", "name", "id", "id", threshold=0.3)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 10) in pairs
+    stages = list(getattr(out, "_persisted_stages"))
+    assert len(stages) == 4  # raw + pruned per side
+    assert all(s.storageLevel.useMemory for s in stages)
+    assert release_stages(out) == 4
+    assert all(not s.storageLevel.useMemory for s in stages)
+    assert release_stages(out) == 0  # idempotent
+
+
+def test_bm25_and_cross_dedup_attach_release_handles(spark):
+    """The other two flagged persist sites carry the same release handle."""
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators import dedup
+    from csvtool_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red red wall"), (3, "blue sky")],
+        "doc_id long, text string",
+    )
+    ranked = bm25_scores(docs, "text", "doc_id", ["red", "fox"])
+    assert ranked.count() >= 1
+    assert release_stages(ranked) == 1
+
+    new = docs.filter("doc_id <= 2")
+    ref = docs.filter("doc_id > 2")
+    pairs = dedup.cross_corpus_neardup(
+        new, ref, "text", "doc_id", threshold=0.3, n_hashes=16, bands=4,
+        hash_family="md5",
+    )
+    pairs.count()
+    assert release_stages(pairs) == 2

@@ -486,3 +486,38 @@ def test_fuzzy_linkage_oracle_on_perturbed_names(spark, seed):
     con.register("authors", pa)
     con.register("titles", pb)
     assert compare(out, con, sql) is None
+
+
+def test_dataset_report_empty_corpus_matches_oracle(spark):
+    """Empty snapshot: both engines emit the 7 bare-agg metric rows and NO
+    p50 row (the oracle's rank form produces none; the Spark side must not
+    union a NULL-value p50 row — round-4 ADVICE)."""
+    from csvtool_spark.operators.pipeline import (
+        dataset_report,
+        dataset_report_oracle_sql,
+    )
+
+    pdf = _random_docs(1234, n=5).iloc[0:0]  # schema, zero rows
+    out = dataset_report(
+        spark.createDataFrame(
+            pdf, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    assert compare(out, _con_with(pdf), dataset_report_oracle_sql()) is None
+    metrics = {r["metric"] for r in out.collect()}
+    assert "p50_n_chars" not in metrics and len(metrics) == 7
+
+
+def test_dataset_report_all_null_lengths_matches_oracle(spark):
+    """All-null length column: the p50 row is skipped on both sides (the
+    oracle's WHERE filter leaves zero measurable rows)."""
+    from csvtool_spark.operators.pipeline import (
+        dataset_report,
+        dataset_report_oracle_sql,
+    )
+
+    pdf = _random_docs(5678, n=40)
+    pdf["n_chars"] = pd.array([None] * len(pdf), dtype="Int64")
+    out = dataset_report(spark.createDataFrame(pdf))
+    assert compare(out, _con_with(pdf), dataset_report_oracle_sql()) is None
+    assert "p50_n_chars" not in {r["metric"] for r in out.collect()}

@@ -260,3 +260,26 @@ def test_query_job_event_cap_keeps_readers_consistent():
             break
     assert got == list(range(150, 250))  # newest 100, no dupes, in order
     assert job._dropped == 150
+
+
+def test_register_job_rejects_live_qid_reuse(spark):
+    """Reusing a query id while its job is RUNNING is rejected —
+    overwriting would orphan the live job's cancel/progress handles
+    (round-4 ADVICE). A finished id is free for reuse."""
+    import pytest
+
+    from csvtool_spark.server import CsvToolServer, JobIdInUse
+
+    class NullEngine:
+        def __init__(self, s):
+            self.spark = s
+
+    srv = CsvToolServer(NullEngine(spark), port=0)
+    live = srv._register_job("dup")
+    with pytest.raises(JobIdInUse):
+        srv._register_job("dup")
+    assert srv._get_job("dup") is live  # original handle intact
+    live.finish()
+    replacement = srv._register_job("dup")  # finished → reusable
+    assert srv._get_job("dup") is replacement
+    replacement.finish()
