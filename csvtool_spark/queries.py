@@ -429,6 +429,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(l_shipdate) AS last_ship
     FROM lineitem
     """,
+    registered=False,  # shadow (r5 swap: slot given to q_dataset_report)
 )
 def q_agg_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Aggregates without GROUP BY collapse to one row (evaluator.go:209-214).

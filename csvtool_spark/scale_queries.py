@@ -322,6 +322,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN bits y ON y.doc_id = c.id_b
     WHERE len(list_filter(range(0, 64), b -> x.bits[b + 1] <> y.bits[b + 1])) <= 6
     """,
+    registered=False,  # shadow (r5 swap: slot given to q_cross_dedup)
 )
 def q_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1216,9 +1217,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(tf * (1000000000 // c)) // sum(tf) AS BIGINT) AS surprisal_ppb
     FROM tf JOIN c USING (term) GROUP BY doc_id
     """,
-    # driver-registered: swapped in for q_orderby_topk / q_dedup_ngram /
-    # q_dialect_join (their semantics stay driver-evidenced elsewhere;
-    # all three remain oracle-checked in the shadow catalog)
+    registered=False,  # shadow (r5 swap: slot given to q_funnel)
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1253,8 +1252,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM qv v, q WHERE v.vec_id <> q.qid
     ORDER BY score_q DESC, v.vec_id LIMIT 10
     """,
-    # driver-registered round 3 (swap with q_window_running): int8
-    # scalar-quantized ANN with bit-exact integer scoring.
+    registered=False,  # shadow (r5 swap: slot given to q_bm25)
 )
 def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8-code top-k: integer scores are exact, so ranking is bit-stable
@@ -1284,9 +1282,7 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < r.keep_ppm
     """,
-    # driver-registered: swapped in for q_orderby_topk / q_dedup_ngram /
-    # q_dialect_join (their semantics stay driver-evidenced elsewhere;
-    # all three remain oracle-checked in the shadow catalog)
+    registered=False,  # shadow (r5 swap: slot given to q_dsir_sample)
 )
 def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token-level data mixing: downsample three sources to a 50/30/20
@@ -1381,8 +1377,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_chunk_tokens
     FROM c
     """,
-    # driver-registered round 3 (swap with q_text_tokens): document
-    # chunking is a first-class LLM-pipeline op.
+    registered=False,  # shadow (r5 swap: slot given to q_pii_scrub)
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators.pipeline import chunk_documents
@@ -1995,7 +1990,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_bm25",
     retrieval.bm25_oracle_sql(["spark", "query", "join", "vector"], top_k=25),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_ann_sq -> shadow)
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k keyword retrieval (fixed-point exact ranking):
@@ -2013,7 +2008,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dsir_sample",
     importance.dsir_oracle_sql("lang = 'en'", k=80, n_buckets=256),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_mixture -> shadow)
 )
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward the English sub-corpus:
@@ -2119,7 +2114,7 @@ def q_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel.funnel_oracle_sql(
         "user_id", "ts", "event_type", ["signup", "click", "purchase"]
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_lm_score -> shadow)
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """signup → click → purchase funnel: strict event-time progression,
@@ -2136,7 +2131,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pii_scrub",
     redact.pii_scrub_oracle_sql(max_pii_fraction=0.2),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_chunk_docs -> shadow)
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub policy: density-gate then redact with the precision-
@@ -2156,7 +2151,7 @@ from csvtool_spark.operators.pipeline import dataset_report_oracle_sql  # noqa: 
 @register(
     "q_dataset_report",
     dataset_report_oracle_sql(),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_agg_implicit -> shadow)
 )
 def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet: docs/tokens/sources/langs, mean+median length,
@@ -2232,7 +2227,7 @@ def cross_dedup_oracle_sql(
     "q_cross_dedup",
     # "new" = src3/src4 documents, "ref" = the rest of the corpus.
     cross_dedup_oracle_sql("source IN ('src3', 'src4')"),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r5 swap: q_dedup_simhash_det -> shadow)
 )
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination (md5 determinism lane): near-dups
