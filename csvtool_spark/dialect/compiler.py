@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from csvtool_spark.dialect import ast
-from csvtool_spark.dialect.errors import SemanticError
+from csvtool_spark.dialect.errors import PasswordRequired, SemanticError
 from csvtool_spark.dialect.typecheck import Checked
 from csvtool_spark.dialect.types import (
     T_DATE,
@@ -230,10 +230,11 @@ class Compiler:
                 if PASSWORD_PROVIDER is not None:
                     password = PASSWORD_PROVIDER(name)
                 else:
-                    raise SemanticError(
+                    raise PasswordRequired(
                         f"{name}() requires an explicit password in this "
                         "engine (the reference prompts interactively; the "
-                        "CLI prompts via getpass)"
+                        "CLI prompts via getpass, the web UI via a "
+                        "password dialog)"
                     )
             else:
                 password = node.args[1].raw

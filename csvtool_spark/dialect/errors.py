@@ -21,3 +21,11 @@ class ParseError(DialectError):
 
 class SemanticError(DialectError):
     """Type/placement errors (the reference's expected-error battery)."""
+
+
+class PasswordRequired(SemanticError):
+    """encrypt()/decrypt() ran without a password and no interactive
+    provider is installed.  A SemanticError subclass so programmatic
+    callers keep their strict failure, but distinguishable so interactive
+    surfaces (CLI getpass, web UI prompt — the reference's websocket
+    SK_PASS flow, server.go:40-60) can prompt and retry."""

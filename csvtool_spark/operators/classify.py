@@ -20,11 +20,16 @@ Design for 100 TB:
   immune to float-summation non-determinism across partitionings.
 - The log itself is computed **driver-side** (Python ``math.log`` +
   ``half_away``) from the collected integer counts and shipped into the
-  model as literal int64s — never via Spark's ``F.log``.  JVM
-  ``Math.log`` can differ from glibc ``log`` by 1 ulp, which flips the
-  rounded integer at half-grid boundaries; Python and DuckDB both call
-  glibc libm, so the driver-computed grid matches the oracle bit-for-bit
-  on any machine (the BM25 ``idf6`` pattern; round-4 ADVICE finding).
+  model as literal int64s — never via Spark's ``F.log``.  This is a
+  determinism HARDENING measure: JVM ``Math.log`` is only 1-ulp-accurate
+  and could in principle round a half-grid-adjacent value differently
+  from the glibc ``log`` DuckDB and Python share (the BM25 ``idf6``
+  pattern).  Causal record (round-6 correction): the rounds-4/5
+  ``q_nb_classify`` gate failures attributed to this were in fact a
+  TYPE leak — ``nb_oracle_sql``'s uncast ``sum()`` returned DuckDB
+  HUGEINT/decimal128 where Spark emits int64, mismatching a
+  type-sensitive hash on identical values; measured boundary distances
+  on the catalog grids are ~1e6 ulps, so no real libm pair flips them.
 
 Per-doc score magnitude is bounded by ``n_tokens * |min logp| * 1e6``
 (≈ 5e9 for 500-token docs) — far inside int64 even for million-token
@@ -109,6 +114,15 @@ def nb_train(
         ).collect()[0]
         v = totals["v"]
         tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
+        # oracle-parity precondition: int/int == DOUBLE/DOUBLE only while
+        # both operands are exact doubles (see nb_oracle_sql docstring)
+        n_labeled = sum(by_class.values())
+        if any(t + v >= 2**53 for t in tok_c) or n_labeled >= 2**53:
+            raise ValueError(
+                "nb_train: token/doc counts exceed 2^53 — fixed-point "
+                "log-prob grid no longer bit-matches the DOUBLE-division "
+                "oracle; shard the corpus or rescale"
+            )
 
         # materialize the bounded model locally (scoring must never re-run
         # the training aggregation) and compute every lp_i DRIVER-SIDE:
@@ -211,7 +225,12 @@ def nb_oracle_sql(
     rounded grid.  With the casts, DuckDB feeds glibc ``log`` the exact
     double Python's ``int / int`` produces in ``nb_train``, so the
     engine's driver-computed literal grid and this oracle agree
-    bit-for-bit."""
+    bit-for-bit — PROVIDED every count stays below 2^53: Python's
+    ``int / int`` rounds the exact rational once, while the oracle's
+    ``DOUBLE / DOUBLE`` rounds each operand first, and the two only
+    coincide while the operands are exactly representable.  ``nb_train``
+    asserts the precondition (token totals < 2^53 ≈ 9e15 — ~18 PB of
+    single-byte tokens, comfortably above the 100 TB design point)."""
     cls = sorted(classes)
     c_cols = ",\n             ".join(
         f"count(*) FILTER (_lbl = '{c}') AS c_{i}" for i, c in enumerate(cls)
@@ -234,8 +253,14 @@ def nb_oracle_sql(
         f" * {LOGP_SCALE}) AS BIGINT) AS p_{i}"
         for i, c in enumerate(cls)
     )
+    # CAST back to BIGINT: DuckDB sum() over BIGINT returns HUGEINT, which
+    # surfaces as decimal128 in the result schema — a type-sensitive hash
+    # then mismatches Spark's int64 even though every VALUE is identical.
+    # This exact leak kept q_nb_classify red in rounds 4-5 (the repo rule:
+    # cast sums back to BIGINT at CTE edges).
     s_cols = ",\n             ".join(
-        f"sum(coalesce(m.lp_{i}, d.d_{i})) AS s_{i}" for i in range(len(cls))
+        f"CAST(sum(coalesce(m.lp_{i}, d.d_{i})) AS BIGINT) AS s_{i}"
+        for i in range(len(cls))
     )
     score_cols = ",\n           ".join(
         f"coalesce(s.s_{i}, 0) + p.p_{i} AS score_{c}" for i, c in enumerate(cls)
@@ -278,7 +303,7 @@ def nb_oracle_sql(
     )
     SELECT {id_col}, {label_col},
            CASE {pred_case} END AS pred,
-           greatest({greatest}) AS score_pred
+           CAST(greatest({greatest}) AS BIGINT) AS score_pred
     FROM scored
     """
 

@@ -1,0 +1,250 @@
+"""Fixed-point distributed k-means over embedding columns — the corpus
+clustering step real pipelines run before cluster-balanced sampling,
+SemDeDup-style per-cluster dedup, and topic-mixture reporting (beyond
+the reference, which has no vector surface at all; the float Lloyd
+refinement for ANN index quality lives in ``similarity.ivf_train``).
+
+This operator is the ORACLE-EXACT twin of that idea, built on the repo's
+fixed-point pattern (cf. ``operators/pca.py``, integer PageRank):
+
+- vectors quantize to int64 on a ``scale`` grid (round-half-away — the
+  shared Spark/DuckDB semantics);
+- initial centroids are the quantized vectors of the ``k`` lowest ids
+  (deterministic seeding — no RNG, reproducible on any engine);
+- assignment minimizes the EXACT integer squared L2 distance
+  ``Σ_d (q_d - c_jd)²`` (ties → lowest cluster id, via lexicographic
+  struct-min);
+- the update step recomputes each centroid as ``half_away(Σ q_d / n)``
+  — exact int64 sums, identical IEEE double division, identical
+  half-away rounding on both engines; empty clusters carry their
+  previous centroid forward;
+- a fixed ``iters`` Lloyd rounds (unrolled in the oracle SQL), then one
+  final assignment pass emitted as (id, cluster, dist2).
+
+Scale shape: each iteration is ONE linear aggregation whose result is
+the bounded k×dim centroid table (the only driver artifact, like PCA's
+direction vector); the final assignment is a pure projection fused into
+the scan — no join, no shuffle of the vector table body beyond the
+per-iteration partial-aggregated centroid sums.
+
+int64 envelope (validated, not assumed): with ``|x| ≤ X`` a component is
+``≤ X·scale`` so a squared distance is ``≤ dim·(2·X·scale)²`` (4e10 for
+X=1, scale=1e4, dim=64 — safe), and a per-(cluster, dim) sum is
+``≤ N·X·scale`` — exact in DOUBLE while ``N·X·scale < 2^53`` (~9e8 rows
+at X=1, scale=1e4; the validation pass raises past it — sample the fit,
+then assign the full corpus, the PCA remedy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csvtool_spark.functions.fixedpoint import half_away
+
+
+def _quantized(vec_col: str, scale: int):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+
+
+def _dist2(qv, cvec: list[int]):
+    """Exact int64 squared L2 distance to a centroid literal."""
+    clit = F.array(*[F.lit(int(c)).cast("long") for c in cvec])
+    return F.aggregate(
+        F.zip_with(qv, clit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(qv, centroids: list[list[int]]):
+    """(cluster, dist2) of the nearest centroid — lexicographic struct-min
+    over (dist2, j) literals breaks ties toward the lowest cluster id."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(qv, c).alias("d"), F.lit(j).cast("long").alias("j")
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return best["j"], best["d"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    scale: int = 10_000,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Run ``iters`` fixed-point Lloyd rounds; returns the k×dim integer
+    centroid table (bounded driver artifact).  Null vectors are excluded
+    from the fit (they get cluster/dist2 null at assignment)."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"kmeans_fit: need k >= 1 and iters >= 0, got {k=}, {iters=}")
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), _quantized(vec_col, scale).alias("__qv")
+    )
+
+    # validation pass (one cheap agg, the PCA pattern): dimensions ragged →
+    # zip_with would silently null-pad; envelope past 2^53 → inexact mean
+    st = vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.size("__qv")).alias("ndims"),
+        F.max(F.array_max(F.transform("__qv", F.abs))).alias("amax"),
+    ).collect()[0]
+    if st["n"] < k:
+        raise ValueError(f"kmeans_fit: {st['n']} vectors < k={k}")
+    if st["ndims"] != 1:
+        raise ValueError("kmeans_fit: ragged embedding dimensions")
+    if (st["amax"] or 0) * st["n"] >= 2**53:
+        raise ValueError(
+            "kmeans_fit: N*scale*|x| exceeds the exact-DOUBLE mean envelope "
+            "(2^53) — fit on a sample, then assign the full corpus"
+        )
+
+    # deterministic seed: quantized vectors of the k lowest ids
+    seed_rows = vecs.orderBy("__id").limit(k).collect()
+    centroids = [list(r["__qv"]) for r in seed_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        cl, _d = _assign(F.col("__qv"), centroids)
+        sums = (
+            vecs.select(cl.alias("__c"), "__qv")
+            .groupBy("__c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("__qv", d + 1)).alias(f"s_{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_c = {int(r["__c"]): r for r in sums}
+        centroids = [
+            [
+                half_away(float(by_c[j][f"s_{d}"]) / by_c[j]["n"])
+                for d in range(dim)
+            ]
+            if j in by_c
+            else centroids[j]  # empty cluster: carry forward
+            for j in range(k)
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[int]],
+    scale: int = 10_000,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Final assignment pass: (id, *extra, cluster, dist2) — a pure
+    projection over the scan (centroid literals ride the task closure)."""
+    qv = _quantized(vec_col, scale)
+    cl, d2 = _assign(qv, centroids)
+    return df.select(
+        id_col,
+        *extra_cols,
+        F.when(F.col(vec_col).isNotNull(), cl).alias("cluster"),
+        F.when(F.col(vec_col).isNotNull(), d2).alias("dist2"),
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    scale: int = 10_000,
+    iters: int = 2,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """fit + assign in one call (the catalog entry)."""
+    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters)
+    return kmeans_assign(df, vec_col, id_col, cents, scale=scale, extra_cols=extra_cols)
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    scale: int = 10_000,
+    iters: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: str = "label",
+) -> str:
+    """DuckDB CTE twin: identical quantization, deterministic seeding,
+    unrolled Lloyd rounds with the same half-away mean and the same
+    (dist2, j) tie-break.  Integer sums exact (HUGEINT), every output and
+    CTE-edge aggregate cast back to BIGINT (the repo's dtype-parity
+    rule)."""
+
+    def ha(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN {expr} >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    its = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        its.append(
+            f"a{t} AS (SELECT {id_col}, j AS c FROM ("
+            f"SELECT x.{id_col}, {prev}.j, "
+            f"row_number() OVER (PARTITION BY x.{id_col} "
+            f"ORDER BY sum(CAST(x.q - {prev}.cq AS HUGEINT) * (x.q - {prev}.cq)), {prev}.j) AS rn "
+            f"FROM xs x JOIN {prev} USING (d) "
+            f"GROUP BY x.{id_col}, {prev}.j) WHERE rn = 1)"
+        )
+        its.append(
+            f"m{t} AS (SELECT c AS j, d, {ha('CAST(sum(q) AS DOUBLE) / count(*)')} AS cq "
+            f"FROM xs JOIN a{t} USING ({id_col}) GROUP BY c, d)"
+        )
+        # empty clusters carry the previous centroid forward
+        its.append(
+            f"c{t} AS (SELECT {prev}.j, {prev}.d, coalesce(m{t}.cq, {prev}.cq) AS cq "
+            f"FROM {prev} LEFT JOIN m{t} ON m{t}.j = {prev}.j AND m{t}.d = {prev}.d)"
+        )
+        prev = f"c{t}"
+    iter_sql = ",\n    ".join(its)
+    sel_extra = f", {extra_cols}" if extra_cols else ""
+    return f"""
+    WITH q AS (
+      SELECT {id_col}{sel_extra},
+             list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    ),
+    comp AS (
+      SELECT {id_col}, unnest(range(1, len(qv) + 1)) AS d, qv FROM q
+    ),
+    xs AS (SELECT {id_col}, d, qv[d] AS q FROM comp),
+    seed AS (SELECT qv, row_number() OVER (ORDER BY {id_col}) - 1 AS j
+             FROM q ORDER BY {id_col} LIMIT {k}),
+    scomp AS (SELECT j, unnest(range(1, len(qv) + 1)) AS d, qv FROM seed),
+    c0 AS (SELECT j, d, qv[d] AS cq FROM scomp),
+    {iter_sql},
+    fin AS (
+      SELECT {id_col}, j AS cluster, dist2 FROM (
+        SELECT x.{id_col}, {prev}.j,
+               CAST(sum(CAST(x.q - {prev}.cq AS HUGEINT) * (x.q - {prev}.cq)) AS BIGINT) AS dist2,
+               row_number() OVER (PARTITION BY x.{id_col}
+                 ORDER BY sum(CAST(x.q - {prev}.cq AS HUGEINT) * (x.q - {prev}.cq)), {prev}.j) AS rn
+        FROM xs x JOIN {prev} USING (d)
+        GROUP BY x.{id_col}, {prev}.j
+      ) WHERE rn = 1
+    )
+    SELECT t.{id_col}{sel_extra}, fin.cluster, fin.dist2
+    FROM {table} t LEFT JOIN fin ON fin.{id_col} = t.{id_col}
+    """

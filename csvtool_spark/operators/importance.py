@@ -163,6 +163,7 @@ def dsir_sample(
     salt: str = "dsir",
     hash_family: str = "xx64",
     materialize: bool = True,
+    coin_lane: str = "jvm",
 ) -> DataFrame:
     """Importance-resample ``k`` documents toward the target distribution.
 
@@ -179,21 +180,35 @@ def dsir_sample(
     ``gumbel=False``: plain top-k by weight (mode selection, no
     sampling). Priorities round to 6 dp with an id tie-break (the
     ``priority_sample`` boundary rule). Returns (id, logw_fp, priority).
+
+    ``coin_lane``: ``'jvm'`` (default) computes the Gumbel noise with
+    codegen-fused ``F.log`` — the throughput lane; ``'libm'`` routes it
+    through the glibc ``functions.libm.gumbel_coin`` kernel, the lane
+    ``dsir_oracle_sql`` reproduces bit-for-bit (pairing rule, like
+    ``hash_family``).  The lanes agree everywhere off the 6-dp rounding
+    boundaries (a differential pins them on the catalog corpora).
     """
     spark = df.sparkSession
     w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets,
                         hash_family=hash_family)
     logw_d = F.col("logw_fp").cast("double") / F.lit(_SCALE)
     if gumbel:
-        from csvtool_spark.functions.libm import gumbel_coin
-
         m = md5_prefix_long(
             F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
         )
-        # offset 0.5 keeps u strictly inside (0,1): no ±inf Gumbel.
-        # glibc-libm kernel, not F.log — JVM Math.log is JIT-tier-
-        # dependent and can flip the 6-dp grid vs the DuckDB oracle
-        priority = F.round(logw_d + gumbel_coin(m, 0.5), 6)
+        # offset 0.5 keeps u strictly inside (0,1): no ±inf Gumbel
+        if coin_lane == "jvm":
+            u = (m.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+            g = -F.log(-F.log(u))
+        elif coin_lane == "libm":
+            from csvtool_spark.functions.libm import gumbel_coin
+
+            g = gumbel_coin(m, 0.5)
+        else:
+            raise ValueError(
+                f"coin_lane must be 'jvm' or 'libm', got {coin_lane!r}"
+            )
+        priority = F.round(logw_d + g, 6)
     else:
         priority = F.round(logw_d, 6)
     lazy = (

@@ -60,6 +60,17 @@ def bm25_scores(
     idf uses the Lucene non-negative variant
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``; N counts docs with non-null
     text, avgdl is their mean token length.
+
+    Transcendental pairing: ``idf6`` is computed here with Python
+    ``math.log`` while ``bm25_oracle_sql`` recomputes ``ln`` in DuckDB —
+    BOTH route through the platform libm (glibc on this stack) on
+    bit-identical double arguments (same formula, same parenthesization,
+    integer-exact inputs), so the pair is the same-library case, not the
+    JVM-vs-glibc one; no Spark-side ``F.log`` is involved anywhere.  On a
+    hypothetical platform where Python linked a different libm than
+    DuckDB, the exposure is bounded by half-grid boundary distance —
+    ≤|q| idf values on a 1e-6 grid (measured ≥1e5 ulps from the nearest
+    boundary on the catalog corpora).
     """
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not terms:

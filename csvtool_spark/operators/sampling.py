@@ -215,7 +215,10 @@ def negative_pairs(
         .filter(F.col("__rn") == 1)
         .withColumn("__rn2", F.row_number().over(w2))
         .filter(F.col("__rn2") == 1)
-        .select("anchor", "j", "neg_id")
+        # j cast at the OUTPUT edge only (the hash above consumes the same
+        # "0".."k-1" strings either way): DuckDB's range() yields BIGINT
+        # and the driver hash is type-sensitive (dtype-parity rule)
+        .select("anchor", F.col("j").cast("long").alias("j"), "neg_id")
     )
 
 
@@ -249,6 +252,7 @@ def priority_sample(
     key_col: str,
     k: int,
     salt: str = "ps",
+    coin_lane: str = "jvm",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
     Spirakis A-ES): each row gets a priority ``ln(u)/w`` where ``u`` is a
@@ -266,16 +270,35 @@ def priority_sample(
     on both engines and would sort first under DESC, silently capturing
     sample slots — the explicit isnan guard applies the repo's standard
     NaN-bucketing rule).
+
+    ``coin_lane`` (the dedup ``hash_family`` convention):
+
+    - ``'jvm'`` (default, production): ``F.log`` — whole-stage-codegen
+      JVM path, the 100 TB throughput lane; the whole plan is a fused
+      projection + ``TakeOrderedAndProject``.
+    - ``'libm'``: the glibc ``functions.libm.ln_coin`` kernel — the
+      ORACLE-PAIRED lane ``priority_sample_oracle_sql`` reproduces
+      bit-for-bit (DuckDB calls the same libm).  JVM ``Math.log`` is
+      1-ulp-accurate, so the lanes could in principle disagree only for
+      a coin landing exactly on a 12-dp rounding boundary (none do on
+      the catalog corpora — a lane differential pins their equality);
+      the catalog/gate entry runs 'libm' so the guarantee is structural.
     """
     from csvtool_spark.functions.hashing import md5_prefix_long
-    from csvtool_spark.functions.libm import ln_coin
 
     w = F.col(weight_col).cast("double")
     m = md5_prefix_long(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string")))
-    # ln through glibc libm (functions/libm.py), NOT F.log: JVM Math.log
-    # is JIT-tier-dependent and can flip the 12-dp rounding at half-grid
-    # boundaries vs the DuckDB oracle's libm ln (the NB round-4 bug class)
-    priority = F.round(ln_coin(m, 1.0) / w, 12)
+    if coin_lane == "jvm":
+        lnu = F.log((m.cast("double") + F.lit(1.0)) / F.lit(4294967296.0))
+    elif coin_lane == "libm":
+        from csvtool_spark.functions.libm import ln_coin
+
+        lnu = ln_coin(m, 1.0)
+    else:
+        raise ValueError(
+            f"coin_lane must be 'jvm' or 'libm', got {coin_lane!r}"
+        )
+    priority = F.round(lnu / w, 12)
     return (
         df.filter((w > 0) & ~F.isnan(w))
         .select(F.col(key_col), F.col(weight_col), priority.alias("priority"))

@@ -830,7 +830,9 @@ def ann_bruteforce_batch(
     qarr = F.array(
         *[
             F.struct(
-                F.lit(int(qid)).alias("qid"),
+                # long, not int: the oracle emits BIGINT qid and the
+                # driver hash is type-sensitive (dtype-parity rule)
+                F.lit(int(qid)).cast("long").alias("qid"),
                 F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
             )
             for qid, vec in sorted(queries.items())
@@ -850,4 +852,113 @@ def ann_bruteforce_batch(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+# --- ANN recall evaluation ------------------------------------------------
+
+
+def ann_recall_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """recall@k of the SRP-LSH probe against exact brute force, per query
+    — the eval harness an ANN deployment owes its tuning loop (how much
+    recall do n_planes/n_tables/multiprobe actually buy on THIS corpus?).
+
+    Returns (qid, n_hits, recall): ``n_hits`` = |LSH top-k ∩ exact top-k|
+    (self-matches excluded on both sides), ``recall`` = n_hits / k.
+
+    ONE corpus pass: per-table signatures are computed once per row (not
+    per query) and packed as a combined ``(table << n_planes) | sig``
+    bucket array; each query ships its probe-bucket set in the same
+    struct literal as its vector, so LSH candidacy is an
+    ``arrays_overlap`` during the same scan that scores the exact side.
+    Ground truth NEEDS the full |corpus|·|Q| cosine matrix, so the scan
+    is the floor — the eval is meant for a BOUNDED sampled query set
+    (|Q| literals ride the task closure). Two qid-partitioned windows
+    rank both sides; WindowGroupLimit keeps only k rows per query alive.
+
+    Cross-engine exactness: signatures use the sequential-fold dot
+    (``srp_signature``/``srp_signature_py`` — bit-identical to the
+    oracle's ``list_reduce``), cosine the shared ``_cos_sql`` shape, and
+    ``recall`` is one exact double division by the integer literal k.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("ann_recall_eval: queries must be non-empty")
+    dim = len(next(iter(queries.values())))
+    planes = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+                F.array(
+                    *[
+                        F.lit(int(b)).cast("long")
+                        for b in _query_buckets(
+                            vec, n_planes, n_tables, multiprobe, seed
+                        )
+                    ]
+                ).alias("probes"),
+            )
+            for qid, vec in sorted(queries.items())
+        ]
+    )
+    v = _vec_d(F.col(vec_col))
+    row_buckets = F.array(
+        *[
+            F.lit(t << n_planes).cast("long").bitwiseOR(
+                srp_signature(F.col(vec_col), planes[t])
+            )
+            for t in range(n_tables)
+        ]
+    )
+    scored = (
+        df.select(
+            F.col(id_col), v.alias("__v"), row_buckets.alias("__rb"),
+            F.explode(qarr).alias("q"),
+        )
+        .filter(F.col(id_col) != F.col("q.qid"))  # self never counts
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col(id_col),
+            cosine(F.col("__v"), F.col("q.qv")).alias("cos"),
+            F.arrays_overlap(F.col("__rb"), F.col("q.probes")).alias("__cand"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.filter("__cand")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qids = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(queries)], "qid long"
+    )
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall"),
     )

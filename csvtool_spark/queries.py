@@ -450,6 +450,9 @@ def q_agg_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(DISTINCT CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_dq_c
     FROM lineitem GROUP BY l_returnflag
     """,
+    registered=False,  # shadow (r6 swap: slot given to q_group_quantiles);
+    # §2.4 distinct-agg semantics stay locally gated + pytest; the agg
+    # family keeps 4 in-window rows (groupby/having/expr/last)
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count/sum (distinct e) — per-aggregate dedup (selector.go:259-263). The
@@ -776,7 +779,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.sum(cents(F.col("value"))).over(w).alias("run_c"),
-        F.row_number().over(w).alias("rn"),
+        # cast: DuckDB row_number() is BIGINT, Spark's is int — the driver
+        # hash is type-sensitive (the round-6 dtype-parity rule)
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 
@@ -854,7 +859,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return (
-        c.withColumn("rk", F.row_number().over(w))
+        # cast: DuckDB row_number() is BIGINT (dtype-parity rule)
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
     )

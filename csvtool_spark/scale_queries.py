@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from csvtool_spark.operators import (
     bloomjoin,
     classify,
+    clustering,
     contamination,
     dedup,
     funnel,
@@ -152,6 +153,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
     GROUP BY token ORDER BY n DESC, token LIMIT 50
     """,
+    registered=False,  # shadow (r6 swap: slot given to q_winsorize); text
+    # analysis keeps q_text_quality + q_text_langid in-window
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -496,6 +499,82 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_SQL = _cos_sql("e.embedding", "q.embedding")
 
 
+def _ann_recall_oracle(n_q: int = 4, k: int = 10) -> str:
+    """DuckDB twin of ``similarity.ann_recall_eval`` on the first ``n_q``
+    vec_ids: the same literal hyperplanes (6×4, seed 42), the same
+    sequential-fold signatures/cosines, multiprobe-1 candidacy as
+    ``bit_count(xor) <= 1`` per table, identical (cos DESC, vec_id)
+    rank rule on both the exact and the LSH side."""
+    n_tables, n_planes = 6, 4
+    planes = [
+        similarity.hyperplanes(_EMB_DIM, n_planes, 42 + t) for t in range(n_tables)
+    ]
+    s_sigs = ",\n           ".join(
+        f"{_srp_sig_sql('e.embedding', planes[t])} AS s{t}" for t in range(n_tables)
+    )
+    q_sigs = ",\n           ".join(
+        f"{_srp_sig_sql('q.qe', planes[t])} AS q{t}" for t in range(n_tables)
+    )
+    hit = " OR ".join(
+        f"bit_count(xor(s.s{t}, qs.q{t})) <= 1" for t in range(n_tables)
+    )
+    return f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_q}),
+    s AS (
+      SELECT e.vec_id, e.embedding,
+           {s_sigs}
+      FROM embeddings e
+    ),
+    qs AS (
+      SELECT q.qid, q.qe,
+           {q_sigs}
+      FROM qv q
+    ),
+    sc AS (
+      SELECT qs.qid, s.vec_id,
+             {_cos_sql('s.embedding', 'qs.qe')} AS cos,
+             ({hit}) AS cand
+      FROM s CROSS JOIN qs WHERE s.vec_id <> qs.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM sc) WHERE rn <= {k}
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM sc WHERE cand) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n
+      FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid
+    )
+    SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / CAST({float(k)!r} AS DOUBLE) AS recall
+    FROM (SELECT qid FROM qv) q LEFT JOIN hits h USING (qid)
+    """
+
+
+@register(
+    "q_ann_recall",
+    _ann_recall_oracle(),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the SRP-LSH probe vs exact brute force for the first
+    4 vectors as queries — the ANN tuning-loop eval harness.
+    similarity.ann_recall_eval."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    return similarity.ann_recall_eval(e, "embedding", "vec_id", qs, k=10)
+
+
 @register(
     "q_ann_bruteforce",
     f"""
@@ -547,7 +626,13 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-@register("q_ann_lsh", _ann_lsh_oracle())
+@register(
+    "q_ann_lsh",
+    _ann_lsh_oracle(),
+    registered=False,  # shadow (r6 swap: slot given to q_profile_drift);
+    # ANN keeps q_ann_bruteforce + q_ann_ivf in-window and SRP-LSH
+    # bucketing stays driver-evidenced via q_embed_neardup
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -1462,9 +1547,9 @@ def q_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
            vec_id = component AS is_survivor
     FROM comp
     """,
-    # driver-registered: swapped in for q_orderby_topk / q_dedup_ngram /
-    # q_dialect_join (their semantics stay driver-evidenced elsewhere;
-    # all three remain oracle-checked in the shadow catalog)
+    registered=False,  # shadow (r6 swap: slot given to q_fuzzy_linkage);
+    # embedding-similarity dedup keeps q_embed_neardup + q_cross_dedup
+    # in-window (was itself swapped in r3 for q_orderby_topk et al.)
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1856,7 +1941,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return sampling.priority_sample(d, "n_chars", "doc_id", k=100)
+    # coin_lane='libm': the gate hash-compares against the DuckDB oracle,
+    # which shares glibc ln; production callers keep the 'jvm' default
+    return sampling.priority_sample(d, "n_chars", "doc_id", k=100,
+                                    coin_lane="libm")
 
 
 # --- PCA power iteration --------------------------------------------------
@@ -2018,7 +2106,8 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return importance.dsir_sample(
         d, "text", "doc_id", "lang = 'en'", k=80, n_buckets=256,
-        hash_family="md5",  # determinism lane: the oracle replays md5 buckets
+        hash_family="md5",   # determinism lane: the oracle replays md5 buckets
+        coin_lane="libm",    # oracle-paired Gumbel coin (glibc ln, like DuckDB)
     )
 
 
@@ -2028,7 +2117,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_group_quantiles",
     stats.quantiles_oracle_sql("n_chars", ["lang"], (0.25, 0.5, 0.9), "documents"),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r6 swap: q_agg_distinct -> shadow)
 )
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles (percentile_disc rank rule,
@@ -2250,7 +2339,7 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats.winsorize_oracle_sql(
         "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r6 swap: q_heavy_hitters -> shadow)
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language winsorized document lengths ([p10, p90] clamp):
@@ -2271,7 +2360,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT * FROM orders WHERE o_orderkey % 3 <> 0)",
         ["o_orderkey", "o_custkey", "o_orderpriority"],
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r6 swap: q_ann_lsh -> shadow)
 )
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract drift between two snapshots (here: full orders vs a
@@ -2299,7 +2388,7 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title", "title_b", "doc_id", "doc_id_b",
         threshold=0.5, max_gram_freq=200,
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r6 swap: q_semantic_dedup -> shadow)
 )
 def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution demo: link documents across source groups by
@@ -2316,4 +2405,24 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fuzzy_string_pairs(
         a, b, "title", "title_b", "doc_id", "doc_id_b",
         threshold=0.5, max_gram_freq=200,
+    )
+
+
+# --- fixed-point k-means clustering ---------------------------------------
+
+
+@register(
+    "q_kmeans",
+    clustering.kmeans_oracle_sql(k=8, iters=2),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point Lloyd clustering of the embedding
+    corpus: int64-quantized vectors, exact integer distances, half-away
+    centroid means — bit-exact vs the unrolled DuckDB twin. The
+    cluster-balanced-sampling / per-cluster-dedup building block.
+    operators/clustering.py."""
+    e = load(spark, sf_dir, "embeddings")
+    return clustering.kmeans(
+        e, "embedding", "vec_id", k=8, iters=2, extra_cols=("label",)
     )

@@ -29,7 +29,7 @@ import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from csvtool_spark.dialect.errors import DialectError
+from csvtool_spark.dialect.errors import DialectError, PasswordRequired
 
 #: status bits (utils.go:603-608)
 DAT_BLANK = 0
@@ -129,12 +129,26 @@ class QueryJob:
                 return
 
 
-def query_response(engine, text: str, runner=None) -> dict:
+#: serializes password-scoped queries: the compiler's PASSWORD_PROVIDER is
+#: process-global, so two concurrent /query requests carrying passwords
+#: must not interleave their install/clear windows (crypto queries are
+#: rare and interactive — serializing them is fine)
+_PASSWORD_LOCK = threading.Lock()
+
+
+def query_response(engine, text: str, runner=None, password: str | None = None) -> dict:
     """Run ``text`` and build the ReturnData dict (pure function — the
     HTTP handler is a thin wrapper, so this is directly testable).
     ``runner``: optional callable wrapping each collect (the server passes
     ``QueryJob.run`` so the statements execute under a cancellable job
-    group)."""
+    group).
+
+    ``password``: the HTTP twin of the reference's websocket password
+    flow (topbar.js:224-225 prompts on SK_PASS, server.go:40-60) —
+    request/response instead of a socket push: a password-less
+    ``encrypt()``/``decrypt()`` returns ``needPassword: true``; the UI
+    prompts and re-POSTs with ``"password"``, which is installed as a
+    provider scoped to THIS request only (never stored)."""
     from csvtool_spark.engine import _dialect_type
 
     ret: dict = {
@@ -144,6 +158,15 @@ def query_response(engine, text: str, runner=None) -> dict:
         "message": "",
         "clipped": False,
     }
+    if password is not None:
+        from csvtool_spark.dialect.compiler import set_password_provider
+
+        with _PASSWORD_LOCK:
+            try:
+                set_password_provider(lambda _fn: password)
+                return query_response(engine, text, runner=runner)
+            finally:
+                set_password_provider(None)
     try:
         stmts = [s for s in text.split(";") if s.strip()]
         for stmt in stmts:
@@ -174,6 +197,11 @@ def query_response(engine, text: str, runner=None) -> dict:
         if ret["clipped"]:
             cap = max((e["showLimit"] for e in ret["entries"] if e["clipped"]), default=0)
             ret["message"] = f"Showing only top {cap}"
+    except PasswordRequired as e:
+        # signal the UI to prompt and retry with {"password": ...}
+        ret["status"] |= DAT_ERROR
+        ret["needPassword"] = True
+        ret["message"] = str(e)
     except DialectError as e:
         ret["status"] |= DAT_ERROR
         ret["message"] = str(e)
@@ -183,14 +211,39 @@ def query_response(engine, text: str, runner=None) -> dict:
     return ret
 
 
+#: extensions the engine's _load can actually read (engine.py:68-121);
+#: the reference lists only `.csv$` (files.go:193) — widened here because
+#: this engine also scans parquet/JSONL and compressed shards
+_BROWSE_EXTS = tuple(
+    base + codec
+    for base in (".csv", ".parquet", ".jsonl", ".ndjson", ".json")
+    for codec in ("", ".gz", ".bz2", ".deflate")
+)
+
+
 def browse_dir(path: str, mode: str = "open") -> dict:
-    """Directory listing for the file browser (server.go fileBrowser)."""
-    path = os.path.expanduser(path) or "/"
-    out = {"path": path, "mode": mode, "dirs": [], "files": []}
+    """Directory listing for the file browser — the behavior twin of the
+    reference's fileBrowser (files.go:192-220): cleaned path, ``parent``
+    for up-navigation, hidden directories skipped, files filtered to what
+    the engine can open.  Names are basenames (the UI joins with
+    ``path``); the reference returns full paths — display plumbing only,
+    no query semantics."""
+    path = os.path.normpath(os.path.expanduser(path) or "/")
+    out = {
+        "path": path,
+        "parent": os.path.dirname(path) or "/",
+        "mode": mode,
+        "dirs": [],
+        "files": [],
+    }
     try:
         for entry in sorted(os.listdir(path)):
             full = os.path.join(path, entry)
-            (out["dirs"] if os.path.isdir(full) else out["files"]).append(entry)
+            if os.path.isdir(full):
+                if not entry.startswith("."):
+                    out["dirs"].append(entry)
+            elif entry.endswith(_BROWSE_EXTS):
+                out["files"].append(entry)
     except OSError:
         out["status"] = DAT_BADPATH
     return out
@@ -243,8 +296,11 @@ class CsvToolServer:
                     req = self._body()
                     text = req.get("query", "")
                     qid = req.get("id")
+                    password = req.get("password")
                     if not qid:
-                        self._send(query_response(outer.engine, text))
+                        self._send(
+                            query_response(outer.engine, text, password=password)
+                        )
                         return
                     from csvtool_spark.progress import ProgressReporter
 
@@ -257,7 +313,10 @@ class CsvToolServer:
                         with ProgressReporter(
                             outer.engine.spark, job.post, outer.progress_interval
                         ):
-                            resp = query_response(outer.engine, text, runner=job.run)
+                            resp = query_response(
+                                outer.engine, text, runner=job.run,
+                                password=password,
+                            )
                     finally:
                         job.finish()
                     self._send(resp)

@@ -5,12 +5,18 @@ to ``/query/`` and renders each statement's ReturnData entry as a table
 (the same JSON contract tests and programmatic clients use). This is an
 original page written for this engine — the reference ships a separate
 JS bundle (/root/reference/webgui/) whose query logic lives server-side
-there too; only the *surface* (textarea → run → table, row-clip notice,
-live progress + cancel) is mirrored. The reference pushes per-second
-progress and takes cancel over a websocket (server.go:19-70,
-utils.go:803-834); this page uses the server's SSE twin — an EventSource
-on ``/progress?id=…`` plus ``POST /cancel/``. Password prompts and the
-file-click browser UI stay out of scope.
+there too; only the *surface* is mirrored:
+
+- textarea → run → table, row-clip notice (server.go:161-177);
+- live progress + cancel — the reference's websocket flow rides SSE here
+  (EventSource on ``/progress?id=…`` + ``POST /cancel/``);
+- file browser (reference ``fileClick``/fileBrowser, server.go:218,
+  files.go:192-220): navigate directories, click a file to insert its
+  quoted path into the query;
+- password prompt for ``encrypt()``/``decrypt()`` (reference websocket
+  SK_PASS push, server.go:40-60 + topbar.js:224-225): here the response
+  carries ``needPassword: true``, the page prompts, and re-POSTs the
+  query with the password (request-scoped server-side, never stored).
 """
 
 INDEX_HTML = """<!doctype html>
@@ -33,14 +39,23 @@ INDEX_HTML = """<!doctype html>
            font-size: .85rem; }
   th { background: #8882; }
   caption { text-align: left; font-size: .8rem; opacity: .7; padding: .2rem 0; }
+  #browser { border: 1px solid #8884; padding: .5rem .8rem; margin: .6rem 0;
+             font-size: .85rem; max-height: 18rem; overflow: auto; }
+  #browser .bpath { opacity: .7; margin-bottom: .3rem; }
+  #browser a { display: block; cursor: pointer; text-decoration: none;
+               padding: .05rem 0; }
+  #browser a.dir::before { content: "\\uD83D\\uDCC1 "; }
+  #browser a.file::before { content: "\\uD83D\\uDCC4 "; }
 </style>
 </head>
 <body>
 <h2>csvtool-spark</h2>
 <textarea id="q" placeholder="select * from 'file.csv' where ...;  (ctrl+enter runs)"></textarea>
 <br><button id="run">run</button>
+<button id="browse">browse</button>
 <button id="cancel" hidden>cancel</button>
 <span id="prog" style="opacity:.7; margin-left:.8rem;"></span>
+<div id="browser" hidden></div>
 <div id="msg"></div>
 <div id="out"></div>
 <script>
@@ -79,6 +94,17 @@ function render(data) {
 
 let currentId = null;
 
+async function postQuery(qid, password) {
+  const body = { query: $("q").value, id: qid };
+  if (password !== undefined) body.password = password;
+  const r = await fetch("/query/", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(body),
+  });
+  return r.json();
+}
+
 async function run() {
   $("msg").textContent = "running\\u2026";
   $("msg").className = "";
@@ -93,12 +119,14 @@ async function run() {
   };
   es.addEventListener("done", () => es.close());
   try {
-    const r = await fetch("/query/", {
-      method: "POST",
-      headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ query: $("q").value, id: qid }),
-    });
-    render(await r.json());
+    let data = await postQuery(qid);
+    if (data.needPassword) {
+      // reference: websocket SK_PASS push -> browser prompt -> resend
+      // (topbar.js:224-225); here: prompt and re-POST with the password
+      const pw = window.prompt("password for encrypt()/decrypt():");
+      if (pw !== null) data = await postQuery(qid + "p", pw);
+    }
+    render(data);
   } catch (err) {
     $("msg").textContent = String(err);
     $("msg").className = "err";
@@ -120,7 +148,63 @@ async function cancelRun() {
   });
 }
 
+// --- file browser (reference fileClick flow, server.go:218) ---------------
+
+async function browseTo(path) {
+  const r = await fetch("/info?info=fileClick", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ path: path, mode: "open" }),
+  });
+  const d = await r.json();
+  const box = $("browser");
+  box.hidden = false;
+  box.replaceChildren();
+  if (d.status & 4) {  // DAT_BADPATH
+    const p = document.createElement("div");
+    p.className = "bpath err";
+    p.textContent = "invalid path: " + (d.path || path);
+    box.appendChild(p);
+    return;
+  }
+  const p = document.createElement("div");
+  p.className = "bpath";
+  p.textContent = d.path;
+  box.appendChild(p);
+  const join = (base, name) => (base.endsWith("/") ? base : base + "/") + name;
+  const add = (label, cls, onclick) => {
+    const a = document.createElement("a");
+    a.className = cls;
+    a.textContent = label;
+    a.addEventListener("click", onclick);
+    box.appendChild(a);
+  };
+  if (d.parent && d.parent !== d.path) {
+    add("..", "dir", () => browseTo(d.parent));
+  }
+  for (const name of d.dirs || []) {
+    add(name + "/", "dir", () => browseTo(join(d.path, name)));
+  }
+  for (const name of d.files || []) {
+    add(name, "file", () => {
+      const q = $("q");
+      const ins = "'" + join(d.path, name) + "'";
+      const at = q.selectionStart ?? q.value.length;
+      q.value = q.value.slice(0, at) + ins + q.value.slice(q.selectionEnd ?? at);
+      q.focus();
+      $("browser").hidden = true;
+    });
+  }
+}
+
+function toggleBrowser() {
+  const box = $("browser");
+  if (!box.hidden) { box.hidden = true; return; }
+  browseTo(".");
+}
+
 $("run").addEventListener("click", run);
+$("browse").addEventListener("click", toggleBrowser);
 $("cancel").addEventListener("click", cancelRun);
 $("q").addEventListener("keydown", (ev) => {
   if (ev.key === "Enter" && (ev.ctrlKey || ev.metaKey)) { ev.preventDefault(); run(); }

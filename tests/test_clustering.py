@@ -1,0 +1,111 @@
+"""Fixed-point k-means (operators/clustering.py): determinism, edge
+cases, envelope validation, and plan shape.  Cross-engine exactness is
+pinned by q_kmeans in the catalog gate (test_catalog_oracle) plus the
+random-corpus differential here."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators.clustering import (
+    kmeans,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_oracle_sql,
+)
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_kmeans_matches_oracle_on_random_vectors(spark):
+    import random
+
+    import duckdb
+
+    from csvtool_spark.oracle import compare
+
+    rng = random.Random(17)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(8)], i % 3)
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = spark.createDataFrame(pdf)
+    out = kmeans(d, "embedding", "vec_id", k=5, iters=3, extra_cols=("label",))
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    assert compare(out, con, kmeans_oracle_sql(k=5, iters=3)) is None
+
+
+def test_kmeans_deterministic_and_total(spark):
+    e = _emb(spark)
+    a = kmeans(e, "embedding", "vec_id", k=4, iters=1).collect()
+    b = kmeans(e, "embedding", "vec_id", k=4, iters=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == e.count()  # every row assigned
+    assert {r["cluster"] for r in a} <= set(range(4))
+
+
+def test_kmeans_iterations_reduce_inertia(spark):
+    # Lloyd monotonicity: total dist2 never increases with more rounds
+    e = _emb(spark)
+    inertia = []
+    for it in (0, 1, 2):
+        out = kmeans(e, "embedding", "vec_id", k=8, iters=it)
+        inertia.append(out.agg(F.sum("dist2")).collect()[0][0])
+    assert inertia[1] <= inertia[0] and inertia[2] <= inertia[1]
+
+
+def test_kmeans_null_vectors_pass_through(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in kmeans(d, "embedding", "vec_id", k=2).collect()}
+    assert out[3]["cluster"] is None and out[3]["dist2"] is None
+    assert out[1]["cluster"] is not None
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    # two far groups, k=3 seeded from the first 3 ids — one seed duplicates
+    # a group so some cluster may go empty; fit must not crash and must
+    # keep k centroids
+    d = spark.createDataFrame(
+        [(i, [0.0, 0.0] if i % 2 == 0 else [100.0, 100.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(d, "embedding", "vec_id", k=3, iters=2)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_kmeans_validation_errors(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        kmeans_fit(d, "embedding", "vec_id", k=2)
+    small = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_fit(small, "embedding", "vec_id", k=5)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_fit(small, "embedding", "vec_id", k=0)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    # the full-corpus pass must be a fused projection: no join, no
+    # shuffle, no Python eval — centroid literals ride the closure
+    e = _emb(spark)
+    cents = kmeans_fit(e, "embedding", "vec_id", k=4, iters=1)
+    plan = (
+        kmeans_assign(e, "embedding", "vec_id", cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,7 +1,10 @@
 """The glibc-libm kernels (functions/libm.py) must be bit-identical to
 DuckDB's ln on the md5-coin domain — that identity is what makes the
-priority_sample / DSIR-Gumbel oracle rows run-stable (JVM Math.log is
-JIT-tier-dependent; see the NB round-4 ADVICE finding)."""
+priority_sample / DSIR-Gumbel ORACLE LANE (coin_lane='libm') run-stable
+by construction.  (Causal record: the round-4/5 NB gate failures that
+motivated these kernels were a HUGEINT type leak, not libm — the
+kernels stay as oracle-lane hardening; the operators default to the
+vectorized JVM lane.)"""
 
 from __future__ import annotations
 
@@ -59,9 +62,10 @@ def test_ln_coin_null_passthrough(spark):
     assert rows[0]["l"] is not None and rows[1]["l"] is None
 
 
-def test_jvm_log_agrees_within_one_ulp(spark):
-    """Sanity bound: F.log and the libm kernel may differ, but never by
-    more than 1 ulp — if this fails the coin domain changed."""
+def test_jvm_log_agrees_within_two_ulps(spark):
+    """Sanity bound: Math.log and glibc log are EACH only 1-ulp-accurate,
+    so the lanes can legitimately differ by up to 2 ulps — if this fails
+    the coin domain changed."""
     ms = list(range(1, 20000, 7))
     sdf = spark.createDataFrame([(m,) for m in ms], "m long")
     rows = sdf.select(
@@ -69,4 +73,10 @@ def test_jvm_log_agrees_within_one_ulp(spark):
         F.log((F.col("m") + F.lit(1)) / F.lit(_DEN)).alias("jvm"),
     ).collect()
     for r in rows:
-        assert abs(_bits(r["libm"]) - _bits(r["jvm"])) <= 1
+        assert abs(_bits(r["libm"]) - _bits(r["jvm"])) <= 2
+
+
+def test_gumbel_coin_null_passthrough(spark):
+    sdf = spark.createDataFrame([(7,), (None,)], "m long")
+    rows = sdf.select(gumbel_coin(F.col("m"), 0.5).alias("g")).collect()
+    assert rows[0]["g"] is not None and rows[1]["g"] is None

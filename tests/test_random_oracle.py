@@ -94,7 +94,9 @@ def test_priority_sample_oracle_on_random_weights(spark, seed):
 
     pdf = _random_docs(seed + 900)
     d = spark.createDataFrame(pdf)
-    out = priority_sample(d, "n_chars", "doc_id", k=25)
+    # pairing rule: hash-compares against the DuckDB oracle run the glibc
+    # lane (bit-exact by construction; jvm≡libm is pinned separately)
+    out = priority_sample(d, "n_chars", "doc_id", k=25, coin_lane="libm")
     sql = priority_sample_oracle_sql("n_chars", "doc_id", 25)
     assert compare(out, _con_with(pdf), sql) is None
 
@@ -124,8 +126,11 @@ def test_pca_oracle_on_random_embeddings(spark, seed):
     con = duckdb.connect()
     # register float32 embeddings so both engines quantize identical values
     con.register("emb_raw", pdf)
+    # CAST label to INTEGER: the Spark schema says int (as the catalog
+    # parquet does on BOTH engines) while a registered pandas int column
+    # is int64 — compare() is dtype-aware now and would flag the fixture
     con.execute(
-        "CREATE VIEW embeddings AS SELECT vec_id, label, "
+        "CREATE VIEW embeddings AS SELECT vec_id, CAST(label AS INTEGER) AS label, "
         "CAST(embedding AS FLOAT[]) AS embedding FROM emb_raw"
     )
     sql = pca.pca_oracle_sql(dim=dim, iters=2)
@@ -211,7 +216,7 @@ def test_priority_sample_oracle_with_nan_weights(spark):
     pdf["n_chars"] = pdf["n_chars"].astype(float)
     pdf.loc[pdf.index[:10], "n_chars"] = float("nan")
     d = spark.createDataFrame(pdf)
-    out = priority_sample(d, "n_chars", "doc_id", k=25)
+    out = priority_sample(d, "n_chars", "doc_id", k=25, coin_lane="libm")
     sql = priority_sample_oracle_sql("n_chars", "doc_id", 25)
     assert compare(out, _con_with(pdf), sql) is None
     nan_ids = set(pdf["doc_id"][:10])
@@ -248,7 +253,7 @@ def test_dsir_oracle_on_random_corpora(spark, seed, gumbel):
     salt = "o'neill"  # quote in the salt: must be escaped into the oracle
     out = dsir_sample(
         d, "text", "doc_id", "lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
-        salt=salt, hash_family="md5",
+        salt=salt, hash_family="md5", coin_lane="libm",
     )
     sql = dsir_oracle_sql("lang = 'aa'", k=40, n_buckets=64, gumbel=gumbel,
                           salt=salt)

@@ -110,6 +110,76 @@ def test_browse_dir_bad_path():
     assert out.get("status") == DAT_BADPATH
 
 
+def test_browse_dir_reference_shape(tmp_path):
+    """fileBrowser parity (files.go:192-220): parent for up-navigation,
+    hidden dirs skipped, files filtered to engine-readable extensions."""
+    (tmp_path / "sub").mkdir()
+    (tmp_path / ".hidden").mkdir()
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    (tmp_path / "b.parquet").write_bytes(b"")
+    (tmp_path / "c.jsonl.gz").write_bytes(b"")
+    (tmp_path / "notes.txt").write_text("not a table")
+    out = browse_dir(str(tmp_path))
+    assert out["parent"] == str(tmp_path.parent)
+    assert out["dirs"] == ["sub"]  # .hidden skipped
+    assert out["files"] == ["a.csv", "b.parquet", "c.jsonl.gz"]  # no .txt
+
+
+def test_query_response_password_flow(eng):
+    """HTTP twin of the reference's websocket password prompt
+    (server.go:40-60): password-less encrypt() signals needPassword, the
+    retry with {"password": ...} succeeds request-scoped, and the global
+    provider is untouched afterward."""
+    from csvtool_spark.dialect import compiler
+
+    q = "select decrypt(encrypt(plate), 's3cret') as rt from" + V + "limit 3"
+    first = query_response(eng, "select encrypt(plate) as e from" + V + "limit 1")
+    assert first["status"] & DAT_ERROR and first.get("needPassword") is True
+    retry = query_response(eng, q, password="s3cret")
+    assert retry["status"] & DAT_GOOD and not retry["status"] & DAT_ERROR
+    assert retry["entries"][0]["numrows"] == 3
+    assert compiler.PASSWORD_PROVIDER is None  # request-scoped, cleared
+    # a WRONG password surfaces as a clean per-query error, not a crash
+    bad = query_response(
+        eng,
+        "select decrypt(encrypt(plate, 'right')) as d from" + V + "limit 1",
+        password="wrong",
+    )
+    assert bad["status"] & DAT_ERROR and not bad.get("needPassword")
+
+
+def test_http_password_roundtrip(eng):
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query/",
+            data=json.dumps(
+                {"query": "select encrypt(plate) as e from" + V + "limit 1"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            first = json.loads(resp.read())
+        assert first.get("needPassword") is True
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query/",
+            data=json.dumps(
+                {
+                    "query": "select decrypt(encrypt(plate), 'pw') as rt from"
+                    + V + "limit 2",
+                    "password": "pw",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            ret = json.loads(resp.read())
+        assert ret["status"] & DAT_GOOD and ret["entries"][0]["numrows"] == 2
+    finally:
+        srv.stop()
+
+
 def test_webui_served_at_root(eng):
     import urllib.request
 
@@ -217,6 +287,14 @@ def test_webui_wires_progress_channel(eng):
 
     assert "/progress?id=" in INDEX_HTML and "/cancel/" in INDEX_HTML
     assert "EventSource" in INDEX_HTML
+
+
+def test_webui_wires_browser_and_password(eng):
+    # the page drives the fileClick contract and the needPassword retry
+    from csvtool_spark.webui import INDEX_HTML
+
+    assert "info=fileClick" in INDEX_HTML
+    assert "needPassword" in INDEX_HTML and "password" in INDEX_HTML
 
 
 def test_job_registry_never_evicts_running_jobs(spark):
