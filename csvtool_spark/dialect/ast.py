@@ -187,3 +187,8 @@ class Query:
     orderby: Expr | None = None
     order_asc: bool = False        # reference default is DESC
     limit: int | None = None       # top N / limit N share one slot
+    # engine extension (no reference analog): deterministic TABLESAMPLE on
+    # the base file — 'sample 0.2' keeps a md5-coin fraction of scan rows,
+    # 'sample 500' a reservoir of exactly 500 (coin-ranked)
+    sample_frac: float | None = None
+    sample_n: int | None = None

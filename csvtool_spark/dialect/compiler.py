@@ -372,6 +372,8 @@ class Compiler:
     def compile(self) -> DataFrame:
         q = self.q
         df = self.dfs[q.base.key]
+        if q.sample_frac is not None or q.sample_n is not None:
+            df = _apply_sample(df, q.sample_frac, q.sample_n)
         needs_rowid = any(s.distinct for s in q.selections) or _uses_inc(q)
         if needs_rowid:
             df = df.withColumn(ROWID, F.monotonically_increasing_id())
@@ -467,6 +469,45 @@ class Compiler:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df.toDF(*self.c.out_names)
+
+
+def _apply_sample(df: DataFrame, frac: float | None, n: int | None) -> DataFrame:
+    """Deterministic TABLESAMPLE on the base scan (engine extension; the
+    reference dialect has no sampling).  Each scan row gets the dense
+    0-based scan-order number ``i`` (the ``inc()`` machinery — partition
+    offsets, no global window) and the 32-bit md5 coin
+    ``md5('smp#' || i)``:
+
+    - fraction: keep rows with ``coin < floor(frac · 2^32)`` — a pure
+      filter, reproducible on any engine/run, and the DuckDB twin is
+      ``row_number() OVER () - 1`` + the same coin threshold;
+    - count: the n smallest ``(coin, i)`` rows — a deterministic
+      reservoir via TakeOrderedAndProject (nested: ``sample 10`` ⊆
+      ``sample 20``).
+
+    Scale note: scan-order keying needs the global numbering pass (one
+    range shuffle + a per-partition count job — the documented ``inc()``
+    cost).  Corpus-scale pipelines sample on a REAL key column instead
+    (``operators.sampling.hash_split`` / ``priority_sample``); this
+    surface exists so ad-hoc dialect queries can thin a file
+    deterministically."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    df = df.withColumn(ROWID, F.monotonically_increasing_id())
+    df = _attach_inc_base(df)
+    coin = md5_prefix_long(
+        F.concat_ws("#", F.lit("smp"), F.col(INCBASE).cast("string"))
+    )
+    if frac is not None:
+        df = df.filter(coin < F.lit(int(frac * 4294967296)))
+    else:
+        df = (
+            df.withColumn("__coin", coin)
+            .orderBy(F.col("__coin").asc(), F.col(INCBASE).asc())
+            .limit(int(n))
+            .drop("__coin")
+        )
+    return df.drop(ROWID, INCBASE)
 
 
 INCBASE = "__incbase"

@@ -16,7 +16,7 @@ Grammar follows the reference (/root/reference/parser.go:1-29):
                  | exprAdd {'not'} relop exprAdd
                  | exprAdd {'not'} 'between' exprAdd 'and' exprAdd
                  | exprAdd {'not'} 'in' '(' expressions ')' )
-    from       -> 'from' file {'nh'} {{'as'} alias} {'nh'} join*
+    from       -> 'from' file {'nh'} {{'as'} alias} {'nh'} {'sample' N} join*
     join       -> {'left'|'inner'|'outer'} ('join'|'sjoin'|'bjoin') file
                   {'as'} alias 'on' predicates
 
@@ -172,6 +172,7 @@ def _parse_selections(p: _P, q: ast.Query) -> None:
 _CLAUSE_WORDS = {
     "where", "group", "having", "order", "limit", "on", "as",
     "inner", "outer", "left", "join", "sjoin", "bjoin", "nh", "noheader", "ml",
+    "sample",
 }
 
 
@@ -213,6 +214,9 @@ def _parse_from(p: _P, q: ast.Query) -> None:
         raise p.err("Expected 'from' clause")
     p.next()
     q.base = _parse_file_ref(p, "_f1")
+    if p.is_kw("sample"):
+        p.next()
+        _parse_sample(p, q)
     fnum = 2
     while True:
         join_type = "inner"
@@ -243,6 +247,31 @@ def _parse_from(p: _P, q: ast.Query) -> None:
         q.joins.append(
             ast.Join(file=jref, join_type=join_type, size_hint=size_hint, raw_pred=pred)
         )
+
+
+def _parse_sample(p: _P, q: ast.Query) -> None:
+    """``sample 0.2`` (md5-coin fraction of scan rows, 0 < f < 1) or
+    ``sample 500`` (deterministic reservoir of exactly N rows) — engine
+    extension on the base file; the reference dialect has no sampling."""
+    t = p.tok()
+    val = t.val
+    if t.kind != "WORD" or t.quoted or not val.replace(".", "", 1).isdigit():
+        raise p.err("Expected a number after 'sample'")
+    p.next()
+    if "." in val:
+        f = float(val)
+        if not 0.0 < f < 1.0:
+            raise ParseError(
+                f"sample fraction must be in (0, 1), got {val} at position {t.pos}"
+            )
+        q.sample_frac = f
+    else:
+        n = int(val)
+        if n < 1:
+            raise ParseError(
+                f"sample count must be >= 1, got {val} at position {t.pos}"
+            )
+        q.sample_n = n
 
 
 # --- expressions ----------------------------------------------------------

@@ -191,3 +191,45 @@ dialect(
     # shadow: date parts / CASE stay driver-checked via q_dates_case
     registered=False,
 )
+
+_SMP_COIN = (
+    "CAST(concat('0x', substr(md5('smp#' || CAST(__i AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+dialect(
+    "q_dialect_sample",
+    # deterministic TABLESAMPLE (engine extension, no reference analog):
+    # scan rows numbered 0-based in file order, kept iff the 32-bit md5
+    # coin md5('smp#' || i) < floor(0.2 * 2^32) = 858993459 — a pure
+    # filter, reproducible cross-engine/run; composes with where
+    "select o_orderkey o_totalprice from orders sample 0.2 "
+    "where o_totalprice > 100000",
+    f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_totalprice, row_number() OVER () - 1 AS __i
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice FROM numbered
+    WHERE {_SMP_COIN} < 858993459 AND o_totalprice > 100000
+    """,
+    # shadow: driver window full; locally gated
+    registered=False,
+)
+
+dialect(
+    "q_dialect_sample_n",
+    # reservoir form: exactly N rows — the N smallest (coin, i) pairs, so
+    # 'sample 10' is a subset of 'sample 20' (nested samples)
+    "select o_orderkey o_orderstatus from orders sample 200",
+    f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_orderstatus, row_number() OVER () - 1 AS __i
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus FROM numbered
+    ORDER BY {_SMP_COIN} ASC, __i ASC LIMIT 200
+    """,
+    # shadow: driver window full; locally gated
+    registered=False,
+)
