@@ -72,11 +72,33 @@ _SPARK_TYPES = {
 #: Signature: provider(func_name) -> password.
 PASSWORD_PROVIDER = None
 
+#: per-THREAD provider override (``_tl_provider.provider``): the HTTP
+#: server compiles each request in its own handler thread, so a
+#: request-scoped password must never touch the process-global slot — a
+#: concurrent password-LESS query on another thread would silently
+#: compile with this request's secret instead of raising PasswordRequired
+#: (cross-request password leak).  Lookup order: thread-local, then
+#: global (the CLI's getpass provider).
+import threading as _threading  # noqa: E402 — scoped import, stdlib only
+
+_tl_provider = _threading.local()
+
 
 def set_password_provider(provider) -> None:
-    """Install (or clear, with ``None``) the interactive password source."""
+    """Install (or clear, with ``None``) the process-global interactive
+    password source (CLI scope — single-threaded use)."""
     global PASSWORD_PROVIDER
     PASSWORD_PROVIDER = provider
+
+
+def set_thread_password_provider(provider) -> None:
+    """Install (or clear) a provider visible ONLY to the calling thread —
+    the HTTP request scope."""
+    _tl_provider.provider = provider
+
+
+def _active_password_provider():
+    return getattr(_tl_provider, "provider", None) or PASSWORD_PROVIDER
 
 
 def _cast(col: Column, t: int | None) -> Column:
@@ -227,8 +249,9 @@ class Compiler:
                 # server.go:40-60). Programmatic/oracle paths stay strict
                 # (clean SemanticError); the CLI installs a getpass-backed
                 # provider for interactive runs (cli.py).
-                if PASSWORD_PROVIDER is not None:
-                    password = PASSWORD_PROVIDER(name)
+                provider = _active_password_provider()
+                if provider is not None:
+                    password = provider(name)
                 else:
                     raise PasswordRequired(
                         f"{name}() requires an explicit password in this "

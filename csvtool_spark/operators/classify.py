@@ -116,8 +116,7 @@ def nb_train(
         tok_c = [totals[f"t_{i}"] or 0 for i in range(len(classes))]
         # oracle-parity precondition: int/int == DOUBLE/DOUBLE only while
         # both operands are exact doubles (see nb_oracle_sql docstring)
-        n_labeled = sum(by_class.values())
-        if any(t + v >= 2**53 for t in tok_c) or n_labeled >= 2**53:
+        if any(t + v >= 2**53 for t in tok_c) or sum(by_class.values()) >= 2**53:
             raise ValueError(
                 "nb_train: token/doc counts exceed 2^53 — fixed-point "
                 "log-prob grid no longer bit-matches the DOUBLE-division "

@@ -37,6 +37,8 @@ then assign the full corpus, the PCA remedy).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,21 +95,52 @@ def kmeans_fit(
         F.col(id_col).alias("__id"), _quantized(vec_col, scale).alias("__qv")
     )
 
-    # validation pass (one cheap agg, the PCA pattern): dimensions ragged →
-    # zip_with would silently null-pad; envelope past 2^53 → inexact mean
-    st = vecs.agg(
+    # validation pass (one cheap agg, the PCA pattern — pca.py:92-135):
+    # ragged dims → zip_with silently null-pads; NaN/Inf → Spark rounds
+    # NaN to 0 while the DuckDB oracle ERRORS (the repo's NaN-cast rule);
+    # null elements → null distances, arbitrary struct-min assignment;
+    # envelopes: mean sums past 2^53 lose DOUBLE exactness, squared
+    # distances past 2^63 wrap int64 (the oracle's HUGEINT stays exact —
+    # silent divergence)
+    raw = F.col(vec_col)
+    st = df.filter(raw.isNotNull()).agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.size("__qv")).alias("ndims"),
-        F.max(F.array_max(F.transform("__qv", F.abs))).alias("amax"),
+        F.countDistinct(F.size(raw)).alias("ndims"),
+        F.max(F.size(raw)).alias("dim"),
+        F.max(
+            F.array_max(F.transform(raw, lambda x: F.abs(x.cast("double"))))
+        ).alias("xmax"),
+        F.sum(
+            F.when(F.exists(raw, lambda x: x.isNull()), 1).otherwise(0)
+        ).alias("n_null_elem"),
     ).collect()[0]
     if st["n"] < k:
         raise ValueError(f"kmeans_fit: {st['n']} vectors < k={k}")
     if st["ndims"] != 1:
         raise ValueError("kmeans_fit: ragged embedding dimensions")
-    if (st["amax"] or 0) * st["n"] >= 2**53:
+    if int(st["n_null_elem"] or 0) > 0:
+        raise ValueError(
+            f"kmeans_fit: {int(st['n_null_elem'])} vector(s) contain null "
+            "ELEMENTS — distances would be null and assignment undefined; "
+            "impute or drop those rows first"
+        )
+    xmax = float(st["xmax"] or 0.0)
+    if not math.isfinite(xmax):
+        raise ValueError(
+            "kmeans_fit: non-finite embedding value — int64 quantization "
+            "is undefined for NaN/Infinity (Spark would cast NaN to 0 "
+            "while the oracle errors)"
+        )
+    amax = xmax * scale
+    if amax * st["n"] >= 2**53:
         raise ValueError(
             "kmeans_fit: N*scale*|x| exceeds the exact-DOUBLE mean envelope "
             "(2^53) — fit on a sample, then assign the full corpus"
+        )
+    if int(st["dim"]) * (2.0 * amax) ** 2 >= 2**63:
+        raise ValueError(
+            "kmeans_fit: dim*(2*scale*|x|)^2 exceeds the int64 distance "
+            "envelope (2^63) — lower scale"
         )
 
     # deterministic seed: quantized vectors of the k lowest ids

@@ -188,6 +188,10 @@ def dsir_sample(
     ``hash_family``).  The lanes agree everywhere off the 6-dp rounding
     boundaries (a differential pins them on the catalog corpora).
     """
+    if coin_lane not in ("jvm", "libm"):
+        raise ValueError(
+            f"coin_lane must be 'jvm' or 'libm', got {coin_lane!r}"
+        )
     spark = df.sparkSession
     w = dsir_logweights(df, text_col, id_col, target_sql, n_buckets,
                         hash_family=hash_family)
@@ -200,14 +204,10 @@ def dsir_sample(
         if coin_lane == "jvm":
             u = (m.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
             g = -F.log(-F.log(u))
-        elif coin_lane == "libm":
+        else:  # 'libm' (validated above)
             from csvtool_spark.functions.libm import gumbel_coin
 
             g = gumbel_coin(m, 0.5)
-        else:
-            raise ValueError(
-                f"coin_lane must be 'jvm' or 'libm', got {coin_lane!r}"
-            )
         priority = F.round(logw_d + g, 6)
     else:
         priority = F.round(logw_d, 6)

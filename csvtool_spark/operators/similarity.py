@@ -924,6 +924,12 @@ def ann_recall_eval(
             for t in range(n_tables)
         ]
     )
+    # persisted: the exact and the LSH branch both read this scan (their
+    # pre-window filters differ, so Spark cannot reuse the exchange) —
+    # without the persist the corpus scan + |corpus|·|Q| cosine matrix
+    # (the dominant cost) would compute twice. Attached to the result
+    # (functions.caching) so long-lived sessions can release_stages()
+    # after consuming the bounded |Q|-row output (the bm25 pattern).
     scored = (
         df.select(
             F.col(id_col), v.alias("__v"), row_buckets.alias("__rb"),
@@ -936,7 +942,7 @@ def ann_recall_eval(
             cosine(F.col("__v"), F.col("q.qv")).alias("cos"),
             F.arrays_overlap(F.col("__rb"), F.col("q.probes")).alias("__cand"),
         )
-    )
+    ).persist()
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
     exact = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -955,10 +961,16 @@ def ann_recall_eval(
     qids = df.sparkSession.createDataFrame(
         [(int(q),) for q in sorted(queries)], "qid long"
     )
-    return qids.join(hits, "qid", "left").select(
-        "qid",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
-        ).alias("recall"),
+    from csvtool_spark.functions.caching import attach_stages
+
+    return attach_stages(
+        qids.join(hits, "qid", "left").select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        ),
+        [scored],
     )

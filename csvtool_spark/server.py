@@ -129,13 +129,6 @@ class QueryJob:
                 return
 
 
-#: serializes password-scoped queries: the compiler's PASSWORD_PROVIDER is
-#: process-global, so two concurrent /query requests carrying passwords
-#: must not interleave their install/clear windows (crypto queries are
-#: rare and interactive — serializing them is fine)
-_PASSWORD_LOCK = threading.Lock()
-
-
 def query_response(engine, text: str, runner=None, password: str | None = None) -> dict:
     """Run ``text`` and build the ReturnData dict (pure function — the
     HTTP handler is a thin wrapper, so this is directly testable).
@@ -147,8 +140,10 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
     flow (topbar.js:224-225 prompts on SK_PASS, server.go:40-60) —
     request/response instead of a socket push: a password-less
     ``encrypt()``/``decrypt()`` returns ``needPassword: true``; the UI
-    prompts and re-POSTs with ``"password"``, which is installed as a
-    provider scoped to THIS request only (never stored)."""
+    prompts and re-POSTs with ``"password"``, installed as a
+    THREAD-LOCAL provider for this request only (never stored, never
+    global — a concurrent password-less query on another handler thread
+    must keep raising PasswordRequired, not borrow this secret)."""
     from csvtool_spark.engine import _dialect_type
 
     ret: dict = {
@@ -159,14 +154,13 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
         "clipped": False,
     }
     if password is not None:
-        from csvtool_spark.dialect.compiler import set_password_provider
+        from csvtool_spark.dialect.compiler import set_thread_password_provider
 
-        with _PASSWORD_LOCK:
-            try:
-                set_password_provider(lambda _fn: password)
-                return query_response(engine, text, runner=runner)
-            finally:
-                set_password_provider(None)
+        try:
+            set_thread_password_provider(lambda _fn: password)
+            return query_response(engine, text, runner=runner)
+        finally:
+            set_thread_password_provider(None)
     try:
         stmts = [s for s in text.split(";") if s.strip()]
         for stmt in stmts:
@@ -228,7 +222,9 @@ def browse_dir(path: str, mode: str = "open") -> dict:
     the engine can open.  Names are basenames (the UI joins with
     ``path``); the reference returns full paths — display plumbing only,
     no query semantics."""
-    path = os.path.normpath(os.path.expanduser(path) or "/")
+    # abspath, not just normpath: dirname('.') is '' which would report
+    # the parent of the cwd as '/' — up-navigation must climb one level
+    path = os.path.abspath(os.path.expanduser(path) or "/")
     out = {
         "path": path,
         "parent": os.path.dirname(path) or "/",

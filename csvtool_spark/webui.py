@@ -105,12 +105,11 @@ async function postQuery(qid, password) {
   return r.json();
 }
 
-async function run() {
-  $("msg").textContent = "running\\u2026";
-  $("msg").className = "";
+// one POST under a fresh job id with its own progress subscription —
+// currentId tracks the LIVE job so cancel always aborts the right one
+async function runJob(password) {
   const qid = "q" + Date.now().toString(36) + Math.random().toString(36).slice(2, 8);
   currentId = qid;
-  $("cancel").hidden = false;
   // live progress: one SSE event per active-stage tick, then `done`
   const es = new EventSource("/progress?id=" + qid);
   es.onmessage = (ev) => {
@@ -119,19 +118,30 @@ async function run() {
   };
   es.addEventListener("done", () => es.close());
   try {
-    let data = await postQuery(qid);
+    return await postQuery(qid, password);
+  } finally {
+    es.close();
+  }
+}
+
+async function run() {
+  $("msg").textContent = "running\\u2026";
+  $("msg").className = "";
+  $("cancel").hidden = false;
+  try {
+    let data = await runJob();
     if (data.needPassword) {
       // reference: websocket SK_PASS push -> browser prompt -> resend
       // (topbar.js:224-225); here: prompt and re-POST with the password
+      // as a NEW job (own id + progress stream, cancellable)
       const pw = window.prompt("password for encrypt()/decrypt():");
-      if (pw !== null) data = await postQuery(qid + "p", pw);
+      if (pw !== null) data = await runJob(pw);
     }
     render(data);
   } catch (err) {
     $("msg").textContent = String(err);
     $("msg").className = "err";
   } finally {
-    es.close();
     currentId = null;
     $("cancel").hidden = true;
     $("prog").textContent = "";

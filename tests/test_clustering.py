@@ -98,6 +98,43 @@ def test_kmeans_validation_errors(spark):
         kmeans_fit(small, "embedding", "vec_id", k=0)
 
 
+def test_kmeans_rejects_nan_and_null_elements(spark):
+    # Spark would quantize NaN to 0 while the DuckDB oracle errors (the
+    # repo's NaN-cast rule) — must fail loudly instead (review finding)
+    import pyspark.sql.functions as sf
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    nan = base.withColumn(
+        "embedding",
+        sf.when(sf.col("vec_id") == 0,
+                sf.array(sf.lit(float("nan")), sf.lit(1.0))
+        ).otherwise(sf.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        kmeans_fit(nan, "embedding", "vec_id", k=2)
+    withnull = base.withColumn(
+        "embedding",
+        sf.when(sf.col("vec_id") == 0,
+                sf.array(sf.lit(None).cast("double"), sf.lit(1.0))
+        ).otherwise(sf.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="null ELEMENTS"):
+        kmeans_fit(withnull, "embedding", "vec_id", k=2)
+
+
+def test_kmeans_distance_envelope_enforced(spark):
+    # dim*(2*scale*|x|)^2 past 2^63 would wrap int64 distances while the
+    # oracle's HUGEINT stays exact — silent divergence (review finding)
+    big = spark.createDataFrame(
+        [(i, [1.0e6, 1.0e6]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="distance"):
+        kmeans_fit(big, "embedding", "vec_id", k=2, scale=10_000_000)
+
+
 def test_kmeans_assignment_is_map_only(spark):
     # the full-corpus pass must be a fused projection: no join, no
     # shuffle, no Python eval — centroid literals ride the closure

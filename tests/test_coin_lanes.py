@@ -98,3 +98,7 @@ def test_unknown_coin_lane_rejected(spark):
     with pytest.raises(ValueError, match="coin_lane"):
         dsir_sample(d, "text", "doc_id", "lang = 'en'", k=5,
                     coin_lane="numpy")
+    # validated BEFORE the gumbel branch: gumbel=False must reject too
+    with pytest.raises(ValueError, match="coin_lane"):
+        dsir_sample(d, "text", "doc_id", "lang = 'en'", k=5,
+                    gumbel=False, coin_lane="numpy")

@@ -148,6 +148,46 @@ def test_query_response_password_flow(eng):
     assert bad["status"] & DAT_ERROR and not bad.get("needPassword")
 
 
+def test_thread_password_provider_is_thread_scoped(eng):
+    """A request-scoped password on one handler thread must NOT leak into
+    a concurrent password-less query on another thread — that query keeps
+    raising needPassword instead of silently using the other user's
+    secret (review finding, round 6)."""
+    import threading
+
+    from csvtool_spark.dialect.compiler import set_thread_password_provider
+
+    installed = threading.Event()
+    release = threading.Event()
+
+    def other_request():
+        set_thread_password_provider(lambda _fn: "other-users-secret")
+        installed.set()
+        release.wait(10)
+        set_thread_password_provider(None)
+
+    t = threading.Thread(target=other_request)
+    t.start()
+    try:
+        assert installed.wait(10)
+        # this thread has no provider: must still signal needPassword
+        ret = query_response(
+            eng, "select encrypt(plate) as e from" + V + "limit 1"
+        )
+        assert ret.get("needPassword") is True
+    finally:
+        release.set()
+        t.join()
+
+
+def test_browse_dir_relative_path_parent(tmp_path, monkeypatch):
+    # parent of '.' must be the cwd's parent, not '/' (review finding)
+    monkeypatch.chdir(tmp_path)
+    out = browse_dir(".")
+    assert out["path"] == str(tmp_path)
+    assert out["parent"] == str(tmp_path.parent)
+
+
 def test_http_password_roundtrip(eng):
     srv = CsvToolServer(eng, port=0)
     srv.start()
