@@ -281,3 +281,82 @@ def kmeans_oracle_sql(
     SELECT t.{id_col}{sel_extra}, fin.cluster, fin.dist2
     FROM {table} t LEFT JOIN fin ON fin.{id_col} = t.{id_col}
     """
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    per_cluster: int = 10,
+    scale: int = 10_000,
+    iters: int = 2,
+    salt: str = "cb",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: fit k-means, then keep a
+    deterministic md5-coin sample of ``per_cluster`` vectors from EACH
+    cluster — the topic-balancing step of training-data curation (a
+    uniform sample over-represents the dominant topic; sampling per
+    cluster flattens the mixture; cf. cluster-based data-pruning /
+    SemDeDup-style curation pipelines — public methods, original
+    implementation).
+
+    Selection within a cluster orders by ``(md5(salt # id), id)`` — a
+    reproducible uniform draw (the ``deterministic_shuffle`` coin), so
+    re-runs and the DuckDB oracle pick identical rows, and clusters
+    smaller than ``per_cluster`` keep all members.  Null vectors (no
+    cluster) are excluded.
+
+    Scale shape: the fit is ``iters`` bounded aggregations; the sample
+    adds ONE shuffle on the cluster id + an in-partition rank
+    (``source_quota``'s window shape — k tasks, each bounded by its
+    cluster).  Returns (id, cluster, dist2).
+    """
+    from pyspark.sql import Window
+
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters)
+    assigned = kmeans_assign(df, vec_col, id_col, cents, scale=scale).filter(
+        F.col("cluster").isNotNull()
+    )
+    coin = md5_prefix_long(
+        F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(coin.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(per_cluster))
+        .select(id_col, "cluster", "dist2")
+    )
+
+
+def cluster_balanced_oracle_sql(
+    k: int = 8,
+    per_cluster: int = 10,
+    scale: int = 10_000,
+    iters: int = 2,
+    salt: str = "cb",
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin: the unrolled k-means oracle as a subquery, then the
+    same md5-coin per-cluster rank (quote-escaped salt)."""
+    base = kmeans_oracle_sql(
+        k=k, scale=scale, iters=iters, table=table, vec_col=vec_col,
+        id_col=id_col, extra_cols="",
+    )
+    salt_sql = salt.replace("'", "''")
+    coin = (
+        f"CAST(concat('0x', substr(md5('{salt_sql}#' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    SELECT {id_col}, cluster, dist2 FROM (
+      SELECT {id_col}, cluster, dist2,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY {coin} ASC, {id_col} ASC) AS __rn
+      FROM ({base}) base WHERE cluster IS NOT NULL
+    ) WHERE __rn <= {int(per_cluster)}
+    """

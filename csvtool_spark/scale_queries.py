@@ -2426,3 +2426,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans(
         e, "embedding", "vec_id", k=8, iters=2, extra_cols=("label",)
     )
+
+
+@register(
+    "q_cluster_sample",
+    clustering.cluster_balanced_oracle_sql(k=8, per_cluster=10, iters=2),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sample: ≤10 vectors per k-means cluster,
+    drawn by a deterministic md5 coin — flattens the topic mixture a
+    uniform sample would skew. clustering.cluster_balanced_sample."""
+    e = load(spark, sf_dir, "embeddings")
+    return clustering.cluster_balanced_sample(
+        e, "embedding", "vec_id", k=8, per_cluster=10, iters=2
+    )

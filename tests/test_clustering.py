@@ -146,3 +146,68 @@ def test_kmeans_assignment_is_map_only(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from csvtool_spark.operators.clustering import cluster_balanced_sample
+
+    e = _emb(spark)
+    a = cluster_balanced_sample(e, "embedding", "vec_id", k=4, per_cluster=5)
+    rows = a.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 5 for v in per.values())
+    assert set(per) <= set(range(4))
+    b = cluster_balanced_sample(e, "embedding", "vec_id", k=4, per_cluster=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_cluster_balanced_sample_keeps_small_clusters_whole(spark):
+    from csvtool_spark.operators.clustering import cluster_balanced_sample
+
+    # 6 vectors, k=3, per_cluster=10 >> cluster sizes: nothing dropped
+    d = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 3)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cluster_balanced_sample(d, "embedding", "vec_id", k=3, per_cluster=10)
+    assert out.count() == 6
+
+
+def test_clustered_stream_matches_batch_assignment(spark):
+    from csvtool_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.embeddings import clustered_stream, embedding_stream
+
+    batch = _emb(spark)
+    cents = kmeans_fit(batch, "embedding", "vec_id", k=4, iters=1)
+    stream = embedding_stream(spark, SF_SMALL)
+    out = clustered_stream(stream, cents)
+    assert out.isStreaming
+    run_to_memory(out, "clu_out", output_mode="append")
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in spark.sql("SELECT * FROM clu_out").collect()
+    }
+    exp = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign(
+            batch, "embedding", "vec_id", cents, extra_cols=("label",)
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_clustered_stream_keep_filter(spark):
+    from csvtool_spark.operators.clustering import kmeans_fit
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.embeddings import clustered_stream, embedding_stream
+
+    batch = _emb(spark)
+    cents = kmeans_fit(batch, "embedding", "vec_id", k=4, iters=1)
+    stream = embedding_stream(spark, SF_SMALL)
+    run_to_memory(clustered_stream(stream, cents, keep=(0, 1)), "clu_keep",
+                  output_mode="append")
+    clusters = {r.cluster for r in spark.sql("SELECT * FROM clu_keep").collect()}
+    assert clusters <= {0, 1} and clusters
