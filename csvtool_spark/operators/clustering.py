@@ -143,36 +143,46 @@ def kmeans_fit(
             "envelope (2^63) — lower scale"
         )
 
-    # deterministic seed: quantized vectors of the k lowest ids
-    seed_rows = vecs.orderBy("__id").limit(k).collect()
-    centroids = [list(r["__qv"]) for r in seed_rows]
-    dim = len(centroids[0])
+    # the quantized projection feeds the seed pass AND every Lloyd round —
+    # persist for the fit's lifetime so the scan + quantize run once, and
+    # ALWAYS release before returning (fit output is a driver-side list;
+    # nothing lazy keeps reading the cache). At corpus scales where the
+    # projection exceeds cluster cache, Spark's MEMORY_AND_DISK spills —
+    # still cheaper than iters+1 full rescans of the source.
+    vecs = vecs.persist()
+    try:
+        # deterministic seed: quantized vectors of the k lowest ids
+        seed_rows = vecs.orderBy("__id").limit(k).collect()
+        centroids = [list(r["__qv"]) for r in seed_rows]
+        dim = len(centroids[0])
 
-    for _ in range(iters):
-        cl, _d = _assign(F.col("__qv"), centroids)
-        sums = (
-            vecs.select(cl.alias("__c"), "__qv")
-            .groupBy("__c")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("__qv", d + 1)).alias(f"s_{d}")
-                    for d in range(dim)
-                ],
+        for _ in range(iters):
+            cl, _d = _assign(F.col("__qv"), centroids)
+            sums = (
+                vecs.select(cl.alias("__c"), "__qv")
+                .groupBy("__c")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("__qv", d + 1)).alias(f"s_{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_c = {int(r["__c"]): r for r in sums}
-        centroids = [
-            [
-                half_away(float(by_c[j][f"s_{d}"]) / by_c[j]["n"])
-                for d in range(dim)
+            by_c = {int(r["__c"]): r for r in sums}
+            centroids = [
+                [
+                    half_away(float(by_c[j][f"s_{d}"]) / by_c[j]["n"])
+                    for d in range(dim)
+                ]
+                if j in by_c
+                else centroids[j]  # empty cluster: carry forward
+                for j in range(k)
             ]
-            if j in by_c
-            else centroids[j]  # empty cluster: carry forward
-            for j in range(k)
-        ]
-    return centroids
+        return centroids
+    finally:
+        vecs.unpersist()
 
 
 def kmeans_assign(
