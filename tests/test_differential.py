@@ -185,6 +185,34 @@ class Gen:
             f"SELECT DISTINCT {c} FROM t WHERE {swhere}",
         )
 
+    def sampled(self) -> tuple[str, str]:
+        # deterministic TABLESAMPLE: base-scan sample FIRST (rows numbered
+        # 0-based in scan order, md5 coin), then the where filter — the
+        # DuckDB twin reproduces both forms over the same registered rows
+        coin = (
+            "CAST(concat('0x', substr(md5('smp#' || CAST(__i AS VARCHAR)), 1, 8)) "
+            "AS BIGINT)"
+        )
+        dwhere, swhere = self.preds()
+        if self.r.random() < 0.5:
+            f = self.r.choice(["0.25", "0.5", "0.75", "0.3"])
+            thr = int(float(f) * 4294967296)  # the compiler's threshold rule
+            return (
+                f"select plate fine from {V} sample {f} where {dwhere}",
+                # inner SELECT * so the random predicate can reference any
+                # column, exactly like the dialect's where-after-sample
+                f"SELECT plate, fine FROM "
+                f"(SELECT *, row_number() OVER () - 1 AS __i FROM t) "
+                f"WHERE {coin} < {thr} AND ({swhere})",
+            )
+        n = self.r.randint(20, 150)
+        return (
+            f"select plate ticket from {V} sample {n} where {dwhere}",
+            f"SELECT plate, ticket FROM "
+            f"(SELECT *, row_number() OVER () - 1 AS __i FROM t "
+            f"ORDER BY {coin} ASC, __i ASC LIMIT {n}) WHERE {swhere}",
+        )
+
     def join(self) -> tuple[str, str]:
         jt = self.r.choice(["join", "left join"])
         sj = "JOIN" if jt == "join" else "LEFT JOIN"
@@ -211,9 +239,11 @@ class Gen:
             return self.grouped(having=True)
         if roll < 0.72:
             return self.distinct()
-        if roll < 0.80:
+        if roll < 0.78:
             return self.topk()
-        if roll < 0.88:
+        if roll < 0.85:
+            return self.sampled()
+        if roll < 0.91:
             return self.join()
         # legacy plain shape (no scalar tail) for continuity
         nsel = self.r.randint(1, 3)
