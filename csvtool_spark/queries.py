@@ -710,6 +710,10 @@ def q_orderby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT c_custkey AS key, 'c' AS src FROM customer WHERE c_acctbal < 0
     """,
+    registered=False,  # shadow (r6 swap: slot given to q_kmeans); set ops
+    # (§2.7, engine-exceeds) stay oracle-gated locally alongside q_setops,
+    # and the windows/streaming §2.7-2.10 evidence (q_sessionize,
+    # q_events_window) remains in-window
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Set ops are absent from the reference (§2.7) — engine extension.

@@ -2414,7 +2414,7 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_kmeans",
     clustering.kmeans_oracle_sql(k=8, iters=2),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r6 swap: q_union -> shadow)
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-point Lloyd clustering of the embedding
