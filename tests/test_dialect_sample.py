@@ -74,3 +74,15 @@ def test_sample_reservoir_is_take_ordered(eng):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_applies_to_base_before_join(eng):
+    # 'from a sample N join b' samples the BASE file's scan rows first,
+    # then joins — the joined row count is bounded by the N base rows
+    q = (
+        "nh select c.c1 r.c2 from '/root/repo/tests/data/cities.csv' c "
+        "sample 3 join '/root/repo/tests/data/regions.csv' r on c.c3 = r.c1"
+    )
+    a = [tuple(r) for r in eng.sql(q).collect()]
+    b = [tuple(r) for r in eng.sql(q).collect()]
+    assert sorted(a) == sorted(b) and 0 < len(a) <= 3
