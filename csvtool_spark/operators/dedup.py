@@ -868,3 +868,161 @@ def cross_corpus_neardup(
         .filter(F.col("jaccard") >= threshold),
         [b_new, b_ref],
     )
+
+
+# --- LSH recall evaluation -------------------------------------------------
+
+
+def minhash_recall_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    sample_frac: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    salt: str = "mre",
+    hash_family: str = "md5",
+    kernel: str = "jvm",
+) -> DataFrame:
+    """recall of MinHash-LSH banding against EXACT shingle-Jaccard ground
+    truth, on a deterministic document sample — the dedup twin of
+    ``similarity.ann_recall_eval`` (how many true near-dup pairs does
+    this bands×rows configuration actually surface on THIS corpus?).
+
+    Ground truth is all sampled pairs with exact distinct-SHINGLE Jaccard
+    ≥ ``threshold`` (``ngram_jaccard_pairs`` at ``shingle_k`` — the
+    similarity the MinHash signatures estimate and the banding s-curve is
+    stated over, so the measured recall is directly comparable to the
+    theoretical ``1 - (1 - j^rows)^bands``); found is the banded
+    candidate set intersected with that truth, so found ⊆ truth and the
+    single output row (n_true, n_found, recall) isolates exactly what
+    banding loses — candidate-generation misses, not verify policy.
+
+    The exact ground truth is the quadratic part, which is WHY the
+    operator evaluates a ``sample_frac`` md5-coin sample (pure function
+    of ``salt # id`` — reproducible, and the DuckDB oracle replays it):
+    tune banding on the sample, run the tuned config on the corpus.
+    The sampled projection is persisted (the truth join and the banding
+    pipeline both read it) and attached for ``release_stages``.
+    """
+    from csvtool_spark.functions.caching import attach_stages
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError(
+            f"minhash_recall_eval: sample_frac must be in (0, 1], got {sample_frac}"
+        )
+    rows = n_hashes // bands
+    coin = md5_prefix_long(
+        F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    sample = df.filter(coin < F.lit(int(sample_frac * 4294967296))).select(
+        id_col, text_col
+    ).persist()
+
+    truth = ngram_jaccard_pairs(
+        sample, text_col, id_col, threshold=threshold, k=shingle_k
+    ).select("id_a", "id_b")
+    sigs = _minhash_signatures(
+        sample, text_col, id_col, n_hashes, shingle_k, kernel, hash_family
+    )
+    band_hash = "string" if hash_family == "md5" else "xx64"
+    cand = candidate_pairs(
+        _banded(sigs, id_col, "__sig", bands, rows, band_hash), id_col
+    )
+
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    f = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return attach_stages(
+        t.crossJoin(f).select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+            ).alias("recall"),
+        ),
+        [sample],
+    )
+
+
+def minhash_recall_oracle_sql(
+    threshold: float = 0.4,
+    sample_frac: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    salt: str = "mre",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``minhash_recall_eval`` (md5 lane only): the same
+    coin sample, the q_dedup_minhash_det signature/band/verify pipeline
+    over the sample, and an all-pairs exact token-Jaccard truth set."""
+    rows = n_hashes // bands
+    thr = int(sample_frac * 4294967296)
+    salt_sql = salt.replace("'", "''")
+    jacc = """round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+             / (CASE WHEN len(list_distinct(list_concat(x.ts, y.ts))) > 0
+                     THEN CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE)
+                END), 6)"""
+    return f"""
+    WITH smp AS (
+      SELECT {id_col}, {text_col} FROM {table}
+      WHERE CAST(concat('0x', substr(md5('{salt_sql}#' ||
+              CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) < {thr}
+    ),
+    toks AS (SELECT {id_col} AS doc_id, string_split(lower(trim({text_col})), ' ') AS t
+             FROM smp),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(0, len(t) - 2),
+                 i -> array_to_string(t[i+1:i+3], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(sh, s -> {{
+               'h1': CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
+               'h2': CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)}}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {n_hashes}), i ->
+               list_min(list_transform(hs,
+                 h -> (h.h1 + i * (h.h2 | 1)) % 4294967296))) AS sig
+      FROM hs
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(list_transform(sig[b*{rows} + 1 : b*{rows} + {rows}],
+               x -> CAST(x AS VARCHAR)), ',') AS band_key
+      FROM sig, unnest(generate_series(0, {bands - 1})) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    shset AS (SELECT doc_id, sh AS ts FROM sh),
+    truth AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM shset x JOIN shset y ON x.doc_id < y.doc_id
+      WHERE {jacc} >= {threshold!r}e0
+    ),
+    fi AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+           FROM cand JOIN truth USING (id_a, id_b))
+    SELECT CAST(t.n_true AS BIGINT) AS n_true, fi.n_found,
+           CASE WHEN t.n_true > 0
+                THEN CAST(fi.n_found AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+           END AS recall
+    FROM (SELECT count(*) AS n_true FROM truth) t, fi
+    """

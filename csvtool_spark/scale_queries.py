@@ -2408,6 +2408,22 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_minhash_recall",
+    dedup.minhash_recall_oracle_sql(threshold=0.4, sample_frac=0.5),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall of the 8×4 MinHash banding vs exact token-Jaccard ground
+    truth on a deterministic half-corpus sample — the banding tuning
+    eval (dedup twin of q_ann_recall). dedup.minhash_recall_eval."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_recall_eval(
+        d, "text", "doc_id", threshold=0.4, sample_frac=0.5,
+        n_hashes=32, bands=8, hash_family="md5",
+    )
+
+
 # --- fixed-point k-means clustering ---------------------------------------
 
 
