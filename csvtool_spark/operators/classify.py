@@ -205,32 +205,18 @@ def nb_score(
     return out.withColumn("pred", pred).withColumn("score_pred", best)
 
 
-def nb_oracle_sql(
-    classes: list[str],
-    vocab_size: int = 2000,
-    table: str = "documents",
-    text_col: str = "text",
-    label_col: str = "lang",
-    id_col: str = "doc_id",
-) -> str:
-    """DuckDB CTE twin of ``nb_train`` + ``nb_score`` — same vocabulary
-    tie-break, same fixed-point rounding, same coalesce-per-occurrence OOV
-    rule, same first-class-wins argmax.  Integer score sums make the
-    comparison exact.
-
-    Every ``ln`` argument is an explicit DOUBLE/DOUBLE division — DuckDB
-    parses bare decimal literals as DECIMAL and a DECIMAL quotient can
-    differ from IEEE double division in the last ulp, which flips the
-    rounded grid.  With the casts, DuckDB feeds glibc ``log`` the exact
-    double Python's ``int / int`` produces in ``nb_train``, so the
-    engine's driver-computed literal grid and this oracle agree
-    bit-for-bit — PROVIDED every count stays below 2^53: Python's
-    ``int / int`` rounds the exact rational once, while the oracle's
-    ``DOUBLE / DOUBLE`` rounds each operand first, and the two only
-    coincide while the operands are exactly representable.  ``nb_train``
-    asserts the precondition (token totals < 2^53 ≈ 9e15 — ~18 PB of
-    single-byte tokens, comfortably above the 100 TB design point)."""
-    cls = sorted(classes)
+def _nb_scored_ctes(
+    cls: list[str],
+    vocab_size: int,
+    table: str,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+) -> tuple[str, str, str]:
+    """The shared train+score CTE chain ending at ``scored`` (one row per
+    doc with per-class ``score_<c>`` int64 columns), plus the ``greatest``
+    argument list and the first-class-wins ``pred`` CASE body — consumed
+    by ``nb_oracle_sql`` and ``nb_calibration_oracle_sql``."""
     c_cols = ",\n             ".join(
         f"count(*) FILTER (_lbl = '{c}') AS c_{i}" for i, c in enumerate(cls)
     )
@@ -268,7 +254,7 @@ def nb_oracle_sql(
     pred_case = "\n                ".join(
         f"WHEN score_{c} = greatest({greatest}) THEN '{c}'" for c in cls
     )
-    return f"""
+    with_body = f"""
     WITH tok AS (
       SELECT {id_col}, {label_col} AS _lbl, unnest(string_split({text_col}, ' ')) AS token
       FROM {table}
@@ -299,7 +285,39 @@ def nb_oracle_sql(
       SELECT doc.{id_col}, doc.{label_col},
            {score_cols}
       FROM {table} doc LEFT JOIN sums s USING ({id_col}), priors p
+    )"""
+    return with_body, greatest, pred_case
+
+
+def nb_oracle_sql(
+    classes: list[str],
+    vocab_size: int = 2000,
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``nb_train`` + ``nb_score`` — same vocabulary
+    tie-break, same fixed-point rounding, same coalesce-per-occurrence OOV
+    rule, same first-class-wins argmax.  Integer score sums make the
+    comparison exact.
+
+    Every ``ln`` argument is an explicit DOUBLE/DOUBLE division — DuckDB
+    parses bare decimal literals as DECIMAL and a DECIMAL quotient can
+    differ from IEEE double division in the last ulp, which flips the
+    rounded grid.  With the casts, DuckDB feeds glibc ``log`` the exact
+    double Python's ``int / int`` produces in ``nb_train``, so the
+    engine's driver-computed literal grid and this oracle agree
+    bit-for-bit — PROVIDED every count stays below 2^53: Python's
+    ``int / int`` rounds the exact rational once, while the oracle's
+    ``DOUBLE / DOUBLE`` rounds each operand first, and the two only
+    coincide while the operands are exactly representable.  ``nb_train``
+    asserts the precondition (token totals < 2^53 ≈ 9e15 — ~18 PB of
+    single-byte tokens, comfortably above the 100 TB design point)."""
+    with_body, greatest, pred_case = _nb_scored_ctes(
+        sorted(classes), vocab_size, table, text_col, label_col, id_col
     )
+    return f"""{with_body}
     SELECT {id_col}, {label_col},
            CASE {pred_case} END AS pred,
            CAST(greatest({greatest}) AS BIGINT) AS score_pred
@@ -389,3 +407,111 @@ def load_model(spark, path: str) -> NBModel:
         priors={c: p for _, c, p, _ in meta},
         defaults={c: d for _, c, _, d in meta},
     )
+
+
+# --- calibration report ----------------------------------------------------
+
+
+def nb_calibration(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    n_buckets: int = 8,
+    width: int = LOGP_SCALE,
+) -> DataFrame:
+    """Margin-bucketed accuracy report — the calibration check a
+    classifier-driven filtering pipeline owes its operators (is a
+    high-margin prediction actually more reliable on THIS corpus, and
+    where should the keep/drop margin cut sit?).
+
+    Each labeled document lands in bucket ``min(margin // width,
+    n_buckets-1)`` where ``margin = score_pred - second_best_score`` —
+    an exact int64 difference of fixed-point log-posteriors (``width``
+    defaults to ``LOGP_SCALE`` = one nat).  Per bucket: document count,
+    correct-prediction count, and accuracy.  All arithmetic is integer
+    until the final accuracy division, so the DuckDB twin is hash-exact.
+
+    One extra projection over ``nb_score``'s plan (explode + broadcast
+    model join + one hash agg) plus one bounded ``n_buckets``-row
+    aggregation — no new corpus shuffle beyond the score itself.
+    """
+    k = len(model.classes)
+    if k < 2:
+        raise ValueError("nb_calibration: needs >= 2 classes for a margin")
+    if n_buckets < 1 or width < 1:
+        raise ValueError("nb_calibration: n_buckets and width must be >= 1")
+    scored = nb_score(df, model, text_col, id_col)
+    arr = F.array_sort(
+        F.array(*[F.col(f"score_{c}") for c in model.classes])
+    )
+    second = F.element_at(arr, k - 1)  # ascending sort: k-1 = second best
+    lab = scored.filter(F.col(label_col).isNotNull()).select(
+        (F.col("score_pred") - second).alias("__m"),
+        (F.col("pred") == F.col(label_col)).cast("long").alias("__ok"),
+    )
+    # integer `div`, not double `/`+floor: a double quotient can round
+    # across an integer boundary for extreme widths; the oracle's `//` is
+    # exact integer arithmetic and this must match it bit-for-bit
+    # (margins are >= 0, so truncating div == floor div)
+    bucket = F.least(
+        F.expr(f"__m div {int(width)}"),
+        F.lit(int(n_buckets) - 1).cast("long"),
+    )
+    return (
+        lab.select(
+            bucket.alias("bucket"),
+            "__ok",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__ok").alias("n_correct"),
+        )
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
+                "acc"
+            ),
+        )
+    )
+
+
+def nb_calibration_oracle_sql(
+    classes: list[str],
+    vocab_size: int = 2000,
+    n_buckets: int = 8,
+    width: int = LOGP_SCALE,
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``nb_calibration``: the shared train+score CTE
+    chain, the same ascending-sort second-best margin, integer floor-div
+    bucketing with the same cap, and BIGINT-cast counts (the HUGEINT
+    rule)."""
+    cls = sorted(classes)
+    k = len(cls)
+    if k < 2:
+        raise ValueError("nb_calibration_oracle_sql: needs >= 2 classes")
+    with_body, greatest, pred_case = _nb_scored_ctes(
+        cls, vocab_size, table, text_col, label_col, id_col
+    )
+    arr = "list_sort([" + ", ".join(f"score_{c}" for c in cls) + "])"
+    return f"""{with_body},
+    cal AS (
+      SELECT least(CAST((greatest({greatest}) - {arr}[{k - 1}]) // {int(width)} AS BIGINT),
+                   {int(n_buckets) - 1}) AS bucket,
+             CASE WHEN (CASE {pred_case} END) = {label_col}
+                  THEN 1 ELSE 0 END AS ok
+      FROM scored WHERE {label_col} IS NOT NULL
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+    FROM cal GROUP BY bucket
+    """

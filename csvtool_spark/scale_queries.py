@@ -2409,6 +2409,23 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_nb_calibration",
+    classify.nb_calibration_oracle_sql(
+        ["de", "en", "es", "fr", "zh"], vocab_size=2000, n_buckets=8
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-bucketed accuracy of the NB language classifier — the
+    calibration report behind a keep/drop margin cut.
+    classify.nb_calibration."""
+    d = load(spark, sf_dir, "documents")
+    model = classify.nb_train(d, "text", "lang", vocab_size=2000)
+    return classify.nb_calibration(d, model, "text", "doc_id", "lang",
+                                   n_buckets=8)
+
+
+@register(
     "q_minhash_recall",
     dedup.minhash_recall_oracle_sql(threshold=0.4, sample_frac=0.5),
     registered=False,  # shadow: driver window full; locally gated

@@ -131,3 +131,46 @@ def test_nb_model_save_back_to_own_path(spark, tmp_path):
     classify.save_model(m2, p)  # crashed (and destroyed the artifact) before
     m3 = classify.load_model(spark, p)
     assert m3.priors == m.priors and m3.tokens.count() == m.tokens.count()
+
+
+def test_nb_calibration_partitions_labeled_docs(spark):
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=50)
+    rows = classify.nb_calibration(d, m, n_buckets=4).collect()
+    assert sum(r["n"] for r in rows) == 5  # every labeled doc in one bucket
+    for r in rows:
+        assert 0 <= r["bucket"] <= 3
+        assert 0 <= r["n_correct"] <= r["n"]
+        assert abs(r["acc"] - r["n_correct"] / r["n"]) < 1e-12
+
+
+def test_nb_calibration_cap_bucket(spark):
+    # width=1 puts every nonzero margin in the cap bucket
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=50)
+    rows = classify.nb_calibration(d, m, n_buckets=2, width=1).collect()
+    assert {r["bucket"] for r in rows} <= {0, 1}
+
+
+def test_nb_calibration_excludes_unlabeled(spark):
+    d = _labeled(spark)
+    extra = spark.createDataFrame(
+        [(9, "the cat", None)], "doc_id long, text string, lang string"
+    )
+    m = classify.nb_train(d, vocab_size=50)
+    rows = classify.nb_calibration(d.unionAll(extra), m, n_buckets=4).collect()
+    assert sum(r["n"] for r in rows) == 5  # the null-label doc is excluded
+
+
+def test_nb_calibration_validation(spark):
+    import pytest
+
+    d = _labeled(spark)
+    m = classify.nb_train(d, vocab_size=50)
+    one = classify.NBModel(
+        classes=["en"], tokens=m.tokens, priors={"en": 0}, defaults={"en": 0}
+    )
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        classify.nb_calibration(d, one)
+    with pytest.raises(ValueError, match="n_buckets"):
+        classify.nb_calibration(d, m, n_buckets=0)
