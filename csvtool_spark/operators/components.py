@@ -190,3 +190,36 @@ def canonical_select(
         (-best["nid"]).cast("long").alias("keep_id"),
         (F.col(id_col) == -best["nid"]).alias("is_kept"),
     )
+
+
+def cluster_size_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate-structure datasheet: the cluster-size histogram of the
+    near-dup graph — (cluster_size, n_clusters, n_docs) per size, with
+    singletons at size 1.  The single number pipelines watch (dup-doc
+    rate) is ``1 - n_clusters/n_docs`` summed over sizes ≥ 2; the full
+    histogram additionally exposes pathological mega-clusters (boiler-
+    plate explosions) that a scalar rate hides.
+
+    Output is bounded by the number of DISTINCT cluster sizes (≤ √(2N)
+    for N docs — sizes sum to N), so it collects safely at any corpus
+    scale; the cost is ``dedup_clusters``' component pass plus one
+    aggregation."""
+    cl = dedup_clusters(df, pairs, id_col, id_a=id_a, id_b=id_b)
+    return (
+        cl.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("component").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

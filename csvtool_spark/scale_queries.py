@@ -369,14 +369,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
 
 
-@register(
-    "q_dedup_clusters",
-    # pairs → transitive closure → min-id survivor. The edge set is the
-    # exact n-gram-Jaccard pair set (same CTE as q_dedup_ngram, so the two
-    # rows cross-check each other); the closure is an independent
-    # implementation — DuckDB computes min-reachable-id by recursive CTE,
-    # the engine by alternating-star contraction.
-    """
+# pairs → transitive closure → min-id survivor. The edge set is the
+# exact n-gram-Jaccard pair set (same CTE as q_dedup_ngram, so the two
+# rows cross-check each other); the closure is an independent
+# implementation — DuckDB computes min-reachable-id by recursive CTE,
+# the engine by alternating-star contraction. Shared verbatim with the
+# q_dedup_cluster_stats oracle, which aggregates this as a subquery.
+_DEDUP_CLUSTERS_SQL = """
     WITH RECURSIVE s AS (
       SELECT doc_id,
              CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 3 THEN
@@ -405,14 +404,37 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
            doc_id = component AS is_survivor
     FROM comp
-    """,
-)
+    """
+
+
+@register("q_dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import components
 
     d = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
     return components.dedup_clusters(d, pairs, "doc_id")
+
+
+@register(
+    "q_dedup_cluster_stats",
+    f"""
+    SELECT cluster_size, CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ({_DEDUP_CLUSTERS_SQL}) base
+    GROUP BY cluster_size
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph (singletons included)
+    — the duplicate-structure datasheet view; mega-cluster detection.
+    components.cluster_size_stats."""
+    from csvtool_spark.operators import components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    return components.cluster_size_stats(d, pairs, "doc_id")
 
 
 _EMB_DIM = 64  # driver testdata embedding width (TESTDATA.md tables)

@@ -144,3 +144,27 @@ def test_canonical_select_keeps_best_scoring_member(spark):
     assert out[1] == (2, False) and out[2] == (2, True) and out[3] == (2, False)
     assert out[4] == (4, True)                 # singleton keeps itself
     assert out[5] == (6, False) and out[6] == (6, True)  # null loses
+
+
+def test_cluster_size_stats_histogram(spark):
+    # 6 docs: {1,2,3} one cluster, {4,5} one, {6} singleton
+    d = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in components.cluster_size_stats(d, pairs, "doc_id").collect()
+    }
+    assert rows == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+    # invariant: n_docs == cluster_size * n_clusters for every size
+    for size, (nc, nd) in rows.items():
+        assert nd == size * nc
+
+
+def test_cluster_size_stats_all_singletons(spark):
+    d = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    rows = components.cluster_size_stats(d, empty, "doc_id").collect()
+    assert len(rows) == 1
+    assert (rows[0]["cluster_size"], rows[0]["n_clusters"], rows[0]["n_docs"]) == (1, 10, 10)
