@@ -280,6 +280,8 @@ def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     principle holds with storage instead of memory: write the banded
     table out, then run both phases on the materialization.
     """
+    from csvtool_spark.functions.caching import attach_stages
+
     banded = banded.persist()
     sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
     pruned = banded.join(
@@ -302,10 +304,11 @@ def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
             )
         )
     )
-    return (
+    return attach_stages(
         buckets.select(pair.alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
+        .distinct(),
+        [banded],
     )
 
 
@@ -397,11 +400,16 @@ def near_dup_pairs_minhash(
     ).persist()
     ta = toks_only.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
     tb = toks_only.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
-    return (
+    from csvtool_spark.functions.caching import attach_stages
+
+    # propagate candidate_pairs' persisted banded stage alongside our own
+    # token stage so release_stages on THIS result frees everything
+    return attach_stages(
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("__ta"), F.col("__tb")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        getattr(pairs, "_persisted_stages", []) + [toks_only],
     )
 
 
@@ -414,7 +422,11 @@ def ngram_jaccard_pairs(
     no candidate distinct, no array shipping — the join rows are two ids.
 
     Worst case is quadratic in documents sharing a hot shingle (this is the
-    exact operator; use MinHash banding for web-scale approximate dedup)."""
+    exact operator; use MinHash banding for web-scale approximate dedup).
+    The persisted shingle stage is attached to the result
+    (``functions.caching.release_stages`` frees it once consumed)."""
+    from csvtool_spark.functions.caching import attach_stages
+
     toks = tokens(normalized(F.col(text_col)))
     # persisted: three consumers (sizes + both sides of the shingle
     # equi-join) would otherwise re-shingle the corpus.
@@ -431,7 +443,7 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     union = (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
-    return (
+    return attach_stages(
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .select(
@@ -441,7 +453,8 @@ def ngram_jaccard_pairs(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        [base],
     )
 
 
@@ -904,8 +917,13 @@ def minhash_recall_eval(
     operator evaluates a ``sample_frac`` md5-coin sample (pure function
     of ``salt # id`` — reproducible, and the DuckDB oracle replays it):
     tune banding on the sample, run the tuned config on the corpus.
-    The sampled projection is persisted (the truth join and the banding
-    pipeline both read it) and attached for ``release_stages``.
+    Both counts come from ONE pass over the truth set (truth LEFT JOIN
+    candidates — the expensive exact-pair plan never evaluates twice),
+    and every persisted stage — the sampled projection plus the child
+    operators' shingle and banded stages — is attached to the result for
+    ``release_stages`` (the tuning loop calls this repeatedly on a
+    long-lived session; leaked corpus-sized caches are the round-4
+    ADVICE class).
     """
     from csvtool_spark.functions.caching import attach_stages
     from csvtool_spark.functions.hashing import md5_prefix_long
@@ -913,6 +931,12 @@ def minhash_recall_eval(
     if not 0.0 < sample_frac <= 1.0:
         raise ValueError(
             f"minhash_recall_eval: sample_frac must be in (0, 1], got {sample_frac}"
+        )
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_recall_eval: n_hashes ({n_hashes}) must be a positive "
+            f"multiple of bands ({bands}) — rows-per-band would be "
+            f"truncated and the engine/oracle pipelines would diverge"
         )
     rows = n_hashes // bands
     coin = md5_prefix_long(
@@ -924,7 +948,7 @@ def minhash_recall_eval(
 
     truth = ngram_jaccard_pairs(
         sample, text_col, id_col, threshold=threshold, k=shingle_k
-    ).select("id_a", "id_b")
+    )
     sigs = _minhash_signatures(
         sample, text_col, id_col, n_hashes, shingle_k, kernel, hash_family
     )
@@ -933,21 +957,54 @@ def minhash_recall_eval(
         _banded(sigs, id_col, "__sig", bands, rows, band_hash), id_col
     )
 
-    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    f = cand.join(truth, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_found")
+    hit = truth.select("id_a", "id_b").join(
+        cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
     )
     return attach_stages(
-        t.crossJoin(f).select(
-            F.col("n_true").cast("long").alias("n_true"),
-            F.col("n_found").cast("long").alias("n_found"),
+        hit.agg(
+            F.count(F.lit(1)).alias("__nt"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nf"),
+        ).select(
+            F.col("__nt").cast("long").alias("n_true"),
+            F.col("__nf").cast("long").alias("n_found"),
             F.when(
-                F.col("n_true") > 0,
-                F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+                F.col("__nt") > 0,
+                F.col("__nf").cast("double") / F.col("__nt").cast("double"),
             ).alias("recall"),
         ),
-        [sample],
+        [sample]
+        + getattr(truth, "_persisted_stages", [])
+        + getattr(cand, "_persisted_stages", []),
     )
+
+
+def shingle_cte_sql(
+    table: str = "documents",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The shared DuckDB ``toks``+``sh`` CTE pair (tokenize → distinct
+    k-word shingles, short docs one whole-text shingle) — the SQL twin of
+    ``word_shingles``; consumed by the q_dedup_ngram / q_dedup_minhash_det
+    / cross-dedup / recall-eval oracles so there is ONE definition.
+
+    ``WHERE t IS NOT NULL`` mirrors ``word_shingles``' null guard: a
+    null-text doc produces NO shingle rows (and so no pairs) in either
+    engine — without it, md5 over the ``[NULL]`` placeholder shingle
+    raises ``CAST('0x' AS BIGINT)`` errors downstream where the Spark
+    side just emits no pairs."""
+    return f"""
+    toks AS (SELECT {id_col} AS doc_id, string_split(lower(trim({text_col})), ' ') AS t
+             FROM {table}),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {int(k)} THEN
+               list_distinct(list_transform(range(0, len(t) - {int(k) - 1}),
+                 i -> array_to_string(t[i+1:i+{int(k)}], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks WHERE t IS NOT NULL
+    )"""
 
 
 def minhash_recall_oracle_sql(
@@ -955,14 +1012,21 @@ def minhash_recall_oracle_sql(
     sample_frac: float = 0.5,
     n_hashes: int = 32,
     bands: int = 8,
+    shingle_k: int = 3,
     salt: str = "mre",
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of ``minhash_recall_eval`` (md5 lane only): the same
-    coin sample, the q_dedup_minhash_det signature/band/verify pipeline
-    over the sample, and an all-pairs exact token-Jaccard truth set."""
+    coin sample, the q_dedup_minhash_det signature/band pipeline over the
+    sample, and an all-pairs exact SHINGLE-Jaccard truth set (the
+    similarity the banding s-curve is stated over)."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_recall_oracle_sql: n_hashes ({n_hashes}) must be a "
+            f"positive multiple of bands ({bands})"
+        )
     rows = n_hashes // bands
     thr = int(sample_frac * 4294967296)
     salt_sql = salt.replace("'", "''")
@@ -976,16 +1040,7 @@ def minhash_recall_oracle_sql(
       WHERE CAST(concat('0x', substr(md5('{salt_sql}#' ||
               CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) < {thr}
     ),
-    toks AS (SELECT {id_col} AS doc_id, string_split(lower(trim({text_col})), ' ') AS t
-             FROM smp),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3 THEN
-               list_distinct(list_transform(range(0, len(t) - 2),
-                 i -> array_to_string(t[i+1:i+3], ' ')))
-             ELSE [array_to_string(t, ' ')] END AS sh
-      FROM toks
-    ),
+    {shingle_cte_sql("smp", shingle_k, text_col, id_col)},
     hs AS (
       SELECT doc_id,
              list_transform(sh, s -> {{

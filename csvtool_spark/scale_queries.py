@@ -193,22 +193,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shingle CTE shared with q_dedup_ngram (same tokenization / k=3 / distinct).
-# Parameterized by table so cross_dedup_oracle_sql can retarget it without
-# string surgery on the constant (a .replace() would silently no-op if the
-# formatting ever changed).
+# Shingle CTE shared with q_dedup_ngram / q_dedup_minhash_det /
+# cross_dedup / q_minhash_recall (same tokenization / distinct). The
+# builder lives in operators.dedup (shingle_cte_sql) so every oracle
+# consumes ONE definition — copied SQL drifts silently (a .replace()
+# would no-op if the formatting ever changed).
 def _shingle_cte(table: str = "documents") -> str:
-    return f"""
-    toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-             FROM {table}),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3 THEN
-               list_distinct(list_transform(range(0, len(t) - 2),
-                 i -> array_to_string(t[i+1:i+3], ' ')))
-             ELSE [array_to_string(t, ' ')] END AS sh
-      FROM toks
-    )"""
+    return dedup.shingle_cte_sql(table)
 
 
 _SHINGLE_CTE = _shingle_cte()
@@ -2453,9 +2444,10 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered=False,  # shadow: driver window full; locally gated
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall of the 8×4 MinHash banding vs exact token-Jaccard ground
-    truth on a deterministic half-corpus sample — the banding tuning
-    eval (dedup twin of q_ann_recall). dedup.minhash_recall_eval."""
+    """recall of the 8×4 MinHash banding vs exact SHINGLE-Jaccard ground
+    truth (the similarity the s-curve is stated over) on a deterministic
+    half-corpus sample — the banding tuning eval (dedup twin of
+    q_ann_recall). dedup.minhash_recall_eval."""
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_recall_eval(
         d, "text", "doc_id", threshold=0.4, sample_frac=0.5,

@@ -78,11 +78,27 @@ def test_sample_reservoir_is_take_ordered(eng):
 
 def test_sample_applies_to_base_before_join(eng):
     # 'from a sample N join b' samples the BASE file's scan rows first,
-    # then joins — the joined row count is bounded by the N base rows
+    # then joins. The expectation is computed INDEPENDENTLY from the
+    # documented coin — md5('smp#' || scan_index), 3 smallest (coin, i) —
+    # so a regression that moved the sample after the join (whose row
+    # numbering differs) would fail, not just change counts.
+    import hashlib
+
+    lines = [
+        ln.split(",")
+        for ln in open("/root/repo/tests/data/cities.csv").read().strip().splitlines()
+    ]
+    coins = sorted(
+        (int(hashlib.md5(f"smp#{i}".encode()).hexdigest()[:8], 16), i)
+        for i in range(len(lines))
+    )
+    expected_base = {lines[i][0] for _, i in coins[:3]}
+
     q = (
         "nh select c.c1 r.c2 from '/root/repo/tests/data/cities.csv' c "
         "sample 3 join '/root/repo/tests/data/regions.csv' r on c.c3 = r.c1"
     )
     a = [tuple(r) for r in eng.sql(q).collect()]
     b = [tuple(r) for r in eng.sql(q).collect()]
-    assert sorted(a) == sorted(b) and 0 < len(a) <= 3
+    assert sorted(a) == sorted(b)
+    assert {c1 for c1, _ in a} == expected_base  # all 3 sampled rows join
