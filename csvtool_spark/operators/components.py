@@ -223,3 +223,40 @@ def cluster_size_stats(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split coin is tossed on
+    the near-dup CLUSTER id, not the row id, so every member of a
+    duplicate cluster lands on the same side — the split-time complement
+    of ``split_leakage`` (which only *audits* a row-keyed split after the
+    fact). Without this, a train/test split of a deduplicated-but-not-
+    clustered corpus leaks near-copies of eval documents into training
+    (the contamination mechanism Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", measure).
+
+    Returns ``(id, component, cluster_size, split)``. The coin is the
+    repo's deterministic md5 bucket (``sampling.split_label``) applied to
+    ``component`` — reproducible on any engine, and stable under corpus
+    growth for unchanged clusters. Fractions hold over CLUSTERS, not
+    rows; a mega-cluster drags its whole mass to one side (by design —
+    that is what leakage-safety means).
+
+    Scale shape: ``dedup_clusters``' O(log n) closure + one pure
+    projection — the coin is a column expression, no extra shuffle."""
+    from csvtool_spark.operators.sampling import split_label
+
+    cl = dedup_clusters(df, pairs, id_col, id_a=id_a, id_b=id_b)
+    return cl.select(
+        id_col,
+        "component",
+        "cluster_size",
+        split_label(F.col("component"), fractions).alias("split"),
+    )

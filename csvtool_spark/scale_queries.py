@@ -428,6 +428,36 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.cluster_size_stats(d, pairs, "doc_id")
 
 
+@register(
+    "q_cluster_split",
+    # the q_hash_split md5-bucket coin, tossed on the CLUSTER id from the
+    # recursive-closure oracle — both engines derive the same component
+    # (min reachable id), so split assignment is bit-identical
+    f"""
+    SELECT doc_id, component, cluster_size,
+           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                WHEN b < 10000 THEN 'test' END AS split
+    FROM (SELECT doc_id, component, cluster_size,
+                 CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b
+          FROM ({_DEDUP_CLUSTERS_SQL}) base)
+    """,
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 coin is tossed on the
+    near-dup CLUSTER id, so no duplicate cluster straddles train/test —
+    the split-time complement of the q_split_leakage audit.
+    components.cluster_safe_split."""
+    from csvtool_spark.operators import components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    return components.cluster_safe_split(
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 _EMB_DIM = 64  # driver testdata embedding width (TESTDATA.md tables)
 
 

@@ -168,3 +168,48 @@ def test_cluster_size_stats_all_singletons(spark):
     rows = components.cluster_size_stats(d, empty, "doc_id").collect()
     assert len(rows) == 1
     assert (rows[0]["cluster_size"], rows[0]["n_clusters"], rows[0]["n_docs"]) == (1, 10, 10)
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    # two multi-doc clusters + singletons: every component must map to
+    # exactly ONE split label, and the label must equal the md5 coin of
+    # the component id (recomputed independently here).
+    import hashlib
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 7)], "id_a long, id_b long"
+    )
+    out = components.cluster_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 12
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # cluster {1,5,9} -> component 1; {2,7} -> component 2
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    assert comp_of[9] == 1 and comp_of[7] == 2
+
+    def coin(k: int) -> str:
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10_000
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    for r in out:
+        assert r["split"] == coin(r["component"]), r
+
+
+def test_cluster_safe_split_fraction_sanity(spark):
+    # singletons only: split counts over 400 clusters should land near
+    # the 80/10/10 target (md5 buckets are uniform; wide tolerance).
+    docs = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = components.cluster_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert 270 <= counts["train"] <= 370
+    assert 15 <= counts.get("val", 0) <= 85
+    assert 15 <= counts.get("test", 0) <= 85
