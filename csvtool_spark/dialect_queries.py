@@ -213,8 +213,7 @@ dialect(
     SELECT o_orderkey, o_totalprice FROM numbered
     WHERE {_SMP_COIN} < 858993459 AND o_totalprice > 100000
     """,
-    # shadow: driver window full; locally gated
-    registered=False,
+    # driver window (r7 swap: q_profile_drift -> shadow)
 )
 
 dialect(

@@ -184,6 +184,8 @@ def q_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_type ILIKE '%con%' AND p_brand NOT IN ('Brand#1', 'Brand#2')
       AND p_partkey NOT IN (1, 2, 3)
     """,
+    registered=False,  # shadow (r7 swap: slot given to q_minhash_recall);
+    # LIKE/IN stay oracle-gated here and via q_dialect_predicates
 )
 def q_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reference LIKE → case-insensitive anchored regex (parser.go:672-680);
@@ -206,6 +208,9 @@ def q_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE v IS NULL
     """,
+    registered=False,  # shadow (r7 swap: slot given to q_nb_calibration);
+    # null-safe '=' stays driver-evidenced via q_dialect_filter's
+    # IS NOT DISTINCT FROM row
 )
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dialect `where c = null` is the idiomatic null test (value.go:282-287);

@@ -415,7 +415,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_DEDUP_CLUSTERS_SQL}) base
     GROUP BY cluster_size
     """,
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r7 swap: q_bloom_join -> shadow)
 )
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup graph (singletons included)
@@ -604,7 +604,7 @@ def _ann_recall_oracle(n_q: int = 4, k: int = 10) -> str:
 @register(
     "q_ann_recall",
     _ann_recall_oracle(),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r7 swap: q_cms_estimate -> shadow)
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the SRP-LSH probe vs exact brute force for the first
@@ -1198,6 +1198,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1995-01-01'
     GROUP BY o.o_orderpriority
     """,
+    registered=False,  # shadow (r7 swap: slot given to q_dedup_cluster_stats);
+    # the contamination/Bloom row keeps q_contamination in the window
 )
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
@@ -1225,6 +1227,8 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cms_estimate",
     sketches.cms_oracle_sql("events", "user_id", "user_id % 7 = 0"),
+    registered=False,  # shadow (r7 swap: slot given to q_ann_recall);
+    # sketch family stays oracle-gated here and via q_distinct_sketch
 )
 def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -2382,7 +2386,8 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats.winsorize_oracle_sql(
         "n_chars", ["lang"], 0.1, 0.9, "documents", ["doc_id", "lang", "n_chars"]
     ),
-    # driver window (r6 swap: q_heavy_hitters -> shadow)
+    registered=False,  # shadow (r7 swap: slot given to q_cluster_sample);
+    # the stats row keeps q_group_quantiles in the window
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language winsorized document lengths ([p10, p90] clamp):
@@ -2403,7 +2408,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT * FROM orders WHERE o_orderkey % 3 <> 0)",
         ["o_orderkey", "o_custkey", "o_orderpriority"],
     ),
-    # driver window (r6 swap: q_ann_lsh -> shadow)
+    registered=False,  # shadow (r7 swap: slot given to q_dialect_sample);
+    # profiling stays driver-evidenced via q_dataset_report
 )
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract drift between two snapshots (here: full orders vs a
@@ -2456,7 +2462,7 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify.nb_calibration_oracle_sql(
         ["de", "en", "es", "fr", "zh"], vocab_size=2000, n_buckets=8
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r7 swap: q_null_semantics -> shadow)
 )
 def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-bucketed accuracy of the NB language classifier — the
@@ -2471,7 +2477,7 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_recall",
     dedup.minhash_recall_oracle_sql(threshold=0.4, sample_frac=0.5),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r7 swap: q_like_in -> shadow)
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall of the 8×4 MinHash banding vs exact SHINGLE-Jaccard ground
@@ -2508,7 +2514,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cluster_sample",
     clustering.cluster_balanced_oracle_sql(k=8, per_cluster=10, iters=2),
-    registered=False,  # shadow: driver window full; locally gated
+    # driver window (r7 swap: q_winsorize -> shadow)
 )
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced curation sample: ≤10 vectors per k-means cluster,

@@ -115,7 +115,7 @@ def test_bloom_probe_filter_precedes_exchange(spark):
     from csvtool_spark import queries as catalog
     from tests.conftest import SF_SMALL
 
-    df = catalog.QUERIES["q_bloom_join"](spark, SF_SMALL)
+    df = catalog.SHADOW_QUERIES["q_bloom_join"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     # the bitmap attaches via a 1-row broadcast nested loop (free), and the
