@@ -27,6 +27,22 @@ direction vector); the final assignment is a pure projection fused into
 the scan — no join, no shuffle of the vector table body beyond the
 per-iteration partial-aggregated centroid sums.
 
+Two assignment lanes (the ``minhash_signature_arrow`` precedent,
+dedup.py:127-174 — Spark evaluates higher-order-function lambdas on the
+interpreted path, so the k×dim fold per row is the constant factor that
+matters at corpus scale):
+
+- ``kernel='arrow'`` (default): one numpy kernel per Arrow batch —
+  exact int64 distances via vectorized ``(Q-C)²`` with a sliced
+  row×k×dim transient, and per-BATCH partial (count, Σq_d) sums during
+  the fit so each Lloyd round shuffles k rows per batch instead of the
+  vector body. Bit-identical to the Column lane (int64 adds/multiplies
+  wrap identically; quantization reproduces Spark ``F.round`` exactly —
+  see ``_half_away_np``), differential-tested per round.
+- ``kernel='column'``: the pure Column-tree fold — the lane the DuckDB
+  oracle SQL mirrors term-for-term, kept as the oracle twin and for
+  plans that must stay UDF-free.
+
 int64 envelope (validated, not assumed): with ``|x| ≤ X`` a component is
 ``≤ X·scale`` so a squared distance is ``≤ dim·(2·X·scale)²`` (4e10 for
 X=1, scale=1e4, dim=64 — safe), and a per-(cluster, dim) sum is
@@ -78,6 +94,173 @@ def _assign(qv, centroids: list[list[int]]):
     return best["j"], best["d"]
 
 
+def _half_away_np(y):
+    """Exact round-half-away-from-zero of a float64 ndarray → int64,
+    reproducing Spark ``F.round(x, 0)`` (BigDecimal HALF_UP over the
+    double's shortest decimal representation) and DuckDB ``round``
+    bit-for-bit. The naive ``floor(|y| + 0.5)`` form is NOT exact in
+    floating point (``|y| + 0.5`` can round UP across the half grid —
+    e.g. the largest double below 0.5 rounds to 1 under it, to 0 under
+    real rounding); instead compare the EXACT fractional part:
+    ``y - floor(y)`` / ``ceil(y) - y`` are exact by Sterbenz' lemma
+    (operands within a factor of 2, or |y| < 1 where floor/ceil is 0).
+
+    Driver-side twin of the identical code inlined in the Arrow
+    closures below (kept self-contained there so vanilla sessions can
+    unpickle without this package importable — the
+    ``minhash_signature_arrow`` contract); the fit lane differential
+    test pins the two copies together."""
+    import numpy as np
+
+    fl = np.floor(y)
+    up = np.ceil(y)
+    pos = fl + (y - fl >= 0.5)
+    neg = up - (up - y >= 0.5)
+    return np.where(y >= 0, pos, neg).astype(np.int64)
+
+
+#: peak bytes for the per-slice (rows × k × dim) int64 distance transient
+#: inside the Arrow kernels — row batches are processed in slices so a
+#: large Arrow batch cannot allocate a multi-GB intermediate (10k rows ×
+#: k=64 × dim=64 × 8 B ≈ 330 MB unsliced).
+_DIST_BUDGET = 64 << 20
+
+
+def _arrow_assign_fn(cents: list[list[int]], scale: int, vec_name: str,
+                     id_name: str, extras: list[str]):
+    """mapInPandas closure for the Arrow assignment lane: quantize +
+    nearest-centroid per batch as one numpy kernel. Null vector → null
+    (cluster, dist2); ragged/non-finite vectors RAISE (the fit's
+    validation pass excludes them — matching the Column lane's behavior
+    on the validated envelope, where the two lanes are differential-
+    tested bit-identical: int64 adds/multiplies wrap identically and
+    ``argmin`` first-occurrence ties == the struct-min lowest-j rule).
+
+    Self-contained (imports + half-away inline) so a vanilla driver
+    session can unpickle it on workers without this package importable —
+    the ``minhash_signature_arrow`` contract; the inline ``half_away``
+    must stay identical to ``_half_away_np`` (fit-lane differential
+    test pins the copies together)."""
+    budget = _DIST_BUDGET
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.int64)
+        k, dim = C.shape
+        step = max(1, budget // (k * dim * 8))
+
+        def half_away(y):
+            fl = np.floor(y)
+            up = np.ceil(y)
+            return np.where(
+                y >= 0, fl + (y - fl >= 0.5), up - (up - y >= 0.5)
+            ).astype(np.int64)
+
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[[id_name, *extras]].copy()
+            vec = pdf[vec_name]
+            mask = np.fromiter((v is not None for v in vec), dtype=bool, count=n)
+            cl = np.zeros(n, dtype=np.int64)
+            d2 = np.zeros(n, dtype=np.int64)
+            idx = np.flatnonzero(mask)
+            if idx.size:
+                try:
+                    V = np.stack(
+                        [np.asarray(vec.iat[int(i)], dtype=np.float64) for i in idx]
+                    )
+                except (ValueError, TypeError) as e:
+                    raise ValueError(
+                        "kmeans assignment: ragged or null-element embedding "
+                        "— impute or drop those rows first"
+                    ) from e
+                if V.shape[1] != dim:
+                    raise ValueError(
+                        f"kmeans assignment: embedding dim {V.shape[1]} != "
+                        f"centroid dim {dim}"
+                    )
+                if not np.isfinite(V).all():
+                    raise ValueError(
+                        "kmeans assignment: non-finite embedding value — "
+                        "int64 quantization is undefined for NaN/Infinity"
+                    )
+                Q = half_away(V * scale)
+                for s in range(0, len(Q), step):
+                    q = Q[s : s + step]
+                    diff = q[:, None, :] - C[None, :, :]
+                    dist = (diff * diff).sum(axis=2)
+                    best = dist.argmin(axis=1)
+                    cl[idx[s : s + step]] = best
+                    d2[idx[s : s + step]] = dist[np.arange(len(q)), best]
+            out["cluster"] = pd.arrays.IntegerArray(cl, mask=~mask)
+            out["dist2"] = pd.arrays.IntegerArray(d2, mask=~mask)
+            yield out
+
+    return fn
+
+
+def _arrow_partial_sums_fn(cents: list[list[int]], scale: int, vec_name: str):
+    """mapInPandas closure for one Arrow-lane Lloyd round: assign each
+    batch's vectors, then emit the PER-BATCH partial aggregate — one
+    ``(__c, n, Σq_d)`` row per non-empty cluster — so the shuffle after
+    it carries k rows per batch instead of the vector body (numpy-side
+    map-combine; Spark's final ``SUM`` over int64 partials is exact and
+    order-independent, so the total equals the Column lane's direct
+    ``SUM`` bit-for-bit). Upstream filters null vectors; same validated
+    envelope + self-containment contract as ``_arrow_assign_fn``."""
+    budget = _DIST_BUDGET
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.int64)
+        k, dim = C.shape
+        step = max(1, budget // (k * dim * 8))
+
+        def half_away(y):
+            fl = np.floor(y)
+            up = np.ceil(y)
+            return np.where(
+                y >= 0, fl + (y - fl >= 0.5), up - (up - y >= 0.5)
+            ).astype(np.int64)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            try:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_name]]
+                )
+            except (ValueError, TypeError) as e:
+                raise ValueError(
+                    "kmeans fit: ragged or null-element embedding"
+                ) from e
+            if V.shape[1] != dim or not np.isfinite(V).all():
+                raise ValueError("kmeans fit: invalid embedding batch")
+            Q = half_away(V * scale)
+            best = np.empty(len(Q), dtype=np.int64)
+            for s in range(0, len(Q), step):
+                q = Q[s : s + step]
+                diff = q[:, None, :] - C[None, :, :]
+                best[s : s + step] = (diff * diff).sum(axis=2).argmin(axis=1)
+            counts = np.bincount(best, minlength=k)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, best, Q)
+            js = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "__c": js.astype(np.int64),
+                    "n": counts[js].astype(np.int64),
+                    "s": [sums[j].tolist() for j in js],
+                }
+            )
+
+    return fn
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -85,12 +268,19 @@ def kmeans_fit(
     k: int = 8,
     scale: int = 10_000,
     iters: int = 2,
+    kernel: str = "arrow",
 ) -> list[list[int]]:
     """Run ``iters`` fixed-point Lloyd rounds; returns the k×dim integer
     centroid table (bounded driver artifact).  Null vectors are excluded
-    from the fit (they get cluster/dist2 null at assignment)."""
+    from the fit (they get cluster/dist2 null at assignment).
+
+    ``kernel='arrow'`` (default) runs each round as mapInPandas batch
+    partial sums (see module doc); ``kernel='column'`` is the pure
+    Column-tree oracle twin. Bit-identical (differential-tested)."""
     if k < 1 or iters < 0:
         raise ValueError(f"kmeans_fit: need k >= 1 and iters >= 0, got {k=}, {iters=}")
+    if kernel not in ("arrow", "column"):
+        raise ValueError(f"kmeans_fit: unknown kernel {kernel!r}")
     vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), _quantized(vec_col, scale).alias("__qv")
     )
@@ -143,6 +333,57 @@ def kmeans_fit(
             "envelope (2^63) — lower scale"
         )
 
+    if kernel == "arrow":
+        import numpy as np
+
+        # raw vectors persist for the fit's lifetime (seed pass + every
+        # Lloyd round; same release discipline as the column lane below);
+        # quantization happens inside the batch kernel, and the seed
+        # centroids take the identical driver-side path (_half_away_np).
+        raw = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+            .persist()
+        )
+        try:
+            seed_rows = raw.orderBy("__id").limit(k).collect()
+            centroids = [
+                _half_away_np(
+                    np.asarray(list(r["__v"]), dtype=np.float64) * scale
+                ).tolist()
+                for r in seed_rows
+            ]
+            dim = len(centroids[0])
+            for _ in range(iters):
+                part = raw.select("__v").mapInPandas(
+                    _arrow_partial_sums_fn(centroids, scale, "__v"),
+                    schema="__c long, n long, s array<long>",
+                )
+                sums = (
+                    part.groupBy("__c")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        *[
+                            F.sum(F.element_at("s", d + 1)).alias(f"s_{d}")
+                            for d in range(dim)
+                        ],
+                    )
+                    .collect()
+                )
+                by_c = {int(r["__c"]): r for r in sums}
+                centroids = [
+                    [
+                        half_away(float(by_c[j][f"s_{d}"]) / by_c[j]["n"])
+                        for d in range(dim)
+                    ]
+                    if j in by_c
+                    else centroids[j]
+                    for j in range(k)
+                ]
+            return centroids
+        finally:
+            raw.unpersist()
+
     # the quantized projection feeds the seed pass AND every Lloyd round —
     # persist for the fit's lifetime so the scan + quantize run once, and
     # ALWAYS release before returning (fit output is a driver-side list;
@@ -192,9 +433,35 @@ def kmeans_assign(
     centroids: list[list[int]],
     scale: int = 10_000,
     extra_cols: tuple[str, ...] = (),
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Final assignment pass: (id, *extra, cluster, dist2) — a pure
-    projection over the scan (centroid literals ride the task closure)."""
+    """Final assignment pass: (id, *extra, cluster, dist2) — map-only
+    over the scan either way (centroid literals ride the task closure /
+    the pickled kernel): ``kernel='arrow'`` (default) is the vectorized
+    numpy batch kernel, ``kernel='column'`` the Column-tree oracle twin
+    (k interpreted HOF folds per row — correct plan shape, ~k× the
+    constant factor). Bit-identical outputs, differential-tested."""
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        cents = [[int(c) for c in row] for row in centroids]
+        if not cents or len({len(c) for c in cents}) != 1:
+            raise ValueError("kmeans_assign: empty or ragged centroid table")
+        fields = {f.name: f for f in df.schema.fields}
+        out_schema = T.StructType(
+            [fields[id_col]]
+            + [fields[c] for c in extra_cols]
+            + [
+                T.StructField("cluster", T.LongType()),
+                T.StructField("dist2", T.LongType()),
+            ]
+        )
+        return df.select(id_col, *extra_cols, vec_col).mapInPandas(
+            _arrow_assign_fn(cents, int(scale), vec_col, id_col, list(extra_cols)),
+            schema=out_schema,
+        )
+    if kernel != "column":
+        raise ValueError(f"kmeans_assign: unknown kernel {kernel!r}")
     qv = _quantized(vec_col, scale)
     cl, d2 = _assign(qv, centroids)
     return df.select(
@@ -213,10 +480,13 @@ def kmeans(
     scale: int = 10_000,
     iters: int = 2,
     extra_cols: tuple[str, ...] = (),
+    kernel: str = "arrow",
 ) -> DataFrame:
     """fit + assign in one call (the catalog entry)."""
-    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters)
-    return kmeans_assign(df, vec_col, id_col, cents, scale=scale, extra_cols=extra_cols)
+    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters,
+                       kernel=kernel)
+    return kmeans_assign(df, vec_col, id_col, cents, scale=scale,
+                         extra_cols=extra_cols, kernel=kernel)
 
 
 def kmeans_oracle_sql(
@@ -302,6 +572,7 @@ def cluster_balanced_sample(
     scale: int = 10_000,
     iters: int = 2,
     salt: str = "cb",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Cluster-balanced corpus sampling: fit k-means, then keep a
     deterministic md5-coin sample of ``per_cluster`` vectors from EACH
@@ -326,10 +597,11 @@ def cluster_balanced_sample(
 
     from csvtool_spark.functions.hashing import md5_prefix_long
 
-    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters)
-    assigned = kmeans_assign(df, vec_col, id_col, cents, scale=scale).filter(
-        F.col("cluster").isNotNull()
-    )
+    cents = kmeans_fit(df, vec_col, id_col, k=k, scale=scale, iters=iters,
+                       kernel=kernel)
+    assigned = kmeans_assign(
+        df, vec_col, id_col, cents, scale=scale, kernel=kernel
+    ).filter(F.col("cluster").isNotNull())
     coin = md5_prefix_long(
         F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
     )

@@ -136,16 +136,97 @@ def test_kmeans_distance_envelope_enforced(spark):
 
 
 def test_kmeans_assignment_is_map_only(spark):
-    # the full-corpus pass must be a fused projection: no join, no
-    # shuffle, no Python eval — centroid literals ride the closure
+    # the full-corpus pass must be map-only in BOTH lanes: no join, no
+    # shuffle — centroids ride the closure. The default (arrow) lane is
+    # the vectorized batch kernel (MapInPandas, never per-row Python
+    # eval); the column lane is the UDF-free oracle twin.
     e = _emb(spark)
     cents = kmeans_fit(e, "embedding", "vec_id", k=4, iters=1)
-    plan = (
+    arrow = (
         kmeans_assign(e, "embedding", "vec_id", cents)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan and "Join" not in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in arrow and "Join" not in arrow
+    assert "MapInPandas" in arrow
+    assert "ArrowEvalPython" not in arrow and "BatchEvalPython" not in arrow
+    column = (
+        kmeans_assign(e, "embedding", "vec_id", cents, kernel="column")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in column and "Join" not in column
+    for pynode in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert pynode not in column
+
+
+def test_kmeans_lane_differential(spark):
+    """Arrow batch kernel ≡ Column fold, bit-for-bit: fit centroids and
+    full assignment on the corpus plus a signed random frame with null
+    vectors (the minhash Arrow-twin contract)."""
+    import random
+
+    e = _emb(spark)
+    ca = kmeans_fit(e, "embedding", "vec_id", k=6, iters=2, kernel="arrow")
+    cc = kmeans_fit(e, "embedding", "vec_id", k=6, iters=2, kernel="column")
+    assert ca == cc
+    aa = kmeans_assign(e, "embedding", "vec_id", ca, extra_cols=("label",))
+    ac = kmeans_assign(e, "embedding", "vec_id", cc, extra_cols=("label",),
+                       kernel="column")
+    assert sorted(map(tuple, aa.collect())) == sorted(map(tuple, ac.collect()))
+
+    rng = random.Random(23)
+    rows = [
+        (i, None if i % 17 == 0 else [rng.uniform(-3, 3) for _ in range(5)])
+        for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fa = kmeans_fit(d, "embedding", "vec_id", k=7, iters=3, kernel="arrow")
+    fc = kmeans_fit(d, "embedding", "vec_id", k=7, iters=3, kernel="column")
+    assert fa == fc
+    ra = kmeans_assign(d, "embedding", "vec_id", fa).collect()
+    rc = kmeans_assign(d, "embedding", "vec_id", fc, kernel="column").collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rc))
+
+
+def test_kmeans_arrow_tie_breaks_to_lowest_cluster(spark):
+    # a point exactly equidistant from two centroids must take the lower
+    # cluster id in both lanes (argmin first-occurrence == struct-min)
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[0, 0], [20000, 0]]  # quantized grid: point lands at 10000
+    for kern in ("arrow", "column"):
+        r = kmeans_assign(d, "embedding", "vec_id", cents, kernel=kern).collect()
+        assert r[0]["cluster"] == 0 and r[0]["dist2"] == 10000**2
+
+
+def test_half_away_np_matches_spark_round(spark):
+    """The Arrow lane's quantization must reproduce Spark F.round(x, 0)
+    exactly — including the half-grid edge where the naive
+    floor(|x|+0.5) form diverges (largest double below 0.5 rounds UP
+    under it because |x|+0.5 rounds to 1.0 in floating point)."""
+    import numpy as np
+
+    from csvtool_spark.operators.clustering import _half_away_np
+
+    below_half = float(np.nextafter(0.5, 0.0))
+    vals = [
+        0.0, 0.5, -0.5, 1.5, 2.5, -2.5, 0.4999, -0.4999,
+        below_half, -below_half, 1.0 + below_half, 123.456, -123.456,
+        1e9 + 0.5, -(1e9 + 0.5), 3.0000000000000004, 1e15 + 0.4,
+    ]
+    d = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["r"]
+        for r in d.select(F.round("x", 0).cast("long").alias("r"))
+        .collect()
+    ]
+    want = _half_away_np(np.array(vals, dtype=np.float64)).tolist()
+    assert got == want
+    # and the naive form really is wrong on the edge case (guard against
+    # "simplifying" the kernel back to floor(|x|+0.5))
+    import math
+
+    assert math.floor(below_half + 0.5) == 1 and want[vals.index(below_half)] == 0
 
 
 def test_cluster_balanced_sample_caps_and_determinism(spark):
