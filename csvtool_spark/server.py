@@ -129,7 +129,23 @@ class QueryJob:
                 return
 
 
-def query_response(engine, text: str, runner=None, password: str | None = None) -> dict:
+def check_save_path(path: str) -> str:
+    """Behavior twin of the reference's ``pathChecker`` (files.go:158-178):
+    expand ``~``, require an existing target directory (a bare directory
+    path is invalid — a file name is required), and append ``.csv`` when
+    the name has no extension. Raises ValueError on a bad path."""
+    p = os.path.expanduser(path)
+    if os.path.isdir(p):
+        raise ValueError(f"Invalid path: {path} (directory, need a file name)")
+    if not os.path.isdir(os.path.dirname(os.path.abspath(p))):
+        raise ValueError(f"Invalid path: {path}")
+    if not os.path.splitext(p)[1]:
+        p += ".csv"
+    return p
+
+
+def query_response(engine, text: str, runner=None, password: str | None = None,
+                   save_path: str | None = None) -> dict:
     """Run ``text`` and build the ReturnData dict (pure function — the
     HTTP handler is a thin wrapper, so this is directly testable).
     ``runner``: optional callable wrapping each collect (the server passes
@@ -143,7 +159,17 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
     prompts and re-POSTs with ``"password"``, installed as a
     THREAD-LOCAL provider for this request only (never stored, never
     global — a concurrent password-less query on another handler thread
-    must keep raising PasswordRequired, not borrow this secret)."""
+    must keep raising PasswordRequired, not borrow this secret).
+
+    ``save_path``: the GUI save flow (reference: the query request
+    carries FileIO|F_CSV + SavePath, server.go:126-130 + main.go:124-131;
+    the GUI re-runs the page's statements with the picked path,
+    help.js:15). Each statement's FULL result is written as one csv
+    file — multi-statement pages get ``-N`` suffixes before the
+    extension, the ``engine.save_csv`` contract (files.go:85-156) — and
+    the success message becomes ``Saved to <path>``. Display entries are
+    still returned (the reference streams rows to the GUI and the saver
+    in the same pass)."""
     from csvtool_spark.engine import _dialect_type
 
     ret: dict = {
@@ -158,12 +184,22 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
 
         try:
             set_thread_password_provider(lambda _fn: password)
-            return query_response(engine, text, runner=runner)
+            return query_response(engine, text, runner=runner, save_path=save_path)
         finally:
             set_thread_password_provider(None)
     try:
+        from csvtool_spark.engine import write_single_csv
+
         stmts = [s for s in text.split(";") if s.strip()]
-        for stmt in stmts:
+        out_paths: list[str | None] = [None] * len(stmts)
+        if save_path:
+            base = check_save_path(save_path)
+            stem, ext = os.path.splitext(base)
+            out_paths = [
+                base if len(stmts) == 1 else f"{stem}-{i + 1}{ext}"
+                for i in range(len(stmts))
+            ]
+        for stmt, out_path in zip(stmts, out_paths):
             df = engine.sql(stmt)
             numcols = len(df.columns)
             show_limit = max(1, SHOW_CAP // max(1, numcols))
@@ -173,6 +209,14 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
             if clipped:
                 rows = rows[:show_limit]
                 ret["clipped"] = True
+            if out_path is not None:
+                # full (unclipped) result to disk, under the job's run
+                # wrapper so the write is cancellable like the collects
+                write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
+                if runner is not None:
+                    runner(write)
+                else:
+                    write()
             ret["entries"].append(
                 {
                     "numrows": len(rows),
@@ -191,6 +235,10 @@ def query_response(engine, text: str, runner=None, password: str | None = None) 
         if ret["clipped"]:
             cap = max((e["showLimit"] for e in ret["entries"] if e["clipped"]), default=0)
             ret["message"] = f"Showing only top {cap}"
+        if save_path:
+            # server.go:130 — the save run reports the path, not the rows
+            ret["message"] = f"Saved to {save_path}"
+            ret["savedTo"] = [p for p in out_paths if p is not None]
     except PasswordRequired as e:
         # signal the UI to prompt and retry with {"password": ...}
         ret["status"] |= DAT_ERROR
@@ -265,6 +313,13 @@ class CsvToolServer:
         self.progress_interval = progress_interval
         self._jobs: dict[str, QueryJob] = {}
         self._jobs_lock = threading.Lock()
+        #: per-server GUI state echo (reference server.go:188-216): the
+        #: browser round-trips {haveInfo, history, openDirList,
+        #: saveDirList, ...} through setState/getState so a reloaded page
+        #: restores its query history and browse positions. Presentation
+        #: state only — never query semantics, never secrets.
+        self._state: dict = {}
+        self._state_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -293,9 +348,11 @@ class CsvToolServer:
                     text = req.get("query", "")
                     qid = req.get("id")
                     password = req.get("password")
+                    save_path = req.get("savePath") or None
                     if not qid:
                         self._send(
-                            query_response(outer.engine, text, password=password)
+                            query_response(outer.engine, text, password=password,
+                                           save_path=save_path)
                         )
                         return
                     from csvtool_spark.progress import ProgressReporter
@@ -311,7 +368,7 @@ class CsvToolServer:
                         ):
                             resp = query_response(
                                 outer.engine, text, runner=job.run,
-                                password=password,
+                                password=password, save_path=save_path,
                             )
                     finally:
                         job.finish()
@@ -353,7 +410,33 @@ class CsvToolServer:
                 info = (params.get("info") or [""])[0]
                 if info == "fileClick":
                     req = self._body()
-                    self._send(browse_dir(req.get("path", "."), req.get("mode", "open")))
+                    listing = browse_dir(req.get("path", "."), req.get("mode", "open"))
+                    # a browse click also updates the echoed state's dir
+                    # list for its mode (server.go:222-228)
+                    key = "saveDirList" if listing["mode"] == "save" else "openDirList"
+                    with outer._state_lock:
+                        outer._state[key] = listing
+                    self._send(listing)
+                elif info == "setState":
+                    # merge, don't replace: the reference unmarshals into
+                    # the LIVE struct, so absent fields keep their values
+                    req = self._body()
+                    with outer._state_lock:
+                        outer._state.update(req)
+                    self._send(None)  # the reference returns JSON null here
+                elif info == "getState":
+                    with outer._state_lock:
+                        st = dict(outer._state)
+                    st.setdefault("haveInfo", False)
+                    st.setdefault("history", [])
+                    # empty browse positions default to the server's cwd
+                    # (FPaths.OpenPath/SavePath defaults, main.go:55-61)
+                    for key in ("openDirList", "saveDirList"):
+                        d = dict(st.get(key) or {})
+                        if not d.get("path"):
+                            d["path"] = os.getcwd()
+                        st[key] = d
+                    self._send(st)
                 else:
                     self._send({})
 

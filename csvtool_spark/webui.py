@@ -16,7 +16,14 @@ there too; only the *surface* is mirrored:
 - password prompt for ``encrypt()``/``decrypt()`` (reference websocket
   SK_PASS push, server.go:40-60 + topbar.js:224-225): here the response
   carries ``needPassword: true``, the page prompts, and re-POSTs the
-  query with the password (request-scoped server-side, never stored).
+  query with the password (request-scoped server-side, never stored);
+- save flow (reference help.js:15, server.go:126-130): the save button
+  re-runs the page's statements with ``savePath`` set — every query on
+  the page is written to csv (``-N`` suffixes for multi-statement);
+- state echo (reference setState/getState, server.go:188-216 +
+  index.js:23-88): the query box and history round-trip through
+  ``/info?info=setState`` after each run and are restored from
+  ``getState`` on page load.
 """
 
 INDEX_HTML = """<!doctype html>
@@ -53,6 +60,7 @@ INDEX_HTML = """<!doctype html>
 <textarea id="q" placeholder="select * from 'file.csv' where ...;  (ctrl+enter runs)"></textarea>
 <br><button id="run">run</button>
 <button id="browse">browse</button>
+<button id="save">save</button>
 <button id="cancel" hidden>cancel</button>
 <span id="prog" style="opacity:.7; margin-left:.8rem;"></span>
 <div id="browser" hidden></div>
@@ -93,10 +101,12 @@ function render(data) {
 }
 
 let currentId = null;
+let queryHistory = [];
 
-async function postQuery(qid, password) {
+async function postQuery(qid, password, savePath) {
   const body = { query: $("q").value, id: qid };
   if (password !== undefined) body.password = password;
+  if (savePath) body.savePath = savePath;
   const r = await fetch("/query/", {
     method: "POST",
     headers: { "Content-Type": "application/json" },
@@ -107,7 +117,7 @@ async function postQuery(qid, password) {
 
 // one POST under a fresh job id with its own progress subscription —
 // currentId tracks the LIVE job so cancel always aborts the right one
-async function runJob(password) {
+async function runJob(password, savePath) {
   const qid = "q" + Date.now().toString(36) + Math.random().toString(36).slice(2, 8);
   currentId = qid;
   // live progress: one SSE event per active-stage tick, then `done`
@@ -118,26 +128,54 @@ async function runJob(password) {
   };
   es.addEventListener("done", () => es.close());
   try {
-    return await postQuery(qid, password);
+    return await postQuery(qid, password, savePath);
   } finally {
     es.close();
   }
 }
 
-async function run() {
+// state echo (reference index.js:58-64): after each successful run the
+// page posts its history + query box; a reload restores them (getState)
+async function pushState() {
+  await fetch("/info?info=setState", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({
+      haveInfo: true,
+      currentQuery: $("q").value,
+      history: queryHistory,
+    }),
+  });
+}
+
+async function restoreState() {
+  try {
+    const st = await (await fetch("/info?info=getState")).json();
+    if (st && st.haveInfo) {
+      queryHistory = st.history || [];
+      if (st.currentQuery && !$("q").value) $("q").value = st.currentQuery;
+    }
+  } catch (err) { /* state echo is garnish; never block the page */ }
+}
+
+async function run(savePath) {
   $("msg").textContent = "running\\u2026";
   $("msg").className = "";
   $("cancel").hidden = false;
   try {
-    let data = await runJob();
+    let data = await runJob(undefined, savePath);
     if (data.needPassword) {
       // reference: websocket SK_PASS push -> browser prompt -> resend
       // (topbar.js:224-225); here: prompt and re-POST with the password
       // as a NEW job (own id + progress stream, cancellable)
       const pw = window.prompt("password for encrypt()/decrypt():");
-      if (pw !== null) data = await runJob(pw);
+      if (pw !== null) data = await runJob(pw, savePath);
     }
     render(data);
+    if (!(data.status & 1)) {
+      queryHistory.push({ query: data.originalQuery });
+      pushState();
+    }
   } catch (err) {
     $("msg").textContent = String(err);
     $("msg").className = "err";
@@ -146,6 +184,14 @@ async function run() {
     $("cancel").hidden = true;
     $("prog").textContent = "";
   }
+}
+
+// save flow (reference help.js:15): re-run the page's statements with a
+// save path — every query on the page is written (-N suffixes when
+// there are several); no extension means .csv
+function saveRun() {
+  const p = window.prompt("save results to (path, .csv appended if bare):");
+  if (p) run(p);
 }
 
 async function cancelRun() {
@@ -213,12 +259,14 @@ function toggleBrowser() {
   browseTo(".");
 }
 
-$("run").addEventListener("click", run);
+$("run").addEventListener("click", () => run());
 $("browse").addEventListener("click", toggleBrowser);
+$("save").addEventListener("click", saveRun);
 $("cancel").addEventListener("click", cancelRun);
 $("q").addEventListener("keydown", (ev) => {
   if (ev.key === "Enter" && (ev.ctrlKey || ev.metaKey)) { ev.preventDefault(); run(); }
 });
+restoreState();
 </script>
 </body>
 </html>

@@ -401,3 +401,124 @@ def test_register_job_rejects_live_qid_reuse(spark):
     replacement = srv._register_job("dup")  # finished → reusable
     assert srv._get_job("dup") is replacement
     replacement.finish()
+
+
+# --- GUI save flow (reference server.go:126-130, files.go:85-178) ---------
+
+
+def test_save_flow_multi_statement_via_http(eng, tmp_path):
+    """POST /query with savePath writes every statement's FULL result to
+    csv (-N suffixes before the extension), returns 'Saved to ...', and
+    still ships display entries."""
+    import csv
+
+    out = tmp_path / "result.csv"
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query/",
+            data=json.dumps(
+                {
+                    "query": "select plate fine from" + V + "where fine > 100;"
+                             " select top 2 state from" + V,
+                    "savePath": str(out),
+                    "id": "save-job-1",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            ret = json.loads(resp.read())
+    finally:
+        srv.stop()
+    assert ret["status"] & DAT_GOOD
+    assert ret["message"] == f"Saved to {out}"
+    assert len(ret["entries"]) == 2  # display entries still returned
+    p1, p2 = tmp_path / "result-1.csv", tmp_path / "result-2.csv"
+    assert ret["savedTo"] == [str(p1), str(p2)]
+    with open(p1) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["plate", "fine"]
+    assert len(rows) - 1 == query_response(
+        eng, "select plate fine from" + V + "where fine > 100"
+    )["entries"][0]["numrows"]
+    with open(p2) as f:
+        rows2 = list(csv.reader(f))
+    assert rows2[0] == ["state"] and len(rows2) == 3
+
+
+def test_save_flow_bare_name_and_bad_path(eng, tmp_path):
+    # no extension -> .csv appended (files.go:173-178); missing parent
+    # dir / bare directory -> DAT_ERROR "Invalid path" (files.go:158-170)
+    ret = query_response(
+        eng, "select top 1 plate from" + V, save_path=str(tmp_path / "bare")
+    )
+    assert ret["status"] & DAT_GOOD
+    assert (tmp_path / "bare.csv").exists()
+
+    bad = query_response(
+        eng, "select top 1 plate from" + V,
+        save_path=str(tmp_path / "nosuchdir" / "x.csv"),
+    )
+    assert bad["status"] & DAT_ERROR and "Invalid path" in bad["message"]
+    isdir = query_response(eng, "select top 1 plate from" + V,
+                           save_path=str(tmp_path))
+    assert isdir["status"] & DAT_ERROR and "Invalid path" in isdir["message"]
+
+
+# --- GUI state echo (reference server.go:188-216) -------------------------
+
+
+def test_state_echo_roundtrip(eng, tmp_path):
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+
+    def info(q, body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/info?info={q}",
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+            method="POST" if body is not None else "GET",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    try:
+        # fresh server: defaults (no history, cwd browse positions)
+        st = info("getState")
+        assert st["haveInfo"] is False and st["history"] == []
+        assert st["openDirList"]["path"] and st["saveDirList"]["path"]
+
+        # setState merges and echoes back on the next getState
+        assert info(
+            "setState",
+            {"haveInfo": True, "currentQuery": "select 1",
+             "history": [{"query": "select 1"}]},
+        ) is None  # reference returns JSON null for setState
+        st = info("getState")
+        assert st["haveInfo"] is True
+        assert st["history"] == [{"query": "select 1"}]
+        assert st["currentQuery"] == "select 1"
+
+        # a merge keeps absent fields (json.Unmarshal-into-live-struct)
+        info("setState", {"currentQuery": "select 2"})
+        st = info("getState")
+        assert st["currentQuery"] == "select 2"
+        assert st["history"] == [{"query": "select 1"}]
+
+        # fileClick(mode=save) updates the echoed saveDirList
+        listing = info("fileClick", {"path": str(tmp_path), "mode": "save"})
+        assert listing["mode"] == "save"
+        st = info("getState")
+        assert st["saveDirList"]["path"] == str(tmp_path)
+        assert st["openDirList"]["path"] != str(tmp_path)
+    finally:
+        srv.stop()
+
+
+def test_webui_wires_save_and_state(eng):
+    from csvtool_spark.webui import INDEX_HTML
+
+    assert "savePath" in INDEX_HTML
+    assert "info=setState" in INDEX_HTML and "info=getState" in INDEX_HTML
