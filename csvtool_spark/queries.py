@@ -46,6 +46,20 @@ ORACLES: dict[str, str] = {}
 SHADOW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 SHADOW_ORACLES: dict[str, str] = {}
 
+#: Invariant oracles for the few entries whose OUTPUT depends on an
+#: engine-local hash family (xxhash64 perf lanes) and therefore has no
+#: exact cross-engine SQL twin: a checker ``(sdf, con) -> str | None``
+#: that verifies every sound cross-engine property of the result in
+#: DuckDB (emitted values re-derived exactly, structural contracts,
+#: completeness on the subsets where completeness IS engine-independent).
+#: The local gate runs these wherever it runs SQL oracles, so no catalog
+#: entry is ever rows-only. (Containment of the xx64 pair sets in the
+#: md5-lane pair sets was measured and does NOT hold — different hash
+#: families find different true-pair subsets — so these check exactness
+#: of what IS claimed instead; the md5 twins + recall evals pin the
+#: completeness dimension.)
+INVARIANT_ORACLES: dict[str, Callable] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from csvtool_spark.sources.parquet import read_table
@@ -58,12 +72,15 @@ def cents(col, scale: int = 100):
     return F.round(col * scale, 0).cast("long")
 
 
-def register(name: str, oracle: str | None = None, registered: bool = True):
+def register(name: str, oracle: str | None = None, registered: bool = True,
+             invariant: Callable | None = None):
     def deco(fn):
         q, o = (QUERIES, ORACLES) if registered else (SHADOW_QUERIES, SHADOW_ORACLES)
         q[name] = fn
         if oracle is not None:
             o[name] = oracle
+        if invariant is not None:
+            INVARIANT_ORACLES[name] = invariant
         return fn
 
     return deco

@@ -177,11 +177,63 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id")
 
 
-@register("q_dedup_minhash", registered=False)  # rows-only SHADOW: the
-# xxhash64+Arrow perf family (bench-headline entry). Its value-level
-# verification lives in the driver-registered md5-lane twin
-# q_dedup_minhash_det — same pipeline, engine-neutral hashes — plus the
-# kernel-differential pytest pinning xx64 arrow≡jvm signatures.
+def _inv_register(con, name: str, sdf: DataFrame):
+    """Stage a (small, catalog-scale) Spark result as a DuckDB view for
+    invariant checking; caller unregisters."""
+    con.register(name, sdf.toPandas())
+
+
+def _inv_minhash_xx64(sdf, con):
+    """Invariant oracle for the xx64 MinHash perf lane (32 lanes × 8
+    bands, verify ≥ 0.4 — q_dedup_minhash's params): every emitted pair
+    is re-derived exactly in DuckDB — the claimed jaccard must equal the
+    exact token-set Jaccard and clear the threshold — plus the
+    structural contract (id_a < id_b, no duplicate pairs, ids exist).
+    Completeness is hash-family-dependent (measured: each family finds
+    ~1 true pair the other's banding misses) and is pinned by the md5
+    twin q_dedup_minhash_det + q_minhash_recall instead."""
+    _inv_register(con, "__inv_mh", sdf)
+    try:
+        bad = con.execute(
+            """
+            SELECT
+              (SELECT count(*) FROM __inv_mh WHERE id_a >= id_b),
+              (SELECT count(*) - count(DISTINCT (id_a, id_b)) FROM __inv_mh),
+              (SELECT count(*) FROM __inv_mh p
+                WHERE p.id_a NOT IN (SELECT doc_id FROM documents)
+                   OR p.id_b NOT IN (SELECT doc_id FROM documents))
+            """
+        ).fetchone()
+        mism = con.execute(
+            f"""
+            WITH {dedup.shingle_cte_sql()},
+            tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+            chk AS (
+              SELECT p.jaccard, {_JACC} AS truth
+              FROM __inv_mh p JOIN tokset x ON x.doc_id = p.id_a
+                              JOIN tokset y ON y.doc_id = p.id_b
+            )
+            SELECT count(*) FROM chk
+            WHERE truth IS NULL OR truth <> jaccard OR truth < 0.4e0
+            """
+        ).fetchone()[0]
+        if any(bad) or mism:
+            return (
+                f"minhash xx64 invariant: {bad[0]} misordered, {bad[1]} dup "
+                f"pairs, {bad[2]} unknown ids, {mism} jaccard mismatches or "
+                "below-threshold pairs"
+            )
+        return None
+    finally:
+        con.unregister("__inv_mh")
+
+
+@register("q_dedup_minhash", registered=False, invariant=_inv_minhash_xx64)
+# SHADOW: the xxhash64+Arrow perf family (bench-headline entry). Its
+# value-level verification is the invariant oracle above (every emitted
+# pair re-verified exactly in DuckDB) + the driver-registered md5-lane
+# twin q_dedup_minhash_det — same pipeline, engine-neutral hashes — plus
+# the kernel-differential pytest pinning xx64 arrow≡jvm signatures.
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 lanes × 8 bands keeps rows-per-band = 4, so the s-curve midpoint
     # stays ≈(1/8)^(1/4)≈0.6 Jaccard while halving signature + banding
@@ -263,8 +315,58 @@ def q_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", registered=False)  # rows-only SHADOW: xxhash64
-# family; value-level verification lives in q_dedup_simhash_det.
+def _inv_simhash_xx64(sdf, con):
+    """Invariant oracle for the xx64 SimHash lane (max_hamming=6):
+    Hamming distances between xx64 fingerprints are engine-local, so the
+    checkable cross-engine properties are (1) the structural contract —
+    id_a < id_b, no duplicate pairs, ids exist, 0 ≤ hamming ≤ 6 — and
+    (2) completeness where completeness IS family-independent: any two
+    docs with identical normalized text have identical fingerprints
+    under EVERY family (and share all 4 blocking chunks), so every
+    exact-duplicate pair must be present with hamming = 0. Near-the-
+    threshold behavior is pinned by the md5 twin q_dedup_simhash_det."""
+    _inv_register(con, "__inv_sh", sdf)
+    try:
+        bad = con.execute(
+            """
+            SELECT
+              (SELECT count(*) FROM __inv_sh WHERE id_a >= id_b),
+              (SELECT count(*) - count(DISTINCT (id_a, id_b)) FROM __inv_sh),
+              (SELECT count(*) FROM __inv_sh
+                WHERE hamming < 0 OR hamming > 6 OR hamming IS NULL),
+              (SELECT count(*) FROM __inv_sh p
+                WHERE p.id_a NOT IN (SELECT doc_id FROM documents)
+                   OR p.id_b NOT IN (SELECT doc_id FROM documents))
+            """
+        ).fetchone()
+        missing = con.execute(
+            """
+            WITH ed AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id
+               AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+              WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+            )
+            SELECT count(*) FROM ed LEFT JOIN __inv_sh p USING (id_a, id_b)
+            WHERE p.hamming IS NULL OR p.hamming <> 0
+            """
+        ).fetchone()[0]
+        if any(bad) or missing:
+            return (
+                f"simhash xx64 invariant: {bad[0]} misordered, {bad[1]} dup "
+                f"pairs, {bad[2]} hamming out of [0,6], {bad[3]} unknown ids, "
+                f"{missing} exact-duplicate pairs absent or hamming≠0"
+            )
+        return None
+    finally:
+        con.unregister("__inv_sh")
+
+
+@register("q_dedup_simhash", registered=False, invariant=_inv_simhash_xx64)
+# SHADOW: xxhash64 family; the invariant oracle above pins structure +
+# exact-dup completeness; value-level near-threshold verification lives
+# in q_dedup_simhash_det.
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.near_dup_pairs_simhash(d, "text", "doc_id", max_hamming=6)
@@ -801,13 +903,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- curation pipeline ----------------------------------------------------
 
 
-@register(
-    "q_pipeline_curate",
-    # Oracle covers the SQL-expressible pipeline (quality filter + language
-    # filter + exact dedup); the near-dup stage is disabled here so both
-    # engines compute the identical set. The full pipeline (with MinHash
-    # near-dedup) runs as the rows-only q_pipeline_curate_full.
-    """
+# the SQL-expressible pipeline (quality filter + language filter + exact
+# dedup, near-dup stage off) — the q_pipeline_curate oracle, also consumed
+# as a subquery by the q_pipeline_curate_full invariant oracle
+_CURATE_SQL = """
     WITH t AS (
       SELECT doc_id, text,
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
@@ -843,8 +942,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k.doc_id, k.quality FROM kept k
     JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))) s
       ON k.doc_id = s.doc_id
-    """,
-)
+"""
+
+
+@register("q_pipeline_curate", _CURATE_SQL)
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import pipeline
 
@@ -854,8 +955,63 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality")
 
 
-@register("q_pipeline_curate_full", registered=False)  # rows-only shadow:
-# includes MinHash near-dedup, whose driver row is q_dedup_minhash
+def _inv_curate_full(sdf, con):
+    """Invariant oracle for the full curation pipeline (adds the xx64
+    MinHash near-dedup stage, threshold 0.5, to the SQL-expressible
+    curate): (1) the output is a subset of the SQL-curate set with
+    bit-equal quality scores and lang_guess='en'; (2) every DROPPED doc
+    is justified — the near-dedup stage only drops a doc after an exact
+    token-set-Jaccard verify, so each dropped doc must have a
+    lower-id partner in the curate set with exact Jaccard ≥ 0.5
+    (re-derived in DuckDB). Which true pairs the banding finds is
+    hash-family-dependent (so equality of the kept SET is not sound);
+    that dimension is pinned by q_dedup_minhash_det/q_minhash_recall."""
+    _inv_register(con, "__inv_cur", sdf)
+    try:
+        bad_subset = con.execute(
+            f"""
+            WITH curate AS ({_CURATE_SQL})
+            SELECT count(*) FROM __inv_cur f LEFT JOIN curate c USING (doc_id)
+            WHERE c.quality IS NULL OR c.quality <> f.quality
+               OR f.lang_guess <> 'en'
+            """
+        ).fetchone()[0]
+        unjustified = con.execute(
+            f"""
+            WITH curate AS ({_CURATE_SQL}),
+            dropped AS (
+              SELECT doc_id FROM curate
+              WHERE doc_id NOT IN (SELECT doc_id FROM __inv_cur)
+            ),
+            toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+                     FROM documents),
+            tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks
+                       WHERE t IS NOT NULL)
+            SELECT count(*) FROM dropped d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM curate a
+              JOIN tokset x ON x.doc_id = a.doc_id
+              JOIN tokset y ON y.doc_id = d.doc_id
+              WHERE a.doc_id < d.doc_id AND {_JACC} >= 0.5e0
+            )
+            """
+        ).fetchone()[0]
+        if bad_subset or unjustified:
+            return (
+                f"curate_full invariant: {bad_subset} rows outside the "
+                f"SQL-curate set (or value drift), {unjustified} dropped "
+                "docs without an exact near-dup justification"
+            )
+        return None
+    finally:
+        con.unregister("__inv_cur")
+
+
+@register("q_pipeline_curate_full", registered=False,
+          invariant=_inv_curate_full)
+# SHADOW: includes xx64 MinHash near-dedup (driver perf row:
+# q_dedup_minhash); the invariant oracle above pins subset/value
+# exactness and drop justification.
 def q_pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import pipeline
 

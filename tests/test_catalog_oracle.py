@@ -13,14 +13,23 @@ from csvtool_spark.oracle import compare
 from tests.conftest import SF_SMALL
 
 
+def _check(spark, duck, name, fn, oracles):
+    sdf = fn(spark, SF_SMALL)
+    if name not in oracles:
+        # xx64-family entries: invariant oracle instead of SQL equality —
+        # every catalog entry must have one or the other, never rows-only
+        inv = catalog.INVARIANT_ORACLES.get(name)
+        assert inv is not None, f"{name}: neither SQL nor invariant oracle"
+        err = inv(sdf, duck)
+        assert err is None, f"{name}: {err}"
+        return
+    err = compare(sdf, duck, oracles[name])
+    assert err is None, f"{name}: {err}"
+
+
 @pytest.mark.parametrize("name", sorted(catalog.QUERIES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = catalog.QUERIES[name](spark, SF_SMALL)
-    if name not in catalog.ORACLES:
-        assert sdf.count() >= 0  # rows-only check
-        return
-    err = compare(sdf, duck, catalog.ORACLES[name])
-    assert err is None, f"{name}: {err}"
+    _check(spark, duck, name, catalog.QUERIES[name], catalog.ORACLES)
 
 
 def test_entry_smoke(spark):
@@ -34,10 +43,6 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(catalog.SHADOW_QUERIES))
 def test_shadow_query_matches_oracle(spark, duck, name):
-    # oracle-paired entries outside the driver's 50-slot window
-    sdf = catalog.SHADOW_QUERIES[name](spark, SF_SMALL)
-    if name not in catalog.SHADOW_ORACLES:
-        assert sdf.count() >= 0
-        return
-    err = compare(sdf, duck, catalog.SHADOW_ORACLES[name])
-    assert err is None, f"{name}: {err}"
+    # oracle- or invariant-paired entries outside the driver's window
+    _check(spark, duck, name, catalog.SHADOW_QUERIES[name],
+           catalog.SHADOW_ORACLES)

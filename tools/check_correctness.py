@@ -25,7 +25,11 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duck_connect(sf_dir)
 
-    from csvtool_spark.queries import SHADOW_ORACLES, SHADOW_QUERIES
+    from csvtool_spark.queries import (
+        INVARIANT_ORACLES,
+        SHADOW_ORACLES,
+        SHADOW_QUERIES,
+    )
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
@@ -43,12 +47,21 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            try:
-                n = sdf.count()
-                print(f"ok?  {name}: rows-only ({n} rows) — no oracle")
-            except Exception as e:  # noqa: BLE001
+            # xx64-family entries: invariant oracle instead of SQL equality
+            inv = INVARIANT_ORACLES.get(name)
+            if inv is None:
                 failures.append(name)
-                print(f"FAIL {name}: spark error: {e}")
+                print(f"FAIL {name}: neither SQL nor invariant oracle")
+                continue
+            try:
+                err = inv(sdf, con)
+            except Exception as e:  # noqa: BLE001
+                err = f"error: {e}"
+            if err:
+                failures.append(name)
+                print(f"FAIL {name}: {err}")
+            else:
+                print(f"PASS {name} (invariant)")
             continue
         try:
             err = compare(sdf, con, oracles[name])
