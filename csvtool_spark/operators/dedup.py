@@ -765,6 +765,146 @@ def duplicate_span_oracle_sql(
     """
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-document duplicate-passage *removal* at k-token span
+    granularity — the deduplicate-text-spans step of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), on the
+    same positional md5 span identity as ``duplicate_span_stats`` (shared
+    ``_span_hashes``, so detect and remove can never disagree about what
+    a duplicated span is).
+
+    A span (positional k-token window) is *duplicated* when it occurs in
+    at least ``min_docs`` distinct documents. Every token position covered
+    by a duplicated window is dropped from the rewritten text:
+
+    - ``keep='first'``: the owner document (minimum id among those
+      containing the span) keeps its copy; every other document drops the
+      covered tokens. One copy of each duplicated passage survives.
+    - ``keep='none'``: all occurrences are dropped (the trim-boilerplate
+      mode — nav bars / license headers that should survive nowhere).
+
+    Returns one row per input document: ``text_dedup`` (kept tokens
+    space-joined; NULL text stays NULL; a fully-covered document becomes
+    ``''``), ``n_tokens`` (pre-removal token count) and ``n_removed``
+    (distinct covered positions dropped).
+
+    Scale shape: one posexplode pass (linear in corpus tokens), a span
+    hash agg bounded by distinct-span count, a hash join of occurrences
+    against duplicated spans only, a coverage explode (×k of the *hit*
+    rows, not the corpus), one per-document position-set agg (array
+    bounded by document length — documents are chunk-bounded upstream, see
+    operators/packing.py), and a map-side rewrite after a single join back
+    on the id. No windows, no collect, no all-pairs anywhere; the rewrite
+    itself is a pure Column expression over positions.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    spans = _span_hashes(text_col, k)
+    occ = df.select(F.col(id_col), F.posexplode(spans).alias("__i", "__h"))
+    byh = (
+        occ.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__own"))
+        .filter(F.col("__nd") >= min_docs)
+    )
+    hits = occ.join(byh, "__h")
+    if keep == "first":
+        hits = hits.filter(F.col(id_col) != F.col("__own"))
+    cov = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(k - 1))
+            ).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__p")).alias("__cov"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    covc = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.when(
+                F.array_contains(covc, i), F.lit(None).cast("string")
+            ).otherwise(F.element_at(toks, i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_dedup"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(n)
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+def span_removal_oracle_sql(
+    k: int = 8,
+    min_docs: int = 2,
+    keep: str = "first",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``remove_duplicate_spans`` — identical md5 span
+    hashes, owner rule and position coverage (1-based list positions on
+    the DuckDB side, same covered set). ``array_to_string([])`` is NULL in
+    DuckDB where Spark's ``array_join`` gives ``''``, hence the coalesce
+    on the fully-covered edge."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    owner_filter = f"WHERE o.{id_col} <> d.owner" if keep == "first" else ""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, {text_col} AS __txt, string_split({text_col}, ' ') AS t
+      FROM {table}
+    ),
+    g AS (
+      SELECT {id_col}, unnest(range(1, len(t) - {k} + 2)) AS i, t
+      FROM toks WHERE len(t) >= {k}
+    ),
+    occ AS (
+      SELECT {id_col}, i, md5(array_to_string(t[i:i + {k - 1}], ' ')) AS h FROM g
+    ),
+    byh AS (
+      SELECT h, count(DISTINCT {id_col}) AS nd, min({id_col}) AS owner
+      FROM occ GROUP BY h
+    ),
+    dup AS (SELECT h, owner FROM byh WHERE nd >= {min_docs}),
+    cov AS (
+      SELECT DISTINCT o.{id_col}, unnest(range(o.i, o.i + {k})) AS p
+      FROM occ o JOIN dup d USING (h) {owner_filter}
+    ),
+    cl AS (SELECT {id_col}, list(p) AS cov FROM cov GROUP BY {id_col}),
+    o2 AS (
+      SELECT t.{id_col}, t.__txt, t.t, coalesce(cl.cov, []) AS cov
+      FROM toks t LEFT JOIN cl USING ({id_col})
+    )
+    SELECT {id_col},
+           CASE WHEN __txt IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                  list_filter(list_transform(range(1, len(t) + 1),
+                    i -> CASE WHEN list_contains(cov, i) THEN NULL ELSE t[i] END),
+                    x -> x IS NOT NULL), ' '), '') END AS text_dedup,
+           CAST(CASE WHEN __txt IS NULL THEN 0 ELSE len(t) END AS BIGINT) AS n_tokens,
+           CAST(len(cov) AS BIGINT) AS n_removed
+    FROM o2
+    """
+
+
 def source_overlap_matrix(
     df: DataFrame,
     text_col: str,

@@ -2134,6 +2134,28 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_stats(d, "text", "doc_id", k=8, min_docs=2)
 
 
+@register(
+    "q_span_removal",
+    dedup.span_removal_oracle_sql(k=8, min_docs=2, keep="first"),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "text", "doc_id", k=8, min_docs=2,
+                                        keep="first")
+
+
+@register(
+    "q_span_removal_all",
+    dedup.span_removal_oracle_sql(k=8, min_docs=2, keep="none"),
+    registered=False,  # shadow: the trim-boilerplate mode (keep='none')
+)
+def q_span_removal_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "text", "doc_id", k=8, min_docs=2,
+                                        keep="none")
+
+
 # --- weighted priority sampling -------------------------------------------
 
 

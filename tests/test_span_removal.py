@@ -1,0 +1,112 @@
+"""remove_duplicate_spans: cross-doc duplicate-passage removal semantics.
+
+The oracle parity of q_span_removal / q_span_removal_all runs in the
+catalog-wide gate (test_catalog_oracle); these tests pin the hand-checkable
+edge semantics: owner keeps / keep='none', coverage union of overlapping
+windows, short/null/fully-covered docs, and the detect/remove agreement
+invariant against duplicate_span_stats.
+"""
+from __future__ import annotations
+
+import pytest
+
+from csvtool_spark.operators import dedup
+
+
+def _run(spark, rows, **kw):
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(d, "text", "doc_id", **kw).collect()
+    }
+
+
+def test_owner_keeps_its_copy(spark):
+    rows = [
+        (1, "a b c d x1 x2"),      # owner of spans 'a b c d' (min doc_id)
+        (2, "a b c d y1 y2"),      # loses positions 0-3
+        (3, "p q r s t u"),        # unique → untouched
+    ]
+    out = _run(spark, rows, k=4, min_docs=2)
+    assert out[1].text_dedup == "a b c d x1 x2" and out[1].n_removed == 0
+    assert out[2].text_dedup == "y1 y2" and out[2].n_removed == 4
+    assert out[3].text_dedup == "p q r s t u" and out[3].n_removed == 0
+    assert all(out[i].n_tokens == 6 for i in (1, 2, 3))
+
+
+def test_keep_none_strips_everywhere(spark):
+    rows = [(1, "a b c d x1 x2"), (2, "a b c d y1 y2")]
+    out = _run(spark, rows, k=4, min_docs=2, keep="none")
+    assert out[1].text_dedup == "x1 x2" and out[1].n_removed == 4
+    assert out[2].text_dedup == "y1 y2" and out[2].n_removed == 4
+
+
+def test_overlapping_windows_remove_union_not_sum(spark):
+    # docs share a 5-token passage → two overlapping 4-windows in each;
+    # coverage is the union (5 positions), not 2×4
+    rows = [(1, "a b c d e x"), (2, "a b c d e y")]
+    out = _run(spark, rows, k=4, min_docs=2)
+    assert out[1].n_removed == 0                    # owner
+    assert out[2].text_dedup == "y" and out[2].n_removed == 5
+
+
+def test_short_null_and_fully_covered_docs(spark):
+    rows = [
+        (1, "a b c d"),            # exactly k tokens, owner
+        (2, "a b c d"),            # fully covered → ''
+        (3, "a b"),                # shorter than k → no spans
+        (4, None),                 # null text stays null
+    ]
+    out = _run(spark, rows, k=4, min_docs=2)
+    assert out[1].text_dedup == "a b c d"
+    assert out[2].text_dedup == "" and out[2].n_removed == 4
+    assert out[3].text_dedup == "a b" and out[3].n_removed == 0
+    assert out[4].text_dedup is None
+    assert out[4].n_tokens == 0 and out[4].n_removed == 0
+
+
+def test_within_doc_repeat_not_removed(spark):
+    # the distinct-doc criterion: a passage repeated inside ONE doc is not
+    # a cross-doc duplicate (same rule as duplicate_span_stats)
+    rows = [(1, "p q r s p q r s"), (2, "t u v w x y z q")]
+    out = _run(spark, rows, k=4, min_docs=2)
+    assert out[1].text_dedup == "p q r s p q r s" and out[1].n_removed == 0
+
+
+def test_agrees_with_duplicate_span_stats(spark):
+    # detect/remove share _span_hashes: a doc has n_removed > 0 under
+    # keep='none' iff duplicate_span_stats reports n_dup > 0 for it
+    rows = [
+        (1, "m n o p q r s t"),
+        (2, "m n o p q r s t zz"),
+        (3, "z y x w v u t s"),
+        (4, "one two three"),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_stats(d, "text", "doc_id", k=4).collect()
+    }
+    out = _run(spark, rows, k=4, min_docs=2, keep="none")
+    for i in stats:
+        assert (out[i].n_removed > 0) == (stats[i].n_dup > 0)
+        assert out[i].n_removed <= out[i].n_tokens
+
+
+def test_kept_tokens_are_a_subsequence(spark):
+    rows = [(1, "a b c d e f g"), (2, "c d e f g h i"), (3, "a b c d q w e")]
+    out = _run(spark, rows, k=4, min_docs=2)
+    for i, text in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        orig = text.split(" ")
+        kept = out[i].text_dedup.split(" ") if out[i].text_dedup else []
+        it = iter(orig)
+        assert all(tok in it for tok in kept)       # subsequence check
+
+
+def test_rejects_bad_keep(spark):
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep"):
+        dedup.remove_duplicate_spans(d, "text", "doc_id", keep="last")
+    with pytest.raises(ValueError, match="keep"):
+        dedup.span_removal_oracle_sql(keep="bogus")
