@@ -806,8 +806,9 @@ def remove_duplicate_spans(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    spans = _span_hashes(text_col, k)
-    occ = df.select(F.col(id_col), F.posexplode(spans).alias("__i", "__h"))
+    occ = df.select(
+        F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
+    )
     byh = (
         occ.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__own"))
@@ -816,6 +817,46 @@ def remove_duplicate_spans(
     hits = occ.join(byh, "__h")
     if keep == "first":
         hits = hits.filter(F.col(id_col) != F.col("__own"))
+    return _rewrite_without_covered(df, hits, text_col, id_col, k)
+
+
+def remove_repeated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """WITHIN-document repetition removal at k-token span granularity: a
+    window whose hash already occurred earlier in the SAME document (any
+    occurrence after the per-document first, by position) has its covered
+    token positions dropped — the first occurrence survives. The
+    rewrite-level counterpart of the Gopher-style repetition *filters*
+    (Rae et al. 2021 drop whole documents; this trims the loops and keeps
+    the document), e.g. "p q r s p q r s" at k=4 rewrites to "p q r s".
+
+    Same output contract as ``remove_duplicate_spans`` (``text_dedup`` /
+    ``n_tokens`` / ``n_removed``) and the same span identity
+    (``_span_hashes``).
+
+    Scale shape: the duplicate-detection agg here is per ``(id, span)`` —
+    it never crosses documents, so the shuffle key is as fine as the data
+    and skew-free; everything else is shared with
+    ``remove_duplicate_spans`` via ``_rewrite_without_covered``.
+    """
+    occ = df.select(
+        F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
+    )
+    firsts = occ.groupBy(id_col, "__h").agg(F.min("__i").alias("__fi"))
+    hits = occ.join(firsts, [id_col, "__h"]).filter(F.col("__i") > F.col("__fi"))
+    return _rewrite_without_covered(df, hits, text_col, id_col, k)
+
+
+def _rewrite_without_covered(
+    df: DataFrame, hits: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared tail of the span-removal operators: expand hit windows
+    (rows with ``id_col`` and a 0-based window start ``__i``) to their
+    covered token positions, union them per document, and rewrite the
+    text keeping only uncovered positions. One coverage explode (×k of
+    the hit rows only), one per-document position-set agg, one join back
+    on the id, then a pure-Column map-side rewrite."""
     cov = (
         hits.select(
             F.col(id_col),
@@ -867,6 +908,46 @@ def span_removal_oracle_sql(
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     owner_filter = f"WHERE o.{id_col} <> d.owner" if keep == "first" else ""
+    cov = f"""byh AS (
+      SELECT h, count(DISTINCT {id_col}) AS nd, min({id_col}) AS owner
+      FROM occ GROUP BY h
+    ),
+    dup AS (SELECT h, owner FROM byh WHERE nd >= {min_docs}),
+    cov AS (
+      SELECT DISTINCT o.{id_col}, unnest(range(o.i, o.i + {k})) AS p
+      FROM occ o JOIN dup d USING (h) {owner_filter}
+    )"""
+    return _span_rewrite_sql(cov, k, table, text_col, id_col)
+
+
+def repeated_span_oracle_sql(
+    k: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``remove_repeated_spans`` — per-document first
+    occurrence by position survives, later same-hash windows are covered."""
+    cov = f"""firsts AS (
+      SELECT {id_col}, h, min(i) AS fi FROM occ GROUP BY {id_col}, h
+    ),
+    cov AS (
+      SELECT DISTINCT o.{id_col}, unnest(range(o.i, o.i + {k})) AS p
+      FROM occ o JOIN firsts f USING ({id_col}, h)
+      WHERE o.i > f.fi
+    )"""
+    return _span_rewrite_sql(cov, k, table, text_col, id_col)
+
+
+def _span_rewrite_sql(
+    cov_ctes: str, k: int, table: str, text_col: str, id_col: str
+) -> str:
+    """Shared head/tail of the span-removal oracles: positional md5 span
+    occurrences in (1-based DuckDB list positions), the caller's coverage
+    CTEs in the middle (must end with ``cov({id_col}, p)``), and the
+    uncovered-positions rewrite out. ``array_to_string([])`` is NULL in
+    DuckDB where Spark's ``array_join`` gives ``''``, hence the coalesce
+    on the fully-covered edge."""
     return f"""
     WITH toks AS (
       SELECT {id_col}, {text_col} AS __txt, string_split({text_col}, ' ') AS t
@@ -879,15 +960,7 @@ def span_removal_oracle_sql(
     occ AS (
       SELECT {id_col}, i, md5(array_to_string(t[i:i + {k - 1}], ' ')) AS h FROM g
     ),
-    byh AS (
-      SELECT h, count(DISTINCT {id_col}) AS nd, min({id_col}) AS owner
-      FROM occ GROUP BY h
-    ),
-    dup AS (SELECT h, owner FROM byh WHERE nd >= {min_docs}),
-    cov AS (
-      SELECT DISTINCT o.{id_col}, unnest(range(o.i, o.i + {k})) AS p
-      FROM occ o JOIN dup d USING (h) {owner_filter}
-    ),
+    {cov_ctes},
     cl AS (SELECT {id_col}, list(p) AS cov FROM cov GROUP BY {id_col}),
     o2 AS (
       SELECT t.{id_col}, t.__txt, t.t, coalesce(cl.cov, []) AS cov

@@ -2156,6 +2156,18 @@ def q_span_removal_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         keep="none")
 
 
+@register(
+    "q_span_removal_within",
+    # k=3: the synthetic corpus has within-doc k-gram repeats only at
+    # small k (33 affected docs at sf0.001 for k=3, none at k>=5)
+    dedup.repeated_span_oracle_sql(k=3),
+    registered=False,  # shadow: within-document repetition trimming
+)
+def q_span_removal_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.remove_repeated_spans(d, "text", "doc_id", k=3)
+
+
 # --- weighted priority sampling -------------------------------------------
 
 

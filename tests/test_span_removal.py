@@ -104,6 +104,38 @@ def test_kept_tokens_are_a_subsequence(spark):
         assert all(tok in it for tok in kept)       # subsequence check
 
 
+def test_within_doc_repeat_removal(spark):
+    rows = [
+        (1, "p q r s p q r s"),     # exact repeat → second copy trimmed
+        (2, "a b c d e f g h"),     # no repeats → untouched
+        (3, "x y x y x y x y"),     # periodic: every window repeats after
+                                    # the first occurrence of its hash
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_repeated_spans(d, "text", "doc_id", k=4).collect()
+    }
+    assert out[1].text_dedup == "p q r s" and out[1].n_removed == 4
+    assert out[2].text_dedup == "a b c d e f g h" and out[2].n_removed == 0
+    # doc 3: windows 'x y x y'@0,2,4 and 'y x y x'@1,3 — repeats at 2,4
+    # and 3 cover positions 2..7, leaving the first period 'x y'
+    assert out[3].text_dedup == "x y" and out[3].n_removed == 6
+    assert out[4].text_dedup is None and out[4].n_removed == 0
+
+
+def test_within_doc_removal_ignores_cross_doc_duplicates(spark):
+    # identical twin docs have no WITHIN-doc repeats: both untouched
+    rows = [(1, "m n o p q r"), (2, "m n o p q r")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_repeated_spans(d, "text", "doc_id", k=4).collect()
+    }
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
 def test_rejects_bad_keep(spark):
     d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="keep"):
