@@ -537,7 +537,10 @@ def q_agg_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_last",
-    """
+    registered=False,  # shadow (round-7 swap for q_span_removal): the
+    # bare-columns-last quirk stays oracle-gated locally; agg family keeps
+    # q1/q_agg_groupby/q_agg_expr/q_having/q_dialect_agg in the window
+    oracle="""
     SELECT l_orderkey,
            max_by(l_returnflag,
                   lpad(CAST(l_linenumber AS VARCHAR), 4, '0')

@@ -2137,7 +2137,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_span_removal",
     dedup.span_removal_oracle_sql(k=8, min_docs=2, keep="first"),
-    registered=False,  # shadow: driver window full; locally gated
+    # promoted to the driver window in round 7 (swap with q_agg_last)
 )
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
