@@ -6,7 +6,8 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes end-to-end through the `noop` sink (full computation on
 executors, no driver collect), timed after a JVM/session warmup pass.
 
-Timing is median-of-3 per query (post-warmup): one-shot numbers on this
+Timing is median-of-reps per query (post-warmup; default 5 reps via
+$SPARK_GRAFT_BENCH_REPS — raised from 3 in round 7): one-shot numbers on this
 box swing ±30% with ambient load (round 3 recorded 8.6-13.3 s totals for
 identical code), which drowned the round-over-round regression signal.
 The reported per-query value and the headline total are medians; min/max
@@ -44,6 +45,14 @@ HEADLINE = [
     "q_text_quality",
     "q_text_langid",
     "q_ann_bruteforce",
+]
+
+#: every testdata table — warmup scans fill the file-listing/footer caches
+#: before timing; shared with tools/scaling_curve.py so the two harnesses
+#: can never drift on what counts as "warm"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
 
@@ -84,10 +93,7 @@ def main() -> None:
         run(pool[name](spark, warm_dir))
     from csvtool_spark.sources.parquet import read_table
 
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLES:
         run(read_table(spark, sf_dir, t))
 
     # Median-of-5: run the whole list five times (round-robin, not

@@ -127,14 +127,20 @@ _DIST_BUDGET = 64 << 20
 
 
 def _arrow_assign_fn(cents: list[list[int]], scale: int, vec_name: str,
-                     id_name: str, extras: list[str]):
+                     id_name: str, extras: list[str],
+                     on_invalid: str = "raise"):
     """mapInPandas closure for the Arrow assignment lane: quantize +
     nearest-centroid per batch as one numpy kernel. Null vector → null
-    (cluster, dist2); ragged/non-finite vectors RAISE (the fit's
-    validation pass excludes them — matching the Column lane's behavior
-    on the validated envelope, where the two lanes are differential-
-    tested bit-identical: int64 adds/multiplies wrap identically and
-    ``argmin`` first-occurrence ties == the struct-min lowest-j rule).
+    (cluster, dist2); ragged/non-finite vectors RAISE by default (the
+    fit's validation pass excludes them — matching the Column lane's
+    behavior on the validated envelope, where the two lanes are
+    differential-tested bit-identical: int64 adds/multiplies wrap
+    identically and ``argmin`` first-occurrence ties == the struct-min
+    lowest-j rule). ``on_invalid='null'`` instead assigns those rows null
+    (cluster, dist2) like null vectors — the STREAMING contract: stream
+    input never passes through the fit's validation, and a raise inside
+    mapInPandas fails the micro-batch, which a restart then replays into
+    a crash loop on the same poison record.
 
     Self-contained (imports + half-away inline) so a vanilla driver
     session can unpickle it on workers without this package importable —
@@ -166,7 +172,25 @@ def _arrow_assign_fn(cents: list[list[int]], scale: int, vec_name: str,
             cl = np.zeros(n, dtype=np.int64)
             d2 = np.zeros(n, dtype=np.int64)
             idx = np.flatnonzero(mask)
-            if idx.size:
+            if idx.size and on_invalid == "null":
+                # per-row validation: a poison record nulls out, never
+                # raises (see docstring — the streaming contract)
+                rows = []
+                good = []
+                for i in idx:
+                    try:
+                        a = np.asarray(vec.iat[int(i)], dtype=np.float64)
+                    except (ValueError, TypeError):
+                        mask[int(i)] = False
+                        continue
+                    if a.ndim != 1 or a.shape[0] != dim or not np.isfinite(a).all():
+                        mask[int(i)] = False
+                        continue
+                    rows.append(a)
+                    good.append(int(i))
+                idx = np.asarray(good, dtype=np.int64)
+                V = np.stack(rows) if rows else np.empty((0, dim))
+            elif idx.size:
                 try:
                     V = np.stack(
                         [np.asarray(vec.iat[int(i)], dtype=np.float64) for i in idx]
@@ -186,6 +210,7 @@ def _arrow_assign_fn(cents: list[list[int]], scale: int, vec_name: str,
                         "kmeans assignment: non-finite embedding value — "
                         "int64 quantization is undefined for NaN/Infinity"
                     )
+            if idx.size:
                 Q = half_away(V * scale)
                 for s in range(0, len(Q), step):
                     q = Q[s : s + step]
@@ -434,13 +459,22 @@ def kmeans_assign(
     scale: int = 10_000,
     extra_cols: tuple[str, ...] = (),
     kernel: str = "arrow",
+    on_invalid: str = "raise",
 ) -> DataFrame:
     """Final assignment pass: (id, *extra, cluster, dist2) — map-only
     over the scan either way (centroid literals ride the task closure /
     the pickled kernel): ``kernel='arrow'`` (default) is the vectorized
     numpy batch kernel, ``kernel='column'`` the Column-tree oracle twin
     (k interpreted HOF folds per row — correct plan shape, ~k× the
-    constant factor). Bit-identical outputs, differential-tested."""
+    constant factor). Bit-identical outputs, differential-tested.
+
+    ``on_invalid``: ``'raise'`` (default — batch input passes the fit's
+    validation, so a ragged/non-finite vector is a pipeline bug worth
+    failing on) or ``'null'`` (assign null cluster/dist2 — the streaming
+    lane, where a raise would crash-loop the query on a poison record;
+    Arrow kernel only)."""
+    if on_invalid not in ("raise", "null"):
+        raise ValueError(f"kmeans_assign: unknown on_invalid {on_invalid!r}")
     if kernel == "arrow":
         from pyspark.sql import types as T
 
@@ -457,7 +491,8 @@ def kmeans_assign(
             ]
         )
         return df.select(id_col, *extra_cols, vec_col).mapInPandas(
-            _arrow_assign_fn(cents, int(scale), vec_col, id_col, list(extra_cols)),
+            _arrow_assign_fn(cents, int(scale), vec_col, id_col,
+                             list(extra_cols), on_invalid=on_invalid),
             schema=out_schema,
         )
     if kernel != "column":

@@ -204,19 +204,31 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
             numcols = len(df.columns)
             show_limit = max(1, SHOW_CAP // max(1, numcols))
             collect = lambda: df.limit(show_limit + 1).collect()  # noqa: E731,B023
-            rows = runner(collect) if runner is not None else collect()
+            if out_path is not None:
+                # One computation feeds both the file and the display:
+                # persist the plan, write the full result FIRST (fills the
+                # cache for every partition), then collect the clipped
+                # display rows from the cached partitions — so for a
+                # nondeterministic result the GUI rows are always a prefix
+                # of the saved file (the reference streams display and
+                # saver off the same scan, scanner.go). The write runs
+                # under the job wrapper so it's cancellable like collects.
+                df = df.persist()
+                try:
+                    write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
+                    if runner is not None:
+                        runner(write)
+                    else:
+                        write()
+                    rows = runner(collect) if runner is not None else collect()
+                finally:
+                    df.unpersist()
+            else:
+                rows = runner(collect) if runner is not None else collect()
             clipped = len(rows) > show_limit
             if clipped:
                 rows = rows[:show_limit]
                 ret["clipped"] = True
-            if out_path is not None:
-                # full (unclipped) result to disk, under the job's run
-                # wrapper so the write is cancellable like the collects
-                write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
-                if runner is not None:
-                    runner(write)
-                else:
-                    write()
             ret["entries"].append(
                 {
                     "numrows": len(rows),
@@ -236,9 +248,13 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
             cap = max((e["showLimit"] for e in ret["entries"] if e["clipped"]), default=0)
             ret["message"] = f"Showing only top {cap}"
         if save_path:
-            # server.go:130 — the save run reports the path, not the rows
-            ret["message"] = f"Saved to {save_path}"
-            ret["savedTo"] = [p for p in out_paths if p is not None]
+            # server.go:130 — the save run reports the path, not the rows.
+            # Report the paths actually WRITTEN (.csv appended, -N
+            # suffixes for multi-statement), not the raw request — a
+            # script acting on the message must find the files.
+            written = [p for p in out_paths if p is not None]
+            ret["message"] = f"Saved to {', '.join(written)}"
+            ret["savedTo"] = written
     except PasswordRequired as e:
         # signal the UI to prompt and retry with {"password": ...}
         ret["status"] |= DAT_ERROR
@@ -419,10 +435,19 @@ class CsvToolServer:
                     self._send(listing)
                 elif info == "setState":
                     # merge, don't replace: the reference unmarshals into
-                    # the LIVE struct, so absent fields keep their values
+                    # the LIVE struct, so absent fields keep their values.
+                    # Values that can't fit the struct's field types are
+                    # dropped (Go's unmarshal rejects them) — accepting
+                    # e.g. a string openDirList would poison every later
+                    # getState for every client until restart.
                     req = self._body()
+                    shapes = {"openDirList": dict, "saveDirList": dict,
+                              "history": list, "haveInfo": bool}
                     with outer._state_lock:
-                        outer._state.update(req)
+                        for k, v in (req.items() if isinstance(req, dict) else ()):
+                            want = shapes.get(k)
+                            if want is None or isinstance(v, want):
+                                outer._state[k] = v
                     self._send(None)  # the reference returns JSON null here
                 elif info == "getState":
                     with outer._state_lock:
@@ -432,7 +457,8 @@ class CsvToolServer:
                     # empty browse positions default to the server's cwd
                     # (FPaths.OpenPath/SavePath defaults, main.go:55-61)
                     for key in ("openDirList", "saveDirList"):
-                        d = dict(st.get(key) or {})
+                        v = st.get(key)
+                        d = dict(v) if isinstance(v, dict) else {}
                         if not d.get("path"):
                             d["path"] = os.getcwd()
                         st[key] = d

@@ -62,9 +62,14 @@ def clustered_stream(
 
     ``keep`` filters to the given cluster ids (route one topic's vectors
     to a sink, drop the rest) — still a pure projection + filter."""
+    # on_invalid='null': stream input never passes the fit's validation,
+    # and a raise inside mapInPandas fails the micro-batch — a restart
+    # then replays the same poison record into a crash loop. A ragged /
+    # non-finite arriving vector gets a null cluster instead (dropped by
+    # any ``keep`` filter, visible otherwise).
     out = clustering.kmeans_assign(
         stream, "embedding", "vec_id", centroids, scale=scale,
-        extra_cols=("label",),
+        extra_cols=("label",), on_invalid="null",
     )
     if keep is not None:
         out = out.filter(F.col("cluster").isin(*[int(c) for c in keep]))

@@ -292,3 +292,70 @@ def test_clustered_stream_keep_filter(spark):
                   output_mode="append")
     clusters = {r.cluster for r in spark.sql("SELECT * FROM clu_keep").collect()}
     assert clusters <= {0, 1} and clusters
+
+def test_kmeans_assign_on_invalid_null_batch(spark):
+    # poison rows (ragged / non-finite) assign null like null vectors;
+    # valid rows are bit-identical to the raise lane on the clean subset
+    cents = [[0, 0], [10_000, 10_000]]
+    d = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2]),
+            (2, [1.0]),                    # ragged
+            (3, [float("nan"), 0.5]),      # non-finite
+            (4, None),                     # null vector
+            (5, [0.9, 1.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign(
+            d, "embedding", "vec_id", cents, on_invalid="null"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[2] == (None, None) and out[3] == (None, None)
+    assert out[4] == (None, None)
+    clean = d.filter(F.col("vec_id").isin(1, 5))
+    exp = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign(clean, "embedding", "vec_id", cents).collect()
+    }
+    assert {k: v for k, v in out.items() if k in (1, 5)} == exp
+    # the default (batch) lane still fails fast on the same poison input
+    with pytest.raises(Exception, match="ragged|dim"):
+        kmeans_assign(
+            d.filter(F.col("vec_id") == 2), "embedding", "vec_id", cents
+        ).collect()
+    with pytest.raises(ValueError, match="on_invalid"):
+        kmeans_assign(d, "embedding", "vec_id", cents, on_invalid="skip")
+
+
+def test_clustered_stream_survives_poison_record(spark, tmp_path):
+    # a wrong-dim vector arriving on the stream must NOT fail the
+    # micro-batch (restart would replay it into a crash loop): it gets a
+    # null cluster and any keep filter drops it
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.embeddings import (
+        EMBEDDINGS_SCHEMA,
+        clustered_stream,
+        stream_embeddings_dir,
+    )
+
+    shard = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2], 0),
+            (2, [1.0], 1),                  # poison: dim 1 vs centroid dim 2
+            (3, [0.9, 1.1], 0),
+        ],
+        EMBEDDINGS_SCHEMA,
+    )
+    shard.write.parquet(str(tmp_path / "emb"))
+    stream = stream_embeddings_dir(spark, str(tmp_path / "emb"))
+    cents = [[0, 0], [10_000, 10_000]]
+    run_to_memory(clustered_stream(stream, cents), "clu_poison",
+                  output_mode="append")
+    got = {r.vec_id: r.cluster for r in
+           spark.sql("SELECT * FROM clu_poison").collect()}
+    assert set(got) == {1, 2, 3} and got[2] is None
+    assert got[1] is not None and got[3] is not None

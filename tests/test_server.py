@@ -433,9 +433,11 @@ def test_save_flow_multi_statement_via_http(eng, tmp_path):
     finally:
         srv.stop()
     assert ret["status"] & DAT_GOOD
-    assert ret["message"] == f"Saved to {out}"
-    assert len(ret["entries"]) == 2  # display entries still returned
     p1, p2 = tmp_path / "result-1.csv", tmp_path / "result-2.csv"
+    # the message reports the paths actually written (suffixed), not the
+    # raw requested path — a script acting on it must find the files
+    assert ret["message"] == f"Saved to {p1}, {p2}"
+    assert len(ret["entries"]) == 2  # display entries still returned
     assert ret["savedTo"] == [str(p1), str(p2)]
     with open(p1) as f:
         rows = list(csv.reader(f))
@@ -513,6 +515,18 @@ def test_state_echo_roundtrip(eng, tmp_path):
         st = info("getState")
         assert st["saveDirList"]["path"] == str(tmp_path)
         assert st["openDirList"]["path"] != str(tmp_path)
+
+        # a malformed payload must not poison state for later clients:
+        # wrong-typed values are dropped (Go's unmarshal would reject
+        # them), and getState keeps answering with the prior good state
+        info("setState", {"openDirList": "oops", "history": "nope",
+                          "haveInfo": 3, "extra": {"ok": 1}})
+        st = info("getState")
+        assert st["saveDirList"]["path"] == str(tmp_path)
+        assert st["openDirList"]["path"]  # still a dict with a path
+        assert st["history"] == [{"query": "select 1"}]
+        assert st["haveInfo"] is True
+        assert st["extra"] == {"ok": 1}  # unknown keys pass through
     finally:
         srv.stop()
 
