@@ -459,6 +459,29 @@ def lang_id_arrow(col: Column) -> Column:
     return decide(tokens(F.lower(col)), cjk_char_count(col), F.length(col))
 
 
+def _doc_bigram_tf(df, text_col: str, id_col: str):
+    """Per-document bigram term frequencies ``(id, bg, tf)`` — the ONE
+    definition of tokenization + transition extraction shared by the MLE
+    (``lm_surprisal_bigram``) and Kneser-Ney scorers, so train and score
+    sides (and their oracles) can never drift on what a bigram is. Null
+    text and <2-token documents yield no rows (explode of null / empty
+    drops them)."""
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    m = F.size(toks) - 1
+    bigram = F.zip_with(
+        F.slice(toks, 1, F.greatest(m, F.lit(1))),
+        F.slice(toks, 2, F.greatest(m, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.when(m >= 1, bigram).otherwise(F.array())).alias("bg"),
+    )
+    return pairs.groupBy(id_col, "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
 def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
     """Bigram-conditional rarity per document — one step closer to the
     KenLM-perplexity filter than ``lm_surprisal``: each transition is
@@ -482,18 +505,7 @@ def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
     corpus count tables joined in (AQE broadcasts when they fit), one
     per-doc aggregate. Single-token documents have no transitions and
     drop out (same as a 0-bigram row set)."""
-    toks = tokens(F.lower(F.trim(F.col(text_col))))
-    m = F.size(toks) - 1
-    bigram = F.zip_with(
-        F.slice(toks, 1, F.greatest(m, F.lit(1))),
-        F.slice(toks, 2, F.greatest(m, F.lit(1))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(F.when(m >= 1, bigram).otherwise(F.array())).alias("bg"),
-    )
-    tf = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tf = _doc_bigram_tf(df, text_col, id_col)
     c_bg = tf.groupBy("bg").agg(F.sum("tf").cast("long").alias("c_bg"))
     # true MLE context counts — occurrences of t_{i-1} WITH a successor —
     # derived from the bigram table itself (no second corpus scan), so
@@ -515,6 +527,229 @@ def lm_surprisal_bigram(df, text_col: str, id_col: str = "doc_id"):
             " div sum(tf) AS BIGINT)"
         ).alias("surprisal2_ppm"),
     )
+
+
+class KNModel:
+    """Interpolated Kneser-Ney bigram model — three Zipf-bounded count
+    DataFrames plus two integer constants (see ``kn_bigram_model``). The
+    tables stay DISTRIBUTED (a bigram table over a 100 TB corpus does not
+    fit a driver); only the two scalars are collected. ``release()`` drops
+    the persisted bigram-count stage once every scorer built from the
+    model has been materialized."""
+
+    def __init__(self, cb, cx, cw, d_ppb: int, nb: int, stages=()):
+        self.cb = cb          # (bg, c_bg)        bigram counts
+        self.cx = cx          # (prev, c_prev, n1v) context totals + fanout
+        self.cw = cw          # (nxt, n1w)         continuation counts
+        self.d_ppb = d_ppb    # absolute discount D in parts-per-billion
+        self.nb = nb          # total distinct bigrams (Pcont denominator)
+        self._stages = tuple(stages)
+
+    def release(self) -> None:
+        for s in self._stages:
+            s.unpersist()
+
+
+def kn_bigram_model(train, text_col: str, id_col: str = "doc_id") -> KNModel:
+    """Train an interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) over ``train`` — the model half of the
+    CCNet-style quality filter (Wenzek et al. 2020 train KenLM on a clean
+    reference corpus and filter web text by its perplexity; this is that
+    train/score split with a bigram model, where ``lm_surprisal_bigram``
+    can only score the corpus it counted).
+
+    Everything is exact integer arithmetic so the DuckDB oracle matches
+    bit-for-bit (the repo's fixed-point contract): the discount
+    ``D = n1/(n1+2*n2)`` (count-of-counts estimate) is truncated to
+    parts-per-billion, and scoring (``kn_score``) evaluates
+
+        P(w|v) = max(c(vw) - D, 0)/c(v) + D*N1+(v·)/c(v) * N1+(·w)/NB
+
+    in ppb with the same division order both engines. Degenerate corpora
+    where no bigram has count 1 or 2 take D=0.5 (the count-of-counts
+    estimate is undefined there; documented constant, same CASE in the
+    oracle).
+
+    Scale shape: one explode pass over the train corpus into per-doc
+    bigram counts (map-side combine bounds the shuffle by distinct
+    (doc, bg) pairs), then three Zipf-bounded aggregates of the bigram
+    table; the bigram table is persisted because all three read it (and
+    the count-of-counts scalar forces it once) — call ``release()`` when
+    done scoring. Envelope: counts must stay below 2^63/1e9 ≈ 9.2e9 per
+    bigram/context (the ppb products; same honest bound as
+    ``lm_surprisal_bigram``'s) — shard the train corpus or lower the
+    scale factor beyond that."""
+    cb = (
+        _doc_bigram_tf(train, text_col, id_col)
+        .groupBy("bg")
+        .agg(F.sum("tf").cast("long").alias("c_bg"))
+        .persist()
+    )
+    consts = cb.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum((F.col("c_bg") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c_bg") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    nb, n1, n2 = int(consts["nb"]), int(consts["n1"] or 0), int(consts["n2"] or 0)
+    if nb == 0:
+        cb.unpersist()
+        raise ValueError("kn_bigram_model: train corpus has no bigrams")
+    d_ppb = 500_000_000 if n1 + 2 * n2 == 0 else (n1 * 1_000_000_000) // (n1 + 2 * n2)
+    cx = (
+        cb.groupBy(F.split(F.col("bg"), " ")[0].alias("prev"))
+        .agg(
+            F.sum("c_bg").cast("long").alias("c_prev"),
+            F.count(F.lit(1)).cast("long").alias("n1v"),
+        )
+    )
+    cw = cb.groupBy(F.split(F.col("bg"), " ")[1].alias("nxt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1w")
+    )
+    return KNModel(cb, cx, cw, d_ppb, nb, stages=(cb,))
+
+
+def kn_score(df, model: KNModel, text_col: str, id_col: str = "doc_id"):
+    """Score ``df`` against a Kneser-Ney model trained on a DIFFERENT
+    corpus (the CCNet filter shape) — per document: ``n_bigrams``,
+    ``n_unseen_bg`` (transitions absent from the model — the OOV signal),
+    and ``kn_surprisal_ppb`` (mean inverse KN transition probability,
+    clamped at 1e12 like ``lm_surprisal_bigram``'s "maximally
+    surprising"; predictable in-domain text scores low, out-of-domain or
+    garbled text high).
+
+    Backoff rules, all pure-Column CASE arms (no UDF):
+    - bigram seen: full interpolated estimate;
+    - bigram unseen, context seen: discount mass times the continuation
+      probability (0 if the next word is also unseen → clamp);
+    - context unseen: continuation probability alone ``N1+(·w)/NB``.
+
+    Scale shape: per-doc bigram counts first (same bound as the model
+    pass), then three LEFT equi-joins against the Zipf-bounded model
+    tables (AQE broadcasts them when they fit) and one per-doc aggregate.
+    No collect, no window, no all-pairs. The model's persisted stage is
+    attached to the result (``functions.caching`` contract) so a one-shot
+    caller can ``release_stages`` it; when scoring several corpora from
+    one model, call ``model.release()`` after the LAST scorer instead."""
+    from csvtool_spark.functions.caching import attach_stages
+
+    tf = _doc_bigram_tf(df, text_col, id_col)
+    j = (
+        tf.join(model.cb, "bg", "left")
+        .withColumn("__prev", F.split(F.col("bg"), " ")[0])
+        .withColumn("__nxt", F.split(F.col("bg"), " ")[1])
+        .join(model.cx, F.col("__prev") == F.col("prev"), "left")
+        .join(model.cw, F.col("__nxt") == F.col("nxt"), "left")
+    )
+    d_ppb, nb = int(model.d_ppb), int(model.nb)
+    p_ppb = F.expr(
+        f"CASE WHEN c_prev IS NULL THEN (coalesce(n1w, 0L) * 1000000000L) div {nb}L"
+        f" ELSE greatest(coalesce(c_bg, 0L) * 1000000000L - {d_ppb}L, 0L) div c_prev"
+        f" + (({d_ppb}L * n1v) div c_prev) * coalesce(n1w, 0L) div {nb}L END"
+    )
+    inv = F.expr(
+        "least(1000000000000L, 1000000000000000000L div greatest(__p, 1L))"
+    )
+    out = (
+        j.withColumn("__p", p_ppb)
+        .withColumn("__inv", inv)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c_bg").isNull(), F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_unseen_bg"),
+            F.expr("CAST(sum(tf * __inv) div sum(tf) AS BIGINT)").alias(
+                "kn_surprisal_ppb"
+            ),
+        )
+    )
+    return attach_stages(out, list(model._stages))
+
+
+def kn_oracle_sql(
+    train_where: str,
+    score_where: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE twin of ``kn_bigram_model`` + ``kn_score`` — identical
+    tokenization (the ``lm_surprisal_bigram`` oracle's), the same ppb
+    discount truncation, CASE backoff arms and division order, so the
+    compare is bit-exact. ``train_where``/``score_where`` are SQL
+    predicates selecting the two corpora (the CCNet train/score split).
+    Null-text guards mirror Spark's explode-drops-null behavior."""
+    return f"""
+    WITH tr AS (
+      SELECT string_split(lower(trim({text_col})), ' ') AS t
+      FROM {table} WHERE ({train_where}) AND {text_col} IS NOT NULL
+    ),
+    tbg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM tr WHERE len(t) >= 2
+    ),
+    cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM tbg GROUP BY bg),
+    cx AS (SELECT split_part(bg, ' ', 1) AS prev,
+                  CAST(sum(c_bg) AS BIGINT) AS c_prev,
+                  CAST(count(*) AS BIGINT) AS n1v
+           FROM cb GROUP BY 1),
+    cw AS (SELECT split_part(bg, ' ', 2) AS nxt,
+                  CAST(count(*) AS BIGINT) AS n1w
+           FROM cb GROUP BY 1),
+    kk AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CASE WHEN sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END)
+                     + 2 * sum(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) = 0
+                  THEN CAST(500000000 AS BIGINT)
+                  ELSE CAST(sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END)
+                            * 1000000000 AS BIGINT)
+                       // CAST(sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END)
+                               + 2 * sum(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END)
+                               AS BIGINT)
+             END AS d_ppb
+      FROM cb
+    ),
+    sc AS (
+      SELECT {id_col}, string_split(lower(trim({text_col})), ' ') AS t
+      FROM {table} WHERE ({score_where}) AND {text_col} IS NOT NULL
+    ),
+    sbg AS (
+      SELECT {id_col},
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM sc WHERE len(t) >= 2
+    ),
+    tf AS (SELECT {id_col}, bg, CAST(count(*) AS BIGINT) AS tf
+           FROM sbg GROUP BY {id_col}, bg),
+    j AS (
+      SELECT tf.{id_col}, tf.tf, cb.c_bg, cx.c_prev, cx.n1v, cw.n1w,
+             kk.nb, kk.d_ppb
+      FROM tf
+      LEFT JOIN cb USING (bg)
+      LEFT JOIN cx ON cx.prev = split_part(tf.bg, ' ', 1)
+      LEFT JOIN cw ON cw.nxt = split_part(tf.bg, ' ', 2)
+      CROSS JOIN kk
+    ),
+    p AS (
+      SELECT {id_col}, tf, c_bg,
+             CASE WHEN c_prev IS NULL
+                  THEN (coalesce(n1w, 0) * 1000000000) // nb
+                  ELSE greatest(coalesce(c_bg, 0) * 1000000000 - d_ppb, 0)
+                       // c_prev
+                       + ((d_ppb * n1v) // c_prev) * coalesce(n1w, 0) // nb
+             END AS p_ppb
+      FROM j
+    )
+    SELECT {id_col},
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c_bg IS NULL THEN tf ELSE 0 END) AS BIGINT)
+             AS n_unseen_bg,
+           CAST(sum(tf * least(1000000000000,
+                               1000000000000000000 // greatest(p_ppb, 1)))
+                // sum(tf) AS BIGINT) AS kn_surprisal_ppb
+    FROM p GROUP BY {id_col}
+    """
 
 
 def boilerplate_stats(

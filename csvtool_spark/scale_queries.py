@@ -1794,6 +1794,31 @@ def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_surprisal_bigram(d, "text", "doc_id")
 
 
+# --- Kneser-Ney cross-corpus LM filter ------------------------------------
+
+
+@register(
+    "q_kn_score",
+    textstats.kn_oracle_sql(
+        train_where="length(source) = 4", score_where="length(source) = 5"
+    ),
+    registered=False,  # shadow: driver window full; locally gated
+)
+def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: train an interpolated Kneser-Ney
+    bigram LM on the src0-src9 half of the corpus (4-char source names),
+    score the src10-src19 half — the train-on-reference / score-target
+    split, with OOV transitions surfacing as ``n_unseen_bg`` and high
+    ``kn_surprisal_ppb``."""
+    d = load(spark, sf_dir, "documents")
+    model = textstats.kn_bigram_model(
+        d.filter(F.length("source") == 4), "text", "doc_id"
+    )
+    return textstats.kn_score(
+        d.filter(F.length("source") == 5), model, "text", "doc_id"
+    )
+
+
 # --- contrastive negative mining ------------------------------------------
 
 

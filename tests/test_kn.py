@@ -1,0 +1,136 @@
+"""Interpolated Kneser-Ney bigram LM (textstats.kn_bigram_model /
+kn_score): probability-mass invariant, OOV/backoff arms, degenerate
+discount, persist lifecycle, and randomized cross-engine differentials
+(the catalog gate pins q_kn_score on the fixed corpus)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from csvtool_spark.oracle import compare
+from csvtool_spark.operators.textstats import (
+    kn_bigram_model,
+    kn_oracle_sql,
+    kn_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "x", s, len(t or "")) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_kn_probability_mass_sums_to_one(spark):
+    # for every seen context v, sum_w P(w|v) over the model vocabulary
+    # must be 1 up to integer truncation (each of <=V divisions loses
+    # <1 ppb) — the invariant that separates real KN from an ad-hoc score
+    train = _docs(
+        spark,
+        [
+            ("the cat sat on the mat", "tr"),
+            ("the cat ran to the mat", "tr"),
+            ("a dog sat on a log", "tr"),
+        ],
+    )
+    m = kn_bigram_model(train, "text", "doc_id")
+    try:
+        cb = {r["bg"]: r["c_bg"] for r in m.cb.collect()}
+        cx = {r["prev"]: (r["c_prev"], r["n1v"]) for r in m.cx.collect()}
+        cw = {r["nxt"]: r["n1w"] for r in m.cw.collect()}
+        vocab = set(cw) | {b.split(" ")[0] for b in cb}
+        for v, (c_v, n1v) in cx.items():
+            total = 0
+            for w in vocab:
+                c_vw = cb.get(f"{v} {w}", 0)
+                n1w = cw.get(w, 0)
+                t1 = max(c_vw * 10**9 - m.d_ppb, 0) // c_v
+                t2 = ((m.d_ppb * n1v) // c_v) * n1w // m.nb
+                total += t1 + t2
+            assert 10**9 - (len(vocab) + 2) * 3 <= total <= 10**9, (v, total)
+    finally:
+        m.release()
+
+
+def test_kn_backoff_arms_and_clamp(spark):
+    train = _docs(spark, [("red blue red blue red green", "tr")])
+    m = kn_bigram_model(train, "text", "doc_id")
+    try:
+        score = _docs(
+            spark,
+            [
+                ("red blue red blue", "sc"),   # all transitions seen
+                ("zz red", "sc"),              # unseen context, seen next
+                ("zz qq", "sc"),               # nothing seen -> clamp
+            ],
+        )
+        out = {r["doc_id"]: r for r in
+               kn_score(score, m, "text", "doc_id").collect()}
+        assert out[0]["n_unseen_bg"] == 0
+        assert out[0]["kn_surprisal_ppb"] < out[1]["kn_surprisal_ppb"]
+        # unseen context backs off to continuation prob of 'red':
+        # N1+(.red)=1 (blue->red), NB=3 -> p=333333333 ppb -> inv ~3e9
+        assert out[1]["n_unseen_bg"] == 1
+        assert out[1]["kn_surprisal_ppb"] == 10**18 // 333_333_333
+        # fully unseen transition: p=0 -> clamped max surprisal
+        assert out[2]["kn_surprisal_ppb"] == 10**12
+    finally:
+        m.release()
+
+
+def test_kn_degenerate_discount_and_empty_train(spark):
+    # every bigram count >= 3 -> count-of-counts undefined -> D = 0.5
+    train = _docs(spark, [("a b a b a b a b", "tr")])  # c(a b)=4, c(b a)=3
+    m = kn_bigram_model(train, "text", "doc_id")
+    m.release()
+    assert m.d_ppb == 500_000_000
+    with pytest.raises(ValueError, match="no bigrams"):
+        kn_bigram_model(_docs(spark, [("solo", "tr"), (None, "tr")]),
+                        "text", "doc_id")
+
+
+def test_kn_release_contract(spark):
+    from csvtool_spark.functions.caching import release_stages
+
+    train = _docs(spark, [("a b c a b", "tr")])
+    m = kn_bigram_model(train, "text", "doc_id")
+    out = kn_score(_docs(spark, [("a b", "sc")]), m, "text", "doc_id")
+    out.collect()
+    assert release_stages(out) == 1
+    assert release_stages(out) == 0  # idempotent
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kn_oracle_on_random_corpora(spark, seed):
+    r = random.Random(seed * 31 + 5)
+    words = ["red", "blue", "green", "tie", "x", "qq", "zz"]
+    rows = []
+    for i in range(90):
+        k = r.randint(0, 9)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(r.choice(words) for _ in range(k)),
+                "lang": "aa",
+                "source": r.choice(["tr", "sc"]),
+                "n_chars": r.randint(1, 99),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    model = kn_bigram_model(d.filter(F.col("source") == "tr"), "text", "doc_id")
+    try:
+        out = kn_score(d.filter(F.col("source") == "sc"), model, "text", "doc_id")
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        sql = kn_oracle_sql(train_where="source = 'tr'",
+                            score_where="source = 'sc'")
+        assert compare(out, con, sql) is None
+    finally:
+        model.release()
