@@ -459,13 +459,13 @@ def lang_id_arrow(col: Column) -> Column:
     return decide(tokens(F.lower(col)), cjk_char_count(col), F.length(col))
 
 
-def _doc_bigram_tf(df, text_col: str, id_col: str):
-    """Per-document bigram term frequencies ``(id, bg, tf)`` — the ONE
-    definition of tokenization + transition extraction shared by the MLE
-    (``lm_surprisal_bigram``) and Kneser-Ney scorers, so train and score
-    sides (and their oracles) can never drift on what a bigram is. Null
-    text and <2-token documents yield no rows (explode of null / empty
-    drops them)."""
+def bigram_array(text_col: str) -> Column:
+    """Adjacent-token transition strings ``["a b", "b c", ...]`` for a
+    document — the ONE definition of tokenization + transition extraction
+    shared by the MLE (``lm_surprisal_bigram``) and Kneser-Ney scorers
+    (exploded and map-only forms alike), so the twins and their oracles
+    can never drift on what a bigram is. Null text → null; <2 tokens →
+    empty array."""
     toks = tokens(F.lower(F.trim(F.col(text_col))))
     m = F.size(toks) - 1
     bigram = F.zip_with(
@@ -473,9 +473,17 @@ def _doc_bigram_tf(df, text_col: str, id_col: str):
         F.slice(toks, 2, F.greatest(m, F.lit(1))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    return F.when(m >= 1, bigram).otherwise(
+        F.when(F.col(text_col).isNotNull(), F.array())
+    )
+
+
+def _doc_bigram_tf(df, text_col: str, id_col: str):
+    """Per-document bigram term frequencies ``(id, bg, tf)`` over
+    ``bigram_array``. Null text and <2-token documents yield no rows
+    (explode of null / empty drops them)."""
     pairs = df.select(
-        F.col(id_col),
-        F.explode(F.when(m >= 1, bigram).otherwise(F.array())).alias("bg"),
+        F.col(id_col), F.explode(bigram_array(text_col)).alias("bg")
     )
     return pairs.groupBy(id_col, "bg").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -750,6 +758,165 @@ def kn_oracle_sql(
                 // sum(tf) AS BIGINT) AS kn_surprisal_ppb
     FROM p GROUP BY {id_col}
     """
+
+
+class PrunedKNModel:
+    """Driver-side BOUNDED Kneser-Ney model — the KenLM-pruning analogue:
+    only the ``max_bigrams`` most frequent transitions survive (ties
+    broken on the bigram string, deterministic), everything else scores
+    through the backoff arms. Holds plain dicts sized by the prune cap,
+    so it ships to scoring nodes inside a task closure / literal map —
+    the shape a production filter deploys (full counts live in the
+    training job; scorers get the pruned artifact)."""
+
+    def __init__(self, cb, cx, cw, d_ppb: int, nb: int, max_bigrams: int):
+        self.cb = cb          # {bg: c_bg}
+        self.cx = cx          # {prev: (c_prev, n1v)}
+        self.cw = cw          # {nxt: n1w}
+        self.d_ppb = d_ppb
+        self.nb = nb
+        self.max_bigrams = max_bigrams
+
+
+def kn_prune(model: KNModel, max_bigrams: int = 50_000) -> PrunedKNModel:
+    """Prune a distributed ``KNModel`` to its ``max_bigrams`` most
+    frequent transitions and collect the bounded result to the driver.
+
+    The context/continuation tables are restricted to the words the
+    surviving bigrams mention, but keep their FULL-model counts (and the
+    full-model ``D``/``NB``), so surviving transitions score identically
+    to the unpruned model; pruned-away transitions fall through the same
+    backoff arms an unseen transition does and count toward
+    ``n_unseen_bg`` (monotone in the cap). Note surprisal itself is not
+    monotone under pruning: a transition whose context left the model
+    re-routes to the continuation arm, which can assign more probability
+    than the interpolated estimate did — hard pruning, not KenLM's
+    renormalized-backoff pruning. With ``max_bigrams`` ≥ the
+    distinct-bigram count the pruned scorer is bit-identical to
+    ``kn_score`` (differential-tested).
+
+    Scale shape: one TakeOrdered top-M over the bigram table (no full
+    sort), then two broadcast-joined membership filters to collect the
+    ≤2M context/continuation rows. Everything collected is bounded by M."""
+    if max_bigrams < 1:
+        raise ValueError("kn_prune: max_bigrams must be >= 1")
+    top = (
+        model.cb.orderBy(F.col("c_bg").desc(), F.col("bg").asc())
+        .limit(int(max_bigrams))
+        .collect()
+    )
+    cb = {r["bg"]: int(r["c_bg"]) for r in top}
+    spark = model.cb.sparkSession
+    prevs = sorted({bg.split(" ")[0] for bg in cb})
+    nxts = sorted({bg.split(" ")[1] for bg in cb})
+    cx, cw = {}, {}
+    if prevs:
+        pv = spark.createDataFrame([(p,) for p in prevs], "prev string")
+        cx = {
+            r["prev"]: (int(r["c_prev"]), int(r["n1v"]))
+            for r in model.cx.join(F.broadcast(pv), "prev").collect()
+        }
+    if nxts:
+        nx = spark.createDataFrame([(n,) for n in nxts], "nxt string")
+        cw = {
+            r["nxt"]: int(r["n1w"])
+            for r in model.cw.join(F.broadcast(nx), "nxt").collect()
+        }
+    return PrunedKNModel(cb, cx, cw, model.d_ppb, model.nb, int(max_bigrams))
+
+
+def kn_score_map(
+    df,
+    pruned: PrunedKNModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+):
+    """Map-only scoring twin of ``kn_score`` over a PRUNED model: the
+    bounded dicts become LITERAL maps (constant-folded by Catalyst) and
+    each row folds its own transition array through them — no explode, no
+    join, no aggregation shuffle, so the plan is a pure projection. That
+    makes it legal in a stateless streaming micro-batch (the
+    ``nb_score_map`` precedent) and fusable into any scan.
+
+    Same integer formula and backoff arms as ``kn_score``; on a model
+    pruned with ``max_bigrams`` ≥ the bigram count the outputs are
+    bit-identical (differential-tested). Documents with no transitions
+    (null text, <2 tokens) drop out, matching ``kn_score``.
+
+    Trade-off vs ``kn_score``: the fold runs on Spark's interpreted HOF
+    path and the literal maps ride the plan (keep ``max_bigrams`` in the
+    tens of thousands); for huge BATCH corpora the explode+join form
+    wins — this form wins where a shuffle is unavailable (streams) or
+    unwanted."""
+    d_ppb, nb = int(pruned.d_ppb), int(pruned.nb)
+    cb_keys = sorted(pruned.cb)
+    cb_map = F.map_from_arrays(
+        F.lit(cb_keys), F.lit([pruned.cb[k] for k in cb_keys])
+    )
+    cx_keys = sorted(pruned.cx)
+    cx_map = F.map_from_arrays(
+        F.lit(cx_keys), F.lit([list(pruned.cx[k]) for k in cx_keys])
+    )
+    cw_keys = sorted(pruned.cw)
+    cw_map = F.map_from_arrays(
+        F.lit(cw_keys), F.lit([pruned.cw[k] for k in cw_keys])
+    )
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731 — exact
+    # integer division (Spark's `div`), matching the oracle's `//`
+
+    def inv_unseen(bg):
+        """Clamped inverse KN transition probability + unseen flag for
+        one transition — the same ppb formula, division order and CASE
+        arms as ``kn_score`` / ``kn_oracle_sql``, over literal-map
+        lookups instead of joins."""
+        c_bg = cb_map[bg]
+        cxv = cx_map[F.split(bg, " ")[0]]  # [c_prev, n1v] array
+        c_prev = cxv.getItem(0).cast("long")
+        n1v = cxv.getItem(1).cast("long")
+        n1w = F.coalesce(cw_map[F.split(bg, " ")[1]], F.lit(0)).cast("long")
+        p = F.when(
+            cxv.isNull(), div(n1w * F.lit(10**9), F.lit(nb))
+        ).otherwise(
+            div(
+                F.greatest(
+                    F.coalesce(c_bg, F.lit(0)).cast("long") * F.lit(10**9)
+                    - F.lit(d_ppb),
+                    F.lit(0).cast("long"),
+                ),
+                c_prev,
+            )
+            + div(div(F.lit(d_ppb) * n1v, c_prev) * n1w, F.lit(nb))
+        )
+        inv = F.least(
+            F.lit(10**12).cast("long"),
+            div(F.lit(10**18), F.greatest(p, F.lit(1).cast("long"))),
+        )
+        return F.struct(
+            inv.alias("inv"), c_bg.isNull().cast("long").alias("unseen")
+        )
+
+    arr = bigram_array(text_col)
+    scored = F.transform(arr, inv_unseen)
+    sums = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("u")
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] + x["inv"]).alias("s"),
+            (acc["u"] + x["unseen"]).alias("u"),
+        ),
+    )
+    n = F.size(arr).cast("long")
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        n.alias("n_bigrams"),
+        sums["u"].alias("n_unseen_bg"),
+        div(sums["s"], n).alias("kn_surprisal_ppb"),
+    )
+    return out.filter(F.col("n_bigrams") > 0)
 
 
 def boilerplate_stats(

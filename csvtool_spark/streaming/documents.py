@@ -207,3 +207,38 @@ def scrubbed_stream(
     from csvtool_spark.operators.redact import redact_documents
 
     return redact_documents(stream, "text", "doc_id", max_pii_fraction)
+
+
+def kn_gated_stream(
+    stream: DataFrame,
+    pruned,
+    max_surprisal_ppb: int,
+    max_unseen_frac: float | None = None,
+) -> DataFrame:
+    """Streaming twin of the Kneser-Ney quality filter (the CCNet shape,
+    online half): a PRUNED KN model trained OFFLINE on a clean reference
+    corpus (``textstats.kn_bigram_model`` → ``kn_prune``) scores every
+    arriving document via the map-only fold (``textstats.kn_score_map``
+    — literal maps, no join, no explode, no aggregation), so the stream
+    stays stateless: no watermark, no state store, each micro-batch a
+    pure projection. Same train-offline/apply-online shape as
+    ``classified_stream``; scoring a batch of the same rows is
+    bit-identical (test-pinned).
+
+    Documents at or below ``max_surprisal_ppb`` survive (in-domain
+    text); ``max_unseen_frac`` optionally also drops documents whose
+    share of model-unseen transitions exceeds it (heavily OOV docs can
+    still score mid-range when their seen transitions are common).
+    Documents with no transitions (null/short text) are dropped — an
+    LM filter has no evidence to keep them. Emits (doc_id, source,
+    n_bigrams, n_unseen_bg, kn_surprisal_ppb)."""
+    scored = textstats.kn_score_map(
+        stream, pruned, "text", "doc_id", extra_cols=("source",)
+    )
+    out = scored.filter(F.col("kn_surprisal_ppb") <= int(max_surprisal_ppb))
+    if max_unseen_frac is not None:
+        out = out.filter(
+            F.col("n_unseen_bg") * F.lit(1.0)
+            <= F.col("n_bigrams") * F.lit(float(max_unseen_frac))
+        )
+    return out

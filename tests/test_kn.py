@@ -134,3 +134,89 @@ def test_kn_oracle_on_random_corpora(spark, seed):
         assert compare(out, con, sql) is None
     finally:
         model.release()
+
+
+def test_kn_prune_unpruned_is_bit_identical_to_exploded(spark):
+    from csvtool_spark.operators.textstats import kn_prune, kn_score_map
+
+    r = random.Random(99)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(r.choice(words) for _ in range(r.randint(0, 8))),
+             "x", "tr" if i % 2 else "sc", 9) for i in range(80)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    m = kn_bigram_model(d.filter(F.col("source") == "tr"), "text", "doc_id")
+    try:
+        sc = d.filter(F.col("source") == "sc")
+        full = sorted(tuple(r) for r in kn_score(sc, m, "text", "doc_id").collect())
+        pr = kn_prune(m, max_bigrams=10**6)
+        mp = sorted(tuple(r) for r in kn_score_map(sc, pr, "text", "doc_id").collect())
+        assert full == mp and full
+        # pruned-away transitions count as model-unseen (monotone in the
+        # cap); surprisal itself is NOT monotone — a transition whose
+        # context left the pruned model re-routes to the continuation
+        # arm, which can assign MORE probability than the interpolated
+        # estimate did (inherent to hard pruning; KenLM re-normalizes
+        # with stored backoff weights instead)
+        pr2 = kn_prune(m, max_bigrams=3)
+        assert len(pr2.cb) == 3
+        m2 = {r[0]: r for r in mp}
+        for row in kn_score_map(sc, pr2, "text", "doc_id").collect():
+            assert row["n_unseen_bg"] >= m2[row["doc_id"]][2]
+        # deterministic prune: same cap -> same surviving set
+        assert kn_prune(m, max_bigrams=3).cb == pr2.cb
+    finally:
+        m.release()
+
+
+def test_kn_score_map_is_shuffle_free(spark):
+    """The map-only KN scorer must plan as a pure projection — no
+    Exchange of the corpus (that is its reason to exist; the streaming
+    gate depends on it)."""
+    from csvtool_spark.operators.textstats import kn_prune, kn_score_map
+
+    d = _docs(spark, [("a b c a b", "tr"), ("b c a", "sc")])
+    m = kn_bigram_model(d, "text", "doc_id")
+    try:
+        pr = kn_prune(m, max_bigrams=100)
+        out = kn_score_map(d, pr, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        m.release()
+
+
+def test_kn_gated_stream_matches_batch(spark, tmp_path):
+    from csvtool_spark.operators.textstats import kn_prune, kn_score_map
+    from csvtool_spark.streaming.documents import (
+        kn_gated_stream,
+        stream_documents_dir,
+    )
+    from csvtool_spark.streaming.events import run_to_memory
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = kn_bigram_model(batch.filter(F.length("source") == 4), "text", "doc_id")
+    try:
+        pr = kn_prune(m, max_bigrams=5000)
+    finally:
+        m.release()
+    score_part = batch.filter(F.length("source") == 5)
+    score_part.write.parquet(str(tmp_path / "shard"))
+    stream = stream_documents_dir(spark, str(tmp_path / "shard"))
+    thr = 50_000_000_000  # mid-range cut so both sides of the gate occur
+    run_to_memory(kn_gated_stream(stream, pr, thr), "kn_gate",
+                  output_mode="append")
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM kn_gate").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in kn_score_map(
+            score_part, pr, "text", "doc_id", extra_cols=("source",)
+        )
+        .filter(F.col("kn_surprisal_ppb") <= thr)
+        .collect()
+    )
+    assert got == exp and got
+    assert len(exp) < score_part.count()  # the gate actually dropped docs
