@@ -1108,10 +1108,13 @@ _PIVOT_MEASURES = ["F_qty_c", "F_base_c", "O_qty_c", "O_base_c"]
 
 @register(
     "q_reshape_pivot",
+    registered=False,  # shadow (r7 swap: slot given to q_kn_score); the
+    # pivot/unpivot round trip stays oracle-gated locally — reshape is a
+    # beyond-reference convenience, no §2 row cites it
     # pivot → unpivot round trip: conditional aggregation builds the wide
     # frame, UNION ALL melts it back — null cells (groups missing a
     # linestatus) survive both directions in both engines.
-    f"""
+    oracle=f"""
     WITH w AS (
       SELECT l_returnflag,
         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity*100,0) AS BIGINT) END) AS BIGINT) AS F_qty_c,
@@ -1802,7 +1805,7 @@ def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.kn_oracle_sql(
         train_where="length(source) = 4", score_where="length(source) = 5"
     ),
-    registered=False,  # shadow: driver window full; locally gated
+    # promoted to the driver window in round 7 (swap with q_reshape_pivot)
 )
 def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality filter: train an interpolated Kneser-Ney
