@@ -825,6 +825,47 @@ def kn_prune(model: KNModel, max_bigrams: int = 50_000) -> PrunedKNModel:
     return PrunedKNModel(cb, cx, cw, model.d_ppb, model.nb, int(max_bigrams))
 
 
+def kn_save_pruned(spark, pruned: PrunedKNModel, path: str) -> None:
+    """Persist a pruned KN model as ONE parquet dataset (any Hadoop
+    filesystem) — the artifact a train-offline job ships to scoring /
+    streaming jobs (``classify.save_model`` precedent). The FULL model's
+    tables are corpus-vocabulary-sized and stay where distributed tables
+    belong (write ``model.cb``/``cx``/``cw`` as ordinary datasets if you
+    need them); the pruned artifact is bounded by ``max_bigrams``, so it
+    rides one coalesced part file. Rows are (kind, key, a, b): 'cb'
+    bigram counts, 'cx' context (c_prev, n1v), 'cw' continuation counts,
+    'meta' the scalars. Safe to save back onto its own load path — the
+    rows originate from driver memory, not a scan of ``path``."""
+    rows = (
+        [("meta", "", int(pruned.d_ppb), int(pruned.nb))]
+        + [("max", "", int(pruned.max_bigrams), 0)]
+        + [("cb", k, v, 0) for k, v in sorted(pruned.cb.items())]
+        + [("cx", k, c, n) for k, (c, n) in sorted(pruned.cx.items())]
+        + [("cw", k, v, 0) for k, v in sorted(pruned.cw.items())]
+    )
+    df = spark.createDataFrame(rows, "kind string, key string, a long, b long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def kn_load_pruned(spark, path: str) -> PrunedKNModel:
+    """Inverse of ``kn_save_pruned`` — scoring-ready (bit-identical
+    scores, round-trip-tested)."""
+    rows = spark.read.parquet(path).collect()
+    by_kind: dict[str, list] = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    (meta,) = by_kind["meta"]
+    (mx,) = by_kind["max"]
+    return PrunedKNModel(
+        cb={r["key"]: int(r["a"]) for r in by_kind.get("cb", [])},
+        cx={r["key"]: (int(r["a"]), int(r["b"])) for r in by_kind.get("cx", [])},
+        cw={r["key"]: int(r["a"]) for r in by_kind.get("cw", [])},
+        d_ppb=int(meta["a"]),
+        nb=int(meta["b"]),
+        max_bigrams=int(mx["a"]),
+    )
+
+
 def kn_score_map(
     df,
     pruned: PrunedKNModel,

@@ -220,3 +220,34 @@ def test_kn_gated_stream_matches_batch(spark, tmp_path):
     )
     assert got == exp and got
     assert len(exp) < score_part.count()  # the gate actually dropped docs
+
+
+def test_kn_pruned_artifact_roundtrip(spark, tmp_path):
+    from csvtool_spark.operators.textstats import (
+        kn_load_pruned,
+        kn_prune,
+        kn_save_pruned,
+        kn_score_map,
+    )
+
+    d = _docs(spark, [("a b c a b d", "tr"), ("b c a e", "tr"),
+                      ("c a b", "sc"), ("e f", "sc")])
+    m = kn_bigram_model(d.filter(F.col("source") == "tr"), "text", "doc_id")
+    try:
+        pr = kn_prune(m, max_bigrams=4)
+    finally:
+        m.release()
+    path = str(tmp_path / "kn_model")
+    kn_save_pruned(spark, pr, path)
+    back = kn_load_pruned(spark, path)
+    assert (back.cb, back.cx, back.cw) == (pr.cb, pr.cx, pr.cw)
+    assert (back.d_ppb, back.nb, back.max_bigrams) == (
+        pr.d_ppb, pr.nb, pr.max_bigrams)
+    sc = d.filter(F.col("source") == "sc")
+    a = sorted(tuple(r) for r in kn_score_map(sc, pr, "text", "doc_id").collect())
+    b = sorted(tuple(r) for r in kn_score_map(sc, back, "text", "doc_id").collect())
+    assert a == b and a
+    # save back onto the own load path must not truncate mid-scan
+    kn_save_pruned(spark, back, path)
+    again = kn_load_pruned(spark, path)
+    assert again.cb == pr.cb
