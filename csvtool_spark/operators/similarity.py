@@ -974,3 +974,196 @@ def ann_recall_eval(
         ),
         [scored],
     )
+
+
+# --- product quantization (PQ) --------------------------------------------
+
+
+class PQCodebook:
+    """Product-quantization codebook (Jégou et al. 2011, TPAMI "Product
+    quantization for nearest neighbor search"), built on top of the int8
+    scalar-quantization grid so every distance is EXACT integer math
+    (the ``ann_quantized`` contract — bit-stable rankings across engines,
+    no float-fold ordering anywhere).
+
+    ``cents`` holds ``n_cents`` full-dimension code vectors (the
+    deterministic sampled codebook: the lowest-id corpus vectors, the
+    ``ivf_centroids`` precedent — reproducible cross-engine, unlike
+    Lloyd-trained means); subspace ``s`` of centroid ``c`` is the slice
+    ``cents[c][s*dsub:(s+1)*dsub]``. ``mn``/``mx`` are the global scalar
+    bounds the codes were built with — encoding MUST reuse them (a
+    subset's own bounds would shift every code)."""
+
+    def __init__(self, mn: float, mx: float, m: int, cents: list[list[int]]):
+        if not cents:
+            raise ValueError("PQCodebook: need at least one centroid")
+        dim = len(cents[0])
+        if m < 1 or dim % m != 0:
+            raise ValueError(
+                f"PQCodebook: dim {dim} not divisible into m={m} subspaces"
+            )
+        self.mn, self.mx, self.m, self.cents = float(mn), float(mx), int(m), cents
+        self.dim, self.dsub = dim, dim // m
+
+
+def pq_train(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 8, n_cents: int = 16
+) -> PQCodebook:
+    """Deterministic PQ codebook: global SQ bounds (one agg scan) + the
+    ``n_cents`` lowest-id vectors' int8 codes (one TakeOrdered — driver
+    state is n_cents×dim ints, bounded by design). Sampled, not
+    Lloyd-trained, for the same reason as ``ivf_centroids``: cross-engine
+    reproducibility; swap in trained centroids when quality matters more
+    (pair with rows-only checks, like ``ivf_train``)."""
+    b = sq_bounds(df, vec_col).collect()[0]
+    mn, mx = float(b["mn"]), float(b["mx"])
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(int(n_cents))
+        .collect()
+    )
+    cents = [[sq_code_py(float(x), mn, mx) for x in r[1]] for r in rows]
+    return PQCodebook(mn, mx, m, cents)
+
+
+def _isub_d2(sub: Column, cvals: list[int]) -> Column:
+    """Exact integer squared L2 distance between a code-array slice and a
+    centroid-slice literal (|code| ≤ 128 ⇒ per-dim square ≤ 65025; any
+    realistic dsub stays far inside int64)."""
+    c = F.array(*[F.lit(int(x)) for x in cvals])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, cb: PQCodebook
+) -> DataFrame:
+    """(id, pq_codes array<int> of length m) — each subspace's nearest
+    centroid by exact integer distance, ties to the lowest centroid id
+    (struct-min over (d, c), no UDF, stays in codegen). Codes use the
+    codebook's OWN bounds, so encoding a different frame than the one
+    trained on (new shards, a query batch) stays consistent.
+
+    Scale shape: map-only — one projection computing m bounded argmins
+    per row (n_cents × m literal slices); no shuffle, no collect. The
+    output is the 100 TB artifact: m ints per vector instead of dim
+    floats (~32× smaller scan for dim=64, m=8)."""
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: _sq_code(x, F.lit(cb.mn), F.lit(cb.mx)),
+    )
+    code_cols = []
+    for s in range(cb.m):
+        sub = F.slice(qvec, s * cb.dsub + 1, cb.dsub)
+        entries = [
+            F.struct(
+                _isub_d2(sub, cb.cents[c][s * cb.dsub : (s + 1) * cb.dsub]).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c in range(len(cb.cents))
+        ]
+        code_cols.append(F.array_min(F.array(*entries))["c"])
+    return df.select(F.col(id_col), F.array(*code_cols).alias("pq_codes"))
+
+
+def _adc_table(cb: PQCodebook, query: list[float]) -> list[list[int]]:
+    """Asymmetric-distance lookup table: table[s][c] = exact integer
+    squared distance between the query's subspace-s codes and centroid c's
+    — m × n_cents ints, computed on the driver with the same
+    ``sq_code_py`` grid the index used."""
+    if len(query) != cb.dim:
+        raise ValueError(
+            f"ann_pq: query dim {len(query)} != codebook dim {cb.dim}"
+        )
+    qcodes = [sq_code_py(float(x), cb.mn, cb.mx) for x in query]
+    return [
+        [
+            sum(
+                (qcodes[s * cb.dsub + i] - cent[s * cb.dsub + i]) ** 2
+                for i in range(cb.dsub)
+            )
+            for cent in cb.cents
+        ]
+        for s in range(cb.m)
+    ]
+
+
+def ann_pq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_cents: int = 16,
+    codebook: PQCodebook | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k by PQ asymmetric distance (ADC): encode the corpus (map-only),
+    ship the m×n_cents ADC table as literals, score each row with m
+    array lookups, TakeOrderedAndProject by (adc_d2 ASC, id ASC). Returns
+    (id, adc_d2).
+
+    All-integer end to end, so the ranking is bit-stable and the DuckDB
+    twin matches exactly. At scale, encode once with ``pq_index_write``
+    and probe the materialized codes (``ann_pq_indexed``) — the scan then
+    reads m ints per vector instead of the full embedding."""
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    enc = pq_encode(df, vec_col, id_col, cb)
+    if exclude_id is not None:
+        enc = enc.filter(F.col(id_col) != int(exclude_id))
+    return _adc_score(enc, id_col, cb, query, k)
+
+
+def _adc_score(
+    enc: DataFrame, id_col: str, cb: PQCodebook, query: list[float], k: int
+) -> DataFrame:
+    table = _adc_table(cb, query)
+    adc = F.lit(0).cast("long")
+    for s in range(cb.m):
+        adc = adc + F.element_at(
+            F.lit(table[s]), F.col("pq_codes")[s] + 1
+        ).cast("long")
+    return (
+        enc.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def pq_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    m: int = 8,
+    n_cents: int = 16,
+    codebook: PQCodebook | None = None,
+) -> PQCodebook:
+    """Materialize the PQ codes as a parquet dataset (one map-only pass,
+    no shuffle — the codes inherit the corpus partitioning). Unlike the
+    IVF index there is nothing to bucket: ADC probes read EVERY code row
+    by design; the win is the ~dim·4/m-fold smaller scan. Returns the
+    codebook the probe side needs (persist it with the index —
+    n_cents×dim ints)."""
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    pq_encode(df, vec_col, id_col, cb).write.mode("overwrite").parquet(path)
+    return cb
+
+
+def ann_pq_indexed(
+    spark,
+    path: str,
+    id_col: str,
+    query: list[float],
+    codebook: PQCodebook,
+    k: int = 10,
+) -> DataFrame:
+    """Probe a materialized ``pq_index_write`` dataset: scan (id, codes)
+    only, m lookups per row, top-k. Identical results to ``ann_pq`` with
+    the same codebook (differential-tested)."""
+    return _adc_score(spark.read.parquet(path), id_col, codebook, query, k)

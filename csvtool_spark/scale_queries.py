@@ -1552,6 +1552,81 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_quantized(e, "embedding", "vec_id", k=10)
 
 
+# --- product-quantized (PQ) ANN -------------------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_CENTS = 8, 8, 16
+
+@register(
+    "q_ann_pq",
+    # PQ over the int8 SQ grid is exact integer math end to end: codes are
+    # the shared q_ann_sq quantization CTE, the codebook is the 16
+    # lowest-id vectors' codes (the deterministic sampled quantizer, the
+    # q_ann_ivf precedent), subspace assignment is an argmin with ties to
+    # the lowest cell, and the ADC score is a sum of 8 table lookups — so
+    # rankings are bit-stable and the twin matches exactly.
+    f"""
+    WITH b AS (
+      SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
+             CAST(max(list_max(embedding)) AS DOUBLE) AS mx
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(least(255.0, floor((CAST(x AS DOUBLE) - b.mn)
+                                       * (255.0 / (b.mx - b.mn)))) AS BIGINT)
+               - 128) AS qvec
+      FROM embeddings, b
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qvec
+      FROM (SELECT vec_id, qvec FROM qv ORDER BY vec_id LIMIT {_PQ_CENTS})
+    ),
+    ss AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    assign AS (
+      SELECT v.vec_id, ss.s, c.cell,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> (v.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
+                    * (v.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS d
+      FROM qv v CROSS JOIN ss CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, s, cell FROM (
+        SELECT vec_id, s, cell,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
+        FROM assign) WHERE rn = 1
+    ),
+    q AS (SELECT qvec FROM qv WHERE vec_id = 0),
+    qtab AS (
+      SELECT ss.s, c.cell,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> (q.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
+                    * (q.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
+      FROM ss CROSS JOIN cent c CROSS JOIN q
+    )
+    SELECT bb.vec_id, CAST(sum(qt.qd) AS BIGINT) AS adc_d2
+    FROM best bb JOIN qtab qt USING (s, cell)
+    WHERE bb.vec_id <> 0
+    GROUP BY bb.vec_id
+    ORDER BY adc_d2 ASC, bb.vec_id ASC
+    LIMIT 10
+    """,
+    registered=False,  # shadow: the ANN family keeps q_ann_bruteforce +
+    # q_ann_ivf in-window; PQ joins SQ/LSH/IVF in the local gate
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 around vector 0 (self excluded): the 8-subspace
+    codebook compresses each 64-dim embedding to 8 small ints, the probe
+    sums 8 exact integer table lookups per row — the memory-bound ANN
+    scan path (Jégou et al. 2011)."""
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_pq(
+        e, "embedding", "vec_id", qvec,
+        k=10, m=_PQ_M, n_cents=_PQ_CENTS, exclude_id=0,
+    )
+
+
 # --- token-mixture resampling ---------------------------------------------
 
 

@@ -1,0 +1,184 @@
+"""Product-quantized ANN (similarity.pq_train / pq_encode / ann_pq):
+codebook validation, encode determinism + tie-breaks, ADC equivalence to
+the exact distance on the code grid, the materialized-index twin, plan
+shape, and randomized cross-engine differentials (the catalog gate pins
+q_ann_pq on the fixed corpus)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from csvtool_spark.operators.similarity import (
+    PQCodebook,
+    ann_pq,
+    ann_pq_indexed,
+    pq_encode,
+    pq_index_write,
+    pq_train,
+    sq_code_py,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _rand_corpus(seed: int, n: int, dim: int):
+    # pre-round through float32: Spark stores array<float>, so a Python /
+    # DuckDB recompute over the raw doubles would quantize differently
+    import numpy as np
+
+    r = random.Random(seed)
+    return [
+        [float(np.float32(r.uniform(-1, 1))) for _ in range(dim)]
+        for _ in range(n)
+    ]
+
+
+def test_pq_codebook_validation(spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        PQCodebook(0.0, 1.0, 3, [[0] * 8])
+    with pytest.raises(ValueError, match="at least one"):
+        PQCodebook(0.0, 1.0, 2, [])
+    d = _vecs(spark, _rand_corpus(1, 6, 8))
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=4)
+    with pytest.raises(ValueError, match="query dim"):
+        ann_pq(d, "embedding", "vec_id", [0.0] * 7, codebook=cb)
+
+
+def test_pq_encode_codes_are_nearest_centroids(spark):
+    # recompute every assignment in plain Python over the same int grid
+    vecs = _rand_corpus(7, 40, 16)
+    d = _vecs(spark, vecs)
+    m, dsub = 4, 4
+    cb = pq_train(d, "embedding", "vec_id", m=m, n_cents=8)
+    got = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(d, "embedding", "vec_id", cb).collect()}
+    for i, v in enumerate(vecs):
+        codes = [sq_code_py(float(x), cb.mn, cb.mx) for x in v]
+        exp = []
+        for s in range(m):
+            best = min(
+                range(len(cb.cents)),
+                key=lambda c: (
+                    sum(
+                        (codes[s * dsub + j] - cb.cents[c][s * dsub + j]) ** 2
+                        for j in range(dsub)
+                    ),
+                    c,
+                ),
+            )
+            exp.append(best)
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_pq_adc_equals_python_recompute_and_tiebreak(spark):
+    vecs = _rand_corpus(11, 60, 16)
+    d = _vecs(spark, vecs)
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
+    q = vecs[3]
+    out = ann_pq(d, "embedding", "vec_id", q, k=60, codebook=cb).collect()
+    # full recompute: codes -> assignment -> ADC table sum
+    qcodes = [sq_code_py(float(x), cb.mn, cb.mx) for x in q]
+    dsub = cb.dsub
+    exp = []
+    for i, v in enumerate(vecs):
+        codes = [sq_code_py(float(x), cb.mn, cb.mx) for x in v]
+        adc = 0
+        for s in range(cb.m):
+            best = min(
+                range(len(cb.cents)),
+                key=lambda c: (
+                    sum(
+                        (codes[s * dsub + j] - cb.cents[c][s * dsub + j]) ** 2
+                        for j in range(dsub)
+                    ),
+                    c,
+                ),
+            )
+            adc += sum(
+                (qcodes[s * dsub + j] - cb.cents[best][s * dsub + j]) ** 2
+                for j in range(dsub)
+            )
+        exp.append((adc, i))
+    exp.sort()
+    assert [(r["adc_d2"], r["vec_id"]) for r in out] == exp
+    # the query's own row scores 0 against itself only if its codes match
+    # its assigned centroids; with exclusion it must be absent
+    out2 = ann_pq(d, "embedding", "vec_id", q, k=60, codebook=cb, exclude_id=3)
+    assert 3 not in {r["vec_id"] for r in out2.collect()}
+
+
+def test_pq_degenerate_constant_corpus_falls_to_id_tiebreak(spark):
+    d = _vecs(spark, [[0.5] * 8 for _ in range(6)])
+    cb = pq_train(d, "embedding", "vec_id", m=2, n_cents=4)
+    assert cb.mn == cb.mx  # degenerate bounds: every code pins to 0
+    out = ann_pq(d, "embedding", "vec_id", [0.5] * 8, k=3, codebook=cb).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in out] == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_pq_indexed_twin_matches_inline(spark, tmp_path):
+    vecs = _rand_corpus(23, 80, 32)
+    d = _vecs(spark, vecs)
+    path = str(tmp_path / "pq_index")
+    cb = pq_index_write(d, "embedding", "vec_id", path, m=8, n_cents=16)
+    q = vecs[5]
+    a = [tuple(r) for r in
+         ann_pq(d, "embedding", "vec_id", q, k=10, codebook=cb).collect()]
+    b = [tuple(r) for r in
+         ann_pq_indexed(spark, path, "vec_id", q, cb, k=10).collect()]
+    assert a == b and len(a) == 10
+    # the index stores m ints per row, nothing else
+    assert spark.read.parquet(path).columns == ["vec_id", "pq_codes"]
+
+
+def test_pq_plan_shape(spark):
+    d = _vecs(spark, _rand_corpus(31, 30, 16))
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=4)
+    enc_plan = (
+        pq_encode(d, "embedding", "vec_id", cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in enc_plan  # encoding is map-only
+    top_plan = (
+        ann_pq(d, "embedding", "vec_id", [0.0] * 16, k=5, codebook=cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in top_plan
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pq_oracle_on_random_corpora(spark, seed):
+    """The catalog oracle on RANDOM frames (not the fixed corpus): same
+    CTE chain as q_ann_pq with the frame registered as `embeddings`."""
+    from csvtool_spark.oracle import compare
+    from csvtool_spark.queries import SHADOW_ORACLES
+
+    import numpy as np
+
+    r = random.Random(seed * 17 + 3)
+    n = r.randint(30, 70)
+    vecs = [
+        [float(np.float32(r.uniform(-2, 2))) for _ in range(64)]
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": vecs, "label": [0] * n}
+    )
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qvec = [float(x) for x in vecs[0]]
+    out = ann_pq(d, "embedding", "vec_id", qvec, k=10, exclude_id=0)
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    assert compare(out, con, SHADOW_ORACLES["q_ann_pq"]) is None
