@@ -960,6 +960,109 @@ def kn_score_map(
     return out.filter(F.col("n_bigrams") > 0)
 
 
+def kn_perplexity_buckets(
+    scored,
+    group_col: str = "source",
+    value_col: str = "kn_surprisal_ppb",
+    qs: tuple[float, float] = (1 / 3, 2 / 3),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+):
+    """CCNet's perplexity partition (Wenzek et al. 2020 §4.4): split each
+    group's documents into head/middle/tail by per-group surprisal
+    cutoffs — the curation step downstream of the KN scorer (train
+    mixtures are then drawn per bucket, e.g. head-heavy). Adds a
+    ``bucket`` column: ``labels[0]`` for value ≤ the qs[0] percentile
+    (most in-domain), ``labels[1]`` up to the qs[1] percentile,
+    ``labels[2]`` above. Cutoffs use the repo's exact percentile_disc
+    rank rule (``stats.group_quantiles``), so the labeling is
+    deterministic and the DuckDB twin bit-matches.
+
+    Scale shape: cutoffs cost one group-partitioned rank window over the
+    SCORED frame (doc_id + two longs per row — not the corpus text);
+    labeling is a broadcast join of the per-group cutoff table plus a
+    CASE. At corpus scale where even the scored frame is too big to
+    window, compute the cutoffs on a deterministic document sample (the
+    ``minhash_recall_eval`` tune-on-sample precedent) and pass them
+    through this same labeling by unioning the sample's cutoffs — the
+    rank rule itself is unchanged."""
+    from csvtool_spark.operators.stats import group_quantiles
+
+    if len(qs) != 2 or not (0.0 < qs[0] < qs[1] <= 1.0):
+        raise ValueError(f"kn_perplexity_buckets: need 0 < qs[0] < qs[1] <= 1, got {qs!r}")
+    if len(labels) != 3:
+        raise ValueError("kn_perplexity_buckets: need exactly 3 labels")
+    cuts = group_quantiles(scored, value_col, [group_col], qs=qs)
+    piv = cuts.groupBy(group_col).agg(
+        F.min(F.when(F.col("q") == float(qs[0]), F.col("value"))).alias("__c_lo"),
+        F.min(F.when(F.col("q") == float(qs[1]), F.col("value"))).alias("__c_hi"),
+    )
+    v = F.col(value_col)
+    return (
+        scored.join(F.broadcast(piv), group_col)
+        .withColumn(
+            "bucket",
+            F.when(v <= F.col("__c_lo"), F.lit(labels[0]))
+            .when(v <= F.col("__c_hi"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])),
+        )
+        .drop("__c_lo", "__c_hi")
+    )
+
+
+def kn_buckets_oracle_sql(
+    train_where: str,
+    score_where: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    qs: tuple[float, float] = (1 / 3, 2 / 3),
+) -> str:
+    """DuckDB twin of ``kn_score`` → join group column → bucket → per
+    (group, bucket) report: the full KN oracle rides as a subquery (the
+    ``q_dedup_cluster_stats`` precedent), the cutoffs use the
+    ``quantiles_oracle_sql`` rank formula verbatim (row_number, double
+    q·n, ceil), and the float literals are CAST to DOUBLE (DuckDB parses
+    bare decimals as DECIMAL — repo rule)."""
+    kn = kn_oracle_sql(train_where, score_where, table, text_col, id_col)
+    q_lo, q_hi = (f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+    WITH scored AS (
+      SELECT s.{id_col}, s.kn_surprisal_ppb, d.{group_col}
+      FROM ({kn}) s
+      JOIN (SELECT {id_col}, {group_col} FROM {table}) d USING ({id_col})
+    ),
+    r AS (
+      SELECT {group_col}, kn_surprisal_ppb AS value,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY kn_surprisal_ppb) AS rn,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM scored
+    ),
+    cuts AS (
+      SELECT {group_col},
+             min(CASE WHEN rn = CAST(ceil({q_lo} * n) AS BIGINT)
+                      THEN value END) AS c_lo,
+             min(CASE WHEN rn = CAST(ceil({q_hi} * n) AS BIGINT)
+                      THEN value END) AS c_hi
+      FROM r GROUP BY {group_col}
+    ),
+    lab AS (
+      SELECT s.{group_col},
+             CASE WHEN s.kn_surprisal_ppb <= c.c_lo THEN 'head'
+                  WHEN s.kn_surprisal_ppb <= c.c_hi THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             s.kn_surprisal_ppb
+      FROM scored s JOIN cuts c USING ({group_col})
+    )
+    SELECT {group_col}, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(kn_surprisal_ppb) AS BIGINT) AS min_ppb,
+           CAST(max(kn_surprisal_ppb) AS BIGINT) AS max_ppb
+    FROM lab GROUP BY {group_col}, bucket
+    """
+
+
 def boilerplate_stats(
     df, text_col: str, id_col: str = "doc_id", k: int = 3, min_docs: int = 5
 ):

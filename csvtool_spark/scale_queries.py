@@ -1897,6 +1897,34 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_kn_buckets",
+    textstats.kn_buckets_oracle_sql(
+        train_where="length(source) = 4", score_where="length(source) = 5"
+    ),
+    registered=False,  # shadow: the KN family keeps q_kn_score in-window;
+    # the bucket partition is its downstream composition
+)
+def q_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition of the scored half: per-source
+    surprisal terciles label every document, reported as a per
+    (source, bucket) histogram with the surprisal range each bucket
+    spans — the handoff a bucket-weighted training mixture reads."""
+    d = load(spark, sf_dir, "documents")
+    model = textstats.kn_bigram_model(
+        d.filter(F.length("source") == 4), "text", "doc_id"
+    )
+    scored = textstats.kn_score(
+        d.filter(F.length("source") == 5), model, "text", "doc_id"
+    ).join(d.select("doc_id", "source"), "doc_id")
+    b = textstats.kn_perplexity_buckets(scored, "source")
+    return b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("kn_surprisal_ppb").alias("min_ppb"),
+        F.max("kn_surprisal_ppb").alias("max_ppb"),
+    )
+
+
 # --- contrastive negative mining ------------------------------------------
 
 

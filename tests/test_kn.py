@@ -251,3 +251,85 @@ def test_kn_pruned_artifact_roundtrip(spark, tmp_path):
     kn_save_pruned(spark, back, path)
     again = kn_load_pruned(spark, path)
     assert again.cb == pr.cb
+
+
+def test_kn_buckets_validation_and_labels(spark):
+    from csvtool_spark.operators.textstats import kn_perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate([10, 20, 30, 40, 50, 60])],
+        "doc_id long, source string, kn_surprisal_ppb long",
+    )
+    with pytest.raises(ValueError, match="qs"):
+        kn_perplexity_buckets(scored, qs=(0.5, 0.2))
+    with pytest.raises(ValueError, match="3 labels"):
+        kn_perplexity_buckets(scored, labels=("a", "b"))
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in kn_perplexity_buckets(scored, "source").collect()
+    }
+    # n=6: rank ceil(6/3)=2 -> c_lo=20, rank ceil(12/3)=4 -> c_hi=40
+    assert got == {0: "head", 1: "head", 2: "middle", 3: "middle",
+                   4: "tail", 5: "tail"}
+
+
+def test_kn_buckets_tiny_group_and_ties(spark):
+    from csvtool_spark.operators.textstats import kn_perplexity_buckets
+
+    scored = spark.createDataFrame(
+        # one-doc group: both cutoffs land on the single value -> head;
+        # all-ties group: every doc <= c_lo -> all head
+        [(0, "solo", 99)] + [(i, "tie", 7) for i in range(1, 5)],
+        "doc_id long, source string, kn_surprisal_ppb long",
+    )
+    got = {(r["source"], r["doc_id"]): r["bucket"]
+           for r in kn_perplexity_buckets(scored, "source").collect()}
+    assert got[("solo", 0)] == "head"
+    assert all(got[("tie", i)] == "head" for i in range(1, 5))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_kn_buckets_oracle_on_random_corpora(spark, seed):
+    from csvtool_spark.operators.textstats import (
+        kn_buckets_oracle_sql,
+        kn_perplexity_buckets,
+    )
+
+    r = random.Random(seed * 13 + 2)
+    words = ["red", "blue", "green", "x", "qq"]
+    rows = []
+    for i in range(120):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(r.choice(words)
+                                 for _ in range(r.randint(0, 8))),
+                "lang": "aa",
+                "source": "tr" if i % 3 == 0 else f"g{i % 2}",
+                "n_chars": 1,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = spark.createDataFrame(pdf)
+    model = kn_bigram_model(d.filter(F.col("source") == "tr"), "text", "doc_id")
+    try:
+        scored = kn_score(
+            d.filter(F.col("source") != "tr"), model, "text", "doc_id"
+        ).join(d.select("doc_id", "source"), "doc_id")
+        out = (
+            kn_perplexity_buckets(scored, "source")
+            .groupBy("source", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("kn_surprisal_ppb").alias("min_ppb"),
+                F.max("kn_surprisal_ppb").alias("max_ppb"),
+            )
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        sql = kn_buckets_oracle_sql(
+            train_where="source = 'tr'", score_where="source <> 'tr'"
+        )
+        assert compare(out, con, sql) is None
+    finally:
+        model.release()
