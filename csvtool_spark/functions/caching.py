@@ -27,6 +27,14 @@ def attach_stages(df: DataFrame, stages: list[DataFrame]) -> DataFrame:
     return df
 
 
+def carried_stages(df: DataFrame) -> list[DataFrame]:
+    """The stages attached to ``df``, or [] — for operators that DERIVE a
+    new frame from an attach_stages result (join/groupBy drop the Python
+    attribute) and must re-attach them so the release contract survives
+    composition."""
+    return list(getattr(df, _ATTR, None) or [])
+
+
 def release_stages(df: DataFrame) -> int:
     """Unpersist every staging table attached to ``df``; returns how many
     were released.  Safe to call on any DataFrame, safe to call twice.

@@ -1051,9 +1051,24 @@ def pq_encode(
     Scale shape: map-only — one projection computing m bounded argmins
     per row (n_cents × m literal slices); no shuffle, no collect. The
     output is the 100 TB artifact: m ints per vector instead of dim
-    floats (~32× smaller scan for dim=64, m=8)."""
+    floats (~32× smaller scan for dim=64, m=8).
+
+    A vector whose length differs from the codebook dim (or a NULL
+    vector) raises at execution — the slice/zip_with fallback would
+    otherwise null-pad trailing subspaces and silently encode them as
+    centroid 0 (the query side already rejects this in ``_adc_table``)."""
+    v = F.col(vec_col)
+    checked = F.when(F.size(v) == cb.dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq_encode: vector dim "),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                F.lit(f" != codebook dim {cb.dim}"),
+            )
+        )
+    )
     qvec = F.transform(
-        F.col(vec_col),
+        checked,
         lambda x: _sq_code(x, F.lit(cb.mn), F.lit(cb.mx)),
     )
     code_cols = []

@@ -796,8 +796,9 @@ def kn_prune(model: KNModel, max_bigrams: int = 50_000) -> PrunedKNModel:
     ``kn_score`` (differential-tested).
 
     Scale shape: one TakeOrdered top-M over the bigram table (no full
-    sort), then two broadcast-joined membership filters to collect the
-    ≤2M context/continuation rows. Everything collected is bounded by M."""
+    sort), then ONE job unioning the two broadcast-joined membership
+    filters (kind-tagged) to collect the ≤2M context/continuation rows.
+    Everything collected is bounded by M."""
     if max_bigrams < 1:
         raise ValueError("kn_prune: max_bigrams must be >= 1")
     top = (
@@ -807,21 +808,32 @@ def kn_prune(model: KNModel, max_bigrams: int = 50_000) -> PrunedKNModel:
     )
     cb = {r["bg"]: int(r["c_bg"]) for r in top}
     spark = model.cb.sparkSession
+    # every surviving bigram has both words, and cb is non-empty
+    # (kn_bigram_model refuses empty corpora), so both sets are non-empty
     prevs = sorted({bg.split(" ")[0] for bg in cb})
     nxts = sorted({bg.split(" ")[1] for bg in cb})
-    cx, cw = {}, {}
-    if prevs:
-        pv = spark.createDataFrame([(p,) for p in prevs], "prev string")
-        cx = {
-            r["prev"]: (int(r["c_prev"]), int(r["n1v"]))
-            for r in model.cx.join(F.broadcast(pv), "prev").collect()
-        }
-    if nxts:
-        nx = spark.createDataFrame([(n,) for n in nxts], "nxt string")
-        cw = {
-            r["nxt"]: int(r["n1w"])
-            for r in model.cw.join(F.broadcast(nx), "nxt").collect()
-        }
+    pv = spark.createDataFrame([(p,) for p in prevs], "prev string")
+    nx = spark.createDataFrame([(n,) for n in nxts], "nxt string")
+    both = (
+        model.cx.join(F.broadcast(pv), "prev")
+        .select(
+            F.lit("x").alias("kind"),
+            F.col("prev").alias("key"),
+            F.col("c_prev").alias("a"),
+            F.col("n1v").alias("b"),
+        )
+        .unionByName(
+            model.cw.join(F.broadcast(nx), "nxt").select(
+                F.lit("w").alias("kind"),
+                F.col("nxt").alias("key"),
+                F.col("n1w").alias("a"),
+                F.lit(0).cast("long").alias("b"),
+            )
+        )
+        .collect()
+    )
+    cx = {r["key"]: (int(r["a"]), int(r["b"])) for r in both if r["kind"] == "x"}
+    cw = {r["key"]: int(r["a"]) for r in both if r["kind"] == "w"}
     return PrunedKNModel(cb, cx, cw, model.d_ppb, model.nb, int(max_bigrams))
 
 
@@ -937,27 +949,50 @@ def kn_score_map(
             inv.alias("inv"), c_bg.isNull().cast("long").alias("unseen")
         )
 
-    arr = bigram_array(text_col)
-    scored = F.transform(arr, inv_unseen)
-    sums = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("u")
-        ),
-        lambda acc, x: F.struct(
-            (acc["s"] + x["inv"]).alias("s"),
-            (acc["u"] + x["unseen"]).alias("u"),
-        ),
+    # single evaluation of the tokenization AND the fold: HOF expressions
+    # run interpreted where subexpression elimination does not apply, so
+    # naming sums/arr in three output columns would tokenize + fold each
+    # row 3-4 times. The transform-lambda binds the bigram array once
+    # (LambdaVariables evaluate once per element — the ivf_cell let-bind
+    # trick), the fold lands in ONE packed struct column, and the final
+    # projection only picks struct fields (plan-tested: one zip_with).
+    def packed(a):
+        sums = F.aggregate(
+            F.transform(a, inv_unseen),
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(0).cast("long").alias("u"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["s"] + x["inv"]).alias("s"),
+                (acc["u"] + x["unseen"]).alias("u"),
+            ),
+        )
+        return F.struct(F.size(a).cast("long").alias("n"), sums.alias("f"))
+
+    # no-transition rows (null text, <2 tokens) are dropped by a HOF
+    # filter + explode of the one-element array rather than a DataFrame
+    # .filter on the output column: Catalyst would push that filter below
+    # the projection by RE-INLINING the whole packed expression, running
+    # the fold a second time per row — a Generate is a pushdown barrier,
+    # and it also guarantees the div never sees n = 0 under ANSI
+    kept = F.filter(
+        F.transform(F.array(bigram_array(text_col)), packed),
+        lambda p: p["n"] > 0,
     )
-    n = F.size(arr).cast("long")
-    out = df.select(
+    mid = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(kept).alias("__p"),
+    )
+    n = F.col("__p")["n"]
+    return mid.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         n.alias("n_bigrams"),
-        sums["u"].alias("n_unseen_bg"),
-        div(sums["s"], n).alias("kn_surprisal_ppb"),
+        F.col("__p")["f"]["u"].alias("n_unseen_bg"),
+        div(F.col("__p")["f"]["s"], n).alias("kn_surprisal_ppb"),
     )
-    return out.filter(F.col("n_bigrams") > 0)
 
 
 def kn_perplexity_buckets(
@@ -985,6 +1020,7 @@ def kn_perplexity_buckets(
     ``minhash_recall_eval`` tune-on-sample precedent) and pass them
     through this same labeling by unioning the sample's cutoffs — the
     rank rule itself is unchanged."""
+    from csvtool_spark.functions.caching import attach_stages, carried_stages
     from csvtool_spark.operators.stats import group_quantiles
 
     if len(qs) != 2 or not (0.0 < qs[0] < qs[1] <= 1.0):
@@ -995,18 +1031,27 @@ def kn_perplexity_buckets(
     piv = cuts.groupBy(group_col).agg(
         F.min(F.when(F.col("q") == float(qs[0]), F.col("value"))).alias("__c_lo"),
         F.min(F.when(F.col("q") == float(qs[1]), F.col("value"))).alias("__c_hi"),
-    )
+    ).withColumnRenamed(group_col, "__g")
     v = F.col(value_col)
-    return (
-        scored.join(F.broadcast(piv), group_col)
+    # null-safe group match: a NULL group is its own window partition in
+    # the rank rule, so its documents must reach their own cutoffs too —
+    # a plain equi-join would silently drop them (oracle twin uses
+    # IS NOT DISTINCT FROM)
+    out = (
+        scored.join(
+            F.broadcast(piv), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn(
             "bucket",
             F.when(v <= F.col("__c_lo"), F.lit(labels[0]))
             .when(v <= F.col("__c_hi"), F.lit(labels[1]))
             .otherwise(F.lit(labels[2])),
         )
-        .drop("__c_lo", "__c_hi")
+        .drop("__g", "__c_lo", "__c_hi")
     )
+    # composition drops the Python attribute, so re-attach the input's
+    # persisted stages (kn_score's bigram table) for release_stages
+    return attach_stages(out, carried_stages(scored))
 
 
 def kn_buckets_oracle_sql(
@@ -1053,7 +1098,8 @@ def kn_buckets_oracle_sql(
                   WHEN s.kn_surprisal_ppb <= c.c_hi THEN 'middle'
                   ELSE 'tail' END AS bucket,
              s.kn_surprisal_ppb
-      FROM scored s JOIN cuts c USING ({group_col})
+      FROM scored s JOIN cuts c
+        ON s.{group_col} IS NOT DISTINCT FROM c.{group_col}
     )
     SELECT {group_col}, bucket,
            CAST(count(*) AS BIGINT) AS n_docs,

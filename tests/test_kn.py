@@ -195,7 +195,9 @@ def test_kn_gated_stream_matches_batch(spark, tmp_path):
     )
     from csvtool_spark.streaming.events import run_to_memory
 
-    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from tests.conftest import SF_SMALL
+
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     m = kn_bigram_model(batch.filter(F.length("source") == 4), "text", "doc_id")
     try:
         pr = kn_prune(m, max_bigrams=5000)
@@ -333,3 +335,59 @@ def test_kn_buckets_oracle_on_random_corpora(spark, seed):
         assert compare(out, con, sql) is None
     finally:
         model.release()
+
+
+def test_kn_buckets_keep_null_group(spark):
+    # a NULL group is its own rank-rule partition; the cutoff join is
+    # null-safe so those documents get buckets instead of vanishing
+    from csvtool_spark.operators.textstats import kn_perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(0, None, 10), (1, None, 20), (2, None, 30),
+         (3, "g", 5), (4, "g", 6), (5, "g", 7)],
+        "doc_id long, source string, kn_surprisal_ppb long",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in kn_perplexity_buckets(scored, "source").collect()}
+    assert len(got) == 6  # nothing dropped
+    assert (got[0], got[1], got[2]) == ("head", "middle", "tail")
+    assert (got[3], got[4], got[5]) == ("head", "middle", "tail")
+
+
+def test_kn_buckets_release_contract(spark):
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators.textstats import kn_perplexity_buckets
+
+    d = _docs(spark, [("a b c a b", "tr"), ("b c a b", "sc"),
+                      ("c a b c", "sc"), ("a c b a", "sc")])
+    m = kn_bigram_model(d.filter(F.col("source") == "tr"), "text", "doc_id")
+    scored = kn_score(
+        d.filter(F.col("source") == "sc"), m, "text", "doc_id"
+    ).join(d.select("doc_id", "source"), "doc_id")
+    # the join dropped the attribute; re-attach like q_kn_buckets does
+    from csvtool_spark.functions.caching import attach_stages
+
+    scored = attach_stages(scored, list(m._stages))
+    out = kn_perplexity_buckets(scored, "source")
+    out.collect()
+    assert release_stages(out) == 1  # the model's bigram stage propagated
+
+
+def test_kn_score_map_single_fold_plan(spark):
+    """The packed-struct rewrite must evaluate the tokenization and the
+    fold ONCE per row: zip_with (inside bigram_array) appears exactly
+    once in the executed plan — naming the fold in three output columns
+    used to inline it 3-4 times on the interpreted HOF path."""
+    from csvtool_spark.operators.textstats import kn_prune, kn_score_map
+
+    d = _docs(spark, [("a b c a b", "tr"), ("b c a", "sc")])
+    m = kn_bigram_model(d, "text", "doc_id")
+    try:
+        pr = kn_prune(m, max_bigrams=100)
+        plan = (
+            kn_score_map(d, pr, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("zip_with") == 1, plan
+    finally:
+        m.release()

@@ -182,3 +182,18 @@ def test_pq_oracle_on_random_corpora(spark, seed):
     con = duckdb.connect()
     con.register("embeddings", pdf)
     assert compare(out, con, SHADOW_ORACLES["q_ann_pq"]) is None
+
+
+def test_pq_encode_rejects_dim_mismatch_and_null(spark):
+    """Encoding a frame whose vectors do not match the codebook dim must
+    raise, not silently null-pad trailing subspaces to centroid 0."""
+    d = _vecs(spark, _rand_corpus(41, 8, 16))
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=4)
+    bad = _vecs(spark, _rand_corpus(42, 4, 12))  # 12 != 16
+    with pytest.raises(Exception, match="vector dim 12 != codebook dim 16"):
+        pq_encode(bad, "embedding", "vec_id", cb).collect()
+    withnull = spark.createDataFrame(
+        [(0, [0.0] * 16), (1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="vector dim NULL"):
+        pq_encode(withnull, "embedding", "vec_id", cb).collect()
