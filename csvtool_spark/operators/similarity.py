@@ -1057,6 +1057,20 @@ def pq_encode(
     vector) raises at execution — the slice/zip_with fallback would
     otherwise null-pad trailing subspaces and silently encode them as
     centroid 0 (the query side already rejects this in ``_adc_table``)."""
+    return df.select(
+        F.col(id_col), _packed_codes(cb, vec_col)["pq"].alias("pq_codes")
+    )
+
+
+def _packed_codes(cb: PQCodebook, vec_col: str) -> Column:
+    """One struct column ``(codes array<int>, pq array<int>)`` — the full
+    int8 code vector and its PQ assignment, each computed ONCE per row.
+    HOF expressions run interpreted where subexpression elimination does
+    not apply, so naming the code transform inside every centroid slice
+    would quantize the vector m·n_cents times; two nested transform
+    lambdas let-bind the code array and its m slices instead (the
+    ``ivf_cell`` trick — lambda variables evaluate once; plan-tested:
+    one floor)."""
     v = F.col(vec_col)
     checked = F.when(F.size(v) == cb.dim, v).otherwise(
         F.raise_error(
@@ -1067,22 +1081,36 @@ def pq_encode(
             )
         )
     )
-    qvec = F.transform(
-        checked,
-        lambda x: _sq_code(x, F.lit(cb.mn), F.lit(cb.mx)),
+    codes_expr = F.transform(
+        checked, lambda x: _sq_code(x, F.lit(cb.mn), F.lit(cb.mx))
     )
-    code_cols = []
-    for s in range(cb.m):
-        sub = F.slice(qvec, s * cb.dsub + 1, cb.dsub)
-        entries = [
-            F.struct(
-                _isub_d2(sub, cb.cents[c][s * cb.dsub : (s + 1) * cb.dsub]).alias("d"),
-                F.lit(c).cast("int").alias("c"),
-            )
-            for c in range(len(cb.cents))
-        ]
-        code_cols.append(F.array_min(F.array(*entries))["c"])
-    return df.select(F.col(id_col), F.array(*code_cols).alias("pq_codes"))
+
+    def assign(a: Column) -> Column:
+        subs = F.array(
+            *[F.slice(a, s * cb.dsub + 1, cb.dsub) for s in range(cb.m)]
+        )
+
+        def codes_of(sv: Column) -> Column:
+            cols = []
+            for s in range(cb.m):
+                entries = [
+                    F.struct(
+                        _isub_d2(
+                            sv[s], cb.cents[c][s * cb.dsub : (s + 1) * cb.dsub]
+                        ).alias("d"),
+                        F.lit(c).cast("int").alias("c"),
+                    )
+                    for c in range(len(cb.cents))
+                ]
+                cols.append(F.array_min(F.array(*entries))["c"])
+            return F.array(*cols)
+
+        return F.struct(
+            a.alias("codes"),
+            F.transform(F.array(subs), codes_of)[0].alias("pq"),
+        )
+
+    return F.transform(F.array(codes_expr), assign)[0]
 
 
 def _adc_table(cb: PQCodebook, query: list[float]) -> list[list[int]]:
@@ -1182,3 +1210,116 @@ def ann_pq_indexed(
     only, m lookups per row, top-k. Identical results to ``ann_pq`` with
     the same codebook (differential-tested)."""
     return _adc_score(spark.read.parquet(path), id_col, codebook, query, k)
+
+
+def _izdist2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two code-array columns
+    (the column-column twin of ``_isub_d2``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    m: int = 8,
+    n_cents: int = 16,
+    codebook: PQCodebook | None = None,
+) -> DataFrame:
+    """recall@k of the PQ-ADC ranking against the exact ranking on the
+    same int8 code grid, per query — the quantization-error dial for
+    tuning m/n_cents (the ``ann_recall_eval`` shape: how much neighbor
+    fidelity does compressing dim codes to m survive on THIS corpus?).
+
+    Returns (qid, n_hits, recall): ``n_hits`` = |ADC top-k ∩ exact
+    top-k| (self-matches excluded on both sides), ``recall`` = n_hits/k.
+    With n_cents ≥ |corpus| every vector reconstructs exactly and recall
+    is 1.0 (property-tested).
+
+    ONE corpus pass: the packed codes struct is computed once per row and
+    each query ships (qid, codes, ADC table) as one literal struct, so
+    both distances score during the same scan; the exact side NEEDS the
+    full |corpus|·|Q| matrix, so the eval is meant for a BOUNDED sampled
+    query set. Two qid-partitioned windows rank both sides
+    (WindowGroupLimit keeps k rows per query alive); the scored frame is
+    persisted because both windows read it (``attach_stages`` contract).
+
+    All-integer distances and one exact double division by the literal k
+    — bit-stable cross-engine, full DuckDB twin (q_pq_recall)."""
+    from pyspark.sql import Window
+
+    from csvtool_spark.functions.caching import attach_stages
+
+    if not queries:
+        raise ValueError("pq_recall_eval: queries must be non-empty")
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    qlits = []
+    for qid, vec in sorted(queries.items()):
+        table = _adc_table(cb, vec)  # validates the query dim
+        qcodes = [sq_code_py(float(x), cb.mn, cb.mx) for x in vec]
+        qlits.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.lit(qcodes).alias("qc"),
+                F.lit(table).alias("tbl"),
+            )
+        )
+    base = df.select(
+        F.col(id_col), _packed_codes(cb, vec_col).alias("__pc")
+    )
+    adc = F.lit(0).cast("long")
+    for s in range(cb.m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("q")["tbl"], s + 1),
+            F.col("__pc")["pq"][s] + 1,
+        ).cast("long")
+    scored = (
+        base.select(F.col(id_col), F.col("__pc"), F.explode(F.array(*qlits)).alias("q"))
+        .filter(F.col(id_col) != F.col("q")["qid"])
+        .select(
+            F.col("q")["qid"].alias("qid"),
+            F.col(id_col),
+            _izdist2(F.col("__pc")["codes"], F.col("q")["qc"]).alias("exact_d2"),
+            adc.alias("adc_d2"),
+        )
+        .persist()
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("exact_d2").asc(), F.col(id_col).asc()
+    )
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qids = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(queries)], "qid long"
+    )
+    return attach_stages(
+        qids.join(hits, "qid", "left").select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        ),
+        [scored],
+    )

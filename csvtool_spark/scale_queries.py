@@ -1556,16 +1556,12 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_DSUB, _PQ_CENTS = 8, 8, 16
 
-@register(
-    "q_ann_pq",
-    # PQ over the int8 SQ grid is exact integer math end to end: codes are
-    # the shared q_ann_sq quantization CTE, the codebook is the 16
-    # lowest-id vectors' codes (the deterministic sampled quantizer, the
-    # q_ann_ivf precedent), subspace assignment is an argmin with ties to
-    # the lowest cell, and the ADC score is a sum of 8 table lookups — so
-    # rankings are bit-stable and the twin matches exactly.
-    f"""
-    WITH b AS (
+# shared CTE block: SQ codes (the q_ann_sq quantization), the 16-lowest-id
+# sampled codebook (the q_ann_ivf precedent), per-(vector, subspace)
+# argmin assignment with ties to the lowest cell — everything integer, so
+# both q_ann_pq and q_pq_recall are bit-stable against Spark.
+_PQ_BASE_CTES = f"""
+    b AS (
       SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS mn,
              CAST(max(list_max(embedding)) AS DOUBLE) AS mx
       FROM embeddings
@@ -1595,7 +1591,16 @@ _PQ_M, _PQ_DSUB, _PQ_CENTS = 8, 8, 16
         SELECT vec_id, s, cell,
                row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
         FROM assign) WHERE rn = 1
-    ),
+    )
+"""
+
+@register(
+    "q_ann_pq",
+    # PQ over the int8 SQ grid is exact integer math end to end: the ADC
+    # score is a sum of 8 table lookups over the shared base CTEs, so
+    # rankings are bit-stable and the twin matches exactly.
+    f"""
+    WITH {_PQ_BASE_CTES},
     q AS (SELECT qvec FROM qv WHERE vec_id = 0),
     qtab AS (
       SELECT ss.s, c.cell,
@@ -1624,6 +1629,73 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq(
         e, "embedding", "vec_id", qvec,
         k=10, m=_PQ_M, n_cents=_PQ_CENTS, exclude_id=0,
+    )
+
+
+_PQ_EVAL_QIDS = (0, 1, 2, 3)
+
+@register(
+    "q_pq_recall",
+    # recall@10 of the ADC ranking vs the exact ranking on the same int8
+    # code grid, for 4 fixed query vectors — both rankings all-integer
+    # with (distance, vec_id) tie-breaks, recall one exact double
+    # division, so the twin is bit-stable.
+    f"""
+    WITH {_PQ_BASE_CTES},
+    qs AS (SELECT vec_id AS qid, qvec AS qc FROM qv
+           WHERE vec_id IN {_PQ_EVAL_QIDS}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(generate_series(1, len(v.qvec)),
+                   i -> (v.qvec[i] - q.qc[i]) * (v.qvec[i] - q.qc[i]))),
+                 v.vec_id) AS rn
+        FROM qv v JOIN qs q ON v.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    qtab AS (
+      SELECT q.qid, ss.s, c.cell,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> (q.qc[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
+                    * (q.qc[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
+      FROM ss CROSS JOIN cent c CROSS JOIN qs q
+    ),
+    adc AS (
+      SELECT qt.qid, bb.vec_id, sum(qt.qd) AS d
+      FROM best bb JOIN qtab qt USING (s, cell)
+      WHERE bb.vec_id <> qt.qid
+      GROUP BY qt.qid, bb.vec_id
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n
+      FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+    """,
+    registered=False,  # shadow: the eval twin of q_ann_pq, mirroring the
+    # q_ann_recall pattern for the SRP-LSH family
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much neighbor fidelity survives compressing 64 int8 codes to
+    8 PQ codes: recall@10 of the ADC ranking vs the exact code-grid
+    ranking for 4 sampled queries — the tuning dial for m/n_cents."""
+    e = load(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id").isin(*_PQ_EVAL_QIDS)).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    return similarity.pq_recall_eval(
+        e, "embedding", "vec_id", queries, k=10, m=_PQ_M, n_cents=_PQ_CENTS
     )
 
 

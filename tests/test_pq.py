@@ -197,3 +197,75 @@ def test_pq_encode_rejects_dim_mismatch_and_null(spark):
     )
     with pytest.raises(Exception, match="vector dim NULL"):
         pq_encode(withnull, "embedding", "vec_id", cb).collect()
+
+
+def test_pq_encode_single_quantization_plan(spark):
+    """The nested let-bind must quantize each vector ONCE: `floor` (only
+    inside _sq_code) appears exactly once in the encode plan — naming the
+    code transform inside every centroid slice used to inline it
+    m*n_cents times on the interpreted HOF path."""
+    d = _vecs(spark, _rand_corpus(51, 10, 16))
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
+    plan = (
+        pq_encode(d, "embedding", "vec_id", cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FLOOR") + plan.count("floor(") == 1, plan
+
+
+def test_pq_recall_eval_perfect_reconstruction(spark):
+    """With n_cents >= |corpus| every vector's own codes are a centroid,
+    so each subspace assigns at distance 0, ADC equals the exact distance
+    and recall is 1.0 for every query."""
+    from csvtool_spark.operators.similarity import pq_recall_eval
+
+    vecs = _rand_corpus(61, 20, 16)
+    d = _vecs(spark, vecs)
+    out = pq_recall_eval(
+        d, "embedding", "vec_id",
+        {0: vecs[0], 7: vecs[7]}, k=5, m=4, n_cents=20,
+    ).collect()
+    assert {(r["qid"], r["n_hits"], r["recall"]) for r in out} == {
+        (0, 5, 1.0), (7, 5, 1.0)
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_recall_eval(d, "embedding", "vec_id", {}, k=5)
+
+
+def test_pq_recall_eval_release_contract(spark):
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators.similarity import pq_recall_eval
+
+    vecs = _rand_corpus(71, 15, 8)
+    d = _vecs(spark, vecs)
+    out = pq_recall_eval(d, "embedding", "vec_id", {0: vecs[0]},
+                         k=3, m=2, n_cents=4)
+    out.collect()
+    assert release_stages(out) == 1
+    assert release_stages(out) == 0
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_pq_recall_oracle_on_random_corpora(spark, seed):
+    from csvtool_spark.oracle import compare
+    from csvtool_spark.operators.similarity import pq_recall_eval
+    from csvtool_spark.queries import SHADOW_ORACLES
+
+    import numpy as np
+
+    r = random.Random(seed * 19 + 7)
+    n = r.randint(25, 60)
+    vecs = [
+        [float(np.float32(r.uniform(-2, 2))) for _ in range(64)]
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs, "label": [0] * n})
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = {i: vecs[i] for i in (0, 1, 2, 3)}
+    out = pq_recall_eval(d, "embedding", "vec_id", queries, k=10)
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    assert compare(out, con, SHADOW_ORACLES["q_pq_recall"]) is None
