@@ -1166,13 +1166,11 @@ def _adc_score(
     enc: DataFrame, id_col: str, cb: PQCodebook, query: list[float], k: int
 ) -> DataFrame:
     table = _adc_table(cb, query)
-    adc = F.lit(0).cast("long")
-    for s in range(cb.m):
-        adc = adc + F.element_at(
-            F.lit(table[s]), F.col("pq_codes")[s] + 1
-        ).cast("long")
     return (
-        enc.select(F.col(id_col), adc.alias("adc_d2"))
+        enc.select(
+            F.col(id_col),
+            _adc_sum(table, F.col("pq_codes")).alias("adc_d2"),
+        )
         .orderBy(F.col("adc_d2").asc(), F.col(id_col))
         .limit(int(k))
     )
@@ -1322,4 +1320,136 @@ def pq_recall_eval(
             ).alias("recall"),
         ),
         [scored],
+    )
+
+
+# --- IVF × PQ composed index ----------------------------------------------
+
+
+def _adc_sum(table: list[list[int]], codes: Column) -> Column:
+    """Sum of per-subspace ADC lookups: table[s][codes[s]] — m integer
+    array accesses against a materialized code column."""
+    adc = F.lit(0).cast("long")
+    for s, row in enumerate(table):
+        adc = adc + F.element_at(F.lit(row), codes[s] + 1).cast("long")
+    return adc
+
+
+def ann_ivf_pq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_cents: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebook: PQCodebook | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF × PQ probe, inline form (cell assignment + PQ codes computed in
+    the scan — the plan the materialized twin ``ann_ivf_pq_indexed``
+    freezes into its index): rank cells against the query driver-side,
+    keep the nprobe best, ADC-score only those rows, top-k by
+    (adc_d2 ASC, id ASC). Returns (id, cell, adc_d2).
+
+    This is the FAISS IVF-PQ architecture on the repo's exact-integer
+    contract: the cell filter cuts the candidate IO to ~nprobe/n_cells,
+    PQ cuts the bytes per candidate to m ints, and the score is m table
+    lookups — fully SQL-expressible, so the composition has a complete
+    DuckDB twin (q_ann_ivf_pq), unlike the rows-only IVF×SQ pytest pair.
+    Codes are whole-vector (not residual) quantizations, matching
+    ``ivf_sq_index_write``'s convention."""
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    ranked = sorted(cents, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    probe = [cell for cell, _ in ranked[:nprobe]]
+    table = _adc_table(cb, query)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    ).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        assigned = assigned.filter(F.col(id_col) != int(exclude_id))
+    enc = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
+    )
+    return (
+        enc.select(
+            F.col(id_col),
+            F.col("cell"),
+            _adc_sum(table, F.col("pq_codes")).alias("adc_d2"),
+        )
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def ivf_pq_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    n_cells: int = 16,
+    n_buckets: int = 16,
+    path: str | None = None,
+    m: int = 8,
+    n_cents: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebook: PQCodebook | None = None,
+) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
+    """Materialize the IVF × PQ index: every vector stored as
+    (id, cell, pq_codes), bucketed by cell. A probe then pays (a)
+    bucket-pruned IO on ~nprobe/n_cells of the corpus and (b) m ints per
+    vector it does read (~32× fewer bytes at dim=64/m=8) — the smallest
+    scan in the ANN family. Returns the probe-side metadata
+    (centroids, codebook), both driver-sized."""
+    from csvtool_spark.sources.bucketing import write_bucketed
+
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    indexed = df.select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+        _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
+    )
+    write_bucketed(indexed, table, "__cell", n_buckets, path)
+    return cents, cb
+
+
+def ann_ivf_pq_indexed(
+    spark,
+    table: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebook: PQCodebook,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe an ``ivf_pq_index_write`` table: cell IN-filter over the
+    bucketed layout (SelectedBucketsCount pruning), m ADC lookups per
+    surviving row, top-k. Identical results to the inline ``ann_ivf_pq``
+    with the same metadata (differential-tested)."""
+    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    probe = [cell for cell, _ in ranked[:nprobe]]
+    table_adc = _adc_table(codebook, query)
+    return _with_forced_bucketed_scan(
+        spark,
+        lambda: (
+            spark.table(table)
+            .filter(F.col("__cell").isin(probe))
+            .select(
+                F.col(id_col),
+                F.col("__cell").alias("cell"),
+                _adc_sum(table_adc, F.col("pq_codes")).alias("adc_d2"),
+            )
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+            .limit(int(k))
+        ),
     )

@@ -1699,6 +1699,72 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_ivf_pq",
+    # the FAISS IVF-PQ composition with a COMPLETE cross-engine twin:
+    # cell assignment/probe ranking reuse q_ann_ivf's round(cos,6) CTEs
+    # (sequential-fold doubles, bit-identical), the candidate scoring is
+    # q_ann_pq's all-integer ADC over the shared base CTEs.
+    f"""
+    WITH {_PQ_BASE_CTES},
+    icent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS icell,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+            LIMIT {_IVF_CELLS})
+    ),
+    q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qrank AS (
+      SELECT c.icell FROM icent c, q0
+      ORDER BY {_cos_sql('c.embedding', 'q0.embedding')} DESC, c.icell
+      LIMIT {_IVF_PROBE}
+    ),
+    cellof AS (
+      SELECT vec_id, icell FROM (
+        SELECT e.vec_id, c.icell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC,
+                          c.icell) AS rn
+        FROM embeddings e CROSS JOIN icent c
+      ) WHERE rn = 1
+    ),
+    qq AS (SELECT qvec FROM qv WHERE vec_id = 0),
+    qtab AS (
+      SELECT ss.s, c.cell,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> (qq.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
+                    * (qq.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
+      FROM ss CROSS JOIN cent c CROSS JOIN qq
+    ),
+    adc AS (
+      SELECT bb.vec_id, CAST(sum(qt.qd) AS BIGINT) AS adc_d2
+      FROM best bb JOIN qtab qt USING (s, cell)
+      GROUP BY bb.vec_id
+    )
+    SELECT a.vec_id, co.icell AS cell, a.adc_d2
+    FROM adc a
+    JOIN cellof co ON co.vec_id = a.vec_id
+    JOIN qrank USING (icell)
+    WHERE a.vec_id <> 0
+    ORDER BY a.adc_d2 ASC, a.vec_id ASC
+    LIMIT 10
+    """,
+    registered=False,  # shadow: completes the composed-index ANN story
+    # (IVF x SQ stays pytest-paired; IVF x PQ is fully SQL-expressible)
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ probe around vector 0: the 4 best of 16 cells
+    by query cosine are scanned, candidates score by 8 integer ADC table
+    lookups — bucket-pruned IO times ~32× fewer bytes per candidate."""
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_ivf_pq(
+        e, "embedding", "vec_id", qvec, k=10,
+        n_cells=_IVF_CELLS, nprobe=_IVF_PROBE,
+        m=_PQ_M, n_cents=_PQ_CENTS, exclude_id=0,
+    )
+
+
 # --- token-mixture resampling ---------------------------------------------
 
 

@@ -269,3 +269,87 @@ def test_pq_recall_oracle_on_random_corpora(spark, seed):
     con = duckdb.connect()
     con.register("embeddings", pdf)
     assert compare(out, con, SHADOW_ORACLES["q_pq_recall"]) is None
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark):
+    """nprobe = n_cells degrades gracefully to the plain PQ ranking (the
+    ann_ivf property, on the composed index)."""
+    from csvtool_spark.operators.similarity import ann_ivf_pq
+
+    vecs = _rand_corpus(81, 60, 16)
+    d = _vecs(spark, vecs)
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
+    q = vecs[2]
+    full = ann_ivf_pq(
+        d, "embedding", "vec_id", q, k=10, n_cells=8, nprobe=8,
+        m=4, n_cents=8, codebook=cb, exclude_id=2,
+    ).collect()
+    plain = ann_pq(
+        d, "embedding", "vec_id", q, k=10, codebook=cb, exclude_id=2
+    ).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in full] == [
+        (r["vec_id"], r["adc_d2"]) for r in plain
+    ]
+
+
+def test_ivf_pq_index_probe_pruned_and_matches_inline(spark, tmp_path):
+    import re
+
+    from csvtool_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_indexed,
+        ivf_pq_index_write,
+    )
+
+    vecs = _rand_corpus(91, 120, 32)
+    d = _vecs(spark, vecs)
+    q = vecs[0]
+    cents, cb = ivf_pq_index_write(
+        d, "embedding", "vec_id", "ivf_pq_idx", n_cells=8, n_buckets=8,
+        path=str(tmp_path / "ivf_pq_idx"), m=8, n_cents=16,
+    )
+    probe = ann_ivf_pq_indexed(
+        spark, "ivf_pq_idx", "vec_id", q, cents, cb, k=10, nprobe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    got = [tuple(r) for r in probe.collect()]
+    inline = [
+        tuple(r)
+        for r in ann_ivf_pq(
+            d, "embedding", "vec_id", q, k=10, n_cells=8, nprobe=2,
+            centroids=cents, codebook=cb,
+        ).collect()
+    ]
+    assert got == inline and len(got) == 10
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_ivf_pq_oracle_on_random_corpora(spark, seed):
+    from csvtool_spark.oracle import compare
+    from csvtool_spark.operators.similarity import ann_ivf_pq
+    from csvtool_spark.queries import SHADOW_ORACLES
+
+    import numpy as np
+
+    r = random.Random(seed * 23 + 11)
+    n = r.randint(40, 90)
+    vecs = [
+        [float(np.float32(r.uniform(-2, 2))) for _ in range(64)]
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs, "label": [0] * n})
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qvec = [float(x) for x in vecs[0]]
+    out = ann_ivf_pq(
+        d, "embedding", "vec_id", qvec, k=10, n_cells=16, nprobe=4,
+        m=8, n_cents=16, exclude_id=0,
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    assert compare(out, con, SHADOW_ORACLES["q_ann_ivf_pq"]) is None
