@@ -1062,7 +1062,9 @@ def pq_encode(
     )
 
 
-def _packed_codes(cb: PQCodebook, vec_col: str) -> Column:
+def _packed_codes(
+    cb: PQCodebook, vec_col: str, on_invalid: str = "raise"
+) -> Column:
     """One struct column ``(codes array<int>, pq array<int>)`` — the full
     int8 code vector and its PQ assignment, each computed ONCE per row.
     HOF expressions run interpreted where subexpression elimination does
@@ -1070,7 +1072,14 @@ def _packed_codes(cb: PQCodebook, vec_col: str) -> Column:
     would quantize the vector m·n_cents times; two nested transform
     lambdas let-bind the code array and its m slices instead (the
     ``ivf_cell`` trick — lambda variables evaluate once; plan-tested:
-    one floor)."""
+    one floor).
+
+    ``on_invalid``: 'raise' (batch default — a dim-mismatched/NULL vector
+    is a pipeline bug) or 'null' (streaming lane — the whole struct nulls
+    out so a poison record cannot crash-loop a micro-batch; the
+    ``clustered_stream`` rationale)."""
+    if on_invalid not in ("raise", "null"):
+        raise ValueError(f"on_invalid must be 'raise' or 'null', got {on_invalid!r}")
     v = F.col(vec_col)
     checked = F.when(F.size(v) == cb.dim, v).otherwise(
         F.raise_error(
@@ -1110,7 +1119,12 @@ def _packed_codes(cb: PQCodebook, vec_col: str) -> Column:
             F.transform(F.array(subs), codes_of)[0].alias("pq"),
         )
 
-    return F.transform(F.array(codes_expr), assign)[0]
+    expr = F.transform(F.array(codes_expr), assign)[0]
+    if on_invalid == "null":
+        # the when() guards evaluation, so the raise branch inside
+        # `checked` can never fire on this lane
+        return F.when(F.size(v) == cb.dim, expr)
+    return expr
 
 
 def _adc_table(cb: PQCodebook, query: list[float]) -> list[list[int]]:

@@ -74,3 +74,42 @@ def clustered_stream(
     if keep is not None:
         out = out.filter(F.col("cluster").isin(*[int(c) for c in keep]))
     return out
+
+
+def pq_coded_stream(
+    stream: DataFrame,
+    codebook,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Encode arriving vectors into the (IVF ×) PQ index layout — the
+    ingest half of ANN index maintenance: an upstream encoder drops
+    embedding shards, this stage emits (vec_id, label[, cell], pq_codes)
+    rows appendable into the ``ivf_pq_index_write`` layout. Codebook and
+    centroids come from a BATCH training job (``similarity.pq_train`` /
+    ``ivf_centroids``) — the same train-offline / apply-online split as
+    ``clustered_stream``; encoding a batch of the same rows is
+    bit-identical (test-pinned).
+
+    Stateless pure projection: codebook/centroid literals ride the task
+    closure (no join, no aggregation, no watermark), so the stream is
+    legal in append mode and fusable into the source scan. A
+    dim-mismatched or NULL vector yields NULL cell/codes instead of
+    raising — a raise would fail the micro-batch and replay the same
+    poison record into a crash loop (the ``clustered_stream``
+    rationale); route ``pq_codes IS NULL`` rows to a quarantine sink."""
+    from csvtool_spark.operators import similarity
+
+    valid = F.size(F.col("embedding")) == codebook.dim
+    cols = [F.col("vec_id"), F.col("label")]
+    if centroids is not None:
+        cols.append(
+            F.when(
+                valid, similarity.ivf_cell(F.col("embedding"), centroids)
+            ).alias("cell")
+        )
+    cols.append(
+        similarity._packed_codes(codebook, "embedding", on_invalid="null")[
+            "pq"
+        ].alias("pq_codes")
+    )
+    return stream.select(*cols)

@@ -353,3 +353,45 @@ def test_ivf_pq_oracle_on_random_corpora(spark, seed):
     con = duckdb.connect()
     con.register("embeddings", pdf)
     assert compare(out, con, SHADOW_ORACLES["q_ann_ivf_pq"]) is None
+
+
+def test_pq_coded_stream_matches_batch_and_survives_poison(spark, tmp_path):
+    """The streaming ingest-encode stage: valid rows encode bit-identically
+    to batch pq_encode / ivf_cell; a poison shard (ragged vector) nulls
+    out instead of crash-looping the micro-batch."""
+    from csvtool_spark.operators.similarity import ivf_cell, ivf_centroids
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.embeddings import (
+        pq_coded_stream,
+        stream_embeddings_dir,
+    )
+
+    vecs = _rand_corpus(101, 40, 16)
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
+    cents = ivf_centroids(d, "embedding", "vec_id", n_cells=4)
+    shard_dir = str(tmp_path / "shards")
+    d.write.parquet(shard_dir)
+    # poison shard: one ragged vector, one null
+    spark.createDataFrame(
+        [(900, [0.0] * 7, 0), (901, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("append").parquet(shard_dir)
+    stream = stream_embeddings_dir(spark, shard_dir)
+    out = pq_coded_stream(stream, cb, centroids=cents)
+    assert out.isStreaming
+    run_to_memory(out, "pq_stream", output_mode="append")
+    got = {r.vec_id: (r.cell, list(r.pq_codes) if r.pq_codes is not None else None)
+           for r in spark.sql("SELECT * FROM pq_stream").collect()}
+    # poison rows survived as nulls
+    assert got[900] == (None, None) and got[901] == (None, None)
+    # valid rows == batch encode + batch cell assignment
+    enc = {r.vec_id: list(r.pq_codes)
+           for r in pq_encode(d, "embedding", "vec_id", cb).collect()}
+    cells = {r.vec_id: r.c for r in d.select(
+        "vec_id", ivf_cell(F.col("embedding"), cents).alias("c")).collect()}
+    for i in range(40):
+        assert got[i] == (cells[i], enc[i])
