@@ -300,6 +300,17 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return round(num / den, 6) if den > 0 else float("-inf")
 
 
+def _probe_cells(
+    centroids: list[tuple[int, list[float]]], query: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe cell ids a query probes: cells ranked by centroid
+    cosine (driver-side, same fold as the oracle), ties to the lowest
+    cell — THE one definition of the probe ranking, shared by every
+    inline and indexed IVF probe so their tie-breaks can never drift."""
+    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
+    return [cell for cell, _ in ranked[:nprobe]]
+
+
 def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """Cell assignment as a pure column expression: argmax of round(cos,6)
     over the centroid literals, ties to the lowest cell id (struct-max over
@@ -344,15 +355,23 @@ def ann_ivf(
 ) -> DataFrame:
     """IVF probe: rank cells by centroid-to-query cosine, scan the nprobe
     best cells, exact-rerank by cosine. nprobe = n_cells degrades gracefully
-    to exact brute force (property-tested). Returns (id, cell, cos)."""
+    to exact brute force (property-tested). Returns (id, cell, cos).
+
+    The cell assignment is evaluated ONCE per row: a .filter on the cell
+    alias would be pushed below the projection by RE-INLINING the whole
+    n_cells-cosine HOF fold into the predicate (each row pays it twice);
+    the HOF-filter + explode drops non-probed rows behind a Generate,
+    which is a pushdown barrier (the ``kn_score_map`` fix pattern)."""
     cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
-    ranked = sorted(cents, key=lambda e: (-_py_cosine(e[1], query), e[0]))
-    probe = [cell for cell, _ in ranked[:nprobe]]
+    probe = _probe_cells(cents, query, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _vec_d(F.col(vec_col))
+    kept = F.filter(
+        F.array(ivf_cell(F.col(vec_col), cents)),
+        lambda c: c.isin(*[int(p) for p in probe]),
+    )
     return (
-        df.select(F.col(id_col), F.col(vec_col), ivf_cell(F.col(vec_col), cents).alias("cell"))
-        .filter(F.col("cell").isin(probe))
+        df.select(F.col(id_col), F.col(vec_col), F.explode(kept).alias("cell"))
         .select(F.col(id_col), F.col("cell"), cosine(v, q).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
@@ -431,8 +450,7 @@ def ann_ivf_indexed(
     """Probe a materialized `ivf_index_write` table: cell IN-filter over the
     bucketed layout (SelectedBucketsCount pruning, same mechanics as
     `ann_lsh_indexed`) → exact cosine re-rank → top-k."""
-    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
-    probe = [cell for cell, _ in ranked[:nprobe]]
+    probe = _probe_cells(centroids, query, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _vec_d(F.col(vec_col))
     return _with_forced_bucketed_scan(
@@ -653,8 +671,7 @@ def ann_ivf_sq(
     integer-dot scores against the quantized query, top-k. Returns
     (id, cell, score_q)."""
     mn, mx = bounds
-    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
-    probe = [cell for cell, _ in ranked[:nprobe]]
+    probe = _probe_cells(centroids, query, nprobe)
     qcodes = F.array(*[F.lit(sq_code_py(x, mn, mx)) for x in query])
     return _with_forced_bucketed_scan(
         spark,
@@ -955,14 +972,30 @@ def ann_recall_eval(
         .filter(F.col("rn") <= k)
         .select("qid", id_col)
     )
+    return _recall_output(df, id_col, exact, approx, queries, k, [scored])
+
+
+def _recall_output(
+    df: DataFrame,
+    id_col: str,
+    exact: DataFrame,
+    approx: DataFrame,
+    queries: dict,
+    k: int,
+    stages: list[DataFrame],
+) -> DataFrame:
+    """(qid, n_hits, recall) from two per-query top-k id sets — THE one
+    recall@k output contract, shared by ``ann_recall_eval`` and
+    ``pq_recall_eval`` so the null-hits convention and the exact double
+    division by k can never drift between evals."""
+    from csvtool_spark.functions.caching import attach_stages
+
     hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     qids = df.sparkSession.createDataFrame(
         [(int(q),) for q in sorted(queries)], "qid long"
     )
-    from csvtool_spark.functions.caching import attach_stages
-
     return attach_stages(
         qids.join(hits, "qid", "left").select(
             "qid",
@@ -972,7 +1005,7 @@ def ann_recall_eval(
                 / F.lit(float(k))
             ).alias("recall"),
         ),
-        [scored],
+        stages,
     )
 
 
@@ -998,6 +1031,11 @@ class PQCodebook:
         if not cents:
             raise ValueError("PQCodebook: need at least one centroid")
         dim = len(cents[0])
+        if any(len(c) != dim for c in cents):
+            # a short centroid's trailing-subspace slices would zip_with
+            # null-pad to a NULL distance that wins every argmin —
+            # silently corrupting codes for ALL encoded vectors
+            raise ValueError("PQCodebook: centroids have unequal lengths")
         if m < 1 or dim % m != 0:
             raise ValueError(
                 f"PQCodebook: dim {dim} not divisible into m={m} subspaces"
@@ -1030,13 +1068,9 @@ def pq_train(
 def _isub_d2(sub: Column, cvals: list[int]) -> Column:
     """Exact integer squared L2 distance between a code-array slice and a
     centroid-slice literal (|code| ≤ 128 ⇒ per-dim square ≤ 65025; any
-    realistic dsub stays far inside int64)."""
-    c = F.array(*[F.lit(int(x)) for x in cvals])
-    return F.aggregate(
-        F.zip_with(sub, c, lambda x, y: ((x - y) * (x - y)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    realistic dsub stays far inside int64) — the literal-argument wrapper
+    over ``_izdist2``."""
+    return _izdist2(sub, F.array(*[F.lit(int(x)) for x in cvals]))
 
 
 def pq_encode(
@@ -1074,19 +1108,26 @@ def _packed_codes(
     ``ivf_cell`` trick — lambda variables evaluate once; plan-tested:
     one floor).
 
-    ``on_invalid``: 'raise' (batch default — a dim-mismatched/NULL vector
-    is a pipeline bug) or 'null' (streaming lane — the whole struct nulls
-    out so a poison record cannot crash-loop a micro-batch; the
-    ``clustered_stream`` rationale)."""
+    ``on_invalid``: 'raise' (batch default — an invalid vector is a
+    pipeline bug) or 'null' (streaming lane — the whole struct nulls out
+    so a poison record cannot crash-loop a micro-batch; the
+    ``clustered_stream`` rationale). Invalid = NULL vector, wrong dim,
+    NULL element, or non-finite element: a NaN would quietly pin to code
+    127 (``least(255, NaN)`` keeps NaN, floor converts) and a NULL
+    element's NULL distance would win every argmin — both land
+    confidently-wrong codes in the index, so they must never encode
+    (the ``kmeans_assign`` finiteness rule; ``sq_code_py`` rejects the
+    same on the query side)."""
     if on_invalid not in ("raise", "null"):
         raise ValueError(f"on_invalid must be 'raise' or 'null', got {on_invalid!r}")
     v = F.col(vec_col)
-    checked = F.when(F.size(v) == cb.dim, v).otherwise(
+    valid = _valid_vector(v, cb.dim)
+    checked = F.when(valid, v).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("pq_encode: vector dim "),
+                F.lit("pq_encode: invalid vector (dim "),
                 F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
-                F.lit(f" != codebook dim {cb.dim}"),
+                F.lit(f" != codebook dim {cb.dim}, or null/non-finite element)"),
             )
         )
     )
@@ -1123,8 +1164,21 @@ def _packed_codes(
     if on_invalid == "null":
         # the when() guards evaluation, so the raise branch inside
         # `checked` can never fire on this lane
-        return F.when(F.size(v) == cb.dim, expr)
+        return F.when(valid, expr)
     return expr
+
+
+def _valid_vector(v: Column, dim: int) -> Column:
+    """True iff ``v`` is non-NULL, has exactly ``dim`` elements, and every
+    element is a non-NULL finite number (NULL for a NULL vector — use in
+    a when() so both NULL and false fall to the invalid branch)."""
+    bad_el = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return (F.size(v) == dim) & ~bad_el
 
 
 def _adc_table(cb: PQCodebook, query: list[float]) -> list[list[int]]:
@@ -1266,8 +1320,6 @@ def pq_recall_eval(
     — bit-stable cross-engine, full DuckDB twin (q_pq_recall)."""
     from pyspark.sql import Window
 
-    from csvtool_spark.functions.caching import attach_stages
-
     if not queries:
         raise ValueError("pq_recall_eval: queries must be non-empty")
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
@@ -1318,23 +1370,7 @@ def pq_recall_eval(
         .filter(F.col("rn") <= k)
         .select("qid", id_col)
     )
-    hits = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    qids = df.sparkSession.createDataFrame(
-        [(int(q),) for q in sorted(queries)], "qid long"
-    )
-    return attach_stages(
-        qids.join(hits, "qid", "left").select(
-            "qid",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.lit(float(k))
-            ).alias("recall"),
-        ),
-        [scored],
-    )
+    return _recall_output(df, id_col, exact, approx, queries, k, [scored])
 
 
 # --- IVF × PQ composed index ----------------------------------------------
@@ -1375,17 +1411,23 @@ def ann_ivf_pq(
     lookups — fully SQL-expressible, so the composition has a complete
     DuckDB twin (q_ann_ivf_pq), unlike the rows-only IVF×SQ pytest pair.
     Codes are whole-vector (not residual) quantizations, matching
-    ``ivf_sq_index_write``'s convention."""
+    ``ivf_sq_index_write``'s convention.
+
+    The cell fold is evaluated once per row behind an explode barrier
+    (the ``ann_ivf`` pattern — a .filter on the alias would re-inline the
+    n_cells-cosine HOF into the pushed predicate), and only rows in the
+    probed cells pay the PQ encode."""
     cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
-    ranked = sorted(cents, key=lambda e: (-_py_cosine(e[1], query), e[0]))
-    probe = [cell for cell, _ in ranked[:nprobe]]
+    probe = _probe_cells(cents, query, nprobe)
     table = _adc_table(cb, query)
+    kept = F.filter(
+        F.array(ivf_cell(F.col(vec_col), cents)),
+        lambda c: c.isin(*[int(p) for p in probe]),
+    )
     assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
-    ).filter(F.col("cell").isin(probe))
+        F.col(id_col), F.col(vec_col), F.explode(kept).alias("cell")
+    )
     if exclude_id is not None:
         assigned = assigned.filter(F.col(id_col) != int(exclude_id))
     enc = assigned.select(
@@ -1450,8 +1492,7 @@ def ann_ivf_pq_indexed(
     bucketed layout (SelectedBucketsCount pruning), m ADC lookups per
     surviving row, top-k. Identical results to the inline ``ann_ivf_pq``
     with the same metadata (differential-tested)."""
-    ranked = sorted(centroids, key=lambda e: (-_py_cosine(e[1], query), e[0]))
-    probe = [cell for cell, _ in ranked[:nprobe]]
+    probe = _probe_cells(centroids, query, nprobe)
     table_adc = _adc_table(codebook, query)
     return _with_forced_bucketed_scan(
         spark,

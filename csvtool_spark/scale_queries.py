@@ -1594,6 +1594,20 @@ _PQ_BASE_CTES = f"""
     )
 """
 
+def _pq_qtab_sql(qcte: str, qvec: str, extra: str = "") -> str:
+    """The per-(subspace, cell) ADC-table CTE body against a query CTE —
+    THE one definition shared by q_ann_pq / q_pq_recall / q_ann_ivf_pq so
+    the ADC shape cannot drift between their oracles."""
+    t = f"{qcte}.{qvec}[ss.s*{_PQ_DSUB} + i]"
+    c = f"c.qvec[ss.s*{_PQ_DSUB} + i]"
+    return f"""
+      SELECT {extra}ss.s, c.cell,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> ({t} - {c}) * ({t} - {c}))) AS qd
+      FROM ss CROSS JOIN cent c CROSS JOIN {qcte}
+    """
+
+
 @register(
     "q_ann_pq",
     # PQ over the int8 SQ grid is exact integer math end to end: the ADC
@@ -1602,13 +1616,7 @@ _PQ_BASE_CTES = f"""
     f"""
     WITH {_PQ_BASE_CTES},
     q AS (SELECT qvec FROM qv WHERE vec_id = 0),
-    qtab AS (
-      SELECT ss.s, c.cell,
-             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
-               i -> (q.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
-                    * (q.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
-      FROM ss CROSS JOIN cent c CROSS JOIN q
-    )
+    qtab AS ({_pq_qtab_sql('q', 'qvec')})
     SELECT bb.vec_id, CAST(sum(qt.qd) AS BIGINT) AS adc_d2
     FROM best bb JOIN qtab qt USING (s, cell)
     WHERE bb.vec_id <> 0
@@ -1654,13 +1662,7 @@ _PQ_EVAL_QIDS = (0, 1, 2, 3)
         FROM qv v JOIN qs q ON v.vec_id <> q.qid
       ) WHERE rn <= 10
     ),
-    qtab AS (
-      SELECT q.qid, ss.s, c.cell,
-             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
-               i -> (q.qc[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
-                    * (q.qc[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
-      FROM ss CROSS JOIN cent c CROSS JOIN qs q
-    ),
+    qtab AS ({_pq_qtab_sql('qs', 'qc', extra='qs.qid, ')}),
     adc AS (
       SELECT qt.qid, bb.vec_id, sum(qt.qd) AS d
       FROM best bb JOIN qtab qt USING (s, cell)
@@ -1729,13 +1731,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ),
     qq AS (SELECT qvec FROM qv WHERE vec_id = 0),
-    qtab AS (
-      SELECT ss.s, c.cell,
-             list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
-               i -> (qq.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i])
-                    * (qq.qvec[ss.s*{_PQ_DSUB} + i] - c.qvec[ss.s*{_PQ_DSUB} + i]))) AS qd
-      FROM ss CROSS JOIN cent c CROSS JOIN qq
-    ),
+    qtab AS ({_pq_qtab_sql('qq', 'qvec')}),
     adc AS (
       SELECT bb.vec_id, CAST(sum(qt.qd) AS BIGINT) AS adc_d2
       FROM best bb JOIN qtab qt USING (s, cell)

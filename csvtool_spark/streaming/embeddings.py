@@ -93,13 +93,15 @@ def pq_coded_stream(
     Stateless pure projection: codebook/centroid literals ride the task
     closure (no join, no aggregation, no watermark), so the stream is
     legal in append mode and fusable into the source scan. A
-    dim-mismatched or NULL vector yields NULL cell/codes instead of
-    raising — a raise would fail the micro-batch and replay the same
-    poison record into a crash loop (the ``clustered_stream``
-    rationale); route ``pq_codes IS NULL`` rows to a quarantine sink."""
+    dim-mismatched or NULL vector — or one carrying a NULL/NaN/Inf
+    element, which would otherwise encode confidently-wrong codes —
+    yields NULL cell/codes instead of raising: a raise would fail the
+    micro-batch and replay the same poison record into a crash loop (the
+    ``clustered_stream`` rationale); route ``pq_codes IS NULL`` rows to
+    a quarantine sink."""
     from csvtool_spark.operators import similarity
 
-    valid = F.size(F.col("embedding")) == codebook.dim
+    valid = similarity._valid_vector(F.col("embedding"), codebook.dim)
     cols = [F.col("vec_id"), F.col("label")]
     if centroids is not None:
         cols.append(

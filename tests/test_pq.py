@@ -190,12 +190,12 @@ def test_pq_encode_rejects_dim_mismatch_and_null(spark):
     d = _vecs(spark, _rand_corpus(41, 8, 16))
     cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=4)
     bad = _vecs(spark, _rand_corpus(42, 4, 12))  # 12 != 16
-    with pytest.raises(Exception, match="vector dim 12 != codebook dim 16"):
+    with pytest.raises(Exception, match="dim 12 != codebook dim 16"):
         pq_encode(bad, "embedding", "vec_id", cb).collect()
     withnull = spark.createDataFrame(
         [(0, [0.0] * 16), (1, None)], "vec_id long, embedding array<float>"
     )
-    with pytest.raises(Exception, match="vector dim NULL"):
+    with pytest.raises(Exception, match="dim NULL"):
         pq_encode(withnull, "embedding", "vec_id", cb).collect()
 
 
@@ -395,3 +395,54 @@ def test_pq_coded_stream_matches_batch_and_survives_poison(spark, tmp_path):
         "vec_id", ivf_cell(F.col("embedding"), cents).alias("c")).collect()}
     for i in range(40):
         assert got[i] == (cells[i], enc[i])
+
+
+def test_pq_encode_rejects_nonfinite_and_null_elements(spark):
+    """Right-dim vectors carrying NaN/Inf/NULL elements must not encode:
+    NaN pins to code 127 via least(255, NaN) and a NULL element's NULL
+    distance wins every argmin — confidently-wrong codes either way."""
+    d = _vecs(spark, _rand_corpus(111, 8, 8))
+    cb = pq_train(d, "embedding", "vec_id", m=2, n_cents=4)
+    for bad in ([float("nan")] + [0.0] * 7,
+                [float("inf")] + [0.0] * 7,
+                [None] + [0.0] * 7):
+        poisoned = spark.createDataFrame(
+            [(0, bad)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="invalid vector"):
+            pq_encode(poisoned, "embedding", "vec_id", cb).collect()
+
+
+def test_pq_coded_stream_nulls_nonfinite(spark, tmp_path):
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.embeddings import (
+        pq_coded_stream,
+        stream_embeddings_dir,
+    )
+
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0)
+         for i, v in enumerate(_rand_corpus(121, 10, 8))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cb = pq_train(d, "embedding", "vec_id", m=2, n_cents=4)
+    shard = str(tmp_path / "shard")
+    d.write.parquet(shard)
+    spark.createDataFrame(
+        [(800, [float("nan")] + [0.0] * 7, 0),
+         (801, [None] + [0.0] * 7, 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("append").parquet(shard)
+    run_to_memory(
+        pq_coded_stream(stream_embeddings_dir(spark, shard), cb),
+        "pq_poison", output_mode="append",
+    )
+    got = {r.vec_id: r.pq_codes
+           for r in spark.sql("SELECT * FROM pq_poison").collect()}
+    assert got[800] is None and got[801] is None
+    assert all(got[i] is not None for i in range(10))
+
+
+def test_pq_codebook_rejects_ragged_centroids():
+    with pytest.raises(ValueError, match="unequal lengths"):
+        PQCodebook(0.0, 1.0, 2, [[0] * 8, [0] * 6])
