@@ -74,13 +74,21 @@ def bloom_build(
     )
 
 
-def might_contain(key: Column, k: int = DEFAULT_K, num_bits: int = DEFAULT_BITS) -> Column:
-    """Membership test against the attached ``__bloom`` column; k and
-    num_bits must match the ``bloom_build`` call."""
+def might_contain(
+    key: Column,
+    k: int = DEFAULT_K,
+    num_bits: int = DEFAULT_BITS,
+    bloom: Column | None = None,
+) -> Column:
+    """Membership test against the ``__bloom`` bitmap column (or an
+    explicit ``bloom`` Column — e.g. a literal map shipped into a
+    stateless streaming projection); k and num_bits must match the
+    ``bloom_build`` call."""
+    bloom = F.col("__bloom") if bloom is None else bloom
     tests = []
     for p in _bit_positions(key, k, num_bits):
         word = F.coalesce(
-            F.try_element_at(F.col("__bloom"), F.shiftright(p, 6)), F.lit(0).cast("long")
+            F.try_element_at(bloom, F.shiftright(p, 6)), F.lit(0).cast("long")
         )
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63)).cast("int")

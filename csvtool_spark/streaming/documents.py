@@ -242,3 +242,79 @@ def kn_gated_stream(
             <= F.col("n_bigrams") * F.lit(float(max_unseen_frac))
         )
     return out
+
+
+def bench_shingle_bloom(
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_bits: int = 1 << 17,
+    bloom_k: int = 5,
+) -> dict[int, int]:
+    """Driver-side Bloom bitmap over a benchmark's distinct k-gram
+    shingles — the OFFLINE half of ``decontaminated_stream``. One batch
+    job (explode → distinct → bit_or words); the collected dict holds at
+    most num_bits/64 entries (2048 longs at the default 2^17 bits —
+    sized for eval suites, whose distinct shingles are ~10^4-10^5; keep
+    ≥10 bits per distinct shingle for ~1% false positives)."""
+    from csvtool_spark.operators.bloomjoin import bloom_build
+    from csvtool_spark.operators.contamination import shingle_set
+
+    keys = shingle_set(bench, text_col, id_col, k).select("shingle").distinct()
+    row = bloom_build(keys, "shingle", num_bits=num_bits, k=bloom_k).collect()[0]
+    return dict(row["__bloom"] or {})
+
+
+def decontaminated_stream(
+    stream: DataFrame,
+    bloom: dict[int, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_bits: int = 1 << 17,
+    bloom_k: int = 5,
+) -> DataFrame:
+    """Streaming benchmark decontamination (the GPT-3 appendix-C filter,
+    online half): drop arriving training documents that share ANY k-gram
+    shingle with the benchmark set whose Bloom bitmap ``bloom`` was built
+    offline by ``bench_shingle_bloom`` (same k/num_bits/bloom_k — the
+    hash_family pairing rule).
+
+    Stateless pure projection: the bitmap rides the plan as a LITERAL
+    map (a stream-static anti-join is unsupported in Structured
+    Streaming, and a per-doc aggregation would need a watermark), and
+    membership is ``exists`` over the doc's shingles — bloom_k map
+    lookups + bit tests each. Bloom errors only go the SAFE direction:
+    false positives OVER-drop a clean document (~1% at 10 bits/key),
+    false negatives are impossible, so every contaminated document is
+    caught (test-pinned against the exact batch contamination_report).
+    Null-text documents carry no shingles and pass through.
+
+    Emits (id, source, n_shingles) for survivors."""
+    from csvtool_spark.operators.bloomjoin import might_contain
+    from csvtool_spark.operators.dedup import normalized, word_shingles
+    from csvtool_spark.operators.textstats import tokens
+
+    toks = tokens(normalized(F.col(text_col)))
+    if bloom:
+        words = sorted(bloom)
+        blit = F.map_from_arrays(
+            F.lit([int(w) for w in words]),
+            F.lit([int(bloom[w]) for w in words]),
+        )
+        hit = F.exists(
+            word_shingles(toks, k),
+            lambda sh: might_contain(sh, k=bloom_k, num_bits=num_bits, bloom=blit),
+        )
+    else:
+        # empty benchmark: no bit is set, nothing can collide
+        hit = F.lit(False)
+    return (
+        stream.filter(~F.coalesce(hit, F.lit(False)))
+        .select(
+            F.col(id_col),
+            F.col("source"),
+            F.size(word_shingles(toks, k)).cast("long").alias("n_shingles"),
+        )
+    )

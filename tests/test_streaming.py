@@ -536,3 +536,67 @@ def test_scrubbed_stream_matches_batch_policy(spark):
     exp = {r.doc_id: (r.text, r.n_pii, float(r.pii_fraction))
            for r in redact_documents(batch, "text", "doc_id", 0.3).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_decontaminated_stream_catches_all_and_matches_batch(spark, tmp_path):
+    """The streaming benchmark-decontamination gate: zero false negatives
+    (every document the exact contamination_report flags is dropped) and
+    — at the test's generous bits-per-key — zero false positives, so the
+    survivor set equals the exact clean set. Null-text docs pass."""
+    import random
+
+    from csvtool_spark.operators.contamination import contamination_report
+    from csvtool_spark.streaming import run_to_memory
+    from csvtool_spark.streaming.documents import (
+        bench_shingle_bloom,
+        decontaminated_stream,
+        stream_documents_dir,
+    )
+
+    r = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+
+    def sent(n):
+        return " ".join(r.choice(words) for _ in range(n))
+
+    bench_rows = [(1000 + i, sent(12), "en", "bench", 1) for i in range(5)]
+    bench = spark.createDataFrame(
+        bench_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # corpus: 20 clean docs, 4 contaminated (share a 5-gram span with a
+    # bench doc), 1 null-text
+    corpus_rows = [(i, sent(15), "en", "tr", 1) for i in range(20)]
+    for j in range(4):
+        span = " ".join(bench_rows[j][1].split()[2:9])  # 7-word shared span
+        corpus_rows.append((100 + j, f"{sent(4)} {span} {sent(3)}", "en", "tr", 1))
+    corpus_rows.append((999, None, "en", "tr", 1))
+    corpus = spark.createDataFrame(
+        corpus_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    shard = str(tmp_path / "decon_shard")
+    corpus.write.parquet(shard)
+
+    bloom = bench_shingle_bloom(bench)
+    out = decontaminated_stream(stream_documents_dir(spark, shard), bloom)
+    assert out.isStreaming
+    run_to_memory(out, "decon_out", output_mode="append")
+    survivors = {r_.doc_id for r_ in spark.sql("SELECT * FROM decon_out").collect()}
+
+    flagged = {
+        r_.doc_id
+        for r_ in contamination_report(corpus, bench, "text", "doc_id").collect()
+    }
+    assert {100, 101, 102, 103} <= flagged
+    # zero false negatives: every exactly-flagged doc is dropped
+    assert survivors.isdisjoint(flagged)
+    # generous bitmap: exactly the clean set (incl. the null-text doc) survives
+    assert survivors == {r_[0] for r_ in corpus_rows} - flagged
+
+    # batch-equality: the same gate as a batch filter gives the same rows
+    batch_out = {
+        r_.doc_id
+        for r_ in decontaminated_stream(corpus, bloom).collect()
+    }
+    assert batch_out == survivors
