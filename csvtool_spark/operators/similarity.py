@@ -1122,15 +1122,20 @@ def _packed_codes(
         raise ValueError(f"on_invalid must be 'raise' or 'null', got {on_invalid!r}")
     v = F.col(vec_col)
     valid = _valid_vector(v, cb.dim)
-    checked = F.when(valid, v).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("pq_encode: invalid vector (dim "),
-                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
-                F.lit(f" != codebook dim {cb.dim}, or null/non-finite element)"),
+    if on_invalid == "null":
+        # the outer when(valid, ...) below is the only guard needed —
+        # re-checking inside would run the O(dim) validity fold twice
+        checked = v
+    else:
+        checked = F.when(valid, v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: invalid vector (dim "),
+                    F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                    F.lit(f" != codebook dim {cb.dim}, or null/non-finite element)"),
+                )
             )
         )
-    )
     codes_expr = F.transform(
         checked, lambda x: _sq_code(x, F.lit(cb.mn), F.lit(cb.mx))
     )

@@ -297,24 +297,37 @@ def decontaminated_stream(
     from csvtool_spark.operators.textstats import tokens
 
     toks = tokens(normalized(F.col(text_col)))
-    if bloom:
-        words = sorted(bloom)
-        blit = F.map_from_arrays(
-            F.lit([int(w) for w in words]),
-            F.lit([int(bloom[w]) for w in words]),
+
+    def packed(sh):
+        """(n_shingles, hit) from ONE evaluation of the shingle fold —
+        a separate filter + n_shingles projection would run the
+        tokenize/k-gram HOF twice per row (the explode-barrier rule)."""
+        if bloom:
+            words = sorted(bloom)
+            blit = F.map_from_arrays(
+                F.lit([int(w) for w in words]),
+                F.lit([int(bloom[w]) for w in words]),
+            )
+            hit = F.exists(
+                sh,
+                lambda s: might_contain(s, k=bloom_k, num_bits=num_bits, bloom=blit),
+            )
+        else:
+            # empty benchmark: no bit is set, nothing can collide
+            hit = F.lit(False)
+        return F.struct(
+            F.size(sh).cast("long").alias("n"),
+            F.coalesce(hit, F.lit(False)).alias("hit"),
         )
-        hit = F.exists(
-            word_shingles(toks, k),
-            lambda sh: might_contain(sh, k=bloom_k, num_bits=num_bits, bloom=blit),
-        )
-    else:
-        # empty benchmark: no bit is set, nothing can collide
-        hit = F.lit(False)
-    return (
-        stream.filter(~F.coalesce(hit, F.lit(False)))
-        .select(
-            F.col(id_col),
-            F.col("source"),
-            F.size(word_shingles(toks, k)).cast("long").alias("n_shingles"),
-        )
+
+    kept = F.filter(
+        F.transform(F.array(word_shingles(toks, k)), packed),
+        lambda p: ~p["hit"],
+    )
+    return stream.select(
+        F.col(id_col), F.col("source"), F.explode(kept).alias("__p")
+    ).select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("__p")["n"].alias("n_shingles"),
     )

@@ -101,17 +101,24 @@ def pq_coded_stream(
     a quarantine sink."""
     from csvtool_spark.operators import similarity
 
-    valid = similarity._valid_vector(F.col("embedding"), codebook.dim)
+    # the packed struct is computed (and the O(dim) validity fold run)
+    # exactly ONCE in the first projection; the second projects its
+    # fields and gates the cell fold on the materialized struct's
+    # nullness instead of re-running the validity check per column
+    mid = stream.select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("embedding"),
+        similarity._packed_codes(codebook, "embedding", on_invalid="null")
+        .alias("__pc"),
+    )
     cols = [F.col("vec_id"), F.col("label")]
     if centroids is not None:
         cols.append(
             F.when(
-                valid, similarity.ivf_cell(F.col("embedding"), centroids)
+                F.col("__pc").isNotNull(),
+                similarity.ivf_cell(F.col("embedding"), centroids),
             ).alias("cell")
         )
-    cols.append(
-        similarity._packed_codes(codebook, "embedding", on_invalid="null")[
-            "pq"
-        ].alias("pq_codes")
-    )
-    return stream.select(*cols)
+    cols.append(F.col("__pc")["pq"].alias("pq_codes"))
+    return mid.select(*cols)

@@ -600,3 +600,29 @@ def test_decontaminated_stream_catches_all_and_matches_batch(spark, tmp_path):
         for r_ in decontaminated_stream(corpus, bloom).collect()
     }
     assert batch_out == survivors
+
+
+def test_decontaminated_stream_single_shingle_fold_plan(spark):
+    """The shingle fold (tokenize + k-gram concat) must be evaluated once
+    per row: `sequence` (only inside word_shingles) appears exactly once
+    in the batch-equivalent plan — a filter + separate n_shingles column
+    used to run it twice."""
+    from csvtool_spark.streaming.documents import (
+        bench_shingle_bloom,
+        decontaminated_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f", "en", "b", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bloom = bench_shingle_bloom(bench)
+    d = spark.createDataFrame(
+        [(2, "x y z w v u", "en", "tr", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = (
+        decontaminated_stream(d, bloom)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("sequence(") == 1, plan
