@@ -1513,3 +1513,49 @@ def ann_ivf_pq_indexed(
             .limit(int(k))
         ),
     )
+
+
+def cross_embedding_neardup(
+    new: DataFrame,
+    ref: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space cross-corpus decontamination — the semantic twin of
+    ``dedup.cross_corpus_neardup`` (text MinHash): (new_id, ref_id, cos)
+    for every NEW-corpus vector whose cosine to a REFERENCE vector (the
+    eval/held-out set) clears the threshold, candidates restricted to
+    shared SRP buckets. Only new×ref pairs are generated — never new×new
+    or ref×ref, so adding a batch to a decontamination check never
+    re-pairs the reference against itself.
+
+    Scale shape: one signature pass per side, then a bucket equi-join —
+    the reference side is typically eval-suite-sized, so AQE broadcasts
+    it; the new corpus never self-joins and nothing is quadratic beyond
+    within-bucket pairs (raise n_planes to tighten buckets). Recall per
+    pair is (1 - θ/π)^n_planes — same dial as
+    ``near_dup_pairs_embedding``."""
+    dim = len(new.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    a = new.select(
+        srp_signature(F.col(vec_col), planes).alias("__sig"),
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = ref.select(
+        srp_signature(F.col(vec_col), planes).alias("__sig"),
+        F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__sig")
+        .select(
+            "new_id",
+            "ref_id",
+            cosine(_vec_d(F.col("__va")), _vec_d(F.col("__vb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

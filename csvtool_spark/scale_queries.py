@@ -639,6 +639,37 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_cross_embed",
+    # the semantic twin of q_cross_dedup: only odd(new) x even(ref) pairs,
+    # same inlined-hyperplane bucket reproducibility as q_embed_neardup
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             {_srp_sig_sql('embedding', similarity.hyperplanes(_EMB_DIM, 8, 42))} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS new_id, b.vec_id AS ref_id,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos
+    FROM s a JOIN s b ON a.sig = b.sig
+    WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+      AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.4e0
+    """,
+    registered=False,  # shadow: embedding decontamination's driver
+    # evidence stays q_embed_neardup + q_cross_dedup
+)
+def q_cross_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination of the odd-id half (new) against
+    the even-id half (reference): new x ref SRP-bucketed cosine pairs
+    only — never ref x ref."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cross_embedding_neardup(
+        e.filter(F.col("vec_id") % 2 == 1),
+        e.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", threshold=0.4, n_planes=8,
+    )
+
+
 # --- similarity search ----------------------------------------------------
 
 _COS_SQL = _cos_sql("e.embedding", "q.embedding")

@@ -446,3 +446,50 @@ def test_pq_coded_stream_nulls_nonfinite(spark, tmp_path):
 def test_pq_codebook_rejects_ragged_centroids():
     with pytest.raises(ValueError, match="unequal lengths"):
         PQCodebook(0.0, 1.0, 2, [[0] * 8, [0] * 6])
+
+
+def test_cross_embedding_neardup_sides_and_subset(spark):
+    """Cross pairs are exactly the within-corpus pairs that straddle the
+    side split (new never pairs with new, ref never with ref), with the
+    same buckets/threshold."""
+    from csvtool_spark.operators.similarity import (
+        cross_embedding_neardup,
+        near_dup_pairs_embedding,
+    )
+
+    import numpy as np
+
+    r = random.Random(5)
+    base = [float(np.float32(r.uniform(-1, 1))) for _ in range(16)]
+    # clustered corpus: perturbations of one vector => high cosines
+    vecs = [
+        [float(np.float32(x + r.uniform(-0.05, 0.05))) for x in base]
+        for _ in range(30)
+    ]
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    new, ref = d.filter("vec_id % 2 = 1"), d.filter("vec_id % 2 = 0")
+    cross = {
+        (r_.new_id, r_.ref_id, r_.cos)
+        for r_ in cross_embedding_neardup(
+            new, ref, "embedding", "vec_id", threshold=0.9, n_planes=4
+        ).collect()
+    }
+    assert cross  # the clustered corpus produces pairs
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b, _ in cross)
+    within = {
+        (r_.id_a, r_.id_b, r_.cos)
+        for r_ in near_dup_pairs_embedding(
+            d, "embedding", "vec_id", threshold=0.9, n_planes=4
+        ).collect()
+    }
+    # every cross pair appears in the within set (as (min,max)) and every
+    # straddling within pair appears in cross
+    def flip(a, b, c):
+        return (min(a, b), max(a, b), c)
+
+    assert {flip(*p) for p in cross} == {
+        p for p in within if (p[0] % 2) != (p[1] % 2)
+    }
