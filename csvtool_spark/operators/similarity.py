@@ -1074,26 +1074,156 @@ def _isub_d2(sub: Column, cvals: list[int]) -> Column:
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, id_col: str, cb: PQCodebook
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cb: PQCodebook,
+    kernel: str = "arrow",
+    on_invalid: str = "raise",
 ) -> DataFrame:
     """(id, pq_codes array<int> of length m) — each subspace's nearest
-    centroid by exact integer distance, ties to the lowest centroid id
-    (struct-min over (d, c), no UDF, stays in codegen). Codes use the
-    codebook's OWN bounds, so encoding a different frame than the one
-    trained on (new shards, a query batch) stays consistent.
+    centroid by exact integer distance, ties to the lowest centroid id.
+    Codes use the codebook's OWN bounds, so encoding a different frame
+    than the one trained on (new shards, a query batch) stays consistent.
 
-    Scale shape: map-only — one projection computing m bounded argmins
-    per row (n_cents × m literal slices); no shuffle, no collect. The
-    output is the 100 TB artifact: m ints per vector instead of dim
-    floats (~32× smaller scan for dim=64, m=8).
+    Two lanes, bit-identical and differential-tested (the
+    ``kmeans_assign`` precedent): ``kernel='arrow'`` (default) encodes
+    each Arrow batch as one numpy kernel — the 100 TB lane, since the
+    Column form's m·n_cents distance folds run on Spark's interpreted
+    HOF path; ``kernel='column'`` is the pure Column-tree twin
+    (struct-min argmin, no UDF) that the DuckDB oracles mirror and the
+    streaming literal projection composes from. Both are map-only: no
+    shuffle, no collect; the output is the 100 TB artifact — m ints per
+    vector instead of dim floats (~32× smaller scan for dim=64, m=8).
 
-    A vector whose length differs from the codebook dim (or a NULL
-    vector) raises at execution — the slice/zip_with fallback would
-    otherwise null-pad trailing subspaces and silently encode them as
-    centroid 0 (the query side already rejects this in ``_adc_table``)."""
+    ``on_invalid``: 'raise' (default — a NULL/ragged/non-finite vector
+    is a pipeline bug; see ``_packed_codes`` for why such vectors must
+    never encode) or 'null' (null pq_codes — the streaming contract)."""
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        if on_invalid not in ("raise", "null"):
+            raise ValueError(f"pq_encode: unknown on_invalid {on_invalid!r}")
+        fields = {f.name: f for f in df.schema.fields}
+        out_schema = T.StructType(
+            [fields[id_col],
+             T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
+        )
+        return df.select(id_col, vec_col).mapInPandas(
+            _arrow_pq_encode_fn(
+                cb.mn, cb.mx, cb.m, cb.cents, vec_col, id_col,
+                on_invalid=on_invalid,
+            ),
+            schema=out_schema,
+        )
+    if kernel != "column":
+        raise ValueError(f"pq_encode: unknown kernel {kernel!r}")
     return df.select(
-        F.col(id_col), _packed_codes(cb, vec_col)["pq"].alias("pq_codes")
+        F.col(id_col),
+        _packed_codes(cb, vec_col, on_invalid=on_invalid)["pq"].alias(
+            "pq_codes"
+        ),
     )
+
+
+def _arrow_pq_encode_fn(
+    mn: float,
+    mx: float,
+    m: int,
+    cents: list[list[int]],
+    vec_name: str,
+    id_name: str,
+    on_invalid: str = "raise",
+):
+    """mapInPandas closure for the Arrow PQ-encode lane: quantize to the
+    int8 grid + per-subspace nearest-centroid as one numpy kernel per
+    batch. Bit-identical to the Column lane (differential-tested): the
+    quantization runs the SAME float64 steps (subtract, one pre-rounded
+    scale multiply, floor, min-255) — correctly-rounded IEEE either way —
+    distances are exact int64, and ``argmin``'s first-occurrence tie rule
+    equals the struct-min lowest-c rule. NULL vector → null codes;
+    ragged/non-finite raise by default, or null out under
+    ``on_invalid='null'`` (the streaming contract — see
+    ``_packed_codes``). Self-contained (imports inline) so a vanilla
+    driver session can unpickle it on workers without this package
+    importable — the ``minhash_signature_arrow`` contract."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.int64)
+        n_cents, dim = C.shape
+        dsub = dim // m
+        Csub = C.reshape(n_cents, m, dsub)
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[[id_name]].copy()
+            vec = pdf[vec_name]
+            mask = np.fromiter((v is not None for v in vec), dtype=bool, count=n)
+            codes: list = [None] * n
+            idx = np.flatnonzero(mask)
+            V = np.empty((0, dim))
+            if on_invalid == "null":
+                rows, good = [], []
+                for i in idx:
+                    try:
+                        a = np.asarray(vec.iat[int(i)], dtype=np.float64)
+                    except (ValueError, TypeError):
+                        continue
+                    if a.ndim != 1 or a.shape[0] != dim or not np.isfinite(a).all():
+                        continue
+                    rows.append(a)
+                    good.append(int(i))
+                idx = np.asarray(good, dtype=np.int64)
+                V = np.stack(rows) if rows else np.empty((0, dim))
+            elif n:
+                if not mask.all():
+                    # unlike kmeans_assign (where a null vector rides as a
+                    # null assignment), an index artifact with silently
+                    # missing rows is a pipeline bug — match the Column
+                    # lane, which raises on NULL vectors too
+                    raise ValueError(
+                        f"pq_encode: invalid vector (dim NULL != codebook "
+                        f"dim {dim}, or null/non-finite element)"
+                    )
+                try:
+                    V = np.stack(
+                        [np.asarray(vec.iat[int(i)], dtype=np.float64) for i in idx]
+                    )
+                except (ValueError, TypeError) as e:
+                    raise ValueError(
+                        "pq_encode: ragged or null-element embedding — "
+                        "impute or drop those rows first"
+                    ) from e
+                if V.shape[1] != dim:
+                    raise ValueError(
+                        f"pq_encode: invalid vector (dim {V.shape[1]} != "
+                        f"codebook dim {dim}, or null/non-finite element)"
+                    )
+                if not np.isfinite(V).all():
+                    raise ValueError(
+                        "pq_encode: invalid vector (non-finite element — "
+                        "the int8 grid is undefined for NaN/Infinity)"
+                    )
+            if idx.size:
+                if mx > mn:
+                    scale = 255.0 / (mx - mn)
+                    Q = np.minimum(255.0, np.floor((V - mn) * scale)).astype(
+                        np.int64
+                    ) - 128
+                else:
+                    Q = np.zeros(V.shape, dtype=np.int64)
+                Qs = Q.reshape(len(idx), m, dsub)
+                diff = Qs[:, None, :, :] - Csub[None, :, :, :]
+                dist = (diff * diff).sum(axis=3)  # (n, n_cents, m) int64
+                best = dist.argmin(axis=1)  # first occurrence = lowest c
+                for j, i in enumerate(idx):
+                    codes[int(i)] = [int(x) for x in best[j]]
+            out["pq_codes"] = pd.Series(codes, dtype=object, index=out.index)
+            yield out
+
+    return fn
 
 
 def _packed_codes(
@@ -1218,18 +1348,20 @@ def ann_pq(
     n_cents: int = 16,
     codebook: PQCodebook | None = None,
     exclude_id: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Top-k by PQ asymmetric distance (ADC): encode the corpus (map-only),
-    ship the m×n_cents ADC table as literals, score each row with m
-    array lookups, TakeOrderedAndProject by (adc_d2 ASC, id ASC). Returns
-    (id, adc_d2).
+    """Top-k by PQ asymmetric distance (ADC): encode the corpus (map-only,
+    ``pq_encode``'s Arrow kernel by default), ship the m×n_cents ADC
+    table as literals, score each row with m array lookups,
+    TakeOrderedAndProject by (adc_d2 ASC, id ASC). Returns (id, adc_d2).
 
     All-integer end to end, so the ranking is bit-stable and the DuckDB
-    twin matches exactly. At scale, encode once with ``pq_index_write``
-    and probe the materialized codes (``ann_pq_indexed``) — the scan then
-    reads m ints per vector instead of the full embedding."""
+    twin matches exactly (lane differential). At scale, encode once with
+    ``pq_index_write`` and probe the materialized codes
+    (``ann_pq_indexed``) — the scan then reads m ints per vector instead
+    of the full embedding."""
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
-    enc = pq_encode(df, vec_col, id_col, cb)
+    enc = pq_encode(df, vec_col, id_col, cb, kernel=kernel)
     if exclude_id is not None:
         enc = enc.filter(F.col(id_col) != int(exclude_id))
     return _adc_score(enc, id_col, cb, query, k)
@@ -1257,15 +1389,18 @@ def pq_index_write(
     m: int = 8,
     n_cents: int = 16,
     codebook: PQCodebook | None = None,
+    kernel: str = "arrow",
 ) -> PQCodebook:
-    """Materialize the PQ codes as a parquet dataset (one map-only pass,
-    no shuffle — the codes inherit the corpus partitioning). Unlike the
-    IVF index there is nothing to bucket: ADC probes read EVERY code row
-    by design; the win is the ~dim·4/m-fold smaller scan. Returns the
-    codebook the probe side needs (persist it with the index —
-    n_cents×dim ints)."""
+    """Materialize the PQ codes as a parquet dataset (one map-only pass —
+    the Arrow kernel by default — no shuffle; the codes inherit the
+    corpus partitioning). Unlike the IVF index there is nothing to
+    bucket: ADC probes read EVERY code row by design; the win is the
+    ~dim·4/m-fold smaller scan. Returns the codebook the probe side
+    needs (persist it with the index — n_cents×dim ints)."""
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
-    pq_encode(df, vec_col, id_col, cb).write.mode("overwrite").parquet(path)
+    pq_encode(df, vec_col, id_col, cb, kernel=kernel).write.mode(
+        "overwrite"
+    ).parquet(path)
     return cb
 
 

@@ -200,17 +200,68 @@ def test_pq_encode_rejects_dim_mismatch_and_null(spark):
 
 
 def test_pq_encode_single_quantization_plan(spark):
-    """The nested let-bind must quantize each vector ONCE: `floor` (only
-    inside _sq_code) appears exactly once in the encode plan — naming the
-    code transform inside every centroid slice used to inline it
-    m*n_cents times on the interpreted HOF path."""
+    """The COLUMN lane's nested let-bind must quantize each vector ONCE:
+    `floor` (only inside _sq_code) appears exactly once in the encode
+    plan — naming the code transform inside every centroid slice used to
+    inline it m*n_cents times on the interpreted HOF path."""
     d = _vecs(spark, _rand_corpus(51, 10, 16))
     cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
     plan = (
-        pq_encode(d, "embedding", "vec_id", cb)
+        pq_encode(d, "embedding", "vec_id", cb, kernel="column")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FLOOR") + plan.count("floor(") == 1, plan
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pq_encode_lane_differential(spark, seed):
+    """Arrow numpy kernel ≡ Column tree, bit for bit — incl. values at
+    the bounds (code 255 edge) and the degenerate constant corpus."""
+    vecs = _rand_corpus(seed * 29 + 1, 50, 16)
+    # force the exact bound values into the corpus (the least(255, ...)
+    # edge where the pre-rounded scale can push past 255)
+    vecs[0] = [max(min(x, 1.0), -1.0) for x in vecs[0]]
+    vecs[1] = [1.0] * 16
+    vecs[2] = [-1.0] * 16
+    d = _vecs(spark, vecs)
+    cb = pq_train(d, "embedding", "vec_id", m=4, n_cents=8)
+    a = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in pq_encode(d, "embedding", "vec_id", cb, kernel="arrow").collect()
+    )
+    c = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in pq_encode(d, "embedding", "vec_id", cb, kernel="column").collect()
+    )
+    assert a == c and a
+    # degenerate bounds pin every code to centroid 0 on both lanes
+    dd = _vecs(spark, [[0.25] * 8] * 4)
+    cbd = pq_train(dd, "embedding", "vec_id", m=2, n_cents=2)
+    for kern in ("arrow", "column"):
+        rows = pq_encode(dd, "embedding", "vec_id", cbd, kernel=kern).collect()
+        assert all(list(r["pq_codes"]) == [0, 0] for r in rows)
+
+
+def test_pq_encode_arrow_null_lane(spark):
+    """on_invalid='null' on the Arrow lane: poison rows (NULL vector,
+    ragged, non-finite) yield null codes; valid rows match the raise
+    lane."""
+    good = _rand_corpus(131, 6, 8)
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(good)]
+        + [(100, None), (101, [0.0] * 5), (102, [float("nan")] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    clean = _vecs(spark, good)
+    cb = pq_train(clean, "embedding", "vec_id", m=2, n_cents=4)
+    got = {r["vec_id"]: r["pq_codes"] for r in
+           pq_encode(d, "embedding", "vec_id", cb,
+                     kernel="arrow", on_invalid="null").collect()}
+    assert got[100] is None and got[101] is None and got[102] is None
+    exp = {r["vec_id"]: list(r["pq_codes"]) for r in
+           pq_encode(clean, "embedding", "vec_id", cb).collect()}
+    for i in range(6):
+        assert list(got[i]) == exp[i]
 
 
 def test_pq_recall_eval_perfect_reconstruction(spark):
