@@ -1134,6 +1134,7 @@ def _arrow_pq_encode_fn(
     vec_name: str,
     id_name: str,
     on_invalid: str = "raise",
+    extras: list[str] | None = None,
 ):
     """mapInPandas closure for the Arrow PQ-encode lane: quantize to the
     int8 grid + per-subspace nearest-centroid as one numpy kernel per
@@ -1148,6 +1149,8 @@ def _arrow_pq_encode_fn(
     driver session can unpickle it on workers without this package
     importable — the ``minhash_signature_arrow`` contract."""
 
+    extra_names = list(extras or [])
+
     def fn(batches):
         import numpy as np
         import pandas as pd
@@ -1158,7 +1161,7 @@ def _arrow_pq_encode_fn(
         Csub = C.reshape(n_cents, m, dsub)
         for pdf in batches:
             n = len(pdf)
-            out = pdf[[id_name]].copy()
+            out = pdf[[id_name, *extra_names]].copy()
             vec = pdf[vec_name]
             mask = np.fromiter((v is not None for v in vec), dtype=bool, count=n)
             codes: list = [None] * n
@@ -1598,6 +1601,7 @@ def ivf_pq_index_write(
     n_cents: int = 16,
     centroids: list[tuple[int, list[float]]] | None = None,
     codebook: PQCodebook | None = None,
+    kernel: str = "arrow",
 ) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
     """Materialize the IVF × PQ index: every vector stored as
     (id, cell, pq_codes), bucketed by cell. A probe then pays (a)
@@ -1609,11 +1613,39 @@ def ivf_pq_index_write(
 
     cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
-    indexed = df.select(
-        F.col(id_col),
-        ivf_cell(F.col(vec_col), cents).alias("__cell"),
-        _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
-    )
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        # the cell fold stays on the Column lane (its round(cos,6)
+        # sequential fold is the cross-engine-reproducible form; numpy
+        # dot is not bit-identical), but the PQ encode — the dominant
+        # per-row cost — runs the vectorized kernel over the assigned
+        # frame, carrying __cell through
+        assigned = df.select(
+            F.col(id_col),
+            ivf_cell(F.col(vec_col), cents).alias("__cell"),
+            F.col(vec_col),
+        )
+        fields = {f.name: f for f in assigned.schema.fields}
+        out_schema = T.StructType(
+            [fields[id_col], fields["__cell"],
+             T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
+        )
+        indexed = assigned.mapInPandas(
+            _arrow_pq_encode_fn(
+                cb.mn, cb.mx, cb.m, cb.cents, vec_col, id_col,
+                extras=["__cell"],
+            ),
+            schema=out_schema,
+        )
+    elif kernel == "column":
+        indexed = df.select(
+            F.col(id_col),
+            ivf_cell(F.col(vec_col), cents).alias("__cell"),
+            _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
+        )
+    else:
+        raise ValueError(f"ivf_pq_index_write: unknown kernel {kernel!r}")
     write_bucketed(indexed, table, "__cell", n_buckets, path)
     return cents, cb
 
