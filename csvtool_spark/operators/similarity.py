@@ -478,8 +478,15 @@ def near_dup_pairs_embedding(
     """Embedding-cosine near-duplicate pairs: SRP bucket join then exact
     cosine verify. Recall is bounded by bucket collision probability
     (1 - θ/π)^n_planes per pair — raise n_planes bands for precision or add
-    multiprobe joins for recall."""
-    dim_planes = hyperplanes(len(df.select(vec_col).first()[0]), n_planes, seed)
+    multiprobe joins for recall. An empty / all-NULL-vector corpus yields
+    an empty pair frame."""
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cos double"
+        )
+    dim_planes = hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -1080,6 +1087,7 @@ def pq_encode(
     cb: PQCodebook,
     kernel: str = "arrow",
     on_invalid: str = "raise",
+    extras: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, pq_codes array<int> of length m) — each subspace's nearest
     centroid by exact integer distance, ties to the lowest centroid id.
@@ -1098,7 +1106,8 @@ def pq_encode(
 
     ``on_invalid``: 'raise' (default — a NULL/ragged/non-finite vector
     is a pipeline bug; see ``_packed_codes`` for why such vectors must
-    never encode) or 'null' (null pq_codes — the streaming contract)."""
+    never encode) or 'null' (null pq_codes — the streaming contract).
+    ``extras`` ride through unchanged: (id, *extras, pq_codes)."""
     if kernel == "arrow":
         from pyspark.sql import types as T
 
@@ -1106,13 +1115,14 @@ def pq_encode(
             raise ValueError(f"pq_encode: unknown on_invalid {on_invalid!r}")
         fields = {f.name: f for f in df.schema.fields}
         out_schema = T.StructType(
-            [fields[id_col],
-             T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
+            [fields[id_col]]
+            + [fields[c] for c in extras]
+            + [T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
         )
-        return df.select(id_col, vec_col).mapInPandas(
+        return df.select(id_col, *extras, vec_col).mapInPandas(
             _arrow_pq_encode_fn(
                 cb.mn, cb.mx, cb.m, cb.cents, vec_col, id_col,
-                on_invalid=on_invalid,
+                on_invalid=on_invalid, extras=list(extras),
             ),
             schema=out_schema,
         )
@@ -1120,6 +1130,7 @@ def pq_encode(
         raise ValueError(f"pq_encode: unknown kernel {kernel!r}")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extras],
         _packed_codes(cb, vec_col, on_invalid=on_invalid)["pq"].alias(
             "pq_codes"
         ),
@@ -1218,8 +1229,15 @@ def _arrow_pq_encode_fn(
                 else:
                     Q = np.zeros(V.shape, dtype=np.int64)
                 Qs = Q.reshape(len(idx), m, dsub)
-                diff = Qs[:, None, :, :] - Csub[None, :, :, :]
-                dist = (diff * diff).sum(axis=3)  # (n, n_cents, m) int64
+                # expanded square ||q||² + ||c||² - 2·q·c: identical int64
+                # values to the (q-c)² fold, but O(n·n_cents·m) memory —
+                # the naive (n, n_cents, m, dsub) difference tensor would
+                # peak at ~2.6 GB/task for 10k-row batches at dim=64,
+                # n_cents=256
+                qn = (Qs * Qs).sum(axis=2)  # (n, m)
+                cn = (Csub * Csub).sum(axis=2)  # (n_cents, m)
+                cross = np.einsum("nmd,cmd->ncm", Qs, Csub)  # int64 exact
+                dist = qn[:, None, :] + cn[None, :, :] - 2 * cross
                 best = dist.argmin(axis=1)  # first occurrence = lowest c
                 for j, i in enumerate(idx):
                     codes[int(i)] = [int(x) for x in best[j]]
@@ -1613,39 +1631,18 @@ def ivf_pq_index_write(
 
     cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
-    if kernel == "arrow":
-        from pyspark.sql import types as T
-
-        # the cell fold stays on the Column lane (its round(cos,6)
-        # sequential fold is the cross-engine-reproducible form; numpy
-        # dot is not bit-identical), but the PQ encode — the dominant
-        # per-row cost — runs the vectorized kernel over the assigned
-        # frame, carrying __cell through
-        assigned = df.select(
-            F.col(id_col),
-            ivf_cell(F.col(vec_col), cents).alias("__cell"),
-            F.col(vec_col),
-        )
-        fields = {f.name: f for f in assigned.schema.fields}
-        out_schema = T.StructType(
-            [fields[id_col], fields["__cell"],
-             T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
-        )
-        indexed = assigned.mapInPandas(
-            _arrow_pq_encode_fn(
-                cb.mn, cb.mx, cb.m, cb.cents, vec_col, id_col,
-                extras=["__cell"],
-            ),
-            schema=out_schema,
-        )
-    elif kernel == "column":
-        indexed = df.select(
-            F.col(id_col),
-            ivf_cell(F.col(vec_col), cents).alias("__cell"),
-            _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
-        )
-    else:
-        raise ValueError(f"ivf_pq_index_write: unknown kernel {kernel!r}")
+    # the cell fold stays on the Column lane (its round(cos,6) sequential
+    # fold is the cross-engine-reproducible form; numpy dot is not
+    # bit-identical); the PQ encode — the dominant per-row cost — runs
+    # pq_encode's kernel of choice with __cell riding through as an extra
+    assigned = df.select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+        F.col(vec_col),
+    )
+    indexed = pq_encode(
+        assigned, vec_col, id_col, cb, kernel=kernel, extras=("__cell",)
+    )
     write_bucketed(indexed, table, "__cell", n_buckets, path)
     return cents, cb
 
@@ -1682,6 +1679,15 @@ def ann_ivf_pq_indexed(
     )
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Length of the first NON-NULL vector, or None when the frame has no
+    usable vector (empty frame / all-NULL column) — the operators that
+    size hyperplane literals from the data must degrade to an empty
+    result instead of crashing on ``first()[0]`` of nothing."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
 def cross_embedding_neardup(
     new: DataFrame,
     ref: DataFrame,
@@ -1690,6 +1696,7 @@ def cross_embedding_neardup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-space cross-corpus decontamination — the semantic twin of
     ``dedup.cross_corpus_neardup`` (text MinHash): (new_id, ref_id, cos)
@@ -1697,25 +1704,47 @@ def cross_embedding_neardup(
     eval/held-out set) clears the threshold, candidates restricted to
     shared SRP buckets. Only new×ref pairs are generated — never new×new
     or ref×ref, so adding a batch to a decontamination check never
-    re-pairs the reference against itself.
+    re-pairs the reference against itself. An empty (or all-NULL-vector)
+    new or reference side yields an empty result, not a crash — the
+    realistic incremental-crawl edge.
 
     Scale shape: one signature pass per side, then a bucket equi-join —
     the reference side is typically eval-suite-sized, so AQE broadcasts
     it; the new corpus never self-joins and nothing is quadratic beyond
-    within-bucket pairs (raise n_planes to tighten buckets). Recall per
-    pair is (1 - θ/π)^n_planes — same dial as
+    within-bucket pairs. Each side's hot buckets are capped at
+    ``max_bucket`` members before the join (the text twin's MAX_BUCKET
+    contract — NULL/zero vectors all land in bucket 0, so one degenerate
+    bucket would otherwise fan out quadratically; documented recall
+    trade). Recall per pair is (1 - θ/π)^n_planes — same dial as
     ``near_dup_pairs_embedding``."""
-    dim = len(new.select(vec_col).first()[0])
+    dim = _vec_dim(new, vec_col)
+    if dim is None or _vec_dim(ref, vec_col) is None:
+        spark = new.sparkSession
+        id_type = new.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"new_id {id_type}, ref_id {id_type}, cos double"
+        )
     planes = hyperplanes(dim, n_planes, seed)
-    a = new.select(
-        srp_signature(F.col(vec_col), planes).alias("__sig"),
-        F.col(id_col).alias("new_id"),
-        F.col(vec_col).alias("__va"),
+
+    def capped(side: DataFrame) -> DataFrame:
+        sizes = side.groupBy("__sig").agg(F.count(F.lit(1)).alias("__bn"))
+        return side.join(
+            sizes.filter(F.col("__bn") <= int(max_bucket)), "__sig"
+        ).drop("__bn")
+
+    a = capped(
+        new.select(
+            srp_signature(F.col(vec_col), planes).alias("__sig"),
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).alias("__va"),
+        )
     )
-    b = ref.select(
-        srp_signature(F.col(vec_col), planes).alias("__sig"),
-        F.col(id_col).alias("ref_id"),
-        F.col(vec_col).alias("__vb"),
+    b = capped(
+        ref.select(
+            srp_signature(F.col(vec_col), planes).alias("__sig"),
+            F.col(id_col).alias("ref_id"),
+            F.col(vec_col).alias("__vb"),
+        )
     )
     return (
         a.join(b, "__sig")

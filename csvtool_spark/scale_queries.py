@@ -642,7 +642,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cross_embed",
     # the semantic twin of q_cross_dedup: only odd(new) x even(ref) pairs,
-    # same inlined-hyperplane bucket reproducibility as q_embed_neardup
+    # same inlined-hyperplane bucket reproducibility as q_embed_neardup.
+    # NB: no max_bucket cap here (same deliberate omission as the
+    # q_cross_dedup oracle) — at oracle scale no SRP bucket approaches
+    # the 1000-member cap, so capped and uncapped results coincide.
     f"""
     WITH s AS (
       SELECT vec_id, embedding,

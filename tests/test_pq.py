@@ -544,3 +544,35 @@ def test_cross_embedding_neardup_sides_and_subset(spark):
     assert {flip(*p) for p in cross} == {
         p for p in within if (p[0] % 2) != (p[1] % 2)
     }
+
+
+def test_cross_embedding_neardup_empty_sides_and_bucket_cap(spark):
+    from csvtool_spark.operators.similarity import (
+        cross_embedding_neardup,
+        near_dup_pairs_embedding,
+    )
+
+    d = _vecs(spark, _rand_corpus(141, 10, 8))
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>"
+    )
+    for new, ref in ((empty, d), (d, empty), (nulls, d)):
+        out = cross_embedding_neardup(new, ref, "embedding", "vec_id")
+        assert out.columns == ["new_id", "ref_id", "cos"]
+        assert out.count() == 0
+    assert near_dup_pairs_embedding(empty, "embedding", "vec_id").count() == 0
+    # hot-bucket cap: identical vectors all land in one bucket; a cap
+    # below the side size drops the bucket (documented recall trade),
+    # a generous cap keeps every cross pair
+    same = _vecs(spark, [[0.3] * 8] * 6)
+    new, ref = same.filter("vec_id % 2 = 1"), same.filter("vec_id % 2 = 0")
+    full = cross_embedding_neardup(
+        new, ref, "embedding", "vec_id", threshold=0.99, n_planes=4
+    )
+    assert full.count() == 9  # 3 x 3
+    capped = cross_embedding_neardup(
+        new, ref, "embedding", "vec_id", threshold=0.99, n_planes=4,
+        max_bucket=2,
+    )
+    assert capped.count() == 0
