@@ -35,12 +35,18 @@ def dialect(name: str, text: str, oracle: str | None, registered: bool = True):
 
 dialect(
     "q_dialect_filter",
-    "select o_orderkey o_totalprice from orders "
-    "where o_totalprice > 400000 and o_orderstatus = F",
-    # bare word F is a literal (parser.go:446-511); '=' is null-safe
+    "select o_orderkey o_totalprice o_orderpriority from orders "
+    "where o_totalprice > 400000 and o_orderstatus = F "
+    "and o_orderpriority like '%g%' and o_orderkey not in (4, 8)",
+    # bare word F is a literal (parser.go:446-511); '=' is null-safe;
+    # LIKE is a case-insensitive anchored regex and IN is per-element
+    # null-safe equality (selector.go:480-516) — widened in round 8 so
+    # LIKE/IN keep in-window driver evidence after the round-7 swaps
+    # demoted q_like_in/q_dialect_predicates to shadow
     """
-    SELECT o_orderkey, o_totalprice FROM orders
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
     WHERE o_totalprice > 400000 AND o_orderstatus IS NOT DISTINCT FROM 'F'
+      AND o_orderpriority ILIKE '%g%' AND o_orderkey NOT IN (4, 8)
     """,
 )
 

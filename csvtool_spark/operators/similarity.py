@@ -1061,6 +1061,11 @@ def pq_train(
     reproducibility; swap in trained centroids when quality matters more
     (pair with rows-only checks, like ``ivf_train``)."""
     b = sq_bounds(df, vec_col).collect()[0]
+    if b["mn"] is None or b["mx"] is None:
+        raise ValueError(
+            "pq_train: corpus has no usable vectors (empty frame or "
+            "all-NULL embedding column) — nothing to derive bounds from"
+        )
     mn, mx = float(b["mn"]), float(b["mx"])
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -1070,6 +1075,216 @@ def pq_train(
     )
     cents = [[sq_code_py(float(x), mn, mx) for x in r[1]] for r in rows]
     return PQCodebook(mn, mx, m, cents)
+
+
+def _pq_assign_codes(cb: PQCodebook, codes: Column) -> Column:
+    """``array<int>`` of length m: each subspace's nearest centroid by
+    exact integer distance, ties to the lowest centroid id — the
+    assignment step of ``_packed_codes`` factored over a MATERIALIZED
+    codes column. Here ``codes`` is an attribute reference behind a
+    projection barrier, so no let-binding transform trick is needed
+    (``_packed_codes`` keeps its nested-transform form because there the
+    code array is computed inline and HOFs run interpreted without
+    subexpression elimination)."""
+    cols = []
+    for s in range(cb.m):
+        sub = F.slice(codes, s * cb.dsub + 1, cb.dsub)
+        entries = [
+            F.struct(
+                _isub_d2(
+                    sub, cb.cents[c][s * cb.dsub : (s + 1) * cb.dsub]
+                ).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c in range(len(cb.cents))
+        ]
+        cols.append(F.array_min(F.array(*entries))["c"])
+    return F.array(*cols)
+
+
+def _arrow_pq_partial_sums_fn(
+    mn: float, mx: float, m: int, cents: list[list[int]], vec_name: str
+):
+    """mapInPandas closure for one trained-PQ Lloyd round: quantize each
+    batch to the int8 grid (the exact ``_arrow_pq_encode_fn`` steps),
+    assign every (row, subspace) to its nearest centroid, and emit
+    per-(subspace, centroid) partial sums ``(s, c, n, sums array<long>)``
+    — at most m·n_cents rows per batch, so the shuffle that combines them
+    is codebook-sized, never corpus-sized. All-integer accumulation
+    (int64 sums of int8 codes), so partials combine exactly in any order.
+    Invalid vectors raise (the ``pq_encode`` batch contract — a silently
+    skipped vector would bias every centroid). Self-contained imports so
+    vanilla sessions can unpickle on workers (the
+    ``minhash_signature_arrow`` contract)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.int64)
+        n_cents, dim = C.shape
+        dsub = dim // m
+        Csub = C.reshape(n_cents, m, dsub)
+        cn = (Csub * Csub).sum(axis=2)  # (n_cents, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec = pdf[vec_name]
+            try:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vec]
+                )
+            except (ValueError, TypeError) as e:
+                raise ValueError(
+                    "pq_train_kmeans: NULL/ragged/null-element embedding "
+                    "— impute or drop those rows first"
+                ) from e
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(
+                    f"pq_train_kmeans: invalid vector (dim != codebook "
+                    f"dim {dim})"
+                )
+            if not np.isfinite(V).all():
+                raise ValueError(
+                    "pq_train_kmeans: non-finite embedding value — the "
+                    "int8 grid is undefined for NaN/Infinity"
+                )
+            if mx > mn:
+                scale = 255.0 / (mx - mn)
+                Q = np.minimum(255.0, np.floor((V - mn) * scale)).astype(
+                    np.int64
+                ) - 128
+            else:
+                Q = np.zeros(V.shape, dtype=np.int64)
+            Qs = Q.reshape(len(Q), m, dsub)
+            qn = (Qs * Qs).sum(axis=2)  # (n, m)
+            cross = np.einsum("nmd,cmd->ncm", Qs, Csub)  # int64 exact
+            dist = qn[:, None, :] + cn[None, :, :] - 2 * cross
+            best = dist.argmin(axis=1)  # (n, m); first occurrence = lowest c
+            rows = []
+            for s in range(m):
+                cnt = np.bincount(best[:, s], minlength=n_cents)
+                sums = np.zeros((n_cents, dsub), dtype=np.int64)
+                np.add.at(sums, best[:, s], Qs[:, s, :])
+                for j in np.flatnonzero(cnt):
+                    rows.append(
+                        (int(s), int(j), int(cnt[j]), sums[j].tolist())
+                    )
+            yield pd.DataFrame(rows, columns=["s", "c", "n", "sums"])
+
+    return fn
+
+
+def pq_train_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    n_cents: int = 16,
+    iters: int = 2,
+    kernel: str = "arrow",
+) -> PQCodebook:
+    """Lloyd-TRAINED PQ codebook: per-subspace fixed-point k-means over
+    the int8 code grid, seeded from the sampled ``pq_train`` codebook
+    (``iters=0`` IS the sampled codebook — property-tested). This is the
+    quality lane the sampled codebook trades away: sampled centroids are
+    whatever the n_cents lowest-id vectors happened to be, trained
+    centroids minimize the per-subspace quantization error that bounds
+    ADC recall (Jégou et al. 2011 §III trains exactly this way).
+
+    Deterministic across runs AND engines, unlike float k-means: codes
+    are exact int8, distances exact int64, centroid updates are
+    ``half_away(sum/count)`` on an exact integer sum — the
+    ``kmeans_fit`` fixed-point discipline — with ties to the lowest
+    centroid id and empty (subspace, centroid) cells carrying forward.
+    So the trained lane pairs with a full DuckDB twin (q_pq_compare),
+    not the rows-only checks float ``ivf_train`` needs.
+
+    Scale shape: each round is ONE map-only pass (the Arrow partial-sums
+    kernel) + a codebook-sized shuffle (≤ m·n_cents groups) + a bounded
+    collect (m·n_cents·(dsub+1) ints). ``kernel='column'`` is the pure
+    Column twin (``_packed_codes`` assignment + explode/groupBy),
+    bit-identical (differential-tested)."""
+    from csvtool_spark.functions.fixedpoint import half_away
+
+    if iters < 0:
+        raise ValueError(f"pq_train_kmeans: need iters >= 0, got {iters}")
+    if kernel not in ("arrow", "column"):
+        raise ValueError(f"pq_train_kmeans: unknown kernel {kernel!r}")
+    cb = pq_train(df, vec_col, id_col, m, n_cents)
+    if iters == 0:
+        return cb
+    dsub = cb.dsub
+    # the corpus is read every round: persist the projection once (the
+    # kmeans_fit discipline — always released before returning, since the
+    # fit output is a driver-side codebook, nothing lazy reads the cache)
+    vecs = df.select(F.col(vec_col)).persist()
+    try:
+        for _ in range(iters):
+            if kernel == "arrow":
+                part = vecs.mapInPandas(
+                    _arrow_pq_partial_sums_fn(
+                        cb.mn, cb.mx, cb.m, cb.cents, vec_col
+                    ),
+                    schema="s int, c int, n long, sums array<long>",
+                )
+            else:
+                enc = vecs.select(
+                    _packed_codes(cb, vec_col).alias("__pc")
+                ).select(
+                    F.col("__pc")["codes"].alias("__codes"),
+                    F.col("__pc")["pq"].alias("__pq"),
+                )
+                part = enc.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(s).cast("int").alias("s"),
+                                    F.col("__pq")[s].alias("c"),
+                                    F.transform(
+                                        F.slice(
+                                            "__codes", s * dsub + 1, dsub
+                                        ),
+                                        lambda x: x.cast("long"),
+                                    ).alias("sums"),
+                                )
+                                for s in range(cb.m)
+                            ]
+                        )
+                    ).alias("e")
+                ).select(
+                    "e.s", "e.c", F.lit(1).cast("long").alias("n"), "e.sums"
+                )
+            rows = (
+                part.groupBy("s", "c")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[
+                        F.sum(F.element_at("sums", d + 1)).alias(f"s_{d}")
+                        for d in range(dsub)
+                    ],
+                )
+                .collect()
+            )
+            by_sc = {(int(r["s"]), int(r["c"])): r for r in rows}
+            new_cents = []
+            for c in range(len(cb.cents)):
+                vec = list(cb.cents[c])
+                for s in range(cb.m):
+                    r = by_sc.get((s, c))
+                    if r is None:
+                        continue  # empty cell: carry the centroid forward
+                    n = int(r["n"])
+                    for d in range(dsub):
+                        vec[s * dsub + d] = half_away(
+                            float(r[f"s_{d}"]) / n
+                        )
+                new_cents.append(vec)
+            cb = PQCodebook(cb.mn, cb.mx, cb.m, new_cents)
+        return cb
+    finally:
+        vecs.unpersist()
 
 
 def _isub_d2(sub: Column, cvals: list[int]) -> Column:
@@ -1393,7 +1608,11 @@ def _adc_score(
 ) -> DataFrame:
     table = _adc_table(cb, query)
     return (
-        enc.select(
+        # Spark sorts NULLS FIRST ascending, so null pq_codes rows (the
+        # pq_coded_stream on_invalid='null' quarantine lane) would
+        # otherwise occupy the top-k with NULL distances
+        enc.filter(F.col("pq_codes").isNotNull())
+        .select(
             F.col(id_col),
             _adc_sum(table, F.col("pq_codes")).alias("adc_d2"),
         )
@@ -1441,9 +1660,19 @@ def ann_pq_indexed(
 
 def _izdist2(a: Column, b: Column) -> Column:
     """Exact integer squared L2 distance between two code-array columns
-    (the column-column twin of ``_isub_d2``)."""
+    (the column-column twin of ``_isub_d2``). Operands are widened to
+    long BEFORE the subtract/multiply: codes have no lower clamp (a
+    cross-frame encode of an extreme outlier far below the codebook's mn
+    produces codes < -128), and an int32 square of such a value could
+    silently wrap in non-ANSI mode while the Arrow lane stays exact
+    int64 — widening keeps the two lanes bit-identical everywhere."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("long") - y.cast("long"))
+            * (x.cast("long") - y.cast("long")),
+        ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
@@ -1532,6 +1761,125 @@ def pq_recall_eval(
         .select("qid", id_col)
     )
     return _recall_output(df, id_col, exact, approx, queries, k, [scored])
+
+
+def pq_recall_compare(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    k: int,
+    codebooks: dict[str, PQCodebook],
+) -> DataFrame:
+    """recall@k of SEVERAL PQ codebooks against the shared exact
+    code-grid ranking, in ONE corpus pass — the sampled-vs-trained
+    quality report ``pq_train_kmeans`` exists for. Returns one row per
+    query: ``(qid, n_hits_<name>, recall_<name>, ...)`` with lanes in
+    sorted name order.
+
+    All codebooks must share the quantization grid (mn/mx/dim — true by
+    construction for ``pq_train`` vs ``pq_train_kmeans`` on the same
+    corpus), so the int8 code array is computed ONCE per row and each
+    lane's m-lookup ADC plus the exact distance score during the same
+    scan; the scored frame persists because every lane's window reads it
+    (``attach_stages`` contract — callers release after consuming the
+    bounded |Q|-row output). All-integer rankings with (distance, id)
+    tie-breaks, one exact double division by k — bit-stable
+    cross-engine, full DuckDB twin (q_pq_compare)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("pq_recall_compare: queries must be non-empty")
+    if not codebooks:
+        raise ValueError("pq_recall_compare: codebooks must be non-empty")
+    names = sorted(codebooks)
+    cb0 = codebooks[names[0]]
+    for name in names[1:]:
+        c = codebooks[name]
+        if (c.mn, c.mx, c.dim) != (cb0.mn, cb0.mx, cb0.dim):
+            raise ValueError(
+                "pq_recall_compare: codebooks disagree on the "
+                f"quantization grid (lane {name!r})"
+            )
+    qlits = []
+    for qid, vec in sorted(queries.items()):
+        qcodes = [sq_code_py(float(x), cb0.mn, cb0.mx) for x in vec]
+        qlits.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.lit(qcodes).alias("qc"),
+                *[
+                    F.lit(_adc_table(codebooks[n], vec)).alias(f"tbl_{n}")
+                    for n in names
+                ],
+            )
+        )
+    # projection barrier: codes materialize once, every lane's assignment
+    # then reads the attribute reference (no recompute on the HOF path)
+    base = df.select(
+        F.col(id_col), _packed_codes(cb0, vec_col)["codes"].alias("__codes")
+    ).select(
+        F.col(id_col),
+        F.col("__codes"),
+        *[
+            _pq_assign_codes(codebooks[n], F.col("__codes")).alias(f"pq_{n}")
+            for n in names
+        ],
+    )
+    lane_adc = []
+    for n in names:
+        adc = F.lit(0).cast("long")
+        for s in range(codebooks[n].m):
+            adc = adc + F.element_at(
+                F.element_at(F.col("q")[f"tbl_{n}"], s + 1),
+                F.col(f"pq_{n}")[s] + 1,
+            ).cast("long")
+        lane_adc.append(adc.alias(f"adc_{n}"))
+    scored = (
+        base.select(
+            F.col(id_col),
+            F.col("__codes"),
+            *[F.col(f"pq_{n}") for n in names],
+            F.explode(F.array(*qlits)).alias("q"),
+        )
+        .filter(F.col(id_col) != F.col("q")["qid"])
+        .select(
+            F.col("q")["qid"].alias("qid"),
+            F.col(id_col),
+            _izdist2(F.col("__codes"), F.col("q")["qc"]).alias("exact_d2"),
+            *lane_adc,
+        )
+        .persist()
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("exact_d2").asc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    out = None
+    for n in names:
+        wa = Window.partitionBy("qid").orderBy(
+            F.col(f"adc_{n}").asc(), F.col(id_col).asc()
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= k)
+            .select("qid", id_col)
+        )
+        lane = _recall_output(
+            df, id_col, exact, approx, queries, k, []
+        ).select(
+            "qid",
+            F.col("n_hits").alias(f"n_hits_{n}"),
+            F.col("recall").alias(f"recall_{n}"),
+        )
+        out = lane if out is None else out.join(lane, "qid")
+    from csvtool_spark.functions.caching import attach_stages
+
+    return attach_stages(out.orderBy("qid"), [scored])
 
 
 # --- IVF × PQ composed index ----------------------------------------------
@@ -1724,9 +2072,18 @@ def cross_embedding_neardup(
         return spark.createDataFrame(
             [], f"new_id {id_type}, ref_id {id_type}, cos double"
         )
+    from csvtool_spark.functions.caching import attach_stages
+
     planes = hyperplanes(dim, n_planes, seed)
+    stages: list[DataFrame] = []
 
     def capped(side: DataFrame) -> DataFrame:
+        # the signed side is read twice (bucket-size agg + the bucket
+        # join), so persist it once — without this each side pays its
+        # O(dim·n_planes) SRP fold twice (the cross_corpus_neardup
+        # persist+attach_stages pattern; round-7 ADVICE)
+        side = side.persist()
+        stages.append(side)
         sizes = side.groupBy("__sig").agg(F.count(F.lit(1)).alias("__bn"))
         return side.join(
             sizes.filter(F.col("__bn") <= int(max_bucket)), "__sig"
@@ -1746,12 +2103,13 @@ def cross_embedding_neardup(
             F.col(vec_col).alias("__vb"),
         )
     )
-    return (
+    return attach_stages(
         a.join(b, "__sig")
         .select(
             "new_id",
             "ref_id",
             cosine(_vec_d(F.col("__va")), _vec_d(F.col("__vb"))).alias("cos"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(F.col("cos") >= threshold),
+        stages,
     )

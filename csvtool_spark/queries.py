@@ -415,7 +415,8 @@ def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt((CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT) * CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
                  - CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE)
                    * CAST(SUM(CAST(round(o_totalprice,0) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-                / CAST(count(*) AS DOUBLE)) AS sd_pop
+                / CAST(count(*) AS DOUBLE)) AS sd_pop,
+           max_by(o_orderstatus, o_orderkey) AS last_status
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -439,6 +440,10 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("o_totalprice"))).alias("sum_p_c"),
         F.sqrt((ss - s * s / n) / (n - F.lit(1.0))).alias("sd_samp"),
         F.sqrt((ss - s * s / n) / n).alias("sd_pop"),
+        # bare-columns-last (§2.4, selector.go:54-63) deterministically:
+        # "last" keyed by the unique o_orderkey — the q_agg_last rule,
+        # folded here in round 8 so the quirk keeps in-window evidence
+        F.max_by("o_orderstatus", F.col("o_orderkey")).alias("last_status"),
     )
 
 

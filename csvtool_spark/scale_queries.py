@@ -1735,6 +1735,169 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_KM_ITERS = 2
+_PQ_CMP_NQ = 16  # qids 0..15 — wide enough that the trained lane's mean
+# recall edge over the sampled lane is signal, not 4-query noise
+
+
+def _pq_trained_ctes(iters: int) -> str:
+    """CTE block producing the Lloyd-TRAINED per-subspace codebook and
+    its corpus assignment — the DuckDB twin of ``pq_train_kmeans`` +
+    trained-lane encoding, mirroring ``kmeans_oracle_sql``'s unrolled
+    rounds on the (subspace, cell, dim) long-form grid: exact integer
+    distances, half-away centroid means on CAST(sum AS DOUBLE)/count,
+    ties to the lowest cell, empty (s, cell) carried forward. Seeds are
+    the sampled codebook (``cent`` from ``_PQ_BASE_CTES``), matching the
+    Spark lane's pq_train seed. Yields ``tc{iters}`` (s, cell, d, cq)
+    and ``tbest`` (vec_id, s, cell): the assignment vs the FINAL
+    centroids, i.e. the trained-lane pq codes."""
+
+    def ha(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN {expr} >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    def assign(name: str, cent_cte: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, s, cell FROM ("
+            f"SELECT x.vec_id, x.s, t.cell, "
+            f"row_number() OVER (PARTITION BY x.vec_id, x.s "
+            f"ORDER BY sum((x.q - t.cq) * (x.q - t.cq)), t.cell) AS rn "
+            f"FROM pxs x JOIN {cent_cte} t ON t.s = x.s AND t.d = x.d "
+            f"GROUP BY x.vec_id, x.s, t.cell) WHERE rn = 1)"
+        )
+
+    its = []
+    prev = "tc0"
+    for t in range(1, iters + 1):
+        its.append(assign(f"ta{t}", prev))
+        its.append(
+            f"tm{t} AS (SELECT a.s, a.cell, x.d, "
+            f"{ha('CAST(sum(x.q) AS DOUBLE) / count(*)')} AS cq "
+            f"FROM pxs x JOIN ta{t} a ON a.vec_id = x.vec_id AND a.s = x.s "
+            f"GROUP BY a.s, a.cell, x.d)"
+        )
+        its.append(
+            f"tc{t} AS (SELECT p.s, p.cell, p.d, coalesce(m.cq, p.cq) AS cq "
+            f"FROM {prev} p LEFT JOIN tm{t} m "
+            f"ON m.s = p.s AND m.cell = p.cell AND m.d = p.d)"
+        )
+        prev = f"tc{t}"
+    iter_sql = ",\n    ".join(its)
+    return f"""
+    ds AS (SELECT unnest(generate_series(1, {_PQ_DSUB})) AS d),
+    pxs AS (SELECT v.vec_id, ss.s, ds.d,
+                   v.qvec[ss.s*{_PQ_DSUB} + ds.d] AS q
+            FROM qv v CROSS JOIN ss CROSS JOIN ds),
+    tc0 AS (SELECT ss.s, c.cell, ds.d, c.qvec[ss.s*{_PQ_DSUB} + ds.d] AS cq
+            FROM cent c CROSS JOIN ss CROSS JOIN ds),
+    {iter_sql},
+    {assign('tbest', prev)}
+    """
+
+
+@register(
+    "q_pq_compare",
+    # sampled vs Lloyd-trained PQ codebooks against the SAME exact
+    # code-grid ranking: the sampled lane reuses the q_pq_recall CTEs
+    # verbatim; the trained lane unrolls the per-subspace fixed-point
+    # k-means (kmeans_oracle_sql's discipline) so BOTH codebooks, both
+    # ADC rankings and the recall division are bit-stable cross-engine.
+    f"""
+    WITH {_PQ_BASE_CTES},
+    {_pq_trained_ctes(_PQ_KM_ITERS)},
+    qs AS (SELECT vec_id AS qid, qvec AS qc FROM qv
+           WHERE vec_id < {_PQ_CMP_NQ}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(generate_series(1, len(v.qvec)),
+                   i -> (v.qvec[i] - q.qc[i]) * (v.qvec[i] - q.qc[i]))),
+                 v.vec_id) AS rn
+        FROM qv v JOIN qs q ON v.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    qtab AS ({_pq_qtab_sql('qs', 'qc', extra='qs.qid, ')}),
+    adc_s AS (
+      SELECT qt.qid, bb.vec_id, sum(qt.qd) AS d
+      FROM best bb JOIN qtab qt USING (s, cell)
+      WHERE bb.vec_id <> qt.qid
+      GROUP BY qt.qid, bb.vec_id
+    ),
+    ap_s AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM adc_s
+      ) WHERE rn <= 10
+    ),
+    tqtab AS (
+      SELECT qs.qid, t.s, t.cell,
+             sum((qs.qc[t.s*{_PQ_DSUB} + t.d] - t.cq)
+                 * (qs.qc[t.s*{_PQ_DSUB} + t.d] - t.cq)) AS qd
+      FROM tc{_PQ_KM_ITERS} t CROSS JOIN qs
+      GROUP BY qs.qid, t.s, t.cell
+    ),
+    adc_t AS (
+      SELECT qt.qid, tb.vec_id, sum(qt.qd) AS d
+      FROM tbest tb JOIN tqtab qt USING (s, cell)
+      WHERE tb.vec_id <> qt.qid
+      GROUP BY qt.qid, tb.vec_id
+    ),
+    ap_t AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM adc_t
+      ) WHERE rn <= 10
+    ),
+    hits_s AS (
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n
+      FROM exact e JOIN ap_s a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY e.qid
+    ),
+    hits_t AS (
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n
+      FROM exact e JOIN ap_t a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(hs.n, 0) AS BIGINT) AS n_hits_sampled,
+           CAST(coalesce(hs.n, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+             AS recall_sampled,
+           CAST(coalesce(ht.n, 0) AS BIGINT) AS n_hits_trained,
+           CAST(coalesce(ht.n, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+             AS recall_trained
+    FROM qs q
+    LEFT JOIN hits_s hs ON hs.qid = q.qid
+    LEFT JOIN hits_t ht ON ht.qid = q.qid
+    """,
+    registered=False,  # shadow: the trained-vs-sampled codebook quality
+    # report; promotable alongside the r7 PQ family
+)
+def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does Lloyd-training the PQ codebook beat the sampled one? recall@10
+    of BOTH codebooks' ADC rankings vs the shared exact code-grid ranking
+    for 16 queries, one corpus pass — the quality report justifying
+    pq_train_kmeans (trained mean recall ≥ sampled, asserted in
+    tests/test_pq_trained.py). similarity.pq_train_kmeans /
+    pq_recall_compare."""
+    e = load(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") < _PQ_CMP_NQ).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    cb_s = similarity.pq_train(e, "embedding", "vec_id", m=_PQ_M, n_cents=_PQ_CENTS)
+    cb_t = similarity.pq_train_kmeans(
+        e, "embedding", "vec_id", m=_PQ_M, n_cents=_PQ_CENTS,
+        iters=_PQ_KM_ITERS,
+    )
+    return similarity.pq_recall_compare(
+        e, "embedding", "vec_id", queries, 10,
+        {"sampled": cb_s, "trained": cb_t},
+    )
+
+
 @register(
     "q_ann_ivf_pq",
     # the FAISS IVF-PQ composition with a COMPLETE cross-engine twin:
