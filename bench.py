@@ -126,6 +126,26 @@ def main() -> None:
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Same-session A/B control (round-7 verdict item 4): bench the
+    # previous driver round's tree back-to-back on the same box state so
+    # a >5% total delta can be attributed — ratio ≈ 1.0 means the
+    # recorded drift was ambient load, not a plan change. Disabled via
+    # SPARK_GRAFT_BENCH_AB=0 (and always for the control run itself, so
+    # it cannot recurse). Failures degrade to an error block — the
+    # control must never break the primary bench line.
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        spark.stop()  # free the executor JVM before the control's JVM
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools")
+            )
+            import bench_ab
+
+            out["ab_control"] = bench_ab.ab_control(out)
+        except Exception as e:  # noqa: BLE001 — diagnostic block only
+            out["ab_control"] = {"error": str(e)[:300]}
     print(json.dumps(out))
 
 

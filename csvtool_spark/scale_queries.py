@@ -517,7 +517,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_DEDUP_CLUSTERS_SQL}) base
     GROUP BY cluster_size
     """,
-    # driver window (r7 swap: q_bloom_join -> shadow)
+    registered=False,  # shadow (r8 swap: slot given to q_kn_buckets; the
+    # histogram is an aggregate of the in-window q_dedup_clusters output)
 )
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup graph (singletons included)
@@ -629,6 +630,8 @@ def _srp_sig_sql(e: str, planes) -> str:
     FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4e0
     """,
+    registered=False,  # shadow (r8 swap: slot given to q_cross_embed,
+    # same SRP-bucket + exact-verify shape plus the cross-corpus rule)
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings top out near cosine 0.51 — 0.4 exercises the
@@ -658,8 +661,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
       AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.4e0
     """,
-    registered=False,  # shadow: embedding decontamination's driver
-    # evidence stays q_embed_neardup + q_cross_dedup
+    # driver window (r8 swap: q_embed_neardup -> shadow): the SRP-bucket
+    # plan family is now driver-evidenced through the cross-corpus form,
+    # which additionally proves the new×ref-only pairing discipline
 )
 def q_cross_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination of the odd-id half (new) against
@@ -852,6 +856,8 @@ _IVF_CELLS, _IVF_PROBE = 16, 4
     ORDER BY cos DESC, a.vec_id
     LIMIT 10
     """,
+    registered=False,  # shadow (r8 swap: slot given to q_ann_ivf_pq,
+    # which subsumes the cell-probe plan shape)
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1366,6 +1372,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN b USING (shingle)
     GROUP BY c.doc_id
     """,
+    registered=False,  # shadow (r8 swap: slot given to q_pq_compare;
+    # text decontamination stays driver-evidenced via q_cross_dedup, and
+    # the exact-shingle gate keeps its streaming pytest twin)
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1874,8 +1883,10 @@ def _pq_trained_ctes(iters: int) -> str:
     LEFT JOIN hits_s hs ON hs.qid = q.qid
     LEFT JOIN hits_t ht ON ht.qid = q.qid
     """,
-    registered=False,  # shadow: the trained-vs-sampled codebook quality
-    # report; promotable alongside the r7 PQ family
+    # driver window (r8 swap: q_contamination -> shadow): the
+    # trained-vs-sampled codebook report — subsumes q_pq_recall's shape
+    # (same exact-vs-ADC recall CTEs) and carries the pq_train_kmeans
+    # evidence the round-7 verdict asked for
 )
 def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does Lloyd-training the PQ codebook beat the sampled one? recall@10
@@ -1942,8 +1953,8 @@ def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.adc_d2 ASC, a.vec_id ASC
     LIMIT 10
     """,
-    registered=False,  # shadow: completes the composed-index ANN story
-    # (IVF x SQ stays pytest-paired; IVF x PQ is fully SQL-expressible)
+    # driver window (r8 swap: q_ann_ivf -> shadow, its plan shape is
+    # subsumed by this composed index — same cell probe, smaller payload)
 )
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style IVF-PQ probe around vector 0: the 4 best of 16 cells
@@ -2233,8 +2244,8 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.kn_buckets_oracle_sql(
         train_where="length(source) = 4", score_where="length(source) = 5"
     ),
-    registered=False,  # shadow: the KN family keeps q_kn_score in-window;
-    # the bucket partition is its downstream composition
+    # driver window (r8 swap: q_dedup_cluster_stats -> shadow): the CCNet
+    # perplexity-bucketing composition joins q_kn_score in-window
 )
 def q_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition of the scored half: per-source
