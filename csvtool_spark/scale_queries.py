@@ -2648,6 +2648,69 @@ def q_span_removal_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_repeated_spans(d, "text", "doc_id", k=3)
 
 
+# The synthetic documents are single-line token soup (no '\n\n'), so the
+# paragraph-dedup entry derives deterministic pseudo-paragraphs first:
+# consecutive 25-token chunks re-joined with the separator — identical
+# chunking on both engines, so the operator sees a real multi-paragraph
+# corpus (40 duplicated chunks / 25 affected docs at sf0.01).
+_PARA_CHUNK = 25
+
+_PARA_DERIVE_SQL = f"""
+    dtoks AS (
+      SELECT doc_id, text AS __orig, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT doc_id,
+             CASE WHEN __orig IS NULL THEN NULL ELSE
+               array_to_string(list_transform(
+                 range(0, greatest(CAST(ceil(len(t) / {_PARA_CHUNK}.0) AS BIGINT), 1)),
+                 j -> array_to_string(t[j*{_PARA_CHUNK}+1 : j*{_PARA_CHUNK}+{_PARA_CHUNK}], ' ')),
+                 chr(10) || chr(10))
+             END AS text
+      FROM dtoks
+    )
+"""
+
+
+@register(
+    "q_paragraph_dedup",
+    "WITH " + _PARA_DERIVE_SQL + ",\n    base AS ("
+    + dedup.paragraph_dedup_oracle_sql(
+        sep="\n\n", min_docs=2, keep="first", table="docs2"
+    )
+    + ") SELECT * FROM base",
+    registered=False,  # shadow: the Lee-et-al exact-substring family's
+    # paragraph-granularity member (q_span_removal holds the in-window
+    # slot for the family)
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact paragraph dedup across the corpus: 25-token pseudo-paragraph
+    chunks, min-id owner keeps its copy, every other document drops the
+    duplicated paragraph — the fixed-boundary form of exact-substring
+    dedup. dedup.paragraph_dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(_PARA_CHUNK))).cast("int"), F.lit(1)
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda j: F.array_join(
+            F.slice(toks, j * _PARA_CHUNK + 1, _PARA_CHUNK), " "
+        ),
+    )
+    d2 = d.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(paras, "\n\n"))
+        .alias("text"),
+    )
+    return dedup.paragraph_dedup(
+        d2, "text", "doc_id", sep="\n\n", min_docs=2, keep="first"
+    )
+
+
 # --- weighted priority sampling -------------------------------------------
 
 
