@@ -32,6 +32,17 @@ def main(argv: list[str] | None = None) -> int:
         "query (the reference's primary mode, main.go:80-97; default port "
         "8060, 0 = ephemeral)",
     )
+    ap.add_argument(
+        "-s", "--persistent", action="store_true",
+        help="don't stop the server when no browser is connected (the "
+        "reference's -s flag, main.go:32)",
+    )
+    ap.add_argument(
+        "--idle-timeout", type=float, default=120.0, metavar="SEC",
+        help="with --serve: exit after this many seconds with no browser "
+        "connected (the reference's 2-minute self-exit, main.go:79-97; "
+        "--persistent disables)",
+    )
     args = ap.parse_args(argv)
 
     from csvtool_spark.engine import CsvEngine
@@ -40,18 +51,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.serve is not None:
         from csvtool_spark.server import CsvToolServer
 
-        srv = CsvToolServer(CsvEngine(get_spark("csvtool-serve")), port=args.serve)
+        srv = CsvToolServer(
+            CsvEngine(get_spark("csvtool-serve")), port=args.serve,
+            idle_timeout=None if args.persistent else args.idle_timeout,
+        )
         srv.start()
         print(f"serving on http://127.0.0.1:{srv.port}/ (ctrl-c to stop)")
         try:
-            import signal
-
-            signal.pause()
-        except (KeyboardInterrupt, AttributeError):
+            srv.join()  # returns when the idle watchdog shut us down
+        except KeyboardInterrupt:
             pass
         finally:
             srv.stop()
-        return 0
+        # the reference exits 2 on the no-browser timeout (main.go:93-94)
+        return 2 if srv.idle_exited else 0
 
     text = args.command if args.command else sys.stdin.read()
     if not text.strip():

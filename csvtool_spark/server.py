@@ -27,6 +27,7 @@ import datetime
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from csvtool_spark.dialect.errors import DialectError, PasswordRequired
@@ -324,11 +325,27 @@ class CsvToolServer:
         host: str = "127.0.0.1",
         port: int = 8060,
         progress_interval: float = 1.0,
+        idle_timeout: float | None = None,
     ):
         self.engine = engine
         self.progress_interval = progress_interval
         self._jobs: dict[str, QueryJob] = {}
         self._jobs_lock = threading.Lock()
+        #: idle self-exit (reference main.go:79-97: os.Exit(2) after 120
+        #: consecutive seconds with no browser connected, counted by the
+        #: websocket loops, server.go:19-31; the -s flag disables it).
+        #: This transport uses SSE streams that live only while a query
+        #: runs, so "viewed in a browser" here = an open SSE subscriber
+        #: OR any HTTP request inside the window — a page merely sitting
+        #: open keeps itself alive through its requests. None (default
+        #: for embedded/test use) disables, like the reference's -s.
+        self.idle_timeout = idle_timeout
+        self.idle_exited = False
+        self._subscribers = 0
+        self._activity = time.monotonic()
+        self._act_lock = threading.Lock()
+        self._watchdog: threading.Thread | None = None
+        self._stopping = threading.Event()
         #: per-server GUI state echo (reference server.go:188-216): the
         #: browser round-trips {haveInfo, history, openDirList,
         #: saveDirList, ...} through setState/getState so a reloaded page
@@ -359,6 +376,7 @@ class CsvToolServer:
                     return {}
 
             def do_POST(self):
+                outer._touch()
                 if self.path.startswith("/query"):
                     req = self._body()
                     text = req.get("query", "")
@@ -403,6 +421,7 @@ class CsvToolServer:
                     self.send_error(404)
 
             def do_GET(self):
+                outer._touch()
                 if self.path.startswith("/progress"):
                     self._do_progress()
                 elif self.path.startswith("/info"):
@@ -486,6 +505,10 @@ class CsvToolServer:
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-control", "no-store")
                 self.end_headers()
+                # an open SSE stream counts as a connected browser for
+                # the idle-exit watchdog (the reference's browsersOpen
+                # websocket counter, server.go:19-31)
+                outer._sub_inc()
                 try:
                     for evs, done in job.stream():
                         for ev in evs:
@@ -497,6 +520,8 @@ class CsvToolServer:
                         self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
                     pass  # client went away — the query keeps running
+                finally:
+                    outer._sub_dec()
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
@@ -531,6 +556,38 @@ class CsvToolServer:
         with self._jobs_lock:
             return self._jobs.get(qid)
 
+    def _touch(self) -> None:
+        with self._act_lock:
+            self._activity = time.monotonic()
+
+    def _sub_inc(self) -> None:
+        with self._act_lock:
+            self._subscribers += 1
+
+    def _sub_dec(self) -> None:
+        with self._act_lock:
+            self._subscribers -= 1
+            # the stream just closed: restart the idle window from now,
+            # matching the reference's counter reset while a browser
+            # was connected (main.go:87-92)
+            self._activity = time.monotonic()
+
+    def _watch_idle(self) -> None:
+        """Watchdog: shut the server down after ``idle_timeout`` seconds
+        with no open SSE subscriber and no HTTP request — the reference's
+        2-minute no-browser self-exit (main.go:79-97), rephrased for the
+        SSE transport. Runs as a daemon thread started by ``start()``."""
+        tick = min(0.2, self.idle_timeout / 5) if self.idle_timeout else 0.2
+        while not self._stopping.wait(tick):
+            with self._act_lock:
+                idle = self._subscribers < 1 and (
+                    time.monotonic() - self._activity > self.idle_timeout
+                )
+            if idle:
+                self.idle_exited = True
+                self._httpd.shutdown()
+                return
+
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
@@ -538,9 +595,24 @@ class CsvToolServer:
     def start(self) -> None:
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self.idle_timeout is not None:
+            self._touch()  # the window starts at serve time
+            self._watchdog = threading.Thread(
+                target=self._watch_idle, daemon=True
+            )
+            self._watchdog.start()
+
+    def join(self, timeout: float | None = None) -> None:
+        """Block until the serving thread exits (stop() from another
+        thread, or the idle watchdog shutting the server down)."""
+        if self._thread:
+            self._thread.join(timeout)
 
     def stop(self) -> None:
+        self._stopping.set()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(5)
+        if self._watchdog:
+            self._watchdog.join(5)

@@ -536,3 +536,49 @@ def test_webui_wires_save_and_state(eng):
 
     assert "savePath" in INDEX_HTML
     assert "info=setState" in INDEX_HTML and "info=getState" in INDEX_HTML
+
+
+def test_idle_exit_timeout(eng):
+    """The reference self-exits after N seconds with no browser connected
+    (main.go:79-97); here the serving thread must shut itself down after
+    idle_timeout with no SSE subscriber and no request — and requests
+    inside the window must keep it alive."""
+    import time
+
+    srv = CsvToolServer(eng, port=0, idle_timeout=1.0)
+    srv.start()
+    port = srv.port
+    try:
+        # activity inside the window resets the counter (main.go:87-92)
+        for _ in range(3):
+            time.sleep(0.6)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/info?info=getState", timeout=5
+            ) as r:
+                assert r.status == 200
+        assert srv._thread.is_alive() and not srv.idle_exited
+        # silence past the window: the watchdog shuts the server down
+        srv.join(timeout=5)
+        assert not srv._thread.is_alive()
+        assert srv.idle_exited
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/info?info=getState", timeout=2
+            )
+    finally:
+        srv.stop()
+
+
+def test_idle_exit_disabled_by_default(eng):
+    """idle_timeout=None (the embedded/test default and the CLI's
+    --persistent, the reference -s flag) must never self-exit."""
+    import time
+
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        assert srv._watchdog is None
+        time.sleep(1.2)
+        assert srv._thread.is_alive() and not srv.idle_exited
+    finally:
+        srv.stop()
