@@ -1026,10 +1026,12 @@ class PQCodebook:
     (the ``ann_quantized`` contract — bit-stable rankings across engines,
     no float-fold ordering anywhere).
 
-    ``cents`` holds ``n_cents`` full-dimension code vectors (the
-    deterministic sampled codebook: the lowest-id corpus vectors, the
-    ``ivf_centroids`` precedent — reproducible cross-engine, unlike
-    Lloyd-trained means); subspace ``s`` of centroid ``c`` is the slice
+    ``cents`` holds ``n_cents`` full-dimension code vectors — either the
+    deterministic sampled codebook (``pq_train``: the lowest-id corpus
+    vectors, the ``ivf_centroids`` precedent) or the Lloyd-trained one
+    (``pq_train_kmeans``: per-subspace fixed-point k-means, ALSO exactly
+    reproducible cross-engine thanks to the integer grid — unlike float
+    ``ivf_train`` means); subspace ``s`` of centroid ``c`` is the slice
     ``cents[c][s*dsub:(s+1)*dsub]``. ``mn``/``mx`` are the global scalar
     bounds the codes were built with — encoding MUST reuse them (a
     subset's own bounds would shift every code)."""
@@ -2025,6 +2027,114 @@ def ann_ivf_pq_indexed(
             .limit(int(k))
         ),
     )
+
+
+def ivf_pq_recall_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_cents: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebook: PQCodebook | None = None,
+) -> DataFrame:
+    """recall@k of the COMPOSED IVF×PQ probe against the exact code-grid
+    ranking — the eval for the full FAISS-shaped stack, charging BOTH
+    loss terms at once: candidates outside the nprobe probed cells are
+    unreachable (the IVF pruning loss) and reachable candidates rank by
+    m-lookup ADC (the PQ compression loss). With nprobe = n_cells and
+    n_cents ≥ |corpus| both terms vanish and recall pins to 1.0
+    (property-tested, the ``pq_recall_eval`` degenerate regime).
+
+    Returns (qid, n_hits, recall) — the shared ``_recall_output``
+    contract. Metadata defaults to the deterministic sampled lanes
+    (``ivf_centroids`` + ``pq_train``), which pair with a full DuckDB
+    twin (q_ivf_pq_recall); pass ``ivf_train``/``pq_train_kmeans``
+    outputs to evaluate the trained stack (the trained-IVF cell means
+    are float — rows-only evidence, like ``ivf_train`` itself).
+
+    ONE corpus pass (the ``ann_recall_eval`` shape): per row, the int8
+    codes, its PQ assignment and its IVF cell compute once; each query
+    ships (qid, qcodes, ADC table, probe list) as one literal struct.
+    The exact side needs the full |corpus|·|Q| distance matrix, so the
+    query set must be BOUNDED — this is an eval, not a serving path."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("ivf_pq_recall_eval: queries must be non-empty")
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(df, vec_col, id_col, n_cells)
+    )
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    qlits = []
+    for qid, vec in sorted(queries.items()):
+        table = _adc_table(cb, vec)  # validates the query dim
+        qcodes = [sq_code_py(float(x), cb.mn, cb.mx) for x in vec]
+        probes = _probe_cells(cents, vec, nprobe)
+        qlits.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.lit(qcodes).alias("qc"),
+                F.lit(table).alias("tbl"),
+                F.lit([int(p) for p in probes]).alias("probes"),
+            )
+        )
+    base = df.select(
+        F.col(id_col),
+        _packed_codes(cb, vec_col)["codes"].alias("__codes"),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+    ).select(
+        F.col(id_col),
+        F.col("__codes"),
+        F.col("__cell"),
+        _pq_assign_codes(cb, F.col("__codes")).alias("__pq"),
+    )
+    adc = F.lit(0).cast("long")
+    for s in range(cb.m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("q")["tbl"], s + 1),
+            F.col("__pq")[s] + 1,
+        ).cast("long")
+    scored = (
+        base.select(
+            F.col(id_col), "__codes", "__cell", "__pq",
+            F.explode(F.array(*qlits)).alias("q"),
+        )
+        .filter(F.col(id_col) != F.col("q")["qid"])
+        .select(
+            F.col("q")["qid"].alias("qid"),
+            F.col(id_col),
+            _izdist2(F.col("__codes"), F.col("q")["qc"]).alias("exact_d2"),
+            adc.alias("adc_d2"),
+            F.array_contains(
+                F.col("q")["probes"], F.col("__cell")
+            ).alias("__cand"),
+        )
+        .persist()
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("exact_d2").asc(), F.col(id_col).asc()
+    )
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    approx = (
+        scored.filter("__cand")
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    return _recall_output(df, id_col, exact, approx, queries, k, [scored])
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:

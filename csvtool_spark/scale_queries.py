@@ -1910,6 +1910,97 @@ def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ivf_pq_recall",
+    # recall@10 of the COMPOSED IVF x PQ probe (sampled metadata lanes)
+    # vs the exact code-grid ranking: the probe's candidate set is
+    # restricted to each query's nprobe best cells (q_ann_ivf_pq's
+    # round(cos,6) ranking CTEs) and scored by the all-integer ADC — so
+    # both loss terms (IVF pruning + PQ compression) are charged and the
+    # whole chain stays bit-stable cross-engine.
+    f"""
+    WITH {_PQ_BASE_CTES},
+    icent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS icell,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+            LIMIT {_IVF_CELLS})
+    ),
+    qs AS (SELECT v.vec_id AS qid, v.qvec AS qc, e.embedding AS qe
+           FROM qv v JOIN embeddings e USING (vec_id)
+           WHERE v.vec_id IN {_PQ_EVAL_QIDS}),
+    qrank AS (
+      SELECT qid, icell FROM (
+        SELECT qs.qid, c.icell,
+               row_number() OVER (PARTITION BY qs.qid
+                 ORDER BY {_cos_sql('c.embedding', 'qs.qe')} DESC, c.icell) AS rn
+        FROM icent c CROSS JOIN qs
+      ) WHERE rn <= {_IVF_PROBE}
+    ),
+    cellof AS (
+      SELECT vec_id, icell FROM (
+        SELECT e.vec_id, c.icell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.icell) AS rn
+        FROM embeddings e CROSS JOIN icent c
+      ) WHERE rn = 1
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(generate_series(1, len(v.qvec)),
+                   i -> (v.qvec[i] - q.qc[i]) * (v.qvec[i] - q.qc[i]))),
+                 v.vec_id) AS rn
+        FROM qv v JOIN qs q ON v.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    qtab AS ({_pq_qtab_sql('qs', 'qc', extra='qs.qid, ')}),
+    adc AS (
+      SELECT qt.qid, bb.vec_id, sum(qt.qd) AS d
+      FROM best bb JOIN qtab qt USING (s, cell)
+      WHERE bb.vec_id <> qt.qid
+      GROUP BY qt.qid, bb.vec_id
+    ),
+    ap AS (
+      SELECT qid, vec_id FROM (
+        SELECT a.qid, a.vec_id,
+               row_number() OVER (PARTITION BY a.qid
+                 ORDER BY a.d, a.vec_id) AS rn
+        FROM adc a
+        JOIN cellof co ON co.vec_id = a.vec_id
+        JOIN qrank r ON r.qid = a.qid AND r.icell = co.icell
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n
+      FROM exact e JOIN ap a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+    """,
+    registered=False,  # shadow: the composed-stack eval twin of
+    # q_ann_ivf_pq (which holds the family's in-window slot since r8)
+)
+def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much neighbor fidelity the FULL FAISS-shaped stack keeps:
+    recall@10 of the IVF(4/16 cells) × PQ(8×16) probe vs the exact
+    code-grid ranking for 4 queries — both the cell-pruning and the
+    compression loss in one number. similarity.ivf_pq_recall_eval; the
+    trained-stack report (ivf_train × pq_train_kmeans) rides
+    tests/test_pq_trained.py."""
+    e = load(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id").isin(*_PQ_EVAL_QIDS)).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    return similarity.ivf_pq_recall_eval(
+        e, "embedding", "vec_id", queries, k=10,
+        n_cells=_IVF_CELLS, nprobe=_IVF_PROBE, m=_PQ_M, n_cents=_PQ_CENTS,
+    )
+
+
+@register(
     "q_ann_ivf_pq",
     # the FAISS IVF-PQ composition with a COMPLETE cross-engine twin:
     # cell assignment/probe ranking reuse q_ann_ivf's round(cos,6) CTEs

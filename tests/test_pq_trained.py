@@ -134,3 +134,95 @@ def test_adc_score_skips_null_codes(spark, tmp_path):
     ).collect()
     assert [r["vec_id"] for r in rows] == [1, 2]
     assert all(r["adc_d2"] is not None for r in rows)
+
+
+def test_ivf_pq_recall_subsumes_pq_recall(emb):
+    """nprobe = n_cells disables the IVF pruning term: the composed eval
+    must then equal plain pq_recall_eval with the same codebook row for
+    row (the q_ann_ivf_pq 'nprobe=n_cells ≡ plain PQ' pin, lifted to the
+    recall eval)."""
+    from csvtool_spark.operators.similarity import (
+        ivf_pq_recall_eval,
+        pq_recall_eval,
+    )
+
+    qs = _queries(emb, 4)
+    cb = pq_train(emb, "embedding", "vec_id", m=8, n_cents=16)
+    full = ivf_pq_recall_eval(
+        emb, "embedding", "vec_id", qs, k=10,
+        n_cells=8, nprobe=8, codebook=cb,
+    )
+    plain = pq_recall_eval(
+        emb, "embedding", "vec_id", qs, k=10, codebook=cb
+    )
+    a = [tuple(r) for r in full.orderBy("qid").collect()]
+    b = [tuple(r) for r in plain.orderBy("qid").collect()]
+    assert release_stages(full) == 1 and release_stages(plain) == 1
+    assert a == b
+
+
+def test_ivf_pq_recall_no_loss_regime(spark):
+    """nprobe = n_cells AND n_cents ≥ |corpus| removes both loss terms —
+    recall must pin to 1.0 for every query."""
+    import random
+
+    from csvtool_spark.operators.similarity import ivf_pq_recall_eval
+
+    r = random.Random(7)
+    rows = [
+        (i, [float(round(r.uniform(-1, 1), 3)) for _ in range(16)])
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = {i: rows[i][1] for i in range(3)}
+    out = ivf_pq_recall_eval(
+        d, "embedding", "vec_id", qs, k=5,
+        n_cells=4, nprobe=4, m=4, n_cents=30,
+    )
+    got = out.collect()
+    assert release_stages(out) == 1
+    assert all(r["recall"] == 1.0 for r in got)
+
+
+def test_trained_stack_grid_report(emb):
+    """The trained-stack eval story: the 2×2 (IVF lane × PQ lane) grid is
+    computable, bounded, and deterministic — trained metadata reproduces
+    across runs (pq_train_kmeans exactly; ivf_train float-deterministic
+    on a fixed single-node corpus). Per-config recall ordering is
+    corpus-dependent (trained-IVF concentrates mass so fixed-nprobe
+    pruning can cost recall), so no cross-config inequality is pinned —
+    the sf0.01 snapshot rides ROUND_NOTES.md."""
+    from csvtool_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_recall_eval,
+        ivf_train,
+        pq_train_kmeans,
+    )
+
+    qs = _queries(emb, 8)
+    cents = {
+        "s": ivf_centroids(emb, "embedding", "vec_id", 8),
+        "t": ivf_train(emb, "embedding", "vec_id", 8, iters=1),
+    }
+    cbs = {
+        "s": pq_train(emb, "embedding", "vec_id", m=8, n_cents=16),
+        "t": pq_train_kmeans(emb, "embedding", "vec_id", m=8, n_cents=16,
+                             iters=1),
+    }
+    grid = {}
+    for ci, cv in cents.items():
+        for bi, bv in cbs.items():
+            out = ivf_pq_recall_eval(
+                emb, "embedding", "vec_id", qs, k=10,
+                n_cells=8, nprobe=2, centroids=cv, codebook=bv,
+            )
+            rows = out.collect()
+            assert release_stages(out) == 1
+            assert len(rows) == 8
+            grid[ci + bi] = sum(r["recall"] for r in rows) / len(rows)
+    assert all(0.0 <= v <= 1.0 for v in grid.values())
+    # determinism of the trained lanes: rebuild and compare exactly
+    assert ivf_train(emb, "embedding", "vec_id", 8, iters=1) == cents["t"]
+    assert pq_train_kmeans(
+        emb, "embedding", "vec_id", m=8, n_cents=16, iters=1
+    ).cents == cbs["t"].cents

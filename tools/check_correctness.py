@@ -57,6 +57,10 @@ def main() -> int:
                 err = inv(sdf, con)
             except Exception as e:  # noqa: BLE001
                 err = f"error: {e}"
+            finally:
+                from csvtool_spark.functions.caching import release_stages
+
+                release_stages(sdf)
             if err:
                 failures.append(name)
                 print(f"FAIL {name}: {err}")
@@ -67,6 +71,14 @@ def main() -> int:
             err = compare(sdf, con, oracles[name])
         except Exception as e:  # noqa: BLE001
             err = f"error: {e}"
+        finally:
+            # operators that return lazy plans over persisted stages
+            # (recall evals, BM25, linkage, ...) attach them for release;
+            # a 128-entry sweep in one session would otherwise accumulate
+            # corpus-sized cached blocks until LRU eviction
+            from csvtool_spark.functions.caching import release_stages
+
+            release_stages(sdf)
         if err:
             failures.append(name)
             print(f"FAIL {name}: {err}")
