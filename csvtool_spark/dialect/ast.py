@@ -175,6 +175,28 @@ class Join:
 
 
 @dataclass
+class StageArg:
+    """One argument of a pipeline stage: the raw token text plus its
+    quoted flag. Unquoted words may resolve to result columns; quoted
+    tokens are always string literals (the scanner's WORD/quoted
+    convention, same as select-list literals)."""
+
+    val: str
+    quoted: bool = False
+
+
+@dataclass
+class Stage:
+    """One ``|> name(args)`` curation-pipe stage (engine extension, no
+    reference analog) — applied to the finished query RESULT, so args
+    reference the user-visible output column names."""
+
+    name: str
+    args: list[StageArg] = field(default_factory=list)
+    kwargs: dict[str, StageArg] = field(default_factory=dict)
+
+
+@dataclass
 class Query:
     options: list[str] = field(default_factory=list)   # c / nh / h
     select_all: bool = False
@@ -192,3 +214,5 @@ class Query:
     # 'sample 500' a reservoir of exactly 500 (coin-ranked)
     sample_frac: float | None = None
     sample_n: int | None = None
+    # engine extension: '|>'-chained curation stages applied to the result
+    pipeline: list[Stage] = field(default_factory=list)

@@ -109,9 +109,50 @@ def parse(text: str) -> ast.Query:
     if p.is_kw("limit"):
         p.next()
         q.limit = _parse_int(p, "limit")
+    while p.tok().kind == "OP" and p.tok().val == "|>":
+        p.next()
+        q.pipeline.append(_parse_stage(p))
     if p.tok().kind != "EOF":
         raise p.err("Unexpected token after query")
     return q
+
+
+def _parse_stage(p: _P) -> ast.Stage:
+    """``|> name(arg, key=arg, ...)`` — curation-pipe stage (engine
+    extension). Args are bare tokens, not expressions: unquoted words
+    resolve to result columns or scalars at apply time (dialect/stages.py),
+    quoted words are string literals."""
+    t = p.tok()
+    if t.kind != "WORD" or t.quoted:
+        raise p.err("Expected a stage name after '|>'")
+    stage = ast.Stage(name=t.lower())
+    p.next()
+    if not (p.tok().kind == "OP" and p.tok().val == "("):
+        return stage  # zero-arg stage: '|> name'
+    p.next()
+    while not (p.tok().kind == "OP" and p.tok().val == ")"):
+        t = p.tok()
+        if t.kind != "WORD":
+            raise p.err("Expected a stage argument")
+        p.next()
+        if p.tok().kind == "OP" and p.tok().val == "=":
+            if t.quoted:
+                raise p.err("Stage keyword names cannot be quoted")
+            p.next()
+            v = p.tok()
+            if v.kind != "WORD":
+                raise p.err(f"Expected a value after '{t.val}='")
+            key = t.lower()
+            if key in stage.kwargs:
+                raise p.err(f"Duplicate stage keyword '{key}'")
+            stage.kwargs[key] = ast.StageArg(v.val, v.quoted)
+            p.next()
+        else:
+            stage.args.append(ast.StageArg(t.val, t.quoted))
+        if p.tok().kind == "OP" and p.tok().val == ",":
+            p.next()
+    p.next()  # consume ')'
+    return stage
 
 
 def _parse_int(p: _P, what: str) -> int:

@@ -58,6 +58,15 @@ def scan(text: str) -> list[Token]:
                 toks.append(Token("OP", ch, False, i))
                 i += 1
             continue
+        if ch == "|":
+            # engine extension (no reference analog): the curation pipe
+            # '|>' chains post-query stages (dialect/stages.py). Bare '|'
+            # stays an error.
+            if text[i : i + 2] == "|>":
+                toks.append(Token("OP", "|>", False, i))
+                i += 2
+                continue
+            raise ScanError(f"Unexpected character '|' at position {i}")
         # word: letters/digits plus extras
         j = i
         while j < n and not text[j].isspace() and text[j] not in _SPECIALS and (

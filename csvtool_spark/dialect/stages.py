@@ -1,0 +1,309 @@
+"""Curation-pipe stages for the dialect front-end (engine extension — the
+reference dialect ends at ``limit``; there is no analog in
+/root/reference/parser.go).
+
+``select ... from corpus.parquet |> langid(text) |> quality(text, min=0.5)
+|> dedup(text, id=doc_id)`` chains the engine's LLM-corpus operators onto
+the finished query result, so the curation pipeline is reachable from the
+SQL surface without writing Python. Stages run AFTER the query's own
+select/where/group/order/limit and see the user-visible output columns.
+
+Design rules:
+- every stage is a thin adapter over ``csvtool_spark.operators`` — no
+  semantics live here, so the SQL surface and the Python API cannot drift;
+- stages stay deterministic and cross-engine oracle-pairable (md5 coins,
+  md5 MinHash lanes, pure Column expressions) — the dialect surface is the
+  reproducibility lane, same policy as the ``sample`` clause;
+- column args are the RESULT schema's names: unquoted stage args resolve
+  against ``df.columns`` case-insensitively (the dialect's addressing
+  rule), quoted args are string literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csvtool_spark.dialect import ast
+from csvtool_spark.dialect.errors import SemanticError
+
+
+def apply_stages(df: DataFrame, stages: list[ast.Stage]) -> DataFrame:
+    from csvtool_spark.functions.caching import attach_stages, carried_stages
+
+    persisted: list[DataFrame] = []
+    for st in stages:
+        impl = STAGES.get(st.name)
+        if impl is None:
+            raise SemanticError(
+                f"unknown pipeline stage '{st.name}' (available: "
+                f"{', '.join(sorted(STAGES))})"
+            )
+        df = impl(df, st)
+        # later stages derive new frames (the Python attribute does not
+        # survive join/withColumn), so accumulate across the chain and
+        # re-attach on the final result for one release_stages call
+        persisted.extend(carried_stages(df))
+    return attach_stages(df, persisted) if persisted else df
+
+
+# --- arg plumbing -----------------------------------------------------------
+
+
+def _resolve_col(df: DataFrame, st: ast.Stage, arg: ast.StageArg) -> str:
+    if arg.quoted:
+        raise SemanticError(
+            f"stage '{st.name}': expected a column name, got the string "
+            f"literal '{arg.val}'"
+        )
+    lower = {c.lower(): c for c in df.columns}
+    got = lower.get(arg.val.lower())
+    if got is None:
+        raise SemanticError(
+            f"stage '{st.name}': no column '{arg.val}' in the result "
+            f"(have: {', '.join(df.columns)})"
+        )
+    return got
+
+
+def _text_arg(df: DataFrame, st: ast.Stage) -> str:
+    if len(st.args) != 1:
+        raise SemanticError(
+            f"stage '{st.name}' takes exactly one column argument"
+        )
+    return _resolve_col(df, st, st.args[0])
+
+
+def _id_kwarg(df: DataFrame, st: ast.Stage) -> str:
+    arg = st.kwargs.get("id")
+    if arg is None:
+        raise SemanticError(
+            f"stage '{st.name}' requires id=<column> (the keep-lowest "
+            "representative rule needs a unique id)"
+        )
+    return _resolve_col(df, st, arg)
+
+
+def _float_kwarg(st: ast.Stage, key: str, default: float | None) -> float | None:
+    arg = st.kwargs.get(key)
+    if arg is None:
+        return default
+    try:
+        return float(arg.val)
+    except ValueError:
+        raise SemanticError(
+            f"stage '{st.name}': {key}= expects a number, got '{arg.val}'"
+        ) from None
+
+
+def _int_kwarg(st: ast.Stage, key: str, default: int) -> int:
+    arg = st.kwargs.get(key)
+    if arg is None:
+        return default
+    if not arg.val.isdigit():
+        raise SemanticError(
+            f"stage '{st.name}': {key}= expects an integer, got '{arg.val}'"
+        )
+    return int(arg.val)
+
+
+def _out_name(df: DataFrame, st: ast.Stage, default: str) -> str:
+    arg = st.kwargs.get("as")
+    name = arg.val if arg is not None else default
+    if name.lower() in {c.lower() for c in df.columns}:
+        raise SemanticError(
+            f"stage '{st.name}': output column '{name}' already exists "
+            "(rename it with as=<name>)"
+        )
+    return name
+
+
+def _no_extra_kwargs(st: ast.Stage, allowed: set[str]) -> None:
+    extra = set(st.kwargs) - allowed
+    if extra:
+        raise SemanticError(
+            f"stage '{st.name}': unknown keyword(s) {', '.join(sorted(extra))} "
+            f"(allowed: {', '.join(sorted(allowed)) or 'none'})"
+        )
+
+
+# --- stages -----------------------------------------------------------------
+
+
+def _stage_dedup(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``dedup(text, id=k)`` — exact dedup: keep the lowest-id row per
+    normalized text (operators.dedup.exact_dedup's identity — md5 of
+    lower/trim — but row-preserving: the survivor keeps every column).
+    Never shuffles text: the group key is the 128-bit hash, the survivor
+    join is a LEFT SEMI on (hash, id)."""
+    from csvtool_spark.operators.dedup import normalized
+
+    _no_extra_kwargs(st, {"id"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    hashed = df.withColumn("__h", F.md5(normalized(F.col(text))))
+    keep = hashed.groupBy("__h").agg(F.min(idc).alias(idc))
+    return hashed.join(keep, ["__h", idc], "left_semi").drop("__h")
+
+
+def _stage_neardup(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``neardup(text, id=k [, threshold=0.5, n_hashes=32, bands=8])`` —
+    MinHash-LSH near-dup removal: drop every row that verifies ≥ threshold
+    Jaccard against a LOWER-id row (the greedy pairwise keep rule — B goes
+    even when its partner A was itself removed by an earlier pair; the
+    transitive-closure variant is ``operators.components`` territory).
+    md5 hash family, so the whole pipeline stays cross-engine
+    reproducible (the q_dedup_minhash_det lane)."""
+    from csvtool_spark.functions.caching import attach_stages
+    from csvtool_spark.operators.dedup import near_dup_pairs_minhash
+
+    _no_extra_kwargs(st, {"id", "threshold", "n_hashes", "bands"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    pairs = near_dup_pairs_minhash(
+        df,
+        text,
+        idc,
+        threshold=_float_kwarg(st, "threshold", 0.5),
+        n_hashes=_int_kwarg(st, "n_hashes", 32),
+        bands=_int_kwarg(st, "bands", 8),
+        hash_family="md5",
+    )
+    losers = pairs.select(F.col("id_b").alias(idc)).distinct()
+    # the pair pipeline's persisted stages ride the result so consumers
+    # can free them after the action (caching.release_stages contract)
+    return attach_stages(
+        df.join(losers, idc, "left_anti"),
+        getattr(pairs, "_persisted_stages", []),
+    )
+
+
+def _stage_langid(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``langid(text [, as=lang_guess])`` — append the n-gram-marker
+    language guess (operators.textstats.lang_id, JVM kernel: the dialect
+    surface stays whole-stage-codegen, no Python workers)."""
+    from csvtool_spark.operators.textstats import lang_id
+
+    _no_extra_kwargs(st, {"as"})
+    text = _text_arg(df, st)
+    name = _out_name(df, st, "lang_guess")
+    return df.withColumn(name, lang_id(F.col(text), kernel="jvm"))
+
+
+def _stage_quality(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``quality(text [, min=x] [, as=quality])`` — append the composite
+    quality heuristic; with min= also drop rows below the cut (the
+    C4-style pre-filter)."""
+    from csvtool_spark.operators.textstats import quality_score
+
+    _no_extra_kwargs(st, {"as", "min"})
+    text = _text_arg(df, st)
+    name = _out_name(df, st, "quality")
+    out = df.withColumn(name, quality_score(F.col(text)))
+    lo = _float_kwarg(st, "min", None)
+    if lo is not None:
+        out = out.filter(F.col(name) >= F.lit(lo))
+    return out
+
+
+def _stage_tokens(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``tokens(text [, as=n_tokens])`` — whitespace token count."""
+    from csvtool_spark.operators.textstats import token_count
+
+    _no_extra_kwargs(st, {"as"})
+    text = _text_arg(df, st)
+    name = _out_name(df, st, "n_tokens")
+    return df.withColumn(name, token_count(F.col(text)))
+
+
+def _stage_fingerprint(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``fingerprint(text [, as=content_fp])`` — order-independent content
+    fingerprint (md5 of the sorted distinct token set)."""
+    from csvtool_spark.operators.textstats import content_fingerprint
+
+    _no_extra_kwargs(st, {"as"})
+    text = _text_arg(df, st)
+    name = _out_name(df, st, "content_fp")
+    return df.withColumn(name, content_fingerprint(F.col(text)))
+
+
+def _stage_pii_scrub(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``pii_scrub(text)`` — replace the column in place with every PII
+    match substituted by its <TYPE> token (operators.redact patterns)."""
+    from csvtool_spark.operators.redact import redact_pii
+
+    _no_extra_kwargs(st, set())
+    text = _text_arg(df, st)
+    return df.withColumn(text, redact_pii(F.col(text)))
+
+
+def _stage_hash_sample(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``hash_sample(frac, key=k)`` — deterministic keyed Bernoulli thinning:
+    keep rows whose 32-bit md5 coin on the KEY falls under frac. Unlike the
+    ``sample`` clause (scan-order numbering — a range shuffle + count job),
+    this is a pure filter on a real column: the 100 TB-shaped form."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    _no_extra_kwargs(st, {"key"})
+    if len(st.args) != 1:
+        raise SemanticError("stage 'hash_sample' takes exactly one fraction")
+    try:
+        frac = float(st.args[0].val)
+    except ValueError:
+        raise SemanticError(
+            f"stage 'hash_sample': expected a fraction, got "
+            f"'{st.args[0].val}'"
+        ) from None
+    if not 0.0 <= frac <= 1.0:
+        raise SemanticError("stage 'hash_sample': fraction must be in [0, 1]")
+    key = st.kwargs.get("key")
+    if key is None:
+        raise SemanticError("stage 'hash_sample' requires key=<column>")
+    keyc = _resolve_col(df, st, key)
+    coin = md5_prefix_long(F.col(keyc).cast("string"))
+    return df.filter(coin < F.lit(int(frac * 4294967296)))
+
+
+def _stage_split(df: DataFrame, st: ast.Stage) -> DataFrame:
+    """``split(key=k, train=0.9, test=0.1 [, as=split])`` — deterministic
+    key-hash split labels (operators.sampling.hash_split buckets). Every
+    non-reserved kwarg is a label=fraction pair."""
+    from csvtool_spark.operators.sampling import split_label
+
+    key = st.kwargs.get("key")
+    if key is None:
+        raise SemanticError("stage 'split' requires key=<column>")
+    keyc = _resolve_col(df, st, key)
+    if st.args:
+        raise SemanticError("stage 'split' takes keyword arguments only")
+    name = _out_name(df, st, "split")
+    fractions: dict[str, float] = {}
+    for k, v in st.kwargs.items():
+        if k in ("key", "as"):
+            continue
+        try:
+            fractions[k] = float(v.val)
+        except ValueError:
+            raise SemanticError(
+                f"stage 'split': {k}= expects a fraction, got '{v.val}'"
+            ) from None
+    if not fractions:
+        raise SemanticError(
+            "stage 'split' needs at least one label=fraction pair"
+        )
+    try:
+        expr = split_label(F.col(keyc), fractions)
+    except ValueError as e:  # fractions sum > 1
+        raise SemanticError(f"stage 'split': {e}") from None
+    return df.withColumn(name, expr)
+
+
+STAGES = {
+    "dedup": _stage_dedup,
+    "neardup": _stage_neardup,
+    "langid": _stage_langid,
+    "quality": _stage_quality,
+    "tokens": _stage_tokens,
+    "fingerprint": _stage_fingerprint,
+    "pii_scrub": _stage_pii_scrub,
+    "hash_sample": _stage_hash_sample,
+    "split": _stage_split,
+}

@@ -14,7 +14,7 @@ from csvtool_spark.queries import register
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
-    "events",
+    "events", "documents",
 ]
 
 
@@ -237,4 +237,100 @@ dialect(
     """,
     # shadow: driver window full; locally gated
     registered=False,
+)
+
+# --- curation pipe ('|>' stages — engine extension, dialect/stages.py) -----
+#
+# The LLM-corpus operators reachable from the SQL surface: each stage is a
+# thin adapter over csvtool_spark.operators, so these twins reuse the SAME
+# DuckDB expression shapes as the operators' own catalog entries
+# (q_text_langid / q_text_quality / q_dedup_exact / q_dedup_minhash_det /
+# q_hash_split) — one definition per semantic, composed.
+
+_STOP_EN = "('the','and','of','to','in','is','that','for','with','on')"
+
+dialect(
+    "q_dialect_curate",
+    # langid → quality cut → exact dedup (keep lowest id) → keyed sample:
+    # the canonical cheap curation pass, all deterministic md5 machinery
+    "select doc_id, lang, text from documents "
+    "|> langid(text) |> quality(text, min=0.45) "
+    "|> dedup(text, id=doc_id) |> hash_sample(0.8, key=doc_id)",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang, text, length(text) AS L,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               {_STOP_EN})) AS BIGINT) AS en,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
+      FROM documents
+    ),
+    lid AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN cjk * 4 > L THEN 'zh'
+                  WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(fr, de, es) THEN 'fr'
+                  WHEN de = greatest(de, es) THEN 'de'
+                  ELSE 'es' END AS lang_guess
+      FROM c
+    ),
+    t AS (
+      SELECT *, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN {_STOP_EN})) AS DOUBLE) AS stop
+      FROM lid
+    ),
+    q AS (
+      SELECT doc_id, lang, text, lang_guess,
+             round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                   + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
+                   + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
+                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM t
+    ),
+    hk AS (SELECT *, md5(lower(trim(text))) AS __h FROM q
+           WHERE quality >= 0.45e0),
+    keep AS (SELECT __h, min(doc_id) AS doc_id FROM hk GROUP BY __h)
+    SELECT doc_id, lang, text, lang_guess, quality
+    FROM hk JOIN keep USING (__h, doc_id)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < 3435973836
+    """,
+    registered=False,  # shadow this round; promotion candidate for r9
+)
+
+
+def _pipe_neardup_oracle() -> str:
+    from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
+
+    return f"""
+    WITH {minhash_pairs_cte_sql("documents", threshold=0.4)},
+    losers AS (SELECT DISTINCT id_b FROM mh_pairs)
+    SELECT d.doc_id, d.text,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 < 8000 THEN 'train'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id_b
+    WHERE l.id_b IS NULL
+    """
+
+
+dialect(
+    "q_dialect_pipe_neardup",
+    # MinHash-LSH near-dup removal from the SQL surface (md5 lane — the
+    # q_dedup_minhash_det pipeline, anti-joined as greedy lower-id keeps)
+    # then a leakage-safe key-hash split label
+    "select doc_id, text from documents "
+    "|> neardup(text, id=doc_id, threshold=0.4) "
+    "|> split(key=doc_id, train=0.8, test=0.2)",
+    _pipe_neardup_oracle(),
+    registered=False,  # shadow: the pair pipeline itself is in-window via
+    # q_dedup_minhash_det; this entry pins the pipe-surface composition
 )

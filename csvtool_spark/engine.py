@@ -147,7 +147,14 @@ class CsvEngine:
             env.by_alias.setdefault(os.path.splitext(base)[0], schema)
 
         checked = check_query(q, env)
-        return Compiler(checked, dfs).compile()
+        df = Compiler(checked, dfs).compile()
+        if q.pipeline:
+            # curation pipe (engine extension): '|>'-chained stages apply
+            # the LLM-corpus operators to the finished result
+            from csvtool_spark.dialect.stages import apply_stages
+
+            df = apply_stages(df, q.pipeline)
+        return df
 
     def run(self, text: str) -> list[DataFrame]:
         """;-separated multi-statement execution (main.go:117-147)."""

@@ -1438,3 +1438,69 @@ def minhash_recall_oracle_sql(
            END AS recall
     FROM (SELECT count(*) AS n_true FROM truth) t, fi
     """
+
+def minhash_pairs_cte_sql(
+    table: str = "documents",
+    threshold: float = 0.4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE chain (NO leading WITH) ending in
+    ``mh_pairs(id_a, id_b, jaccard)`` — the md5-lane MinHash-LSH pipeline
+    of ``near_dup_pairs_minhash(hash_family='md5')`` over ``table``:
+    Kirsch-Mitzenmacher lane minima → ``bands`` string band keys → band
+    equi-join candidates → exact token-set Jaccard verify ≥ threshold.
+    Same arithmetic as the q_dedup_minhash_det inline oracle
+    (scale_queries.py) — this parameterized form exists for consumers
+    that need the pair set over a DERIVED relation (the dialect
+    ``neardup`` pipe stage anti-joins against it). Like that oracle it
+    carries no MAX_BUCKET cap: valid at oracle scale, where no band
+    bucket can reach the cap."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_pairs_cte_sql: n_hashes ({n_hashes}) must be a "
+            f"positive multiple of bands ({bands})"
+        )
+    rows = n_hashes // bands
+    jacc = """round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+             / (CASE WHEN len(list_distinct(list_concat(x.ts, y.ts))) > 0
+                     THEN CAST(len(list_distinct(list_concat(x.ts, y.ts))) AS DOUBLE)
+                END), 6)"""
+    return f"""
+    {shingle_cte_sql(table, shingle_k, text_col, id_col)},
+    mh_hs AS (
+      SELECT doc_id,
+             list_transform(sh, s -> {{
+               'h1': CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
+               'h2': CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)}}) AS hs
+      FROM sh
+    ),
+    mh_sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {n_hashes}), i ->
+               list_min(list_transform(hs,
+                 h -> (h.h1 + i * (h.h2 | 1)) % 4294967296))) AS sig
+      FROM mh_hs
+    ),
+    mh_bands AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(list_transform(sig[b*{rows} + 1 : b*{rows} + {rows}],
+               x -> CAST(x AS VARCHAR)), ',') AS band_key
+      FROM mh_sig, unnest(generate_series(0, {bands - 1})) AS u(b)
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh_bands a JOIN mh_bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    mh_tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b, {jacc} AS jaccard
+      FROM mh_cand c JOIN mh_tokset x ON x.doc_id = c.id_a
+                     JOIN mh_tokset y ON y.doc_id = c.id_b
+      WHERE {jacc} >= {threshold!r}e0
+    )"""

@@ -1,0 +1,226 @@
+"""Curation-pipe ('|>') dialect surface: parse shapes, stage semantics
+pinned against the underlying operators, the error battery, and the
+persist-release contract. The cross-engine value gate rides the catalog
+(q_dialect_curate / q_dialect_pipe_neardup, full DuckDB twins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvtool_spark.dialect.errors import ParseError, SemanticError
+from csvtool_spark.dialect.parser import parse
+from csvtool_spark.engine import CsvEngine
+from csvtool_spark.functions.caching import release_stages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = CsvEngine(spark)
+    e.register_dir(SF, ["documents", "orders"])
+    return e
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# --- parsing ----------------------------------------------------------------
+
+
+def test_parse_pipeline_shapes():
+    q = parse(
+        "select doc_id, text from documents |> langid(text) "
+        "|> quality(text, min=0.5, as=qs) |> dedup(text, id=doc_id)"
+    )
+    assert [s.name for s in q.pipeline] == ["langid", "quality", "dedup"]
+    st = q.pipeline[1]
+    assert st.args[0].val == "text" and not st.args[0].quoted
+    assert st.kwargs["min"].val == "0.5"
+    assert st.kwargs["as"].val == "qs"
+
+
+def test_parse_zero_arg_stage_and_quoted():
+    q = parse("select text from d.parquet |> pii_scrub(text)")
+    assert q.pipeline[0].args[0].val == "text"
+    # quoted arg keeps its flag (string literal, not a column)
+    q = parse("select text from d.parquet |> quality('text')")
+    assert q.pipeline[0].args[0].quoted
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse("select a from f.csv |> ")  # missing stage name
+    with pytest.raises(ParseError):
+        parse("select a from f.csv |> quality(min=)")  # missing value
+    with pytest.raises(ParseError):
+        parse("select a from f.csv |> quality(min=1, min=2)")  # dup kwarg
+    with pytest.raises(Exception):
+        parse("select a | b from f.csv")  # bare '|' stays an error
+
+
+def test_pipe_only_after_tail_clauses():
+    q = parse(
+        "select doc_id from documents order by doc_id asc limit 5 "
+        "|> tokens(doc_id)"
+    )
+    assert q.limit == 5 and len(q.pipeline) == 1
+
+
+# --- stage semantics vs the operators ---------------------------------------
+
+
+def test_dedup_stage_matches_exact_dedup(eng, docs):
+    out = eng.sql(
+        "select doc_id, text from documents |> dedup(text, id=doc_id)"
+    )
+    from csvtool_spark.operators.dedup import exact_dedup
+
+    expect = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect
+    assert out.columns == ["doc_id", "text"]  # survivor keeps every column
+
+
+def test_neardup_stage_matches_pairs(eng, docs):
+    out = eng.sql(
+        "select doc_id, text from documents "
+        "|> neardup(text, id=doc_id, threshold=0.4)"
+    )
+    from csvtool_spark.operators.dedup import near_dup_pairs_minhash
+
+    pairs = near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
+        hash_family="md5",
+    )
+    losers = {r["id_b"] for r in pairs.collect()}
+    release_stages(pairs)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == all_ids - losers
+    assert release_stages(out) >= 1  # banded/token stages ride the result
+
+
+def test_column_stages_match_operators(eng, docs):
+    out = eng.sql(
+        "select doc_id, text from documents |> langid(text) "
+        "|> quality(text) |> tokens(text) |> fingerprint(text)"
+    ).collect()
+    from csvtool_spark.operators import textstats
+
+    expect = docs.select(
+        "doc_id",
+        textstats.lang_id(F.col("text"), kernel="jvm").alias("lang_guess"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.content_fingerprint(F.col("text")).alias("content_fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in expect}
+    for r in out:
+        e = by_id[r["doc_id"]]
+        assert (r["lang_guess"], r["quality"], r["n_tokens"], r["content_fp"]) == (
+            e["lang_guess"], e["quality"], e["n_tokens"], e["content_fp"]
+        )
+
+
+def test_quality_min_filters(eng):
+    base = eng.sql("select doc_id, text from documents |> quality(text)")
+    cut = eng.sql(
+        "select doc_id, text from documents |> quality(text, min=0.7)"
+    )
+    rows = base.collect()
+    kept = {r["doc_id"] for r in rows if r["quality"] >= 0.7}
+    assert {r["doc_id"] for r in cut.collect()} == kept
+    assert len(kept) < len(rows)  # the cut actually bites on this corpus
+
+
+def test_hash_sample_and_split(eng, docs):
+    from csvtool_spark.functions.hashing import md5_prefix_long
+    from csvtool_spark.operators.sampling import split_label
+
+    out = eng.sql(
+        "select doc_id from documents |> hash_sample(0.3, key=doc_id) "
+        "|> split(key=doc_id, train=0.7, test=0.3)"
+    ).collect()
+    expect = (
+        docs.filter(
+            md5_prefix_long(F.col("doc_id").cast("string"))
+            < int(0.3 * 4294967296)
+        )
+        .select(
+            "doc_id",
+            split_label(F.col("doc_id"), {"train": 0.7, "test": 0.3}).alias(
+                "split"
+            ),
+        )
+        .collect()
+    )
+    assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+        (r["doc_id"], r["split"]) for r in expect
+    )
+    # nested-sample property: 0.3 sample is a subset of 0.5
+    bigger = eng.sql(
+        "select doc_id from documents |> hash_sample(0.5, key=doc_id)"
+    )
+    assert {r["doc_id"] for r in out} <= {r["doc_id"] for r in bigger.collect()}
+
+
+def test_pii_scrub_stage(eng, spark, tmp_path):
+    import csv
+
+    p = tmp_path / "pii.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "note"])
+        w.writerow([1, "mail me at a@b.com please"])
+        w.writerow([2, "nothing here"])
+    out = eng.sql(f"select id, note from '{p}' |> pii_scrub(note)").collect()
+    notes = {r["id"]: r["note"] for r in out}
+    assert "a@b.com" not in notes[1] and "<EMAIL>" in notes[1]
+    assert notes[2] == "nothing here"
+
+
+def test_stage_composes_with_full_query(eng):
+    # stages apply AFTER where/order/limit, on the result schema
+    out = eng.sql(
+        "select doc_id, text from documents where doc_id < 100 "
+        "order by doc_id asc limit 20 |> tokens(text, as=nt)"
+    )
+    rows = out.collect()
+    assert len(rows) == 20 and out.columns == ["doc_id", "text", "nt"]
+    assert all(r["doc_id"] < 100 for r in rows)
+
+
+def test_case_insensitive_column_resolution(eng):
+    out = eng.sql(
+        "select doc_id as DocId, text from documents "
+        "|> hash_sample(0.3, key=docid)"
+    )
+    assert out.columns[0] == "DocId" and out.count() > 0
+
+
+# --- error battery -----------------------------------------------------------
+
+
+BAD = [
+    "select doc_id from documents |> frobnicate(doc_id)",  # unknown stage
+    "select doc_id from documents |> tokens(nope)",  # unknown column
+    "select doc_id from documents |> dedup(doc_id)",  # missing id=
+    "select doc_id from documents |> tokens('doc_id')",  # quoted: literal
+    "select doc_id, text from documents |> tokens(text, as=doc_id)",  # clash
+    "select doc_id from documents |> hash_sample(2.0, key=doc_id)",  # frac
+    "select doc_id from documents |> hash_sample(0.5)",  # missing key
+    "select doc_id from documents |> split(key=doc_id)",  # no labels
+    "select doc_id from documents |> split(key=doc_id, a=0.9, b=0.9)",  # >1
+    "select doc_id, text from documents |> quality(text, bogus=1)",  # kwarg
+    "select doc_id, text from documents |> quality(text, min=x)",  # number
+]
+
+
+@pytest.mark.parametrize("text", BAD)
+def test_stage_errors(eng, text):
+    with pytest.raises(SemanticError):
+        eng.sql(text)
