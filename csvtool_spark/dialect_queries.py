@@ -303,7 +303,9 @@ dialect(
     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) < 3435973836
     """,
-    registered=False,  # shadow this round; promotion candidate for r9
+    # driver window (r8 swap: q_text_quality -> shadow — its quality
+    # expression is this entry's quality column, plus langid / exact-dedup
+    # / keyed-sample all through the pipe surface in one row)
 )
 
 

@@ -84,6 +84,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
     FROM t
     """,
+    registered=False,  # shadow (r8 swap for q_dialect_curate, whose
+    # quality column is this same expression through the pipe surface)
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -171,6 +173,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY md5(lower(trim(text)))
     """,
+    registered=False,  # shadow (r8 swap for q_paragraph_dedup): the exact
+    # md5 identity + min-id keep stays driver-evidenced via
+    # q_dialect_curate's dedup stage and q_dedup_clusters' grouping
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -2771,9 +2776,9 @@ _PARA_DERIVE_SQL = f"""
         sep="\n\n", min_docs=2, keep="first", table="docs2"
     )
     + ") SELECT * FROM base",
-    registered=False,  # shadow: the Lee-et-al exact-substring family's
-    # paragraph-granularity member (q_span_removal holds the in-window
-    # slot for the family)
+    # driver window (r8 swap: q_dedup_exact -> shadow): the Lee-et-al
+    # exact-substring family's paragraph-granularity member joins
+    # q_span_removal in-window
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact paragraph dedup across the corpus: 25-token pseudo-paragraph
