@@ -28,7 +28,12 @@ from csvtool_spark.dialect import ast
 from csvtool_spark.dialect.errors import SemanticError
 
 
-def apply_stages(df: DataFrame, stages: list[ast.Stage]) -> DataFrame:
+def apply_stages(
+    df: DataFrame, stages: list[ast.Stage], engine=None
+) -> DataFrame:
+    """Apply the parsed ``|>`` chain. ``engine`` is the calling CsvEngine —
+    table-referencing stages (``decontaminate(..., ref=t)``) resolve their
+    ref through it; column-only stages ignore it."""
     from csvtool_spark.functions.caching import attach_stages, carried_stages
 
     persisted: list[DataFrame] = []
@@ -39,7 +44,7 @@ def apply_stages(df: DataFrame, stages: list[ast.Stage]) -> DataFrame:
                 f"unknown pipeline stage '{st.name}' (available: "
                 f"{', '.join(sorted(STAGES))})"
             )
-        df = impl(df, st)
+        df = impl(df, st, engine)
         # later stages derive new frames (the Python attribute does not
         # survive join/withColumn), so accumulate across the chain and
         # re-attach on the final result for one release_stages call
@@ -130,7 +135,7 @@ def _no_extra_kwargs(st: ast.Stage, allowed: set[str]) -> None:
 # --- stages -----------------------------------------------------------------
 
 
-def _stage_dedup(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_dedup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``dedup(text, id=k)`` — exact dedup: keep the lowest-id row per
     normalized text (operators.dedup.exact_dedup's identity — md5 of
     lower/trim — but row-preserving: the survivor keeps every column).
@@ -145,7 +150,7 @@ def _stage_dedup(df: DataFrame, st: ast.Stage) -> DataFrame:
     return hashed.join(keep, ["__h", idc], "left_semi").drop("__h")
 
 
-def _stage_neardup(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``neardup(text, id=k [, threshold=0.5, n_hashes=32, bands=8])`` —
     MinHash-LSH near-dup removal: drop every row that verifies ≥ threshold
     Jaccard against a LOWER-id row (the greedy pairwise keep rule — B goes
@@ -176,7 +181,7 @@ def _stage_neardup(df: DataFrame, st: ast.Stage) -> DataFrame:
     )
 
 
-def _stage_langid(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``langid(text [, as=lang_guess])`` — append the n-gram-marker
     language guess (operators.textstats.lang_id, JVM kernel: the dialect
     surface stays whole-stage-codegen, no Python workers)."""
@@ -188,7 +193,7 @@ def _stage_langid(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.withColumn(name, lang_id(F.col(text), kernel="jvm"))
 
 
-def _stage_quality(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_quality(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``quality(text [, min=x] [, as=quality])`` — append the composite
     quality heuristic; with min= also drop rows below the cut (the
     C4-style pre-filter)."""
@@ -204,7 +209,7 @@ def _stage_quality(df: DataFrame, st: ast.Stage) -> DataFrame:
     return out
 
 
-def _stage_tokens(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_tokens(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``tokens(text [, as=n_tokens])`` — whitespace token count."""
     from csvtool_spark.operators.textstats import token_count
 
@@ -214,7 +219,7 @@ def _stage_tokens(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.withColumn(name, token_count(F.col(text)))
 
 
-def _stage_fingerprint(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_fingerprint(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``fingerprint(text [, as=content_fp])`` — order-independent content
     fingerprint (md5 of the sorted distinct token set)."""
     from csvtool_spark.operators.textstats import content_fingerprint
@@ -225,7 +230,7 @@ def _stage_fingerprint(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.withColumn(name, content_fingerprint(F.col(text)))
 
 
-def _stage_pii_scrub(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_pii_scrub(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``pii_scrub(text)`` — replace the column in place with every PII
     match substituted by its <TYPE> token (operators.redact patterns)."""
     from csvtool_spark.operators.redact import redact_pii
@@ -235,7 +240,7 @@ def _stage_pii_scrub(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.withColumn(text, redact_pii(F.col(text)))
 
 
-def _stage_hash_sample(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_hash_sample(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``hash_sample(frac, key=k)`` — deterministic keyed Bernoulli thinning:
     keep rows whose 32-bit md5 coin on the KEY falls under frac. Unlike the
     ``sample`` clause (scan-order numbering — a range shuffle + count job),
@@ -262,7 +267,7 @@ def _stage_hash_sample(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.filter(coin < F.lit(int(frac * 4294967296)))
 
 
-def _stage_split(df: DataFrame, st: ast.Stage) -> DataFrame:
+def _stage_split(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``split(key=k, train=0.9, test=0.1 [, as=split])`` — deterministic
     key-hash split labels (operators.sampling.hash_split buckets). Every
     non-reserved kwarg is a label=fraction pair."""
@@ -296,6 +301,61 @@ def _stage_split(df: DataFrame, st: ast.Stage) -> DataFrame:
     return df.withColumn(name, expr)
 
 
+def _stage_decontaminate(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``decontaminate(text, id=k, ref=<table> [, ref_text=col, k=5])`` —
+    benchmark decontamination as a filter: drop every row whose normalized
+    k-word shingle set overlaps the REF relation's (the GPT-3-style
+    any-collision rule; ``operators.contamination`` shapes). ``ref`` is a
+    registered table name or a readable file path, resolved through the
+    calling engine; ``ref_text`` defaults to the corpus text column's
+    name.
+
+    100 TB shape (contamination_report's): the eval-suite shingles are
+    tiny → broadcast; the corpus side explodes per-document shingles and
+    probes the broadcast set with a LEFT SEMI, then the ids anti-join —
+    the big side is never shuffled."""
+    from csvtool_spark.operators.contamination import shingle_set
+
+    _no_extra_kwargs(st, {"id", "ref", "ref_text", "k"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    ref = st.kwargs.get("ref")
+    if ref is None:
+        raise SemanticError(
+            "stage 'decontaminate' requires ref=<table or file> (the "
+            "benchmark/eval relation to screen against)"
+        )
+    if ctx is None:
+        raise SemanticError(
+            "stage 'decontaminate' needs an engine context to resolve "
+            "ref= (run it through CsvEngine.sql)"
+        )
+    ref_df = ctx.resolve_table(ref.val)
+    rt_arg = st.kwargs.get("ref_text")
+    rt_want = rt_arg.val if rt_arg is not None else text
+    rlower = {c.lower(): c for c in ref_df.columns}
+    rt = rlower.get(rt_want.lower())
+    if rt is None:
+        raise SemanticError(
+            f"stage 'decontaminate': no column '{rt_want}' in ref "
+            f"'{ref.val}' (have: {', '.join(ref_df.columns)}; set "
+            "ref_text=<column>)"
+        )
+    k = _int_kwarg(st, "k", 5)
+    # ref id column is irrelevant — only the distinct shingle set matters
+    ref_sh = F.broadcast(
+        shingle_set(
+            ref_df.select(F.lit(0).alias("__rid"), F.col(rt)), rt, "__rid", k
+        )
+        .select("shingle")
+        .distinct()
+    )
+    corp_sh = shingle_set(df.select(F.col(idc), F.col(text)), text, idc, k)
+    contaminated = (
+        corp_sh.join(ref_sh, "shingle", "left_semi").select(idc).distinct()
+    )
+    return df.join(contaminated, idc, "left_anti")
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -306,4 +366,5 @@ STAGES = {
     "pii_scrub": _stage_pii_scrub,
     "hash_sample": _stage_hash_sample,
     "split": _stage_split,
+    "decontaminate": _stage_decontaminate,
 }

@@ -336,3 +336,51 @@ dialect(
     registered=False,  # shadow: the pair pipeline itself is in-window via
     # q_dedup_minhash_det; this entry pins the pipe-surface composition
 )
+
+
+def _q_dialect_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dialect: select doc_id, source, text from documents where source
+    != src0 |> decontaminate(text, id=doc_id, ref=bench, k=4) — the
+    GPT-3-style any-collision eval screen from the SQL surface, ref
+    resolved through the engine registry (bench = the src0 slice)."""
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.sources.parquet import read_table
+
+    eng = _engine(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    eng.register("bench", d.filter(F.col("source") == "src0"))
+    return eng.sql(
+        "select doc_id, source, text from documents where source != src0 "
+        "|> decontaminate(text, id=doc_id, ref=bench, k=4)"
+    )
+
+
+register(
+    "q_dialect_decontaminate",
+    # the q_contamination shingle CTEs (4-gram, same short-doc guard),
+    # flipped from report to filter: survivors = non-src0 docs with zero
+    # overlapping shingles against the src0 "eval suite"
+    """
+    WITH l AS (SELECT doc_id, source, text,
+                      string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, source, text,
+             CASE WHEN len(toks) >= 4 THEN list_distinct(list_transform(
+                    generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM l
+    ),
+    b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE source = 'src0'),
+    c AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+          WHERE NOT (source IS NOT DISTINCT FROM 'src0')),
+    bad AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (shingle))
+    SELECT s.doc_id, s.source, s.text
+    FROM s LEFT JOIN bad ON s.doc_id = bad.doc_id
+    WHERE NOT (s.source IS NOT DISTINCT FROM 'src0') AND bad.doc_id IS NULL
+    """,
+    registered=False,  # shadow: contamination semantics are in-window via
+    # q_cross_dedup; this entry pins the table-referencing pipe stage
+)(_q_dialect_decontaminate)

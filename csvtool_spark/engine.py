@@ -153,7 +153,15 @@ class CsvEngine:
             # the LLM-corpus operators to the finished result
             from csvtool_spark.dialect.stages import apply_stages
 
-            df = apply_stages(df, q.pipeline)
+            df = apply_stages(df, q.pipeline, engine=self)
+        return df
+
+    def resolve_table(self, name: str) -> DataFrame:
+        """A registered table or a readable file path as a DataFrame with
+        its ORIGINAL column names — the table-resolution surface for pipe
+        stages that reference a second relation (``decontaminate(...,
+        ref=t)``)."""
+        df, _names, _types = self._load(ast.FileRef(path=name))
         return df
 
     def run(self, text: str) -> list[DataFrame]:

@@ -224,3 +224,70 @@ BAD = [
 def test_stage_errors(eng, text):
     with pytest.raises(SemanticError):
         eng.sql(text)
+
+
+def test_decontaminate_stage_matches_report(eng, docs, spark):
+    from csvtool_spark.operators.contamination import contamination_report
+
+    eng.register("bench", docs.filter(F.col("source") == "src0"))
+    out = eng.sql(
+        "select doc_id, text from documents where source != src0 "
+        "|> decontaminate(text, id=doc_id, ref=bench, k=4)"
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    rep = contamination_report(
+        corpus, docs.filter(F.col("source") == "src0"), "text", "doc_id", k=4
+    )
+    bad = {r["doc_id"] for r in rep.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.collect()} == all_ids - bad
+    assert len(bad) > 0  # the screen bites on this corpus
+
+
+def test_decontaminate_ref_is_file_path(eng):
+    # ref= accepts a readable path, resolved like a FROM file
+    out = eng.sql(
+        "select doc_id, text from documents "
+        f"|> decontaminate(text, id=doc_id, ref='{SF}/documents.parquet')"
+    )
+    # every doc overlaps itself at k=5 → self-screen drops everything
+    assert out.count() == 0
+
+
+def test_decontaminate_errors(eng, docs):
+    eng.register("bench", docs.filter(F.col("source") == "src0"))
+    with pytest.raises(SemanticError):  # missing ref
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> decontaminate(text, id=doc_id)"
+        )
+    with pytest.raises(SemanticError):  # unknown ref table
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> decontaminate(text, id=doc_id, ref=nope_nope)"
+        )
+    with pytest.raises(SemanticError):  # bad ref_text column
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> decontaminate(text, id=doc_id, ref=bench, ref_text=zzz)"
+        )
+    with pytest.raises(SemanticError):  # no engine context
+        from csvtool_spark.dialect.parser import parse
+        from csvtool_spark.dialect.stages import apply_stages
+
+        q = parse(
+            "select doc_id from d |> decontaminate(text, id=doc_id, ref=b)"
+        )
+        apply_stages(docs.select("doc_id", "text"), q.pipeline, engine=None)
+
+
+def test_decontaminate_broadcast_plan(eng, docs):
+    # the ref shingle set must broadcast: the corpus side is the 100 TB
+    # side and must never shuffle for the semi-join
+    eng.register("bench", docs.filter(F.col("source") == "src0"))
+    out = eng.sql(
+        "select doc_id, text from documents where source != src0 "
+        "|> decontaminate(text, id=doc_id, ref=bench, k=4)"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
