@@ -1504,3 +1504,114 @@ def minhash_pairs_cte_sql(
                      JOIN mh_tokset y ON y.doc_id = c.id_b
       WHERE {jacc} >= {threshold!r}e0
     )"""
+
+def duplicate_run_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Variable-length duplicated-substring diagnostic (the run-level
+    view Lee et al. 2021's suffix-array dedup acts on, derived from the
+    k-window span family): consecutive duplicated k-window positions in a
+    document merge into maximal RUNS — a run of w consecutive positions
+    is a duplicated substring of ``w + k - 1`` tokens. Returns one row
+    per input document: ``n_runs`` (maximal duplicated runs),
+    ``n_dup_positions`` (duplicated window positions) and
+    ``longest_run_tokens`` (the longest duplicated substring, 0 when
+    none) — the evidence for choosing between span REMOVAL
+    (``remove_duplicate_spans``) and whole-document drops.
+
+    Scale shape: the duplicated-position set comes from the
+    ``duplicate_span_stats`` aggregates (explode linear in tokens, span
+    agg bounded by distinct spans); islands come from the classic
+    ``pos - row_number()`` trick under a PER-DOCUMENT window — bounded
+    partitions (document length), never a global sort. No collect, no
+    all-pairs."""
+    from pyspark.sql import Window
+
+    spans = _span_hashes(text_col, k)
+    occ = df.select(
+        F.col(id_col), F.posexplode(spans).alias("__p", "__h")
+    )
+    byh = (
+        occ.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("__h")
+    )
+    dup_pos = occ.join(byh, "__h").select(id_col, "__p")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    runs = (
+        dup_pos.withColumn("__isl", F.col("__p") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("__p").alias("__lo"),
+            F.max("__p").alias("__hi"),
+            F.count(F.lit(1)).alias("__w"),
+        )
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__runs"),
+        F.sum("__w").alias("__npos"),
+        F.max(F.col("__hi") - F.col("__lo") + F.lit(k)).alias("__longest"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("__npos", F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.coalesce("__longest", F.lit(0)).cast("long").alias(
+                "longest_run_tokens"
+            ),
+        )
+    )
+
+
+def duplicate_run_oracle_sql(
+    k: int = 8,
+    min_docs: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``duplicate_run_stats`` — same md5 span identity
+    (duplicate_span_oracle_sql's CTEs), same pos - row_number() islands."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    g AS (
+      SELECT {id_col}, unnest(range(1, len(t) - {k} + 2)) AS i, t
+      FROM toks WHERE len(t) >= {k}
+    ),
+    occ AS (
+      SELECT {id_col}, i, md5(array_to_string(t[i:i + {k - 1}], ' ')) AS h
+      FROM g
+    ),
+    byh AS (
+      SELECT h FROM (SELECT DISTINCT {id_col}, h FROM occ)
+      GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    dp AS (SELECT occ.{id_col}, occ.i FROM occ JOIN byh USING (h)),
+    isl AS (
+      SELECT {id_col}, i,
+             i - row_number() OVER (PARTITION BY {id_col} ORDER BY i) AS g
+      FROM dp
+    ),
+    runs AS (
+      SELECT {id_col}, g, min(i) AS lo, max(i) AS hi, count(*) AS w
+      FROM isl GROUP BY {id_col}, g
+    ),
+    pd AS (
+      SELECT {id_col}, count(*) AS n_runs, sum(w) AS npos,
+             max(hi - lo + {k}) AS longest
+      FROM runs GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           CAST(coalesce(pd.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(pd.npos, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(pd.longest, 0) AS BIGINT) AS longest_run_tokens
+    FROM {table} d LEFT JOIN pd USING ({id_col})
+    """

@@ -3353,3 +3353,23 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_balanced_sample(
         e, "embedding", "vec_id", k=8, per_cluster=10, iters=2
     )
+
+
+# --- duplicated-run diagnostic (round 8) -----------------------------------
+
+
+@register(
+    "q_dup_runs",
+    dedup.duplicate_run_oracle_sql(k=3, min_docs=2),
+    registered=False,  # shadow: the span family's run-level view; the
+    # in-window slots stay with q_span_removal (the rewrite) and
+    # q_paragraph_dedup (the paragraph member)
+)
+def q_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length duplicated-substring diagnostic: maximal runs of
+    consecutive duplicated 3-token windows per document — n_runs, window
+    positions and the longest duplicated substring in tokens.
+    dedup.duplicate_run_stats (k=3 so the corpus' near-dup families
+    actually produce runs at catalog scale)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.duplicate_run_stats(d, "text", "doc_id", k=3)

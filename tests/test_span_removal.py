@@ -204,3 +204,28 @@ def test_paragraph_dedup_custom_separator_is_literal(spark):
     out = _paras(spark, rows, sep=". ", min_docs=2)
     assert out[1].text_dedup == "same sent. ax bx"
     assert out[2].text_dedup == "cx dx" and out[2].n_removed == 1
+
+
+def test_duplicate_run_stats_hand_corpus(spark):
+    """Two docs share one exact 10-token passage and one exact 4-token
+    passage: with k=3 the 10-token passage is 8 consecutive duplicated
+    windows (one run, longest 10 tokens), the 4-token one is 2 windows
+    (one run, 4 tokens); a unique doc reports zeros."""
+    from csvtool_spark.operators.dedup import duplicate_run_stats
+
+    shared10 = "a b c d e f g h i j"
+    shared4 = "p q r s"
+    rows = [
+        (1, f"x1 y1 {shared10} z1 w1 {shared4} v1"),
+        (2, f"x2 {shared10} k2 m2 n2 o2 {shared4}"),
+        (3, "totally unique words only here nothing shared at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_run_stats(d, "text", "doc_id", k=3).collect()}
+    for i in (1, 2):
+        assert out[i]["n_runs"] == 2
+        assert out[i]["longest_run_tokens"] == 10
+        assert out[i]["n_dup_positions"] == 8 + 2
+    assert (out[3]["n_runs"], out[3]["longest_run_tokens"],
+            out[3]["n_dup_positions"]) == (0, 0, 0)
