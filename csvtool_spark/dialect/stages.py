@@ -356,6 +356,40 @@ def _stage_decontaminate(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return df.join(contaminated, idc, "left_anti")
 
 
+def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``despan(text, id=k [, k=8, min_docs=2, keep=first])`` —
+    cross-document duplicate-PASSAGE removal (Lee et al. 2021 span
+    dedup, ``operators.dedup.remove_duplicate_spans``): token positions
+    covered by a k-window duplicated across ≥ min_docs documents are
+    dropped from the text column IN PLACE (keep=first leaves the
+    min-id owner's copy; keep=none trims boilerplate everywhere).
+    Other columns and their order are preserved."""
+    from csvtool_spark.operators.dedup import remove_duplicate_spans
+
+    _no_extra_kwargs(st, {"id", "k", "min_docs", "keep"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    keep_arg = st.kwargs.get("keep")
+    keep = keep_arg.val.lower() if keep_arg is not None else "first"
+    if keep not in ("first", "none"):
+        raise SemanticError(
+            f"stage 'despan': keep= must be first or none, got '{keep}'"
+        )
+    rewritten = remove_duplicate_spans(
+        df,
+        text,
+        idc,
+        k=_int_kwarg(st, "k", 8),
+        min_docs=_int_kwarg(st, "min_docs", 2),
+        keep=keep,
+    ).select(F.col(idc), F.col("text_dedup"))
+    return df.drop(text).join(rewritten, idc).select(
+        *[
+            F.col("text_dedup").alias(text) if c == text else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -367,4 +401,5 @@ STAGES = {
     "hash_sample": _stage_hash_sample,
     "split": _stage_split,
     "decontaminate": _stage_decontaminate,
+    "despan": _stage_despan,
 }

@@ -384,3 +384,25 @@ register(
     registered=False,  # shadow: contamination semantics are in-window via
     # q_cross_dedup; this entry pins the table-referencing pipe stage
 )(_q_dialect_decontaminate)
+
+
+def _despan_oracle() -> str:
+    from csvtool_spark.operators.dedup import span_removal_oracle_sql
+
+    inner = span_removal_oracle_sql(k=3, min_docs=2, keep="first")
+    return f"""
+    WITH base AS ({inner})
+    SELECT doc_id, text_dedup AS text FROM base
+    """
+
+
+dialect(
+    "q_dialect_pipe_despan",
+    # duplicate-passage removal from the SQL surface: text rewritten in
+    # place (k=3 windows so the corpus' near-dup families actually cover
+    # positions at catalog scale), other columns untouched
+    "select doc_id, text from documents |> despan(text, id=doc_id, k=3)",
+    _despan_oracle(),
+    registered=False,  # shadow: the rewrite semantics hold the in-window
+    # q_span_removal slot; this entry pins the pipe-stage in-place form
+)

@@ -291,3 +291,39 @@ def test_decontaminate_broadcast_plan(eng, docs):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_despan_stage_matches_operator(eng, docs):
+    from csvtool_spark.operators.dedup import remove_duplicate_spans
+
+    out = eng.sql(
+        "select doc_id, lang, text from documents "
+        "|> despan(text, id=doc_id, k=3)"
+    )
+    assert out.columns == ["doc_id", "lang", "text"]  # in-place, order kept
+    expect = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_duplicate_spans(docs, "text", "doc_id", k=3).collect()
+    }
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    changed = 0
+    for r in rows:
+        assert r["text"] == expect[r["doc_id"]]
+        changed += r["text"] != expect.get("__never__", r["text"])
+    # the rewrite bites on this corpus (near-dup families share passages)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert any(expect[i] != orig[i] for i in expect)
+
+
+def test_despan_keep_none_and_errors(eng):
+    out = eng.sql(
+        "select doc_id, text from documents "
+        "|> despan(text, id=doc_id, k=3, keep=none)"
+    )
+    assert out.count() > 0
+    with pytest.raises(SemanticError):
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> despan(text, id=doc_id, keep=sometimes)"
+        )
