@@ -390,6 +390,31 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     )
 
 
+def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``quota(group, cap=N, order=col)`` — cap rows per group, keeping
+    the first N by deterministic ``order`` (operators.sampling.
+    source_quota): the source-balancing / data-mixing step, so one crawl
+    host cannot dominate the mixture."""
+    from csvtool_spark.operators.sampling import source_quota
+
+    _no_extra_kwargs(st, {"cap", "order"})
+    if len(st.args) != 1:
+        raise SemanticError(
+            "stage 'quota' takes exactly one group column argument"
+        )
+    group = _resolve_col(df, st, st.args[0])
+    cap = _int_kwarg(st, "cap", 0)
+    if cap < 1:
+        raise SemanticError("stage 'quota' requires cap=<positive integer>")
+    order = st.kwargs.get("order")
+    if order is None:
+        raise SemanticError(
+            "stage 'quota' requires order=<column> (the deterministic "
+            "keep rule)"
+        )
+    return source_quota(df, group, _resolve_col(df, st, order), cap)
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -402,4 +427,5 @@ STAGES = {
     "split": _stage_split,
     "decontaminate": _stage_decontaminate,
     "despan": _stage_despan,
+    "quota": _stage_quota,
 }

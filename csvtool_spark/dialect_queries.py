@@ -406,3 +406,20 @@ dialect(
     registered=False,  # shadow: the rewrite semantics hold the in-window
     # q_span_removal slot; this entry pins the pipe-stage in-place form
 )
+
+
+dialect(
+    "q_dialect_pipe_quota",
+    # per-source cap (data-mixing): first 10 docs per source by doc_id
+    "select doc_id, source from documents "
+    "|> quota(source, cap=10, order=doc_id)",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    registered=False,  # shadow: source_quota semantics also ride
+    # q_source_quota in the local gate; this pins the pipe-stage form
+)

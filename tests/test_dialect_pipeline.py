@@ -327,3 +327,27 @@ def test_despan_keep_none_and_errors(eng):
             "select doc_id, text from documents "
             "|> despan(text, id=doc_id, keep=sometimes)"
         )
+
+
+def test_quota_stage(eng, docs):
+    out = eng.sql(
+        "select doc_id, source, text from documents "
+        "|> quota(source, cap=5, order=doc_id)"
+    )
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r["source"] for r in rows)
+    assert max(per.values()) <= 5 and len(per) > 1
+    # keeps the FIRST cap by order: per source, the 5 smallest doc_ids
+    lowest = {}
+    for r in docs.select("doc_id", "source").collect():
+        lowest.setdefault(r["source"], []).append(r["doc_id"])
+    expect = {
+        (s, i) for s, ids in lowest.items() for i in sorted(ids)[:5]
+    }
+    assert {(r["source"], r["doc_id"]) for r in rows} == expect
+    with pytest.raises(SemanticError):
+        eng.sql("select doc_id, source from documents |> quota(source, order=doc_id)")
+    with pytest.raises(SemanticError):
+        eng.sql("select doc_id, source from documents |> quota(source, cap=5)")
