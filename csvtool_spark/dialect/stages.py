@@ -182,15 +182,22 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 
 def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
-    """``langid(text [, as=lang_guess])`` — append the n-gram-marker
-    language guess (operators.textstats.lang_id, JVM kernel: the dialect
-    surface stays whole-stage-codegen, no Python workers)."""
+    """``langid(text [, as=lang_guess] [, keep=en])`` — append the
+    n-gram-marker language guess (operators.textstats.lang_id, JVM
+    kernel: the dialect surface stays whole-stage-codegen, no Python
+    workers); ``keep=`` also filters to that guess (the C4 language
+    gate)."""
     from csvtool_spark.operators.textstats import lang_id
 
-    _no_extra_kwargs(st, {"as"})
+    _no_extra_kwargs(st, {"as", "keep"})
     text = _text_arg(df, st)
     name = _out_name(df, st, "lang_guess")
-    return df.withColumn(name, lang_id(F.col(text), kernel="jvm"))
+    out = df.withColumn(name, lang_id(F.col(text), kernel="jvm"))
+    keep = st.kwargs.get("keep")
+    if keep is not None:
+        # C4-style language gate: keep only the requested guess
+        out = out.filter(F.col(name) == F.lit(keep.val))
+    return out
 
 
 def _stage_quality(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
@@ -415,6 +422,44 @@ def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return source_quota(df, group, _resolve_col(df, st, order), cap)
 
 
+def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``chunk(text, id=k [, size=128, overlap=16])`` — split documents
+    into overlapping token windows (operators.pipeline.chunk_documents):
+    the context-length prep before packing/tokenization. One output row
+    per chunk; the text column is REPLACED by the chunk's text, every
+    other column rides along, and ``chunk_id`` + ``n_chunk_tokens``
+    append. Pure per-row explode + an id equi-join back for the carried
+    columns — no other shuffle."""
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    _no_extra_kwargs(st, {"id", "size", "overlap"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    size = _int_kwarg(st, "size", 128)
+    overlap = _int_kwarg(st, "overlap", 16)
+    if overlap >= size:
+        raise SemanticError(
+            f"stage 'chunk': overlap ({overlap}) must be < size ({size})"
+        )
+    for extra in ("chunk_id", "n_chunk_tokens"):
+        if extra.lower() in {c.lower() for c in df.columns}:
+            raise SemanticError(
+                f"stage 'chunk': output column '{extra}' already exists"
+            )
+    ch = chunk_documents(
+        df.select(F.col(idc), F.col(text)), text, idc,
+        chunk_tokens=size, overlap=overlap,
+    )
+    joined = df.drop(text).join(ch, idc)
+    return joined.select(
+        *[
+            F.col("chunk_text").alias(text) if c == text else F.col(c)
+            for c in df.columns
+        ],
+        F.col("chunk_id"),
+        F.col("n_chunk_tokens"),
+    )
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -428,4 +473,5 @@ STAGES = {
     "decontaminate": _stage_decontaminate,
     "despan": _stage_despan,
     "quota": _stage_quota,
+    "chunk": _stage_chunk,
 }

@@ -423,3 +423,54 @@ dialect(
     registered=False,  # shadow: source_quota semantics also ride
     # q_source_quota in the local gate; this pins the pipe-stage form
 )
+
+
+dialect(
+    "q_dialect_pipe_chunk",
+    # 64-token windows / 8 overlap (stride 56) with a carried column and
+    # the C4-style language gate upstream
+    "select doc_id, source, text from documents "
+    "|> langid(text, keep=en) |> chunk(text, id=doc_id, size=64, overlap=8)",
+    """
+    WITH c0 AS (
+      SELECT doc_id, source, text,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             length(text) AS L,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('the','and','of','to','in','is','that','for','with','on'))) AS BIGINT) AS en,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
+             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
+               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
+      FROM documents
+    ),
+    lid AS (
+      SELECT doc_id, source, text,
+             CASE WHEN cjk * 4 > L THEN 'zh'
+                  WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(fr, de, es) THEN 'fr'
+                  WHEN de = greatest(de, es) THEN 'de'
+                  ELSE 'es' END AS lang_guess
+      FROM c0
+    ),
+    l AS (SELECT doc_id, source, lang_guess,
+                 string_split(coalesce(text, ''), ' ') AS toks
+          FROM lid WHERE lang_guess = 'en'),
+    s AS (SELECT *, greatest(1, (len(toks) - 8 + 55) // 56) AS nc FROM l),
+    c AS (SELECT doc_id, source, lang_guess, toks,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id FROM s)
+    SELECT doc_id, source,
+           array_to_string(toks[chunk_id*56 + 1 : chunk_id*56 + 64], ' ')
+             AS text,
+           lang_guess,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id*56 + 1 : chunk_id*56 + 64]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+    """,
+    registered=False,  # shadow: chunking semantics also ride q_chunk_docs;
+    # this pins the pipe-stage carried-column + language-gate composition
+)

@@ -351,3 +351,57 @@ def test_quota_stage(eng, docs):
         eng.sql("select doc_id, source from documents |> quota(source, order=doc_id)")
     with pytest.raises(SemanticError):
         eng.sql("select doc_id, source from documents |> quota(source, cap=5)")
+
+
+def test_chunk_stage_matches_operator(eng, docs):
+    from csvtool_spark.operators.pipeline import chunk_documents
+
+    out = eng.sql(
+        "select doc_id, source, text from documents "
+        "|> chunk(text, id=doc_id, size=64, overlap=8)"
+    )
+    assert out.columns == [
+        "doc_id", "source", "text", "chunk_id", "n_chunk_tokens"
+    ]
+    expect = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(
+            docs, "text", "doc_id", chunk_tokens=64, overlap=8
+        ).collect()
+    }
+    rows = out.collect()
+    assert len(rows) == len(expect) and len(rows) > docs.count()
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    for r in rows:
+        assert r["text"] == expect[(r["doc_id"], r["chunk_id"])]
+        assert r["source"] == src[r["doc_id"]]  # carried column rides
+
+
+def test_langid_keep_gate(eng, docs):
+    from csvtool_spark.operators.textstats import lang_id
+
+    out = eng.sql(
+        "select doc_id, text from documents |> langid(text, keep=en)"
+    )
+    expect = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", lang_id(F.col("text"), kernel="jvm").alias("g")
+        ).collect()
+        if r["g"] == "en"
+    }
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect and 0 < len(got) < docs.count()
+
+
+def test_chunk_errors(eng):
+    with pytest.raises(SemanticError):  # overlap >= size
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> chunk(text, id=doc_id, size=8, overlap=8)"
+        )
+    with pytest.raises(SemanticError):  # chunk_id collision
+        eng.sql(
+            "select doc_id, text, doc_id as chunk_id from documents "
+            "|> chunk(text, id=doc_id)"
+        )
