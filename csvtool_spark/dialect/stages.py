@@ -139,15 +139,24 @@ def _stage_dedup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``dedup(text, id=k)`` — exact dedup: keep the lowest-id row per
     normalized text (operators.dedup.exact_dedup's identity — md5 of
     lower/trim — but row-preserving: the survivor keeps every column).
-    Never shuffles text: the group key is the 128-bit hash, the survivor
-    join is a LEFT SEMI on (hash, id)."""
+    ONE pass: rank within each 128-bit hash partition by id and keep
+    rank 1 — a single shuffle on the hash, no self-join (the
+    groupBy-min + semi-join alternative computes the upstream twice and
+    shuffles both sides). Partitions are bounded by a text's copy count;
+    ids are assumed unique (the _id_kwarg contract)."""
+    from pyspark.sql import Window
+
     from csvtool_spark.operators.dedup import normalized
 
     _no_extra_kwargs(st, {"id"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
-    hashed = df.withColumn("__h", F.md5(normalized(F.col(text))))
-    keep = hashed.groupBy("__h").agg(F.min(idc).alias(idc))
-    return hashed.join(keep, ["__h", idc], "left_semi").drop("__h")
+    w = Window.partitionBy("__h").orderBy(idc)
+    return (
+        df.withColumn("__h", F.md5(normalized(F.col(text))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
 
 
 def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
