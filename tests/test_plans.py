@@ -174,3 +174,22 @@ def test_nb_score_map_is_shuffle_free(spark):
     model = classify.nb_train(d, vocab_size=50)
     plan = _plan(classify.nb_score_map(d, model))
     assert "Exchange" not in plan
+
+
+def test_dialect_curate_single_exchange(spark):
+    """The whole curate pipe (langid + quality cut + exact dedup + keyed
+    sample) must compile to ONE shuffle — the dedup stage's md5-hash
+    rank; every other stage is a projection or filter. A second Exchange
+    means a stage regressed into a self-join shape."""
+    plan = _plan(catalog.QUERIES["q_dialect_curate"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pipe_chunk_no_extra_shuffle_on_explode(spark):
+    """chunk's explode is per-row; the only join is the carried-column id
+    equi-join, which AQE broadcasts at this scale — the corpus side must
+    not hash-partition by id."""
+    plan = _plan(catalog.SHADOW_QUERIES["q_dialect_pipe_chunk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
