@@ -379,7 +379,13 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     covered by a k-window duplicated across ≥ min_docs documents are
     dropped from the text column IN PLACE (keep=first leaves the
     min-id owner's copy; keep=none trims boilerplate everywhere).
-    Other columns and their order are preserved."""
+    Other columns and their order are preserved.
+
+    Cost note: the operator already reads its input twice (span
+    occurrences + the rewrite join); carrying the non-text columns adds
+    a third read of the upstream result. Fine after a filtering pipe at
+    any scale — but a 100 TB corpus-wide despan should run
+    ``remove_duplicate_spans`` directly on a materialized table."""
     from csvtool_spark.operators.dedup import remove_duplicate_spans
 
     _no_extra_kwargs(st, {"id", "k", "min_docs", "keep"})
