@@ -160,7 +160,7 @@ def test_pq_oracle_on_random_corpora(spark, seed):
     """The catalog oracle on RANDOM frames (not the fixed corpus): same
     CTE chain as q_ann_pq with the frame registered as `embeddings`."""
     from csvtool_spark.oracle import compare
-    from csvtool_spark.queries import SHADOW_ORACLES
+    from csvtool_spark.queries import ORACLES, SHADOW_ORACLES
 
     import numpy as np
 
@@ -300,7 +300,7 @@ def test_pq_recall_eval_release_contract(spark):
 def test_pq_recall_oracle_on_random_corpora(spark, seed):
     from csvtool_spark.oracle import compare
     from csvtool_spark.operators.similarity import pq_recall_eval
-    from csvtool_spark.queries import SHADOW_ORACLES
+    from csvtool_spark.queries import ORACLES, SHADOW_ORACLES
 
     import numpy as np
 
@@ -381,7 +381,7 @@ def test_ivf_pq_index_probe_pruned_and_matches_inline(spark, tmp_path):
 def test_ivf_pq_oracle_on_random_corpora(spark, seed):
     from csvtool_spark.oracle import compare
     from csvtool_spark.operators.similarity import ann_ivf_pq
-    from csvtool_spark.queries import SHADOW_ORACLES
+    from csvtool_spark.queries import ORACLES, SHADOW_ORACLES
 
     import numpy as np
 
@@ -403,7 +403,7 @@ def test_ivf_pq_oracle_on_random_corpora(spark, seed):
     )
     con = duckdb.connect()
     con.register("embeddings", pdf)
-    assert compare(out, con, SHADOW_ORACLES["q_ann_ivf_pq"]) is None
+    assert compare(out, con, {**SHADOW_ORACLES, **ORACLES}["q_ann_ivf_pq"]) is None
 
 
 def test_pq_coded_stream_matches_batch_and_survives_poison(spark, tmp_path):
