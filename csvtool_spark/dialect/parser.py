@@ -117,6 +117,26 @@ def parse(text: str) -> ast.Query:
     return q
 
 
+def parse_pipeline(text: str) -> list[ast.Stage]:
+    """Parse a STANDALONE stage chain — ``"langid(text) |> quality(text,
+    min=0.5)"`` (a leading ``|>`` is allowed) — for callers that apply
+    the curation pipe to a DataFrame they already hold (the streaming
+    surface), without a full query around it."""
+    p = _P(scan(text))
+    stages: list[ast.Stage] = []
+    if p.tok().kind == "OP" and p.tok().val == "|>":
+        p.next()
+    while p.tok().kind != "EOF":
+        stages.append(_parse_stage(p))
+        if p.tok().kind == "OP" and p.tok().val == "|>":
+            p.next()
+        elif p.tok().kind != "EOF":
+            raise p.err("Expected '|>' between stages")
+    if not stages:
+        raise ParseError("Empty stage pipeline")
+    return stages
+
+
 def _parse_stage(p: _P) -> ast.Stage:
     """``|> name(arg, key=arg, ...)`` — curation-pipe stage (engine
     extension). Args are bare tokens, not expressions: unquoted words

@@ -442,9 +442,10 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     into overlapping token windows (operators.pipeline.chunk_documents):
     the context-length prep before packing/tokenization. One output row
     per chunk; the text column is REPLACED by the chunk's text, every
-    other column rides along, and ``chunk_id`` + ``n_chunk_tokens``
-    append. Pure per-row explode + an id equi-join back for the carried
-    columns — no other shuffle."""
+    other column rides along (chunk_documents ``extras`` — carried
+    through the explode itself, so there is NO join and the stage is
+    shuffle-free and streaming-safe), and ``chunk_id`` +
+    ``n_chunk_tokens`` append."""
     from csvtool_spark.operators.pipeline import chunk_documents
 
     _no_extra_kwargs(st, {"id", "size", "overlap"})
@@ -460,12 +461,11 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             raise SemanticError(
                 f"stage 'chunk': output column '{extra}' already exists"
             )
+    others = tuple(c for c in df.columns if c not in (idc, text))
     ch = chunk_documents(
-        df.select(F.col(idc), F.col(text)), text, idc,
-        chunk_tokens=size, overlap=overlap,
+        df, text, idc, chunk_tokens=size, overlap=overlap, extras=others
     )
-    joined = df.drop(text).join(ch, idc)
-    return joined.select(
+    return ch.select(
         *[
             F.col("chunk_text").alias(text) if c == text else F.col(c)
             for c in df.columns
@@ -473,6 +473,37 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         F.col("chunk_id"),
         F.col("n_chunk_tokens"),
     )
+
+
+#: Stages whose semantics are per-row (projections, filters, bounded
+#: explodes) — legal and IDENTICAL on a Structured Streaming frame. The
+#: multi-pass stages are excluded with streaming twins named in the
+#: error: dedup → dropDuplicatesWithinWatermark (streaming.curated_stream),
+#: decontaminate → the Bloom-literal gate (streaming.decontaminated_stream);
+#: neardup/despan/quota need cross-row aggregation a micro-batch cannot
+#: see past and stay batch-only.
+STREAM_SAFE = {
+    "langid", "quality", "tokens", "fingerprint", "pii_scrub",
+    "hash_sample", "split", "chunk",
+}
+
+
+def apply_stages_streaming(
+    df: DataFrame, stages: list[ast.Stage], engine=None
+) -> DataFrame:
+    """``apply_stages`` with the streaming gate: reject stages whose
+    batch semantics cannot hold per micro-batch, so the SAME stage chain
+    text drives batch SQL and a readStream frame with equal results
+    (batch-equality pinned in tests/test_streaming.py)."""
+    for st in stages:
+        if st.name in STAGES and st.name not in STREAM_SAFE:
+            raise SemanticError(
+                f"stage '{st.name}' is not streaming-safe (needs cross-row "
+                f"state; streaming twins: dedup -> curated_stream, "
+                f"decontaminate -> decontaminated_stream). Streaming "
+                f"stages: {', '.join(sorted(STREAM_SAFE))}"
+            )
+    return apply_stages(df, stages, engine)
 
 
 STAGES = {

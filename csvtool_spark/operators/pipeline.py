@@ -162,6 +162,7 @@ def chunk_documents(
     id_col: str,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    extras: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping token windows — the
     context-length prep step before packing/tokenization. Chunk i covers
@@ -170,18 +171,24 @@ def chunk_documents(
     shorter than one window yield exactly one chunk. Pure per-row
     explode — no shuffle, chunk count is derived arithmetic, and the
     window arithmetic is integer so the same chunks come out of any
-    engine. Returns (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    engine. Returns (id, *extras, chunk_id, chunk_text, n_chunk_tokens);
+    ``extras`` columns ride the explode unchanged (a join-back would
+    shuffle, and on a STREAMING frame would be an illegal
+    stream-stream join — this is why the dialect chunk stage and the
+    streaming pipe carry columns here instead)."""
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
     stride = chunk_tokens - overlap
+    ex = [F.col(c) for c in extras]
     # null text ≡ empty text: one '' chunk (split('') is ['']) — without
     # the coalesce, null rows emit chunk_text '' with a NULL token count
     # (inconsistent), and DuckDB's array_to_string(NULL) disagrees
     toks = textstats.tokens(F.coalesce(F.col(text_col), F.lit("")))
     # ceil-div in INTEGER arithmetic (a float division would be exact only
     # under 2^53 and needs a truncation argument; div needs none)
-    staged = df.select(F.col(id_col), toks.alias("__toks")).select(
+    staged = df.select(F.col(id_col), *ex, toks.alias("__toks")).select(
         id_col,
+        *extras,
         "__toks",
         F.expr(
             f"greatest(1L, (size(__toks) - {overlap} + {stride - 1}) div {stride})"
@@ -189,9 +196,10 @@ def chunk_documents(
     )
     chunk = F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1))
     sliced = staged.select(
-        F.col(id_col), F.col("__toks"), chunk.alias("chunk_id")
+        F.col(id_col), *ex, F.col("__toks"), chunk.alias("chunk_id")
     ).select(
         F.col(id_col),
+        *extras,
         F.col("chunk_id"),
         F.slice(
             F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
@@ -199,6 +207,7 @@ def chunk_documents(
     )
     return sliced.select(
         id_col,
+        *extras,
         "chunk_id",
         F.concat_ws(" ", F.col("__ck")).alias("chunk_text"),
         F.size("__ck").cast("long").alias("n_chunk_tokens"),

@@ -10,6 +10,7 @@ from csvtool_spark.streaming.events import (  # noqa: F401
 from csvtool_spark.streaming.documents import (  # noqa: F401
     curated_stream,
     document_stream,
+    piped_stream,
     quality_gated_stream,
     sampled_stream,
     stream_documents_dir,

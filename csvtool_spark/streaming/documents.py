@@ -331,3 +331,16 @@ def decontaminated_stream(
         F.col("source"),
         F.col("__p")["n"].alias("n_shingles"),
     )
+
+def piped_stream(stream: DataFrame, pipe: str) -> DataFrame:
+    """Apply a curation-pipe stage chain (dialect ``|>`` syntax, e.g.
+    ``"langid(text, keep=en) |> quality(text, min=0.5) |>
+    chunk(text, id=doc_id, size=128)"``) to a STREAMING frame — the same
+    stage registry that drives the SQL surface, gated to the
+    streaming-safe subset (dialect.stages.STREAM_SAFE), so one pipeline
+    definition curates both the batch corpus and the ingest stream with
+    pinned-equal semantics."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages_streaming
+
+    return apply_stages_streaming(stream, parse_pipeline(pipe))

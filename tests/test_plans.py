@@ -187,9 +187,11 @@ def test_dialect_curate_single_exchange(spark):
 
 
 def test_pipe_chunk_no_extra_shuffle_on_explode(spark):
-    """chunk's explode is per-row; the only join is the carried-column id
-    equi-join, which AQE broadcasts at this scale — the corpus side must
-    not hash-partition by id."""
+    """The langid-gate + chunk pipe is projections, filters and one
+    per-row explode — carried columns ride the explode itself
+    (chunk_documents extras), so the whole entry must be SHUFFLE-FREE
+    and join-free (also what makes the chunk stage streaming-safe)."""
     plan = _plan(catalog.SHADOW_QUERIES["q_dialect_pipe_chunk"](spark, SF_SMALL))
-    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "Generate explode" in plan

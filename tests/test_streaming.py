@@ -626,3 +626,53 @@ def test_decontaminated_stream_single_shingle_fold_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("sequence(") == 1, plan
+
+
+def test_piped_stream_batch_equality(spark):
+    """ONE pipe definition drives batch SQL and the ingest stream: the
+    streaming result over the staged shards must equal the batch result
+    of the same stage chain, row for row."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.streaming import document_stream, piped_stream, run_to_memory
+
+    pipe = (
+        "langid(text, keep=en) |> quality(text, min=0.5) "
+        "|> hash_sample(0.6, key=doc_id) "
+        "|> chunk(text, id=doc_id, size=64, overlap=8)"
+    )
+    stream = document_stream(spark, SF_SMALL)
+    run_to_memory(piped_stream(stream, pipe), "pipe_out", output_mode="append")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["text"])
+        for r in spark.sql(
+            "SELECT doc_id, chunk_id, text FROM pipe_out"
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    expect = {
+        (r["doc_id"], r["chunk_id"], r["text"])
+        for r in apply_stages(batch, parse_pipeline(pipe))
+        .select("doc_id", "chunk_id", "text")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_piped_stream_rejects_stateful_stages(spark):
+    import pytest
+
+    from csvtool_spark.dialect.errors import SemanticError
+    from csvtool_spark.streaming import document_stream
+    from csvtool_spark.streaming.documents import piped_stream
+
+    stream = document_stream(spark, SF_SMALL)
+    for bad in (
+        "dedup(text, id=doc_id)",
+        "neardup(text, id=doc_id)",
+        "quota(source, cap=5, order=doc_id)",
+        "decontaminate(text, id=doc_id, ref=x)",
+        "despan(text, id=doc_id)",
+    ):
+        with pytest.raises(SemanticError, match="not streaming-safe"):
+            piped_stream(stream, bad)
