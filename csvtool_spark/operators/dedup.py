@@ -1615,3 +1615,94 @@ def duplicate_run_oracle_sql(
            CAST(coalesce(pd.longest, 0) AS BIGINT) AS longest_run_tokens
     FROM {table} d LEFT JOIN pd USING ({id_col})
     """
+
+def remove_duplicate_runs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    min_run_tokens: int = 20,
+    keep: str = "first",
+    membership: str = "except",
+) -> DataFrame:
+    """Duplicate-substring removal restricted to LONG matches — the form
+    Lee et al. 2021 actually apply (drop exact duplicated substrings of
+    at least L tokens; their suffix-array pipeline uses L=50):
+    duplicated k-window positions merge into maximal runs
+    (``duplicate_run_stats``'s islands) and only runs spanning
+    ``min_run_tokens`` or more tokens are removed — a shared license
+    header goes, a merely-common k-gram stays (the over-trimming
+    ``remove_duplicate_spans`` cannot avoid at small k).
+
+    keep='first' leaves every window whose min-id owner is this document
+    before the runs form, so the owner keeps its copy; output contract
+    and scale shape follow the span family (one posexplode pass, span
+    agg bounded by distinct spans, the island machinery one exchange on
+    the id — the (id, island) bounds window reuses the id partitioning —
+    and the shared ``_rewrite_without_covered`` tail)."""
+    from pyspark.sql import Window
+
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    occ = df.select(
+        F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
+    )
+    byh = (
+        occ.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__own"))
+        .filter(F.col("__nd") >= min_docs)
+    )
+    hits = occ.join(byh, "__h")
+    if keep == "first":
+        hits = hits.filter(F.col(id_col) != F.col("__own"))
+    wr = Window.partitionBy(id_col).orderBy("__i")
+    isl = hits.select(id_col, "__i").withColumn(
+        "__isl", F.col("__i") - F.row_number().over(wr)
+    )
+    wb = Window.partitionBy(id_col, "__isl")
+    long_hits = (
+        isl.withColumn("__lo", F.min("__i").over(wb))
+        .withColumn("__hi", F.max("__i").over(wb))
+        .filter(F.col("__hi") - F.col("__lo") + F.lit(k) >= min_run_tokens)
+        .select(id_col, "__i")
+    )
+    return _rewrite_without_covered(
+        df, long_hits, text_col, id_col, k, membership=membership
+    )
+
+
+def run_removal_oracle_sql(
+    k: int = 8,
+    min_docs: int = 2,
+    min_run_tokens: int = 20,
+    keep: str = "first",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``remove_duplicate_runs`` — the span-removal occ
+    CTEs plus the island/bounds filter, into the shared rewrite tail."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    owner_filter = f"WHERE o.{id_col} <> d.owner" if keep == "first" else ""
+    cov = f"""byh AS (
+      SELECT h, count(DISTINCT {id_col}) AS nd, min({id_col}) AS owner
+      FROM occ GROUP BY h
+    ),
+    dup AS (SELECT h, owner FROM byh WHERE nd >= {min_docs}),
+    hit AS (SELECT o.{id_col}, o.i FROM occ o JOIN dup d USING (h) {owner_filter}),
+    isl AS (
+      SELECT {id_col}, i,
+             i - row_number() OVER (PARTITION BY {id_col} ORDER BY i) AS g
+      FROM hit
+    ),
+    rb AS (
+      SELECT {id_col}, min(i) AS lo, max(i) AS hi
+      FROM isl GROUP BY {id_col}, g
+      HAVING max(i) - min(i) + {k} >= {min_run_tokens}
+    ),
+    cov AS (
+      SELECT DISTINCT {id_col}, unnest(range(lo, hi + {k})) AS p FROM rb
+    )"""
+    return _span_rewrite_sql(cov, k, table, text_col, id_col)

@@ -3373,3 +3373,21 @@ def q_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually produce runs at catalog scale)."""
     d = load(spark, sf_dir, "documents")
     return dedup.duplicate_run_stats(d, "text", "doc_id", k=3)
+
+
+@register(
+    "q_run_removal",
+    dedup.run_removal_oracle_sql(k=3, min_docs=2, min_run_tokens=8),
+    registered=False,  # shadow: the length-thresholded member of the
+    # span-removal family (q_span_removal holds the in-window slot)
+)
+def q_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-thresholded duplicate-substring removal (Lee et al.'s
+    actual rule): only duplicated runs of ≥ 8 tokens are dropped —
+    3-token windows merge into maximal islands first, so a shared long
+    passage goes while a merely-common trigram stays.
+    dedup.remove_duplicate_runs."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8
+    )

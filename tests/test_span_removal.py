@@ -229,3 +229,58 @@ def test_duplicate_run_stats_hand_corpus(spark):
         assert out[i]["n_dup_positions"] == 8 + 2
     assert (out[3]["n_runs"], out[3]["longest_run_tokens"],
             out[3]["n_dup_positions"]) == (0, 0, 0)
+
+
+def test_remove_duplicate_runs_length_threshold(spark):
+    """The 10-token shared passage (≥ L=8) is removed from the non-owner;
+    the 4-token shared passage (< 8) SURVIVES everywhere — the
+    distinction remove_duplicate_spans cannot make."""
+    from csvtool_spark.operators.dedup import (
+        remove_duplicate_runs,
+        remove_duplicate_spans,
+    )
+
+    shared10 = "a b c d e f g h i j"
+    shared4 = "p q r s"
+    rows = [
+        (1, f"x1 y1 {shared10} z1 w1 {shared4} v1"),
+        (2, f"x2 {shared10} k2 m2 n2 o2 {shared4}"),
+        (3, "totally unique words only here nothing shared at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8
+    ).collect()}
+    # owner (doc 1, min id) keeps everything
+    assert out[1]["text_dedup"] == rows[0][1] and out[1]["n_removed"] == 0
+    # doc 2 loses exactly the 10 tokens of the long passage, keeps 'p q r s'
+    assert shared10 not in out[2]["text_dedup"]
+    assert shared4 in out[2]["text_dedup"]
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    # contrast: plain span removal also trims the short shared passage
+    spans = {r["doc_id"]: r for r in remove_duplicate_spans(
+        d, "text", "doc_id", k=3
+    ).collect()}
+    assert shared4 not in spans[2]["text_dedup"]
+
+
+def test_remove_duplicate_runs_keep_none_and_membership(spark):
+    from csvtool_spark.operators.dedup import remove_duplicate_runs
+
+    shared = "m n o p q r s t u v"
+    d = spark.createDataFrame(
+        [(1, f"a1 {shared} b1"), (2, f"a2 {shared} b2")],
+        "doc_id long, text string",
+    )
+    none_out = {r["doc_id"]: r["n_removed"] for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8, keep="none"
+    ).collect()}
+    assert none_out == {1: 10, 2: 10}  # both copies trimmed
+    a = remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8, membership="except"
+    ).orderBy("doc_id").collect()
+    b = remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8, membership="contains"
+    ).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
