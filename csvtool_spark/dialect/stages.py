@@ -381,14 +381,22 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     min-id owner's copy; keep=none trims boilerplate everywhere).
     Other columns and their order are preserved.
 
+    ``min_run=L`` switches to the length-thresholded rule
+    (``remove_duplicate_runs`` — Lee et al.'s actual form): only maximal
+    duplicated runs of at least L tokens are dropped, so a merely-common
+    k-gram survives.
+
     Cost note: the operator already reads its input twice (span
     occurrences + the rewrite join); carrying the non-text columns adds
     a third read of the upstream result. Fine after a filtering pipe at
     any scale — but a 100 TB corpus-wide despan should run
     ``remove_duplicate_spans`` directly on a materialized table."""
-    from csvtool_spark.operators.dedup import remove_duplicate_spans
+    from csvtool_spark.operators.dedup import (
+        remove_duplicate_runs,
+        remove_duplicate_spans,
+    )
 
-    _no_extra_kwargs(st, {"id", "k", "min_docs", "keep"})
+    _no_extra_kwargs(st, {"id", "k", "min_docs", "keep", "min_run"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
     keep_arg = st.kwargs.get("keep")
     keep = keep_arg.val.lower() if keep_arg is not None else "first"
@@ -396,14 +404,26 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         raise SemanticError(
             f"stage 'despan': keep= must be first or none, got '{keep}'"
         )
-    rewritten = remove_duplicate_spans(
-        df,
-        text,
-        idc,
-        k=_int_kwarg(st, "k", 8),
-        min_docs=_int_kwarg(st, "min_docs", 2),
-        keep=keep,
-    ).select(F.col(idc), F.col("text_dedup"))
+    min_run = _int_kwarg(st, "min_run", 0)
+    if min_run > 0:
+        rewritten = remove_duplicate_runs(
+            df,
+            text,
+            idc,
+            k=_int_kwarg(st, "k", 8),
+            min_docs=_int_kwarg(st, "min_docs", 2),
+            min_run_tokens=min_run,
+            keep=keep,
+        ).select(F.col(idc), F.col("text_dedup"))
+    else:
+        rewritten = remove_duplicate_spans(
+            df,
+            text,
+            idc,
+            k=_int_kwarg(st, "k", 8),
+            min_docs=_int_kwarg(st, "min_docs", 2),
+            keep=keep,
+        ).select(F.col(idc), F.col("text_dedup"))
     return df.drop(text).join(rewritten, idc).select(
         *[
             F.col("text_dedup").alias(text) if c == text else F.col(c)

@@ -405,3 +405,27 @@ def test_chunk_errors(eng):
             "select doc_id, text, doc_id as chunk_id from documents "
             "|> chunk(text, id=doc_id)"
         )
+
+
+def test_despan_min_run_dispatch(eng, spark):
+    from csvtool_spark.operators.dedup import remove_duplicate_runs
+
+    shared10 = "a b c d e f g h i j"
+    rows = [(1, f"x1 {shared10} p q"), (2, f"x2 {shared10} r s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    eng.register("minidocs", d)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in eng.sql(
+            "select doc_id, text from minidocs "
+            "|> despan(text, id=doc_id, k=3, min_run=8)"
+        ).collect()
+    }
+    expect = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_duplicate_runs(
+            d, "text", "doc_id", k=3, min_run_tokens=8
+        ).collect()
+    }
+    assert out == expect
+    assert shared10 in out[1] and shared10 not in out[2]
