@@ -76,7 +76,16 @@ def _text_arg(df: DataFrame, st: ast.Stage) -> str:
         raise SemanticError(
             f"stage '{st.name}' takes exactly one column argument"
         )
-    return _resolve_col(df, st, st.args[0])
+    col = _resolve_col(df, st, st.args[0])
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, T.StringType):
+        raise SemanticError(
+            f"stage '{st.name}': column '{col}' must be a string "
+            f"(got {dt.simpleString()})"
+        )
+    return col
 
 
 def _id_kwarg(df: DataFrame, st: ast.Stage) -> str:
@@ -172,13 +181,25 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
     _no_extra_kwargs(st, {"id", "threshold", "n_hashes", "bands"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    n_hashes = _int_kwarg(st, "n_hashes", 32)
+    bands = _int_kwarg(st, "bands", 8)
+    if bands < 1 or n_hashes % bands != 0:
+        raise SemanticError(
+            f"stage 'neardup': n_hashes ({n_hashes}) must be a positive "
+            f"multiple of bands ({bands})"
+        )
+    thr = _float_kwarg(st, "threshold", 0.5)
+    if not 0.0 < thr <= 1.0:
+        raise SemanticError(
+            f"stage 'neardup': threshold must be in (0, 1], got {thr}"
+        )
     pairs = near_dup_pairs_minhash(
         df,
         text,
         idc,
-        threshold=_float_kwarg(st, "threshold", 0.5),
-        n_hashes=_int_kwarg(st, "n_hashes", 32),
-        bands=_int_kwarg(st, "bands", 8),
+        threshold=thr,
+        n_hashes=n_hashes,
+        bands=bands,
         hash_family="md5",
     )
     losers = pairs.select(F.col("id_b").alias(idc)).distinct()

@@ -429,3 +429,18 @@ def test_despan_min_run_dispatch(eng, spark):
     }
     assert out == expect
     assert shared10 in out[1] and shared10 not in out[2]
+
+
+def test_stage_arg_validation_hardening(eng):
+    with pytest.raises(SemanticError, match="must be a string"):
+        eng.sql("select doc_id, text from documents |> tokens(doc_id)")
+    with pytest.raises(SemanticError, match="positive multiple"):
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> neardup(text, id=doc_id, n_hashes=32, bands=5)"
+        )
+    with pytest.raises(SemanticError, match="threshold"):
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> neardup(text, id=doc_id, threshold=1.5)"
+        )
