@@ -547,6 +547,38 @@ def apply_stages_streaming(
     return apply_stages(df, stages, engine)
 
 
+def _stage_pack(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``pack(n_tokens, id=k, budget=N)`` — GPT-style concat-and-chunk
+    sequence packing (operators.packing.pack_sequences): documents in id
+    order fill fixed-``budget`` token sequences; one output row per
+    (document, sequence) span with ``seq_id``/``seq_offset``/``n_tok``
+    appended and every input column carried (id equi-join back). The
+    argument is the token-count column — compose as ``|> tokens(text)
+    |> pack(n_tokens, id=doc_id, budget=512)``. Batch-only (global
+    prefix sum), like the operator."""
+    from csvtool_spark.operators.packing import pack_sequences
+
+    _no_extra_kwargs(st, {"id", "budget"})
+    if len(st.args) != 1:
+        raise SemanticError(
+            "stage 'pack' takes exactly one token-count column argument"
+        )
+    ncol = _resolve_col(df, st, st.args[0])
+    idc = _id_kwarg(df, st)
+    budget = _int_kwarg(st, "budget", 0)
+    if budget < 1:
+        raise SemanticError("stage 'pack' requires budget=<positive integer>")
+    for extra in ("seq_id", "seq_offset", "n_tok"):
+        if extra.lower() in {c.lower() for c in df.columns}:
+            raise SemanticError(
+                f"stage 'pack': output column '{extra}' already exists"
+            )
+    spans = pack_sequences(df.select(F.col(idc), F.col(ncol)), idc, ncol, budget)
+    return df.join(spans, idc).select(
+        *df.columns, "seq_id", "seq_offset", "n_tok"
+    )
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -561,4 +593,5 @@ STAGES = {
     "despan": _stage_despan,
     "quota": _stage_quota,
     "chunk": _stage_chunk,
+    "pack": _stage_pack,
 }

@@ -474,3 +474,39 @@ dialect(
     registered=False,  # shadow: chunking semantics also ride q_chunk_docs;
     # this pins the pipe-stage carried-column + language-gate composition
 )
+
+
+dialect(
+    "q_dialect_pipe_pack",
+    # tokens -> pack: the sequence-prep path from SQL. The oracle's one
+    # global prefix-sum window is fine at oracle scale; the engine side
+    # is the two-phase partition-offset scan (packing.pack_sequences)
+    "select doc_id, source, text from documents "
+    "|> tokens(text) |> pack(n_tokens, id=doc_id, budget=512)",
+    """
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM t
+    ),
+    u AS (
+      SELECT doc_id, s, s + n_tokens AS e,
+             unnest(generate_series(s // 512,
+               greatest(s // 512, (s + n_tokens - 1) // 512))) AS seq_id
+      FROM c
+    )
+    SELECT t.doc_id, t.source, t.text, t.n_tokens, u.seq_id,
+           greatest(u.s, u.seq_id * 512) - u.seq_id * 512 AS seq_offset,
+           least(u.e, (u.seq_id + 1) * 512) - greatest(u.s, u.seq_id * 512)
+             AS n_tok
+    FROM u JOIN t USING (doc_id)
+    """,
+    registered=False,  # shadow: packing semantics hold the in-window
+    # q_pack_sequences slot; this pins the pipe composition tokens->pack
+)

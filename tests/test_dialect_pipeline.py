@@ -444,3 +444,40 @@ def test_stage_arg_validation_hardening(eng):
             "select doc_id, text from documents "
             "|> neardup(text, id=doc_id, threshold=1.5)"
         )
+
+
+def test_pack_stage_matches_operator(eng, docs):
+    from csvtool_spark.operators import textstats
+    from csvtool_spark.operators.packing import pack_sequences
+
+    out = eng.sql(
+        "select doc_id, text from documents "
+        "|> tokens(text) |> pack(n_tokens, id=doc_id, budget=256)"
+    )
+    assert out.columns == [
+        "doc_id", "text", "n_tokens", "seq_id", "seq_offset", "n_tok"
+    ]
+    sized = docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n")
+    )
+    expect = {
+        (r["doc_id"], r["seq_id"], r["seq_offset"], r["n_tok"])
+        for r in pack_sequences(sized, "doc_id", "n", 256).collect()
+    }
+    got = {
+        (r["doc_id"], r["seq_id"], r["seq_offset"], r["n_tok"])
+        for r in out.collect()
+    }
+    assert got == expect and len(got) >= docs.count()
+    with pytest.raises(SemanticError):  # missing budget
+        eng.sql(
+            "select doc_id, text from documents |> tokens(text) "
+            "|> pack(n_tokens, id=doc_id)"
+        )
+    with pytest.raises(SemanticError, match="not streaming-safe"):
+        from csvtool_spark.dialect.parser import parse_pipeline
+        from csvtool_spark.dialect.stages import apply_stages_streaming
+
+        apply_stages_streaming(
+            docs, parse_pipeline("pack(n_chars, id=doc_id, budget=64)")
+        )
