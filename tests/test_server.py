@@ -582,3 +582,22 @@ def test_idle_exit_disabled_by_default(eng):
         assert srv._thread.is_alive() and not srv.idle_exited
     finally:
         srv.stop()
+
+
+def test_query_response_curation_pipe(eng):
+    """The '|>' pipe flows through the HTTP surface unchanged — stage
+    columns appear in the ReturnData contract like any projection."""
+    docs = " '/root/testdata/sf0.001/documents.parquet' "
+    ret = query_response(
+        eng,
+        "select doc_id, text from" + docs +
+        "|> langid(text) |> quality(text, min=0.7) |> tokens(text)",
+    )
+    assert ret["status"] & DAT_GOOD and not ret["status"] & DAT_ERROR
+    e = ret["entries"][0]
+    assert e["colnames"] == ["doc_id", "text", "lang_guess", "quality", "n_tokens"]
+    assert e["numrows"] > 0
+    # a stage error surfaces as the standard error bit + message
+    bad = query_response(eng, "select doc_id from" + docs + "|> frobnicate(doc_id)")
+    assert bad["status"] & DAT_ERROR
+    assert "frobnicate" in bad["message"]
