@@ -525,7 +525,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 #: see past and stay batch-only.
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
-    "hash_sample", "split", "chunk",
+    "hash_sample", "split", "chunk", "bpe",
 }
 
 
@@ -545,6 +545,39 @@ def apply_stages_streaming(
                 f"stages: {', '.join(sorted(STREAM_SAFE))}"
             )
     return apply_stages(df, stages, engine)
+
+
+def _stage_bpe(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``bpe(text, merges='path' [, as=bpe_tokens])`` — subword-tokenize
+    the text column with a TRAINED merge artifact (operators.bpe:
+    ``bpe_train`` + ``save_merges`` produce it; the stage loads it with
+    ``load_merges`` and applies the Arrow-batched encoder). Appends
+    ``as``-named array<string> tokens and ``n_bpe_tokens``. Per-row and
+    stateless → streaming-safe. Not SQL-expressible (sequential merge
+    priority), so no oracle twin — the operator's own pytest battery is
+    the gate."""
+    from csvtool_spark.operators.bpe import bpe_encode, load_merges
+
+    _no_extra_kwargs(st, {"merges", "as"})
+    text = _text_arg(df, st)
+    marg = st.kwargs.get("merges")
+    if marg is None:
+        raise SemanticError(
+            "stage 'bpe' requires merges=<path> (a saved bpe_train "
+            "artifact; see operators.bpe.save_merges)"
+        )
+    name = _out_name(df, st, "bpe_tokens")
+    if "n_bpe_tokens" in {c.lower() for c in df.columns}:
+        raise SemanticError(
+            "stage 'bpe': output column 'n_bpe_tokens' already exists"
+        )
+    try:
+        merges = load_merges(df.sparkSession, marg.val)
+    except Exception as e:  # noqa: BLE001 — surface a dialect-shaped error
+        raise SemanticError(
+            f"stage 'bpe': cannot load merges from '{marg.val}': {e}"
+        ) from None
+    return bpe_encode(df, text, merges, out_col=name)
 
 
 def _stage_pack(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
@@ -594,4 +627,5 @@ STAGES = {
     "quota": _stage_quota,
     "chunk": _stage_chunk,
     "pack": _stage_pack,
+    "bpe": _stage_bpe,
 }

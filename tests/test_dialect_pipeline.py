@@ -481,3 +481,30 @@ def test_pack_stage_matches_operator(eng, docs):
         apply_stages_streaming(
             docs, parse_pipeline("pack(n_chars, id=doc_id, budget=64)")
         )
+
+
+def test_bpe_stage(eng, docs, spark, tmp_path):
+    from csvtool_spark.operators.bpe import bpe_encode, bpe_train, save_merges
+
+    merges = bpe_train(docs, "text", n_merges=40)
+    path = str(tmp_path / "merges.parquet")
+    save_merges(spark, merges, path)
+    out = eng.sql(
+        f"select doc_id, text from documents |> bpe(text, merges='{path}')"
+    )
+    assert out.columns == ["doc_id", "text", "bpe_tokens", "n_bpe_tokens"]
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in out.collect()}
+    expect = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(
+            docs.select("doc_id", "text"), "text", merges
+        ).collect()
+    }
+    assert got == expect
+    with pytest.raises(SemanticError, match="cannot load merges"):
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> bpe(text, merges='/nope/missing.parquet')"
+        )
+    with pytest.raises(SemanticError, match="requires merges"):
+        eng.sql("select doc_id, text from documents |> bpe(text)")
