@@ -225,8 +225,19 @@ def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     out = df.withColumn(name, lang_id(F.col(text), kernel="jvm"))
     keep = st.kwargs.get("keep")
     if keep is not None:
-        # C4-style language gate: keep only the requested guess
-        out = out.filter(F.col(name) == F.lit(keep.val))
+        # C4-style language gate: keep only the requested guess. Validate
+        # against the guesser's actual vocabulary — 'keep=EN' or
+        # 'keep=english' would otherwise silently return zero rows
+        from csvtool_spark.operators.textstats import lang_marker_counts
+
+        allowed = set(lang_marker_counts(F.lit(""))) | {"zh", "unknown"}
+        want = keep.val.lower()
+        if want not in allowed:
+            raise SemanticError(
+                f"stage 'langid': keep= must be one of "
+                f"{', '.join(sorted(allowed))}; got '{keep.val}'"
+            )
+        out = out.filter(F.col(name) == F.lit(want))
     return out
 
 
@@ -435,7 +446,7 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             min_docs=_int_kwarg(st, "min_docs", 2),
             min_run_tokens=min_run,
             keep=keep,
-        ).select(F.col(idc), F.col("text_dedup"))
+        ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
     else:
         rewritten = remove_duplicate_spans(
             df,
@@ -444,10 +455,10 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             k=_int_kwarg(st, "k", 8),
             min_docs=_int_kwarg(st, "min_docs", 2),
             keep=keep,
-        ).select(F.col(idc), F.col("text_dedup"))
+        ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
     return df.drop(text).join(rewritten, idc).select(
         *[
-            F.col("text_dedup").alias(text) if c == text else F.col(c)
+            F.col("__despan_txt").alias(text) if c == text else F.col(c)
             for c in df.columns
         ]
     )
@@ -606,7 +617,16 @@ def _stage_pack(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             raise SemanticError(
                 f"stage 'pack': output column '{extra}' already exists"
             )
-    spans = pack_sequences(df.select(F.col(idc), F.col(ncol)), idc, ncol, budget)
+    # NULL counts (a null-text document through the tokens stage) pack as
+    # zero-token docs — without the coalesce the explode over a NULL
+    # sequence silently DROPS the document (review-confirmed), while the
+    # oracle keeps it
+    spans = pack_sequences(
+        df.select(
+            F.col(idc), F.coalesce(F.col(ncol), F.lit(0)).alias(ncol)
+        ),
+        idc, ncol, budget,
+    )
     return df.join(spans, idc).select(
         *df.columns, "seq_id", "seq_offset", "n_tok"
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from csvtool_spark.engine import CsvEngine
+from csvtool_spark.operators.textstats import langid_cte_sql
 from csvtool_spark.queries import register
 
 _TABLES = [
@@ -247,7 +248,25 @@ dialect(
 # (q_text_langid / q_text_quality / q_dedup_exact / q_dedup_minhash_det /
 # q_hash_split) — one definition per semantic, composed.
 
-_STOP_EN = "('the','and','of','to','in','is','that','for','with','on')"
+def _curate_oracle() -> str:
+    # langid and quality SQL come from the textstats builders (generated
+    # from LANG_MARKERS / ENGLISH_STOPWORDS) — one definition per
+    # semantic, shared with q_text_langid / q_text_quality (round-8
+    # review: the CTEs had been copy-pasted here)
+    from csvtool_spark.operators.textstats import langid_cte_sql, quality_cte_sql
+
+    return f"""
+    WITH {langid_cte_sql("documents", "doc_id, lang, text")},
+    {quality_cte_sql("lid", "doc_id, lang, text, lang_guess")},
+    hk AS (SELECT *, md5(lower(trim(text))) AS __h FROM q
+           WHERE quality >= 0.45e0),
+    keep AS (SELECT __h, min(doc_id) AS doc_id FROM hk GROUP BY __h)
+    SELECT doc_id, lang, text, lang_guess, quality
+    FROM hk JOIN keep USING (__h, doc_id)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < 3435973836
+    """
+
 
 dialect(
     "q_dialect_curate",
@@ -256,53 +275,7 @@ dialect(
     "select doc_id, lang, text from documents "
     "|> langid(text) |> quality(text, min=0.45) "
     "|> dedup(text, id=doc_id) |> hash_sample(0.8, key=doc_id)",
-    f"""
-    WITH c AS (
-      SELECT doc_id, lang, text, length(text) AS L,
-             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               {_STOP_EN})) AS BIGINT) AS en,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
-      FROM documents
-    ),
-    lid AS (
-      SELECT doc_id, lang, text,
-             CASE WHEN cjk * 4 > L THEN 'zh'
-                  WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
-                  WHEN en = greatest(en, fr, de, es) THEN 'en'
-                  WHEN fr = greatest(fr, de, es) THEN 'fr'
-                  WHEN de = greatest(de, es) THEN 'de'
-                  ELSE 'es' END AS lang_guess
-      FROM c
-    ),
-    t AS (
-      SELECT *, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                  x -> x IN {_STOP_EN})) AS DOUBLE) AS stop
-      FROM lid
-    ),
-    q AS (
-      SELECT doc_id, lang, text, lang_guess,
-             round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
-                   + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
-                   + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
-                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
-      FROM t
-    ),
-    hk AS (SELECT *, md5(lower(trim(text))) AS __h FROM q
-           WHERE quality >= 0.45e0),
-    keep AS (SELECT __h, min(doc_id) AS doc_id FROM hk GROUP BY __h)
-    SELECT doc_id, lang, text, lang_guess, quality
-    FROM hk JOIN keep USING (__h, doc_id)
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-               AS BIGINT) < 3435973836
-    """,
+    _curate_oracle(),
     # driver window (r8 swap: q_text_quality -> shadow — its quality
     # expression is this entry's quality column, plus langid / exact-dedup
     # / keyed-sample all through the pipe surface in one row)
@@ -431,31 +404,9 @@ dialect(
     # the C4-style language gate upstream
     "select doc_id, source, text from documents "
     "|> langid(text, keep=en) |> chunk(text, id=doc_id, size=64, overlap=8)",
-    """
-    WITH c0 AS (
-      SELECT doc_id, source, text,
-             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
-             length(text) AS L,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('the','and','of','to','in','is','that','for','with','on'))) AS BIGINT) AS en,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
-      FROM documents
-    ),
-    lid AS (
-      SELECT doc_id, source, text,
-             CASE WHEN cjk * 4 > L THEN 'zh'
-                  WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
-                  WHEN en = greatest(en, fr, de, es) THEN 'en'
-                  WHEN fr = greatest(fr, de, es) THEN 'fr'
-                  WHEN de = greatest(de, es) THEN 'de'
-                  ELSE 'es' END AS lang_guess
-      FROM c0
-    ),
+    "\n    WITH "
+    + langid_cte_sql("documents", "doc_id, source, text")
+    + """,
     l AS (SELECT doc_id, source, lang_guess,
                  string_split(coalesce(text, ''), ' ') AS toks
           FROM lid WHERE lang_guess = 'en'),

@@ -1185,10 +1185,14 @@ def pq_train_kmeans(
     n_cents: int = 16,
     iters: int = 2,
     kernel: str = "arrow",
+    seed_codebook: PQCodebook | None = None,
 ) -> PQCodebook:
     """Lloyd-TRAINED PQ codebook: per-subspace fixed-point k-means over
     the int8 code grid, seeded from the sampled ``pq_train`` codebook
-    (``iters=0`` IS the sampled codebook — property-tested). This is the
+    (``iters=0`` IS the sampled codebook — property-tested).
+    ``seed_codebook`` skips the seed's own corpus passes when the caller
+    already trained the sampled lane (q_pq_compare trains both — without
+    the handoff it paid the bounds aggregate + seed collect twice). This is the
     quality lane the sampled codebook trades away: sampled centroids are
     whatever the n_cents lowest-id vectors happened to be, trained
     centroids minimize the per-subspace quantization error that bounds
@@ -1213,7 +1217,15 @@ def pq_train_kmeans(
         raise ValueError(f"pq_train_kmeans: need iters >= 0, got {iters}")
     if kernel not in ("arrow", "column"):
         raise ValueError(f"pq_train_kmeans: unknown kernel {kernel!r}")
-    cb = pq_train(df, vec_col, id_col, m, n_cents)
+    if seed_codebook is not None and (
+        seed_codebook.m != m or len(seed_codebook.cents) > n_cents
+    ):
+        raise ValueError(
+            "pq_train_kmeans: seed_codebook shape mismatch "
+            f"(m {seed_codebook.m} vs {m}, "
+            f"{len(seed_codebook.cents)} cents vs n_cents {n_cents})"
+        )
+    cb = seed_codebook or pq_train(df, vec_col, id_col, m, n_cents)
     if iters == 0:
         return cb
     dsub = cb.dsub

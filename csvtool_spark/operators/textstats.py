@@ -1158,3 +1158,64 @@ def boilerplate_stats(
             ).alias("boiler_ratio"),
         )
     )
+
+def _sql_word_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
+    """DuckDB CTE pair ``lidc``/``lid`` (no leading WITH): ``lid`` carries
+    ``cols`` (a comma-separated pass-through list, which should include
+    ``text_col`` if downstream CTEs need it) plus ``lang_guess`` computed
+    with the EXACT ``lang_id`` decision rule — marker lists and the
+    greatest-chain tie-break are GENERATED from ``LANG_MARKERS``, so the
+    SQL twin cannot drift from the Column implementation (round-8 review:
+    the CASE chain had been copy-pasted into four oracle sites)."""
+    langs = list(LANG_MARKERS)
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(string_split(lower({text_col}),' '), x -> x IN"
+        f" ({_sql_word_list(LANG_MARKERS[lang])}))) AS BIGINT) AS {lang}"
+        for lang in langs
+    )
+    chain = "\n                  ".join(
+        f"WHEN {lang} = greatest({', '.join(langs[i:])}) THEN '{lang}'"
+        for i, lang in enumerate(langs[:-1])
+    )
+    return f"""lidc AS (
+      SELECT {cols}, length({text_col}) AS __L,
+             length(regexp_replace({text_col}, '[^一-鿿]', '', 'g')) AS __cjk,
+             {counts}
+      FROM {table}
+    ),
+    lid AS (
+      SELECT {cols},
+             CASE WHEN __cjk * 4 > __L THEN 'zh'
+                  WHEN greatest({', '.join(langs)}) = 0 THEN 'unknown'
+                  {chain}
+                  ELSE '{langs[-1]}' END AS lang_guess
+      FROM lidc
+    )"""
+
+
+def quality_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
+    """DuckDB CTE pair ``qt``/``q`` (no leading WITH): ``q`` carries
+    ``cols`` plus ``quality`` — the exact ``quality_score`` expression
+    (length band, diversity, stopword share; stopword list generated from
+    ``ENGLISH_STOPWORDS``). One definition for every oracle twin."""
+    stops = _sql_word_list(ENGLISH_STOPWORDS)
+    return f"""qt AS (
+      SELECT {cols},
+             CAST(len(string_split({text_col}, ' ')) AS DOUBLE) AS __n,
+             CAST(len(list_distinct(string_split({text_col}, ' '))) AS DOUBLE) AS __nd,
+             CAST(len(list_filter(string_split(lower({text_col}), ' '),
+                  x -> x IN ({stops}))) AS DOUBLE) AS __stop
+      FROM {table}
+    ),
+    q AS (
+      SELECT {cols},
+             round((CASE WHEN __n >= 10 AND __n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+                   + coalesce(__nd / (CASE WHEN __n > 0 THEN __n END), 0.0) * 0.4
+                   + (CASE WHEN coalesce(__stop / (CASE WHEN __n > 0 THEN __n END), 0.0) > 0.02
+                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM qt
+    )"""

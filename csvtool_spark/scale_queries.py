@@ -68,22 +68,11 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_quality",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                  x -> x IN ('the','and','of','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop
-      FROM documents
-    )
-    SELECT doc_id,
-           round((CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
-                 + coalesce(nd / (CASE WHEN n > 0 THEN n END), 0.0) * 0.4
-                 + (CASE WHEN coalesce(stop / (CASE WHEN n > 0 THEN n END), 0.0) > 0.02
-                         THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
-    FROM t
-    """,
+    # ONE definition of the quality expression (textstats.quality_cte_sql,
+    # generated from ENGLISH_STOPWORDS) shared with q_dialect_curate
+    "WITH "
+    + textstats.quality_cte_sql("documents", "doc_id")
+    + "\n    SELECT doc_id, quality FROM q",
     registered=False,  # shadow (r8 swap for q_dialect_curate, whose
     # quality column is this same expression through the pipe surface)
 )
@@ -94,29 +83,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_langid",
-    """
-    WITH c AS (
-      SELECT doc_id, lang, length(text) AS L,
-             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('the','and','of','to','in','is','that','for','with','on'))) AS BIGINT) AS en,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('le','la','les','de','des','et','est','une','dans','pour'))) AS BIGINT) AS fr,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('der','die','das','und','ist','von','mit','den','ein','für'))) AS BIGINT) AS de,
-             CAST(len(list_filter(string_split(lower(text),' '), x -> x IN
-               ('el','la','los','de','y','es','una','en','por','que'))) AS BIGINT) AS es
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN cjk * 4 > L THEN 'zh'
-                WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
-                WHEN en = greatest(en, fr, de, es) THEN 'en'
-                WHEN fr = greatest(fr, de, es) THEN 'fr'
-                WHEN de = greatest(de, es) THEN 'de'
-                ELSE 'es' END AS lang_guess
-    FROM c
-    """,
+    # ONE definition of the langid decision SQL (textstats.langid_cte_sql,
+    # generated from LANG_MARKERS) shared with the dialect pipe twins
+    "WITH "
+    + textstats.langid_cte_sql("documents", "doc_id, lang")
+    + "\n    SELECT doc_id, lang, lang_guess FROM lid",
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -273,40 +244,14 @@ _JACC = """round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
     # 8 string band keys → band equi-join candidates → exact token-set
     # Jaccard verify ≥ 0.4. Bit-identical to the Spark md5 family
     # (hash arithmetic stays in non-negative int64, % 2^32 ≡ & mask).
-    f"""
-    WITH {_SHINGLE_CTE},
-    hs AS (
-      SELECT doc_id,
-             list_transform(sh, s -> {{
-               'h1': CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
-               'h2': CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)}}) AS hs
-      FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             list_transform(range(0, 32), i ->
-               list_min(list_transform(hs,
-                 h -> (h.h1 + i * (h.h2 | 1)) % 4294967296))) AS sig
-      FROM hs
-    ),
-    bands AS (
-      SELECT doc_id, b AS band_id,
-             array_to_string(list_transform(sig[b*4 + 1 : b*4 + 4],
-               x -> CAST(x AS VARCHAR)), ',') AS band_key
-      FROM sig, unnest(generate_series(0, 7)) AS u(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id
-    ),
-    tokset AS (SELECT doc_id, list_distinct(t) AS ts FROM toks)
-    SELECT c.id_a, c.id_b, {_JACC} AS jaccard
-    FROM cand c JOIN tokset x ON x.doc_id = c.id_a
-                JOIN tokset y ON y.doc_id = c.id_b
-    WHERE {_JACC} >= 0.4e0
-    """,
+    # ONE definition of the CTE chain — dedup.minhash_pairs_cte_sql — is
+    # shared with the dialect neardup pipe twin (round-8 review: the
+    # builder originally duplicated this SQL inline; copied SQL drifts).
+    "WITH "
+    + dedup.minhash_pairs_cte_sql(
+        "documents", threshold=0.4, n_hashes=32, bands=8
+    )
+    + "\n    SELECT id_a, id_b, jaccard FROM mh_pairs",
 )
 def q_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-engine-deterministic md5-lane twin of q_dedup_minhash: same
@@ -1906,7 +1851,7 @@ def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_s = similarity.pq_train(e, "embedding", "vec_id", m=_PQ_M, n_cents=_PQ_CENTS)
     cb_t = similarity.pq_train_kmeans(
         e, "embedding", "vec_id", m=_PQ_M, n_cents=_PQ_CENTS,
-        iters=_PQ_KM_ITERS,
+        iters=_PQ_KM_ITERS, seed_codebook=cb_s,  # one seed pass, not two
     )
     return similarity.pq_recall_compare(
         e, "embedding", "vec_id", queries, 10,

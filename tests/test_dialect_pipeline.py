@@ -508,3 +508,48 @@ def test_bpe_stage(eng, docs, spark, tmp_path):
         )
     with pytest.raises(SemanticError, match="requires merges"):
         eng.sql("select doc_id, text from documents |> bpe(text)")
+
+
+def test_review_fixes_round8(eng, spark):
+    """Round-8 review regressions: (1) pack must keep null-text docs as
+    zero-token spans instead of silently dropping them; (2) a result that
+    already has text_dedup must not make despan's join ambiguous; (3) a
+    wrong-case/unknown langid keep= raises instead of matching nothing."""
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    eng.register("nulldocs", d)
+    rows = eng.sql(
+        "select doc_id, text from nulldocs "
+        "|> tokens(text) |> pack(n_tokens, id=doc_id, budget=4)"
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert [r["n_tok"] for r in rows if r["doc_id"] == 2] == [0]
+
+    d2 = spark.createDataFrame(
+        [(1, "p q r s t u v w", "x"), (2, "p q r s t u v w", "y")],
+        "doc_id long, text string, text_dedup string",
+    )
+    eng.register("clashdocs", d2)
+    out = eng.sql(
+        "select doc_id, text, text_dedup from clashdocs "
+        "|> despan(text, id=doc_id, k=3)"
+    )
+    assert out.columns == ["doc_id", "text", "text_dedup"]
+    got = {r["doc_id"]: (r["text"], r["text_dedup"]) for r in out.collect()}
+    assert got[2][0] == "" and got[2][1] == "y"  # user column untouched
+
+    # wrong CASE is forgiven (lowered before the vocabulary check) ...
+    a = eng.sql(
+        "select doc_id, text from documents |> langid(text, keep=EN)"
+    ).count()
+    b = eng.sql(
+        "select doc_id, text from documents |> langid(text, keep=en)"
+    ).count()
+    assert a == b > 0
+    # ... an unknown code is not
+    with pytest.raises(SemanticError, match="keep= must be one of"):
+        eng.sql(
+            "select doc_id, text from documents |> langid(text, keep=english)"
+        )

@@ -226,3 +226,21 @@ def test_trained_stack_grid_report(emb):
     assert pq_train_kmeans(
         emb, "embedding", "vec_id", m=8, n_cents=16, iters=1
     ).cents == cbs["t"].cents
+
+
+def test_pq_train_kmeans_seed_handoff(emb):
+    """seed_codebook= must reproduce the self-seeded training exactly
+    (same seed, same rounds) and reject shape mismatches."""
+    import pytest
+
+    cb_s = pq_train(emb, "embedding", "vec_id", m=8, n_cents=16)
+    a = pq_train_kmeans(emb, "embedding", "vec_id", m=8, n_cents=16, iters=1)
+    b = pq_train_kmeans(
+        emb, "embedding", "vec_id", m=8, n_cents=16, iters=1,
+        seed_codebook=cb_s,
+    )
+    assert a.cents == b.cents and (a.mn, a.mx) == (b.mn, b.mx)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        pq_train_kmeans(
+            emb, "embedding", "vec_id", m=4, n_cents=16, seed_codebook=cb_s
+        )

@@ -49,10 +49,12 @@ def main() -> int:
         "sampled": ivf_centroids(e, "embedding", "vec_id", n_cells),
         "trained": ivf_train(e, "embedding", "vec_id", n_cells, iters=2),
     }
+    sampled_cb = pq_train(e, "embedding", "vec_id", m, n_cents)
     cbs = {
-        "sampled": pq_train(e, "embedding", "vec_id", m, n_cents),
+        "sampled": sampled_cb,
         "trained": pq_train_kmeans(
-            e, "embedding", "vec_id", m=m, n_cents=n_cents, iters=2
+            e, "embedding", "vec_id", m=m, n_cents=n_cents, iters=2,
+            seed_codebook=sampled_cb,
         ),
     }
     grid = {}
