@@ -536,7 +536,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 #: see past and stay batch-only.
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
-    "hash_sample", "split", "chunk", "bpe",
+    "hash_sample", "split", "chunk", "bpe", "clean",
 }
 
 
@@ -632,6 +632,32 @@ def _stage_pack(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     )
 
 
+def _stage_clean(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``clean(text [, min_words=3, terminal=1])`` — C4-style cleaning
+    (Raffel et al. 2020 §2.2, operators.textstats): the text column is
+    rewritten keeping only lines with ≥ min_words words, a
+    terminal-punctuation ending (``terminal=0`` waives it — e.g. for
+    code/log corpora) and no "javascript" mention; pages tripping the
+    page-level blocklist ("lorem ipsum", curly bracket) are DROPPED.
+    Pure projection + filter — streaming-safe."""
+    from csvtool_spark.operators.textstats import c4_clean_lines, c4_page_flags
+
+    _no_extra_kwargs(st, {"min_words", "terminal"})
+    text = _text_arg(df, st)
+    mw = _int_kwarg(st, "min_words", 3)
+    if mw < 1:
+        raise SemanticError("stage 'clean': min_words must be >= 1")
+    term = _int_kwarg(st, "terminal", 1) != 0
+    # NULL text is not a page-drop (the flag is NULL there) — it rides
+    # through as NULL, same as the Column lane
+    return df.filter(
+        ~F.coalesce(c4_page_flags(F.col(text)), F.lit(False))
+    ).withColumn(
+        text,
+        c4_clean_lines(F.col(text), min_words=mw, require_terminal=term),
+    )
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -648,4 +674,5 @@ STAGES = {
     "chunk": _stage_chunk,
     "pack": _stage_pack,
     "bpe": _stage_bpe,
+    "clean": _stage_clean,
 }

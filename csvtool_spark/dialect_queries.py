@@ -461,3 +461,66 @@ dialect(
     registered=False,  # shadow: packing semantics hold the in-window
     # q_pack_sequences slot; this pins the pipe composition tokens->pack
 )
+
+
+def _q_dialect_pipe_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dialect: select doc_id, text from linedocs |> clean(text) — C4
+    line-level cleaning through the pipe. The corpus is single-line token
+    soup, so linedocs derives deterministic 25-token lines first (the
+    q_paragraph_dedup derivation, single-newline separator)."""
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(F.ceil(F.size(toks) / F.lit(25.0)).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda j: F.array_join(F.slice(toks, j * 25 + 1, 25), " "),
+    )
+    eng = _engine(spark, sf_dir)
+    eng.register(
+        "linedocs",
+        d.select(
+            "doc_id",
+            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(lines, "\n"))
+            .alias("text"),
+        ),
+    )
+    return eng.sql(
+        "select doc_id, text from linedocs |> clean(text, min_words=10, terminal=0)"
+    )
+
+
+def _pipe_clean_oracle() -> str:
+    from csvtool_spark.operators.textstats import c4_clean_sql
+
+    return f"""
+    WITH dtoks AS (
+      SELECT doc_id, text AS __orig, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT doc_id,
+             CASE WHEN __orig IS NULL THEN NULL ELSE
+               array_to_string(list_transform(
+                 range(0, greatest(CAST(ceil(len(t) / 25.0) AS BIGINT), 1)),
+                 j -> array_to_string(t[j*25+1 : j*25+25], ' ')),
+                 chr(10))
+             END AS text
+      FROM dtoks
+    ),
+    {c4_clean_sql("docs2", "doc_id", min_words=10, require_terminal=False)}
+    SELECT doc_id, text_clean AS text FROM c4c WHERE NOT coalesce(c4_drop, false)
+    """
+
+
+register(
+    "q_dialect_pipe_clean",
+    _pipe_clean_oracle(),
+    registered=False,  # shadow: pins the C4 clean stage end to end (line
+    # word-count + terminal-punctuation + blocklist rules vs the
+    # generated DuckDB twin)
+)(_q_dialect_pipe_clean)

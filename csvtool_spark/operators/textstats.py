@@ -1219,3 +1219,101 @@ def quality_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
                            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
       FROM qt
     )"""
+
+#: C4 rules (Raffel et al. 2020 §2.2), lowercased substring matches:
+#: LINE-level blocklist (the paper drops any line with the word
+#: "javascript") and PAGE-level blocklist ("lorem ipsum" phrase, curly
+#: bracket). Pages tripping the page list are dropped whole.
+C4_LINE_BLOCKLIST = ["javascript"]
+C4_PAGE_BLOCKLIST = ["lorem ipsum", "{"]
+
+#: Terminal punctuation a kept line must end with (C4's "terminal
+#: punctuation mark" rule).
+C4_TERMINALS = [".", "!", "?", '"']
+
+
+def _any_of(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def c4_clean_lines(
+    col: Column,
+    min_words: int = 3,
+    require_terminal: bool = True,
+    sep: str = "\n",
+) -> Column:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) as a pure
+    Column expression: split on ``sep``, keep lines with at least
+    ``min_words`` whitespace words (the paper's 3), a terminal
+    punctuation ending (optional), and no line-blocklist hit
+    ("javascript"); re-join. NULL text stays NULL; a fully-filtered
+    document becomes ``''``. Page-level rules live in ``c4_page_flags``
+    so callers can drop whole documents separately."""
+
+    def line_ok(ln: Column) -> Column:
+        ok = F.size(F.split(F.trim(ln), " ")) >= min_words
+        if require_terminal:
+            ok = ok & _any_of(
+                [F.endswith(F.trim(ln), F.lit(t)) for t in C4_TERMINALS]
+            )
+        ok = ok & ~_any_of(
+            [F.lower(ln).contains(F.lit(m)) for m in C4_LINE_BLOCKLIST]
+        )
+        return ok
+
+    lines = F.split(col, "\\Q" + sep + "\\E")
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(F.filter(lines, line_ok), sep)
+    )
+
+
+def c4_page_flags(col: Column) -> Column:
+    """True when the page trips a C4 page-level drop rule: any page
+    blocklist substring (lowercased match). Callers filter ``~flag``."""
+    low = F.lower(col)
+    return _any_of([low.contains(F.lit(m)) for m in C4_PAGE_BLOCKLIST])
+
+
+def c4_clean_sql(
+    table: str,
+    cols: str,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    sep: str = "\n",
+) -> str:
+    """DuckDB CTE ``c4c`` (no leading WITH): ``cols`` plus the cleaned
+    ``text_clean`` and the page-drop flag ``c4_drop`` — generated from
+    the same constants as the Column lanes, so the twins cannot drift.
+    The coalesce on text_clean covers the fully-filtered edge:
+    ``array_to_string([])`` is NULL in DuckDB where Spark's
+    ``array_join`` gives ''."""
+    sep_expr = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    terms = " OR ".join(
+        "ends_with(trim(ln), '" + t.replace("'", "''") + "')"
+        for t in C4_TERMINALS
+    )
+    term_clause = f"AND ({terms})" if require_terminal else ""
+    line_blocks = " OR ".join(
+        "contains(lower(ln), '" + m.replace("'", "''") + "')"
+        for m in C4_LINE_BLOCKLIST
+    )
+    page_blocks = " OR ".join(
+        f"contains(lower({text_col}), '" + m.replace("'", "''") + "')"
+        for m in C4_PAGE_BLOCKLIST
+    )
+    return f"""c4c AS (
+      SELECT {cols},
+             CASE WHEN {text_col} IS NULL THEN NULL ELSE
+               coalesce(array_to_string(
+                 list_filter(string_split({text_col}, {sep_expr}),
+                   ln -> len(string_split(trim(ln), ' ')) >= {min_words}
+                         {term_clause}
+                         AND NOT ({line_blocks})), {sep_expr}), '')
+             END AS text_clean,
+             ({page_blocks}) AS c4_drop
+      FROM {table}
+    )"""

@@ -553,3 +553,28 @@ def test_review_fixes_round8(eng, spark):
         eng.sql(
             "select doc_id, text from documents |> langid(text, keep=english)"
         )
+
+
+def test_clean_stage_c4_rules(eng, spark):
+    rows = [
+        (1, "Good long sentence right here.\nshort\nNo terminal punct in this one\n"
+            "Another perfectly fine sentence stays!\nthis long line mentions javascript sadly."),
+        (2, "Totally fine page lorem ipsum inside."),
+        (3, "A curly { bracket page stays not."),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    eng.register("c4docs", d)
+    out = {r["doc_id"]: r["text"] for r in eng.sql(
+        "select doc_id, text from c4docs |> clean(text)"
+    ).collect()}
+    assert set(out) == {1, 4}  # pages 2/3 tripped the page blocklist
+    assert out[1] == ("Good long sentence right here.\n"
+                      "Another perfectly fine sentence stays!")
+    assert out[4] is None  # null rides through, not page-dropped
+    # terminal=0 waives the punctuation rule
+    out2 = {r["doc_id"]: r["text"] for r in eng.sql(
+        "select doc_id, text from c4docs |> clean(text, terminal=0)"
+    ).collect()}
+    assert "No terminal punct in this one" in out2[1]
+    assert "javascript" not in out2[1]  # line blocklist still applies
