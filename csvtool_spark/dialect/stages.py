@@ -658,6 +658,72 @@ def _stage_clean(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     )
 
 
+def _stage_derep(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``derep(text, id=k [, k=8])`` — WITHIN-document repetition removal
+    (operators.dedup.remove_repeated_spans): any k-window whose hash
+    already occurred earlier in the same document drops its covered
+    positions, keeping the first occurrence — trims loops/boilerplate
+    echoes where the Gopher-style repetition filters would drop the whole
+    document. Text rewritten in place, other columns preserved (the
+    despan join-back plumbing)."""
+    from csvtool_spark.operators.dedup import remove_repeated_spans
+
+    _no_extra_kwargs(st, {"id", "k"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    rewritten = remove_repeated_spans(
+        df, text, idc, k=_int_kwarg(st, "k", 8)
+    ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
+    return df.drop(text).join(rewritten, idc).select(
+        *[
+            F.col("__despan_txt").alias(text) if c == text else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``mixture(source, key=k, tokens=n_col, <src>=<ppm>, ...)`` —
+    token-budget data mixing (operators.sampling.mixture_resample):
+    downsample sources to target ppm shares with the deterministic
+    key-hash coin (sources without a share are dropped); appends the
+    audit ``keep_ppm`` column. Compose as ``|> tokens(text) |>
+    mixture(source, key=doc_id, tokens=n_tokens, src0=500000,
+    src1=500000)``."""
+    from csvtool_spark.operators.sampling import mixture_resample
+
+    if len(st.args) != 1:
+        raise SemanticError(
+            "stage 'mixture' takes exactly one source column argument"
+        )
+    source = _resolve_col(df, st, st.args[0])
+    key = st.kwargs.get("key")
+    tok = st.kwargs.get("tokens")
+    if key is None or tok is None:
+        raise SemanticError(
+            "stage 'mixture' requires key=<column> and tokens=<column>"
+        )
+    keyc, tokc = _resolve_col(df, st, key), _resolve_col(df, st, tok)
+    if "keep_ppm" in {c.lower() for c in df.columns}:
+        raise SemanticError(
+            "stage 'mixture': output column 'keep_ppm' already exists"
+        )
+    target: dict[str, int] = {}
+    for k2, v in st.kwargs.items():
+        if k2 in ("key", "tokens"):
+            continue
+        if not v.val.isdigit() or int(v.val) <= 0:
+            raise SemanticError(
+                f"stage 'mixture': {k2}= expects a positive ppm share, "
+                f"got '{v.val}'"
+            )
+        target[k2] = int(v.val)
+    if not target:
+        raise SemanticError(
+            "stage 'mixture' needs at least one <source>=<ppm> share"
+        )
+    return mixture_resample(df, source, keyc, tokc, target)
+
+
 STAGES = {
     "dedup": _stage_dedup,
     "neardup": _stage_neardup,
@@ -675,4 +741,6 @@ STAGES = {
     "pack": _stage_pack,
     "bpe": _stage_bpe,
     "clean": _stage_clean,
+    "derep": _stage_derep,
+    "mixture": _stage_mixture,
 }

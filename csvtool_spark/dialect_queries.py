@@ -524,3 +524,34 @@ register(
     # word-count + terminal-punctuation + blocklist rules vs the
     # generated DuckDB twin)
 )(_q_dialect_pipe_clean)
+
+
+dialect(
+    "q_dialect_pipe_mixture",
+    # token-budget data mixing from SQL: 50/30/20 target shares, the
+    # q_mixture integer-arithmetic rate rule, deterministic hash coin
+    "select doc_id, source, text from documents "
+    "|> tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
+    "src0=500000, src1=300000, src2=200000)",
+    """
+    WITH w(source, w_ppm) AS (
+      VALUES ('src0', CAST(500000 AS BIGINT)),
+             ('src1', CAST(300000 AS BIGINT)),
+             ('src2', CAST(200000 AS BIGINT))
+    ),
+    n AS (SELECT doc_id, source, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+    c AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok
+          FROM n GROUP BY source),
+    s AS (SELECT c.source, tok, w_ppm FROM c JOIN w USING (source)),
+    t AS (SELECT min(tok * 1000000 // w_ppm) AS T FROM s),
+    r AS (SELECT source, least(1000000, w_ppm * t.T // tok) AS keep_ppm FROM s, t)
+    SELECT n.doc_id, n.source, n.text, n.n_tokens, r.keep_ppm
+    FROM n JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < r.keep_ppm
+    """,
+    registered=False,  # shadow: the mixing rule also rides q_mixture;
+    # this pins the pipe-stage composition tokens -> mixture
+)

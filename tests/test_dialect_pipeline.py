@@ -578,3 +578,55 @@ def test_clean_stage_c4_rules(eng, spark):
     ).collect()}
     assert "No terminal punct in this one" in out2[1]
     assert "javascript" not in out2[1]  # line blocklist still applies
+
+
+def test_derep_stage(eng, spark):
+    from csvtool_spark.operators.dedup import remove_repeated_spans
+
+    d = spark.createDataFrame(
+        [(1, "p q r s p q r s tail words here", "m")],
+        "doc_id long, text string, meta string",
+    )
+    eng.register("repdocs", d)
+    out = eng.sql(
+        "select doc_id, meta, text from repdocs |> derep(text, id=doc_id, k=4)"
+    ).collect()
+    expect = remove_repeated_spans(d, "text", "doc_id", k=4).collect()[0]
+    assert out[0]["text"] == expect["text_dedup"]
+    assert out[0]["meta"] == "m"
+    assert "p q r s p q r s" not in out[0]["text"]
+
+
+def test_mixture_stage(eng, docs):
+    from csvtool_spark.operators import textstats
+    from csvtool_spark.operators.sampling import mixture_resample
+
+    out = eng.sql(
+        "select doc_id, source, text from documents "
+        "|> tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
+        "src0=500000, src1=500000)"
+    )
+    assert "keep_ppm" in out.columns
+    staged = docs.select(
+        "doc_id", "source",
+        textstats.token_count(F.col("text")).alias("__n"),
+    )
+    expect = {
+        r["doc_id"]
+        for r in mixture_resample(
+            staged, "source", "doc_id", "__n",
+            {"src0": 500_000, "src1": 500_000},
+        ).collect()
+    }
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect and 0 < len(got)
+    with pytest.raises(SemanticError, match="positive ppm"):
+        eng.sql(
+            "select doc_id, source, text from documents |> tokens(text) "
+            "|> mixture(source, key=doc_id, tokens=n_tokens, src0=0)"
+        )
+    with pytest.raises(SemanticError, match="at least one"):
+        eng.sql(
+            "select doc_id, source, text from documents |> tokens(text) "
+            "|> mixture(source, key=doc_id, tokens=n_tokens)"
+        )
