@@ -688,7 +688,9 @@ def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     key-hash coin (sources without a share are dropped); appends the
     audit ``keep_ppm`` column. Compose as ``|> tokens(text) |>
     mixture(source, key=doc_id, tokens=n_tokens, src0=500000,
-    src1=500000)``."""
+    src1=500000)``. NB: the parser lowercases keyword names, so source
+    labels with uppercase characters are not addressable from the SQL
+    surface — use ``sampling.mixture_resample`` directly for those."""
     from csvtool_spark.operators.sampling import mixture_resample
 
     if len(st.args) != 1:
