@@ -144,6 +144,25 @@ def _no_extra_kwargs(st: ast.Stage, allowed: set[str]) -> None:
 # --- stages -----------------------------------------------------------------
 
 
+def _join_back_rewritten(
+    df: DataFrame, rewritten: DataFrame, text: str, idc: str
+) -> DataFrame:
+    """Shared tail of the in-place text-rewrite stages (despan, derep):
+    join the (id, text_dedup) frame back and splice the rewritten text
+    into the original column order. The rewrite column travels under a
+    reserved alias so a user column named text_dedup cannot make the
+    join ambiguous (round-8 review)."""
+    r = rewritten.select(
+        F.col(idc), F.col("text_dedup").alias("__rw_txt")
+    )
+    return df.drop(text).join(r, idc).select(
+        *[
+            F.col("__rw_txt").alias(text) if c == text else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _stage_dedup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``dedup(text, id=k)`` — exact dedup: keep the lowest-id row per
     normalized text (operators.dedup.exact_dedup's identity — md5 of
@@ -228,9 +247,9 @@ def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         # C4-style language gate: keep only the requested guess. Validate
         # against the guesser's actual vocabulary — 'keep=EN' or
         # 'keep=english' would otherwise silently return zero rows
-        from csvtool_spark.operators.textstats import lang_marker_counts
+        from csvtool_spark.operators.textstats import LANG_MARKERS
 
-        allowed = set(lang_marker_counts(F.lit(""))) | {"zh", "unknown"}
+        allowed = set(LANG_MARKERS) | {"zh", "unknown"}
         want = keep.val.lower()
         if want not in allowed:
             raise SemanticError(
@@ -446,7 +465,7 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             min_docs=_int_kwarg(st, "min_docs", 2),
             min_run_tokens=min_run,
             keep=keep,
-        ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
+        )
     else:
         rewritten = remove_duplicate_spans(
             df,
@@ -455,13 +474,8 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             k=_int_kwarg(st, "k", 8),
             min_docs=_int_kwarg(st, "min_docs", 2),
             keep=keep,
-        ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
-    return df.drop(text).join(rewritten, idc).select(
-        *[
-            F.col("__despan_txt").alias(text) if c == text else F.col(c)
-            for c in df.columns
-        ]
-    )
+        )
+    return _join_back_rewritten(df, rewritten, text, idc)
 
 
 def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
@@ -578,9 +592,13 @@ def _stage_bpe(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             "artifact; see operators.bpe.save_merges)"
         )
     name = _out_name(df, st, "bpe_tokens")
-    if "n_bpe_tokens" in {c.lower() for c in df.columns}:
+    if (
+        "n_bpe_tokens" in {c.lower() for c in df.columns}
+        or name.lower() == "n_bpe_tokens"
+    ):
         raise SemanticError(
-            "stage 'bpe': output column 'n_bpe_tokens' already exists"
+            "stage 'bpe': output column 'n_bpe_tokens' already exists "
+            "(the stage appends it alongside the token array)"
         )
     try:
         merges = load_merges(df.sparkSession, marg.val)
@@ -670,15 +688,8 @@ def _stage_derep(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
     _no_extra_kwargs(st, {"id", "k"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
-    rewritten = remove_repeated_spans(
-        df, text, idc, k=_int_kwarg(st, "k", 8)
-    ).select(F.col(idc), F.col("text_dedup").alias("__despan_txt"))
-    return df.drop(text).join(rewritten, idc).select(
-        *[
-            F.col("__despan_txt").alias(text) if c == text else F.col(c)
-            for c in df.columns
-        ]
-    )
+    rewritten = remove_repeated_spans(df, text, idc, k=_int_kwarg(st, "k", 8))
+    return _join_back_rewritten(df, rewritten, text, idc)
 
 
 def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
@@ -690,7 +701,9 @@ def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     mixture(source, key=doc_id, tokens=n_tokens, src0=500000,
     src1=500000)``. NB: the parser lowercases keyword names, so source
     labels with uppercase characters are not addressable from the SQL
-    surface — use ``sampling.mixture_resample`` directly for those."""
+    surface, and sources literally named 'key' or 'tokens' collide with
+    the reserved kwargs — use ``sampling.mixture_resample`` directly for
+    those."""
     from csvtool_spark.operators.sampling import mixture_resample
 
     if len(st.args) != 1:

@@ -441,15 +441,18 @@ dialect(
       FROM documents
     ),
     c AS (
-      SELECT doc_id, n_tokens,
-             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      -- coalesce: the engine packs a NULL token count as a zero-token
+      -- doc (stages.py _stage_pack); DuckDB least/greatest ignore NULLs,
+      -- so raw NULL arithmetic here would emit a WRONG nonzero span
+      SELECT doc_id, coalesce(n_tokens, 0) AS n0,
+             CAST(coalesce(SUM(coalesce(n_tokens, 0)) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
       FROM t
     ),
     u AS (
-      SELECT doc_id, s, s + n_tokens AS e,
+      SELECT doc_id, s, s + n0 AS e,
              unnest(generate_series(s // 512,
-               greatest(s // 512, (s + n_tokens - 1) // 512))) AS seq_id
+               greatest(s // 512, (s + n0 - 1) // 512))) AS seq_id
       FROM c
     )
     SELECT t.doc_id, t.source, t.text, t.n_tokens, u.seq_id,

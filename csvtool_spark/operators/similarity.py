@@ -1217,14 +1217,20 @@ def pq_train_kmeans(
         raise ValueError(f"pq_train_kmeans: need iters >= 0, got {iters}")
     if kernel not in ("arrow", "column"):
         raise ValueError(f"pq_train_kmeans: unknown kernel {kernel!r}")
-    if seed_codebook is not None and (
-        seed_codebook.m != m or len(seed_codebook.cents) > n_cents
-    ):
-        raise ValueError(
-            "pq_train_kmeans: seed_codebook shape mismatch "
-            f"(m {seed_codebook.m} vs {m}, "
-            f"{len(seed_codebook.cents)} cents vs n_cents {n_cents})"
-        )
+    if seed_codebook is not None:
+        if seed_codebook.m != m or len(seed_codebook.cents) > n_cents:
+            raise ValueError(
+                "pq_train_kmeans: seed_codebook shape mismatch "
+                f"(m {seed_codebook.m} vs {m}, "
+                f"{len(seed_codebook.cents)} cents vs n_cents {n_cents})"
+            )
+        frame_dim = _vec_dim(df, vec_col)
+        seed_dim = len(seed_codebook.cents[0])
+        if frame_dim is not None and frame_dim != seed_dim:
+            raise ValueError(
+                "pq_train_kmeans: seed_codebook dim "
+                f"{seed_dim} != corpus vector dim {frame_dim}"
+            )
     cb = seed_codebook or pq_train(df, vec_col, id_col, m, n_cents)
     if iters == 0:
         return cb

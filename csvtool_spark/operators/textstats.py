@@ -1189,7 +1189,8 @@ def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
     ),
     lid AS (
       SELECT {cols},
-             CASE WHEN __cjk * 4 > __L THEN 'zh'
+             CASE WHEN __L IS NULL THEN 'unknown'
+                  WHEN __cjk * 4 > __L THEN 'zh'
                   WHEN greatest({', '.join(langs)}) = 0 THEN 'unknown'
                   {chain}
                   ELSE '{langs[-1]}' END AS lang_guess

@@ -1184,7 +1184,8 @@ _PACK_BUDGET = 2048
     # two-phase partition-offset scan must produce identical spans.
     f"""
     WITH t AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      -- coalesce: NULL text packs as a zero-token doc in BOTH lanes
+      SELECT doc_id, CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n
       FROM documents
     ),
     c AS (
@@ -1210,7 +1211,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators.packing import pack_sequences
 
     d = load(spark, sf_dir, "documents")
-    sized = d.select("doc_id", textstats.token_count(F.col("text")).alias("n"))
+    sized = d.select(
+        "doc_id",
+        F.coalesce(textstats.token_count(F.col("text")), F.lit(0)).alias("n"),
+    )
     return pack_sequences(sized, "doc_id", "n", _PACK_BUDGET)
 
 

@@ -630,3 +630,63 @@ def test_mixture_stage(eng, docs):
             "select doc_id, source, text from documents |> tokens(text) "
             "|> mixture(source, key=doc_id, tokens=n_tokens)"
         )
+
+
+def test_second_review_fixes_round8(eng, spark):
+    """Second review pass: NULL-text pack oracle agreement, langid NULL ->
+    unknown in the generated SQL twin, and the bpe as= collision guard."""
+    import duckdb
+
+    from csvtool_spark.operators.textstats import langid_cte_sql
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    # engine: NULL-text doc packs as one zero-token span (first pass);
+    # the oracle formula with coalesce now matches (second pass) — pin
+    # both numbers here so neither lane can drift again
+    eng.register("nulldocs2", d)
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in eng.sql(
+            "select doc_id, text from nulldocs2 "
+            "|> tokens(text) |> pack(n_tokens, id=doc_id, budget=4)"
+        ).collect()
+    }
+    assert got[2] == 0
+    con = duckdb.connect()
+    con.register("d", d.toPandas())
+    oracle = con.execute(
+        """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+                   FROM d),
+        c AS (SELECT doc_id, coalesce(n_tokens, 0) AS n0,
+                     CAST(coalesce(SUM(coalesce(n_tokens,0)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+              FROM t),
+        u AS (SELECT doc_id, s, s + n0 AS e,
+                     unnest(generate_series(s // 4,
+                       greatest(s // 4, (s + n0 - 1) // 4))) AS seq_id
+              FROM c)
+        SELECT doc_id, least(e, (seq_id+1)*4) - greatest(s, seq_id*4) AS n_tok
+        FROM u ORDER BY doc_id
+        """
+    ).fetchall()
+    assert {r[0]: r[1] for r in oracle}[2] == 0
+
+    # langid SQL twin: NULL text is 'unknown' (was 'es' via NULL CASE
+    # fallthrough), matching both Spark kernels
+    rows = con.execute(
+        "WITH " + langid_cte_sql("d", "doc_id")
+        + " SELECT doc_id, lang_guess FROM lid ORDER BY doc_id"
+    ).fetchall()
+    assert dict(rows)[2] == "unknown"
+
+    # bpe as= cannot shadow the stage's own count column
+    with pytest.raises(SemanticError, match="n_bpe_tokens"):
+        eng.sql(
+            "select doc_id, text from documents "
+            "|> bpe(text, merges='/tmp/x.parquet', as=n_bpe_tokens)"
+        )
