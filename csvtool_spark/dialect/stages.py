@@ -188,17 +188,23 @@ def _stage_dedup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 
 def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
-    """``neardup(text, id=k [, threshold=0.5, n_hashes=32, bands=8])`` —
-    MinHash-LSH near-dup removal: drop every row that verifies ≥ threshold
-    Jaccard against a LOWER-id row (the greedy pairwise keep rule — B goes
-    even when its partner A was itself removed by an earlier pair; the
-    transitive-closure variant is ``operators.components`` territory).
-    md5 hash family, so the whole pipeline stays cross-engine
-    reproducible (the q_dedup_minhash_det lane)."""
+    """``neardup(text, id=k [, threshold=0.5, n_hashes=32, bands=8,
+    transitive=0])`` — MinHash-LSH near-dup removal, md5 hash family so
+    the whole pipeline stays cross-engine reproducible (the
+    q_dedup_minhash_det lane). Two keep rules:
+
+    - default (``transitive=0``): greedy pairwise — drop every row that
+      verifies ≥ threshold Jaccard against a LOWER-id row (B goes even
+      when its partner A was itself removed by an earlier pair);
+    - ``transitive=1``: connected components over the verified pairs
+      (operators.components alternating-star, O(log n) rounds) and keep
+      exactly ONE row per duplicate cluster — the min-id survivor. The
+      canonical corpus-dedup rule; strictly fewer survivors on chains
+      A~B~C where A~C itself fails the threshold."""
     from csvtool_spark.functions.caching import attach_stages
     from csvtool_spark.operators.dedup import near_dup_pairs_minhash
 
-    _no_extra_kwargs(st, {"id", "threshold", "n_hashes", "bands"})
+    _no_extra_kwargs(st, {"id", "threshold", "n_hashes", "bands", "transitive"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
     n_hashes = _int_kwarg(st, "n_hashes", 32)
     bands = _int_kwarg(st, "bands", 8)
@@ -221,13 +227,21 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         bands=bands,
         hash_family="md5",
     )
-    losers = pairs.select(F.col("id_b").alias(idc)).distinct()
+    if _int_kwarg(st, "transitive", 0):
+        from csvtool_spark.operators.components import dedup_clusters
+
+        survivors = (
+            dedup_clusters(df.select(F.col(idc)), pairs, idc)
+            .filter("is_survivor")
+            .select(idc)
+        )
+        out = df.join(survivors, idc, "left_semi")
+    else:
+        losers = pairs.select(F.col("id_b").alias(idc)).distinct()
+        out = df.join(losers, idc, "left_anti")
     # the pair pipeline's persisted stages ride the result so consumers
     # can free them after the action (caching.release_stages contract)
-    return attach_stages(
-        df.join(losers, idc, "left_anti"),
-        getattr(pairs, "_persisted_stages", []),
-    )
+    return attach_stages(out, getattr(pairs, "_persisted_stages", []))
 
 
 def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:

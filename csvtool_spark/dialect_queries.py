@@ -558,3 +558,34 @@ dialect(
     registered=False,  # shadow: the mixing rule also rides q_mixture;
     # this pins the pipe-stage composition tokens -> mixture
 )
+
+
+def _pipe_ccdedup_oracle() -> str:
+    from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
+
+    return f"""
+    WITH RECURSIVE {minhash_pairs_cte_sql("documents", threshold=0.4)},
+    e AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN comp USING (doc_id)
+    WHERE doc_id = component
+    """
+
+
+dialect(
+    "q_dialect_pipe_ccdedup",
+    # transitive-closure near-dup from SQL: connected components over the
+    # verified MinHash pairs, exactly one survivor per duplicate cluster
+    "select doc_id, text from documents "
+    "|> neardup(text, id=doc_id, threshold=0.4, transitive=1)",
+    _pipe_ccdedup_oracle(),
+    registered=False,  # shadow: the component machinery is in-window via
+    # q_dedup_clusters; this pins the pipe-stage keep-one-per-cluster rule
+)

@@ -690,3 +690,35 @@ def test_second_review_fixes_round8(eng, spark):
             "select doc_id, text from documents "
             "|> bpe(text, merges='/tmp/x.parquet', as=n_bpe_tokens)"
         )
+
+
+def test_neardup_transitive_keeps_one_per_cluster(eng, docs):
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators.components import dedup_clusters
+    from csvtool_spark.operators.dedup import near_dup_pairs_minhash
+
+    out = eng.sql(
+        "select doc_id, text from documents "
+        "|> neardup(text, id=doc_id, threshold=0.4, transitive=1)"
+    )
+    pairs = near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
+        hash_family="md5",
+    )
+    expect = {
+        r["doc_id"]
+        for r in dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+        .filter("is_survivor").collect()
+    }
+    release_stages(pairs)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect
+    release_stages(out)
+    # transitive removes at least as many rows as greedy
+    greedy = eng.sql(
+        "select doc_id, text from documents "
+        "|> neardup(text, id=doc_id, threshold=0.4)"
+    )
+    greedy_ids = {r["doc_id"] for r in greedy.collect()}
+    release_stages(greedy)
+    assert got <= greedy_ids
