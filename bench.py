@@ -146,7 +146,20 @@ def main() -> None:
             out["ab_control"] = bench_ab.ab_control(out)
         except Exception as e:  # noqa: BLE001 — diagnostic block only
             out["ab_control"] = {"error": str(e)[:300]}
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # The driver captures a bounded tail of stdout, and the ab_control
+    # block can push the JSON line past it (BENCH_r08 'parsed: null').
+    # Persist the full line as a sidecar so the record never depends on
+    # tail capture size (round-8 verdict item 4).
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        with open(sidecar, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout — stdout line is still authoritative
+    print(line)
 
 
 if __name__ == "__main__":

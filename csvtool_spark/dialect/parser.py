@@ -130,6 +130,10 @@ def parse_pipeline(text: str) -> list[ast.Stage]:
         stages.append(_parse_stage(p))
         if p.tok().kind == "OP" and p.tok().val == "|>":
             p.next()
+            # a trailing "stage |>" must fail like the full-query parser
+            # does ("select ... |>" → 'Expected a stage name'), not parse
+            if p.tok().kind == "EOF":
+                raise p.err("Expected a stage name after '|>'")
         elif p.tok().kind != "EOF":
             raise p.err("Expected '|>' between stages")
     if not stages:

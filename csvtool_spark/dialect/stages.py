@@ -228,8 +228,19 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         hash_family="md5",
     )
     if _int_kwarg(st, "transitive", 0):
+        from pyspark.sql.types import IntegralType
+
         from csvtool_spark.operators.components import dedup_clusters
 
+        # the component closure keys on long ids; a string/UUID id would
+        # cast to NULL and silently drop EVERY row (round-8 ADVICE)
+        if not isinstance(df.schema[idc].dataType, IntegralType):
+            raise SemanticError(
+                f"stage 'neardup': transitive=1 needs an integral id "
+                f"column; '{idc}' is "
+                f"{df.schema[idc].dataType.simpleString()} — derive a "
+                f"surrogate long id first, or use transitive=0"
+            )
         survivors = (
             dedup_clusters(df.select(F.col(idc)), pairs, idc)
             .filter("is_survivor")

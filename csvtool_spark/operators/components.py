@@ -32,6 +32,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
+
+
+def _require_integral_id(df: DataFrame, col: str, where: str) -> None:
+    """The component algebra keys on LONG ids (min-contraction, min-id
+    survivor). A string/UUID id would silently cast to NULL — every
+    join misses and the caller sees zero survivors, not an error
+    (round-8 ADVICE). Reject non-integral id columns loudly instead."""
+    dt = df.schema[col].dataType
+    if not isinstance(dt, IntegralType):
+        raise TypeError(
+            f"{where}: id column '{col}' must be an integral type "
+            f"(tinyint/smallint/int/bigint), got {dt.simpleString()}; "
+            f"map string/UUID ids to a surrogate long (e.g. xxhash64) "
+            f"before clustering, or use the non-transitive pair surface"
+        )
 
 
 def _sym(e: DataFrame) -> DataFrame:
@@ -85,6 +101,8 @@ def connected_components(
     edges) do not appear — callers union them back (see dedup_clusters).
     Raises RuntimeError if max_iter rounds don't converge (20 rounds covers
     > 2^20-node path graphs; real dup graphs converge in 3-5)."""
+    _require_integral_id(edges, src, "connected_components")
+    _require_integral_id(edges, dst, "connected_components")
     e = _canon(
         edges.select(
             F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -129,6 +147,7 @@ def dedup_clusters(
     are singleton clusters of themselves. The component map is NOT
     broadcast — its size tracks the duplicate count, which scales with the
     corpus; the id-keyed left join lets AQE pick the strategy."""
+    _require_integral_id(df, id_col, "dedup_clusters")
     comp = connected_components(pairs, src=id_a, dst=id_b)
     ids = df.select(F.col(id_col).cast("long").alias(id_col))
     out = ids.join(comp, ids[id_col] == comp["node"], "left").select(
@@ -167,6 +186,7 @@ def canonical_select(
     fold: (score, -id) max ≡ score DESC, id ASC, no per-cluster sort.
     Null scores lose to every real score (coalesced to -Infinity on both
     engines)."""
+    _require_integral_id(df, id_col, "canonical_select")
     comp = connected_components(pairs, src=id_a, dst=id_b)
     ids = df.select(
         F.col(id_col).cast("long").alias(id_col),

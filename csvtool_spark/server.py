@@ -200,32 +200,40 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
                 base if len(stmts) == 1 else f"{stem}-{i + 1}{ext}"
                 for i in range(len(stmts))
             ]
+        from csvtool_spark.functions.caching import release_stages
+
         for stmt, out_path in zip(stmts, out_paths):
             df = engine.sql(stmt)
             numcols = len(df.columns)
             show_limit = max(1, SHOW_CAP // max(1, numcols))
             collect = lambda: df.limit(show_limit + 1).collect()  # noqa: E731,B023
-            if out_path is not None:
-                # One computation feeds both the file and the display:
-                # persist the plan, write the full result FIRST (fills the
-                # cache for every partition), then collect the clipped
-                # display rows from the cached partitions — so for a
-                # nondeterministic result the GUI rows are always a prefix
-                # of the saved file (the reference streams display and
-                # saver off the same scan, scanner.go). The write runs
-                # under the job wrapper so it's cancellable like collects.
-                df = df.persist()
-                try:
-                    write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
-                    if runner is not None:
-                        runner(write)
-                    else:
-                        write()
+            try:
+                if out_path is not None:
+                    # One computation feeds both the file and the display:
+                    # persist the plan, write the full result FIRST (fills the
+                    # cache for every partition), then collect the clipped
+                    # display rows from the cached partitions — so for a
+                    # nondeterministic result the GUI rows are always a prefix
+                    # of the saved file (the reference streams display and
+                    # saver off the same scan, scanner.go). The write runs
+                    # under the job wrapper so it's cancellable like collects.
+                    df = df.persist()
+                    try:
+                        write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
+                        if runner is not None:
+                            runner(write)
+                        else:
+                            write()
+                        rows = runner(collect) if runner is not None else collect()
+                    finally:
+                        df.unpersist()
+                else:
                     rows = runner(collect) if runner is not None else collect()
-                finally:
-                    df.unpersist()
-            else:
-                rows = runner(collect) if runner is not None else collect()
+            finally:
+                # free any persisted staging tables the plan attached
+                # (pipe neardup/decontaminate, BM25, linkage…) — a
+                # long-running server must not leak cache per request
+                release_stages(df)
             clipped = len(rows) > show_limit
             if clipped:
                 rows = rows[:show_limit]

@@ -213,3 +213,24 @@ def test_cluster_safe_split_fraction_sanity(spark):
     assert 270 <= counts["train"] <= 370
     assert 15 <= counts.get("val", 0) <= 85
     assert 15 <= counts.get("test", 0) <= 85
+
+
+def test_non_integral_ids_rejected(spark):
+    """Round-8 ADVICE: string ids used to cast to NULL and silently drop
+    every row; the component lanes now reject them loudly."""
+    import pytest
+
+    from csvtool_spark.operators.components import (
+        canonical_select,
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    docs = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "doc_id string, q double")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(pairs, src="id_a", dst="id_b")
+    with pytest.raises(TypeError, match="integral"):
+        dedup_clusters(docs, pairs, "doc_id")
+    with pytest.raises(TypeError, match="integral"):
+        canonical_select(docs, pairs, "doc_id", "q")

@@ -722,3 +722,34 @@ def test_neardup_transitive_keeps_one_per_cluster(eng, docs):
     greedy_ids = {r["doc_id"] for r in greedy.collect()}
     release_stages(greedy)
     assert got <= greedy_ids
+
+
+def test_parse_pipeline_rejects_trailing_pipe():
+    """Round-8 ADVICE: a dangling '|>' must fail like the full-query
+    parser's 'Expected a stage name', not silently parse."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+
+    with pytest.raises(ParseError, match="stage name"):
+        parse_pipeline("langid(text) |>")
+    # the documented leading-'|>' form still parses
+    assert [s.name for s in parse_pipeline("|> langid(text)")] == ["langid"]
+
+
+def test_neardup_transitive_rejects_string_id(docs):
+    """Round-8 ADVICE (medium): transitive=1 clusters on long ids — a
+    string/UUID id used to cast to NULL inside dedup_clusters and
+    silently return ZERO rows. Now it's a SemanticError up front, while
+    transitive=0 keeps accepting string ids."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+
+    sdocs = docs.withColumn("sid", F.format_string("doc-%d", "doc_id"))
+    with pytest.raises(SemanticError, match="integral"):
+        apply_stages(
+            sdocs, parse_pipeline("neardup(text, id=sid, transitive=1)")
+        )
+    out = apply_stages(
+        sdocs.limit(20), parse_pipeline("neardup(text, id=sid)")
+    )
+    assert out.count() >= 1  # greedy pair removal still works on strings
+    release_stages(out)

@@ -601,3 +601,22 @@ def test_query_response_curation_pipe(eng):
     bad = query_response(eng, "select doc_id from" + docs + "|> frobnicate(doc_id)")
     assert bad["status"] & DAT_ERROR
     assert "frobnicate" in bad["message"]
+
+
+def test_query_response_releases_pipe_stages(spark):
+    """Round-8 ADVICE: a query whose plan carries persisted staging
+    tables (pipe neardup / BM25 / linkage) must not leak cached blocks
+    per HTTP request — query_response frees them after the collects."""
+    from csvtool_spark.functions.caching import attach_stages
+
+    stage = spark.range(5).persist()
+    stage.count()
+    assert stage.storageLevel.useMemory
+
+    class FakeEngine:
+        def sql(self, stmt):
+            return attach_stages(spark.range(3), [stage])
+
+    ret = query_response(FakeEngine(), "select pretend-pipe-query")
+    assert ret["status"] & DAT_GOOD
+    assert not stage.storageLevel.useMemory  # released, not leaked
