@@ -472,7 +472,7 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         remove_duplicate_spans,
     )
 
-    _no_extra_kwargs(st, {"id", "k", "min_docs", "keep", "min_run"})
+    _no_extra_kwargs(st, {"id", "k", "min_docs", "keep", "min_run", "exact"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
     keep_arg = st.kwargs.get("keep")
     keep = keep_arg.val.lower() if keep_arg is not None else "first"
@@ -490,8 +490,15 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             min_docs=_int_kwarg(st, "min_docs", 2),
             min_run_tokens=min_run,
             keep=keep,
+            # exact=0 opts out of full-run verification (the cheap
+            # window lane); default matches the operator's exact lane
+            verify_exact=bool(_int_kwarg(st, "exact", 1)),
         )
     else:
+        if "exact" in st.kwargs:
+            raise SemanticError(
+                "stage 'despan': exact= applies only with min_run="
+            )
         rewritten = remove_duplicate_spans(
             df,
             text,

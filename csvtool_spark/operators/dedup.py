@@ -1625,6 +1625,7 @@ def remove_duplicate_runs(
     min_run_tokens: int = 20,
     keep: str = "first",
     membership: str = "except",
+    verify_exact: bool = True,
 ) -> DataFrame:
     """Duplicate-substring removal restricted to LONG matches — the form
     Lee et al. 2021 actually apply (drop exact duplicated substrings of
@@ -1635,12 +1636,33 @@ def remove_duplicate_runs(
     header goes, a merely-common k-gram stays (the over-trimming
     ``remove_duplicate_spans`` cannot avoid at small k).
 
-    keep='first' leaves every window whose min-id owner is this document
-    before the runs form, so the owner keeps its copy; output contract
-    and scale shape follow the span family (one posexplode pass, span
-    agg bounded by distinct spans, the island machinery one exchange on
-    the id — the (id, island) bounds window reuses the id partitioning —
-    and the shared ``_rewrite_without_covered`` tail)."""
+    ``verify_exact=True`` (default) adds the exactness lane (round-8
+    verdict item 1). Islands of duplicated windows are only CANDIDATE
+    runs: two DISTINCT shared substrings closer than k tokens (their
+    straddle windows duplicated via a third document) weld into one
+    island whose full text repeats NOWHERE — the window evidence alone
+    over-removes. So each candidate run is verified by re-hashing its
+    FULL token slice and requiring that exact text to recur as a
+    candidate run in ≥ min_docs documents (group by run hash,
+    countDistinct ids); unverified runs are conservatively KEPT.
+    keep='first' then spares the min-id member of each verified run
+    group. Deliberate approximation, documented: verification is
+    against candidate runs, not all substrings — a true ≥L repeat whose
+    copy in another document is welded into a longer island there is
+    kept (suffix-array exactness is out of scope; the bias is always
+    toward keeping text, never removing unshared text).
+
+    ``verify_exact=False`` is the pure window lane (keep='first' drops
+    windows whose min-id owner is this document BEFORE islands form) —
+    cheaper by one id-keyed join + run-sized agg, kept as the
+    differential twin.
+
+    Scale shape follows the span family: one posexplode pass, window agg
+    bounded by distinct spans, islands one exchange on the id; the
+    exactness lane adds one join back to the token arrays (id-keyed,
+    run-count rows — AQE picks broadcast when few runs survive) and one
+    agg bounded by the CANDIDATE RUN count, then the shared
+    ``_rewrite_without_covered`` tail."""
     from pyspark.sql import Window
 
     if keep not in ("first", "none"):
@@ -1654,18 +1676,59 @@ def remove_duplicate_runs(
         .filter(F.col("__nd") >= min_docs)
     )
     hits = occ.join(byh, "__h")
-    if keep == "first":
+    if not verify_exact and keep == "first":
         hits = hits.filter(F.col(id_col) != F.col("__own"))
     wr = Window.partitionBy(id_col).orderBy("__i")
     isl = hits.select(id_col, "__i").withColumn(
         "__isl", F.col("__i") - F.row_number().over(wr)
     )
-    wb = Window.partitionBy(id_col, "__isl")
-    long_hits = (
-        isl.withColumn("__lo", F.min("__i").over(wb))
-        .withColumn("__hi", F.max("__i").over(wb))
+    if not verify_exact:
+        wb = Window.partitionBy(id_col, "__isl")
+        long_hits = (
+            isl.withColumn("__lo", F.min("__i").over(wb))
+            .withColumn("__hi", F.max("__i").over(wb))
+            .filter(F.col("__hi") - F.col("__lo") + F.lit(k) >= min_run_tokens)
+            .select(id_col, "__i")
+        )
+        return _rewrite_without_covered(
+            df, long_hits, text_col, id_col, k, membership=membership
+        )
+    runs = (
+        isl.groupBy(id_col, "__isl")
+        .agg(F.min("__i").alias("__lo"), F.max("__i").alias("__hi"))
         .filter(F.col("__hi") - F.col("__lo") + F.lit(k) >= min_run_tokens)
-        .select(id_col, "__i")
+        .select(id_col, "__lo", "__hi")
+    )
+    # re-hash the FULL run slice (0-based window lo..hi covers tokens
+    # lo..hi+k-1 → 1-based slice start lo+1, length hi-lo+k)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    rh = runs.join(toks, id_col).select(
+        F.col(id_col),
+        "__lo",
+        "__hi",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__t",
+                    F.col("__lo") + F.lit(1),
+                    F.col("__hi") - F.col("__lo") + F.lit(k),
+                ),
+            )
+        ).alias("__rh"),
+    )
+    ver = (
+        rh.select(F.col(id_col), "__rh")
+        .distinct()
+        .groupBy("__rh")
+        .agg(F.count(F.lit(1)).alias("__vn"), F.min(id_col).alias("__own"))
+        .filter(F.col("__vn") >= min_docs)
+    )
+    sel = rh.join(ver.select("__rh", "__own"), "__rh")
+    if keep == "first":
+        sel = sel.filter(F.col(id_col) != F.col("__own"))
+    long_hits = sel.select(
+        F.col(id_col), F.explode(F.sequence("__lo", "__hi")).alias("__i")
     )
     return _rewrite_without_covered(
         df, long_hits, text_col, id_col, k, membership=membership
@@ -1680,11 +1743,49 @@ def run_removal_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_exact: bool = True,
 ) -> str:
     """DuckDB twin of ``remove_duplicate_runs`` — the span-removal occ
-    CTEs plus the island/bounds filter, into the shared rewrite tail."""
+    CTEs plus the island/bounds filter (and, for the default
+    ``verify_exact`` lane, the full-run re-hash + run-group
+    verification), into the shared rewrite tail."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if verify_exact:
+        owner_filter = f"WHERE r.{id_col} <> v.owner" if keep == "first" else ""
+        cov = f"""byh AS (
+      SELECT h FROM (SELECT DISTINCT {id_col}, h FROM occ)
+      GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    hit AS (SELECT o.{id_col}, o.i FROM occ o JOIN byh USING (h)),
+    isl AS (
+      SELECT {id_col}, i,
+             i - row_number() OVER (PARTITION BY {id_col} ORDER BY i) AS g
+      FROM hit
+    ),
+    rb0 AS (
+      SELECT {id_col}, min(i) AS lo, max(i) AS hi
+      FROM isl GROUP BY {id_col}, g
+      HAVING max(i) - min(i) + {k} >= {min_run_tokens}
+    ),
+    rh AS (
+      SELECT rb0.{id_col}, lo, hi,
+             md5(array_to_string(t[lo:hi + {k - 1}], ' ')) AS rhash
+      FROM rb0 JOIN toks USING ({id_col})
+    ),
+    ver AS (
+      SELECT rhash, min({id_col}) AS owner
+      FROM (SELECT DISTINCT {id_col}, rhash FROM rh)
+      GROUP BY rhash HAVING count(*) >= {min_docs}
+    ),
+    rb AS (
+      SELECT r.{id_col}, lo, hi FROM rh r JOIN ver v USING (rhash)
+      {owner_filter}
+    ),
+    cov AS (
+      SELECT DISTINCT {id_col}, unnest(range(lo, hi + {k})) AS p FROM rb
+    )"""
+        return _span_rewrite_sql(cov, k, table, text_col, id_col)
     owner_filter = f"WHERE o.{id_col} <> d.owner" if keep == "first" else ""
     cov = f"""byh AS (
       SELECT h, count(DISTINCT {id_col}) AS nd, min({id_col}) AS owner

@@ -284,3 +284,80 @@ def test_remove_duplicate_runs_keep_none_and_membership(spark):
         d, "text", "doc_id", k=3, min_run_tokens=8, membership="contains"
     ).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_run_removal_exactness_no_welding(spark):
+    """Round-8 verdict item 1: two DISTINCT short shared substrings whose
+    straddle windows a third document duplicates used to weld into one
+    apparent >=L run and be removed wholesale; the exactness lane
+    re-hashes the FULL run text, finds it repeats nowhere, and keeps it.
+    The window lane (verify_exact=False) still welds — differential pin."""
+    import duckdb
+
+    from csvtool_spark.operators.dedup import (
+        remove_duplicate_runs,
+        run_removal_oracle_sql,
+    )
+
+    x = "x1 x2 x3 x4 x5"
+    y = "y1 y2 y3 y4 y5"
+    rows = [
+        (10, f"{x} {y}"),          # weld victim: X and Y adjacent
+        (1, f"b1 b2 {x} b3 b4"),   # shares X only (5 tokens < L=8)
+        (2, f"c1 {y} c2"),         # shares Y only
+        (3, "x3 x4 x5 y1 y2 y3"),  # duplicates the X/Y straddle windows
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8
+    ).collect()}
+    # the welded 10-token island's full text repeats in no other document,
+    # and each true match is shorter than L — nothing may be removed
+    assert {i: r["n_removed"] for i, r in exact.items()} == {
+        10: 0, 1: 0, 2: 0, 3: 0
+    }
+    assert exact[10]["text_dedup"] == f"{x} {y}"
+    # the window lane DOES weld: doc 10's island spans all 10 tokens
+    approx = {r["doc_id"]: r for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8, verify_exact=False
+    ).collect()}
+    assert approx[10]["n_removed"] == 10
+    # both lanes stay oracle-paired on the weld corpus
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    for ve in (True, False):
+        got = sorted(
+            tuple(r[c] for c in ["doc_id", "text_dedup", "n_tokens", "n_removed"])
+            for r in remove_duplicate_runs(
+                d, "text", "doc_id", k=3, min_run_tokens=8, verify_exact=ve
+            ).collect()
+        )
+        want = sorted(
+            tuple(r[:4])
+            for r in con.execute(run_removal_oracle_sql(
+                k=3, min_run_tokens=8, verify_exact=ve
+            )).fetchall()
+        )
+        assert got == want, f"verify_exact={ve} diverged from the oracle"
+
+
+def test_run_removal_exact_still_removes_true_long_repeats(spark):
+    """The exactness lane must not weaken the true-positive path: a
+    genuinely shared >=L passage is still removed from the non-owner,
+    and keep='none' removes every copy."""
+    from csvtool_spark.operators.dedup import remove_duplicate_runs
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    d = spark.createDataFrame(
+        [(7, f"a1 {shared} a2"), (8, f"b1 b2 {shared}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8
+    ).collect()}
+    assert out[7]["n_removed"] == 0 and shared in out[7]["text_dedup"]
+    assert out[8]["n_removed"] == 10 and shared not in out[8]["text_dedup"]
+    none_out = {r["doc_id"]: r["n_removed"] for r in remove_duplicate_runs(
+        d, "text", "doc_id", k=3, min_run_tokens=8, keep="none"
+    ).collect()}
+    assert none_out == {7: 10, 8: 10}
