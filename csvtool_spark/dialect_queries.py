@@ -523,9 +523,9 @@ def _pipe_clean_oracle() -> str:
 register(
     "q_dialect_pipe_clean",
     _pipe_clean_oracle(),
-    registered=False,  # shadow: pins the C4 clean stage end to end (line
-    # word-count + terminal-punctuation + blocklist rules vs the
-    # generated DuckDB twin)
+    # driver window (r9 swap: q_nb_calibration -> shadow): the C4 clean
+    # stage end to end (line word-count + terminal-punctuation +
+    # blocklist rules vs the generated DuckDB twin)
 )(_q_dialect_pipe_clean)
 
 
@@ -586,6 +586,8 @@ dialect(
     "select doc_id, text from documents "
     "|> neardup(text, id=doc_id, threshold=0.4, transitive=1)",
     _pipe_ccdedup_oracle(),
-    registered=False,  # shadow: the component machinery is in-window via
-    # q_dedup_clusters; this pins the pipe-stage keep-one-per-cluster rule
+    # driver window (r9 swap: q_dedup_clusters -> shadow): the canonical
+    # corpus dedup — transitive closure over verified MinHash pairs with
+    # one survivor per cluster, reached from SQL, with a WITH RECURSIVE
+    # closure twin
 )

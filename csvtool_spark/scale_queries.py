@@ -450,7 +450,15 @@ _DEDUP_CLUSTERS_SQL = """
     """
 
 
-@register("q_dedup_clusters", _DEDUP_CLUSTERS_SQL)
+@register(
+    "q_dedup_clusters",
+    _DEDUP_CLUSTERS_SQL,
+    registered=False,  # shadow (r9 swap: slot given to
+    # q_dialect_pipe_ccdedup — same alternating-star closure + survivor
+    # rule, reached through the pipe surface over verified MinHash
+    # pairs; this entry keeps the ngram-Jaccard pair lane oracle-green
+    # in the local gate)
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csvtool_spark.operators import components
 
@@ -2662,7 +2670,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_span_removal",
     dedup.span_removal_oracle_sql(k=8, min_docs=2, keep="first"),
-    # promoted to the driver window in round 7 (swap with q_agg_last)
+    registered=False,  # shadow (r9 swap: slot given to q_run_removal,
+    # the length-thresholded + exactness-verified member of the family;
+    # was in-window r7-r8)
 )
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -3240,7 +3250,9 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify.nb_calibration_oracle_sql(
         ["de", "en", "es", "fr", "zh"], vocab_size=2000, n_buckets=8
     ),
-    # driver window (r7 swap: q_null_semantics -> shadow)
+    registered=False,  # shadow (r9 swap: slot given to
+    # q_dialect_pipe_clean; the classify family keeps q_nb_classify in
+    # the window, calibration stays oracle-green locally)
 )
 def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-bucketed accuracy of the NB language classifier — the
@@ -3327,8 +3339,9 @@ def q_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_run_removal",
     dedup.run_removal_oracle_sql(k=3, min_docs=2, min_run_tokens=8),
-    registered=False,  # shadow: the length-thresholded member of the
-    # span-removal family (q_span_removal holds the in-window slot)
+    # driver window (r9 swap: q_span_removal -> shadow): Lee et al.'s
+    # actual >=L rule with the full-run exactness verification — the
+    # strongest member of the span-removal family
 )
 def q_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-thresholded duplicate-substring removal (Lee et al.'s
