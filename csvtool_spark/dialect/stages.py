@@ -336,7 +336,15 @@ def _stage_hash_sample(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``hash_sample(frac, key=k)`` — deterministic keyed Bernoulli thinning:
     keep rows whose 32-bit md5 coin on the KEY falls under frac. Unlike the
     ``sample`` clause (scan-order numbering — a range shuffle + count job),
-    this is a pure filter on a real column: the 100 TB-shaped form."""
+    this is a pure filter on a real column: the 100 TB-shaped form.
+
+    The coin is salted with the stage name (``md5('hash_sample:' || key)``)
+    so it is independent of the ``split`` stage's coin on the SAME key
+    column — unsalted, sampling then splitting on doc_id would correlate
+    (the kept 30% would all land in the same split buckets; round-8
+    verdict item 7). NULL keys still drop (NULL propagates through the
+    concat into a NULL coin), matching the unsalted behavior. Nested
+    samples on one key stay nested: the coin is shared across fractions."""
     from csvtool_spark.functions.hashing import md5_prefix_long
 
     _no_extra_kwargs(st, {"key"})
@@ -355,14 +363,21 @@ def _stage_hash_sample(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     if key is None:
         raise SemanticError("stage 'hash_sample' requires key=<column>")
     keyc = _resolve_col(df, st, key)
-    coin = md5_prefix_long(F.col(keyc).cast("string"))
+    coin = md5_prefix_long(
+        F.concat(F.lit("hash_sample:"), F.col(keyc).cast("string"))
+    )
     return df.filter(coin < F.lit(int(frac * 4294967296)))
 
 
 def _stage_split(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``split(key=k, train=0.9, test=0.1 [, as=split])`` — deterministic
     key-hash split labels (operators.sampling.hash_split buckets). Every
-    non-reserved kwarg is a label=fraction pair."""
+    non-reserved kwarg is a label=fraction pair.
+
+    The bucket coin is salted with the stage name (``md5('split:' ||
+    key)``) so it is independent of ``hash_sample``'s coin on the same
+    key: a prior thinning must not skew the train/test fractions
+    (round-8 verdict item 7). NULL keys get a NULL label, as before."""
     from csvtool_spark.operators.sampling import split_label
 
     key = st.kwargs.get("key")
@@ -387,7 +402,9 @@ def _stage_split(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             "stage 'split' needs at least one label=fraction pair"
         )
     try:
-        expr = split_label(F.col(keyc), fractions)
+        expr = split_label(
+            F.concat(F.lit("split:"), F.col(keyc).cast("string")), fractions
+        )
     except ValueError as e:  # fractions sum > 1
         raise SemanticError(f"stage 'split': {e}") from None
     return df.withColumn(name, expr)
