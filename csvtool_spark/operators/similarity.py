@@ -2155,6 +2155,130 @@ def ivf_pq_recall_eval(
     return _recall_output(df, id_col, exact, approx, queries, k, [scored])
 
 
+def ivf_pq_nprobe_sweep(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: dict[int, list[float]],
+    nprobes: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    m: int = 8,
+    n_cents: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebook: PQCodebook | None = None,
+) -> DataFrame:
+    """``ivf_pq_recall_eval`` at SEVERAL probe budgets in ONE corpus pass
+    — the nprobe compensation study (round-8 verdict item 3: trained-IVF
+    centroids concentrate mass, so a FIXED nprobe covers less of it; the
+    question is how many extra probes buy the recall back).
+
+    Returns (nprobe, qid, n_hits, recall) — one ``_recall_output`` block
+    per requested budget, row-identical to running the one-shot eval at
+    that nprobe (pinned by test).
+
+    Scale shape: the corpus is scored ONCE — each query ships its FULL
+    probe ranking (cells ordered by centroid cosine, ``_probe_cells`` at
+    max(nprobes)) and every row materializes its probe RANK
+    (``array_position`` of its cell in that ranking); the per-budget
+    passes are then window ranks over the persisted scored frame with a
+    ``rank <= nprobe`` filter — no re-encode, no re-scan. Exact top-k
+    computes once and is shared across budgets."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("ivf_pq_nprobe_sweep: queries must be non-empty")
+    nps = sorted({int(p) for p in nprobes})
+    if not nps or nps[0] < 1:
+        raise ValueError("ivf_pq_nprobe_sweep: nprobes must be >= 1")
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(df, vec_col, id_col, n_cells)
+    )
+    if nps[-1] > len(cents):
+        raise ValueError(
+            f"ivf_pq_nprobe_sweep: max nprobe {nps[-1]} exceeds "
+            f"{len(cents)} cells"
+        )
+    cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
+    qlits = []
+    for qid, vec in sorted(queries.items()):
+        table = _adc_table(cb, vec)
+        qcodes = [sq_code_py(float(x), cb.mn, cb.mx) for x in vec]
+        probes = _probe_cells(cents, vec, nps[-1])
+        qlits.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("qid"),
+                F.lit(qcodes).alias("qc"),
+                F.lit(table).alias("tbl"),
+                F.lit([int(p) for p in probes]).alias("probes"),
+            )
+        )
+    base = df.select(
+        F.col(id_col),
+        _packed_codes(cb, vec_col)["codes"].alias("__codes"),
+        ivf_cell(F.col(vec_col), cents).alias("__cell"),
+    ).select(
+        F.col(id_col),
+        F.col("__codes"),
+        F.col("__cell"),
+        _pq_assign_codes(cb, F.col("__codes")).alias("__pq"),
+    )
+    adc = F.lit(0).cast("long")
+    for s in range(cb.m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("q")["tbl"], s + 1),
+            F.col("__pq")[s] + 1,
+        ).cast("long")
+    scored = (
+        base.select(
+            F.col(id_col), "__codes", "__cell", "__pq",
+            F.explode(F.array(*qlits)).alias("q"),
+        )
+        .filter(F.col(id_col) != F.col("q")["qid"])
+        .select(
+            F.col("q")["qid"].alias("qid"),
+            F.col(id_col),
+            _izdist2(F.col("__codes"), F.col("q")["qc"]).alias("exact_d2"),
+            adc.alias("adc_d2"),
+            # 1-based rank of this row's cell in the query's probe order;
+            # 0 = outside every requested budget
+            F.array_position(
+                F.col("q")["probes"], F.col("__cell")
+            ).alias("__prank"),
+        )
+        .persist()
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("exact_d2").asc(), F.col(id_col).asc()
+    )
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    out = None
+    for np_ in nps:
+        approx = (
+            scored.filter(
+                (F.col("__prank") >= 1) & (F.col("__prank") <= np_)
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= k)
+            .select("qid", id_col)
+        )
+        block = _recall_output(df, id_col, exact, approx, queries, k, []).select(
+            F.lit(np_).cast("long").alias("nprobe"), "qid", "n_hits", "recall"
+        )
+        out = block if out is None else out.union(block)
+    from csvtool_spark.functions.caching import attach_stages
+
+    return attach_stages(out, [scored])
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     """Length of the first NON-NULL vector, or None when the frame has no
     usable vector (empty frame / all-NULL column) — the operators that

@@ -576,3 +576,60 @@ def test_cross_embedding_neardup_empty_sides_and_bucket_cap(spark):
         max_bucket=2,
     )
     assert capped.count() == 0
+
+
+def test_ivf_pq_nprobe_sweep_matches_one_shot(spark):
+    """The sweep (one corpus pass, several probe budgets) must be
+    row-identical to ivf_pq_recall_eval run separately at each nprobe,
+    and pin to recall 1.0 when every cell is probed and the codebook is
+    the corpus itself (both loss terms vanish)."""
+    from csvtool_spark.functions.caching import release_stages
+    from csvtool_spark.operators.similarity import (
+        ivf_pq_nprobe_sweep,
+        ivf_pq_recall_eval,
+    )
+
+    corpus = _rand_corpus(97, 48, 8)
+    df = _vecs(spark, corpus)
+    queries = {i: corpus[i] for i in (0, 7, 23)}
+    nps = [1, 2, 4, 8]
+    sweep = ivf_pq_nprobe_sweep(
+        df, "embedding", "vec_id", queries, nprobes=nps, k=5,
+        n_cells=8, m=4, n_cents=48,
+    )
+    got = {
+        (r["nprobe"], r["qid"]): (r["n_hits"], r["recall"])
+        for r in sweep.collect()
+    }
+    release_stages(sweep)
+    assert len(got) == len(nps) * len(queries)
+    for np_ in nps:
+        one = ivf_pq_recall_eval(
+            df, "embedding", "vec_id", queries, k=5,
+            n_cells=8, nprobe=np_, m=4, n_cents=48,
+        )
+        rows = one.collect()
+        release_stages(one)
+        for r in rows:
+            assert got[(np_, r["qid"])] == (r["n_hits"], r["recall"]), (
+                f"nprobe={np_} qid={r['qid']} diverged from one-shot eval"
+            )
+    # full probe budget + corpus-sized codebook => both losses vanish
+    assert all(v[1] == 1.0 for k_, v in got.items() if k_[0] == 8)
+
+
+def test_ivf_pq_nprobe_sweep_validation(spark):
+    from csvtool_spark.operators.similarity import ivf_pq_nprobe_sweep
+
+    df = _vecs(spark, _rand_corpus(3, 12, 4))
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_pq_nprobe_sweep(df, "embedding", "vec_id", {}, nprobes=[1])
+    with pytest.raises(ValueError, match=">= 1"):
+        ivf_pq_nprobe_sweep(
+            df, "embedding", "vec_id", {0: [0.0] * 4}, nprobes=[0, 2]
+        )
+    with pytest.raises(ValueError, match="exceeds"):
+        ivf_pq_nprobe_sweep(
+            df, "embedding", "vec_id", {0: [0.0] * 4},
+            nprobes=[64], n_cells=4,
+        )

@@ -12,6 +12,13 @@ numbers (ROUND_NOTES.md): trained PQ buys ~+0.04 recall over sampled;
 trained IVF at a FIXED nprobe can give it back (Lloyd concentrates mass,
 so the same probe budget covers less of it) — raise nprobe when using
 trained centroids.
+
+Round-9 addition: the report also emits ``nprobe_sweep`` — mean recall
+per probe budget for BOTH centroid lanes (sampled / trained IVF, both on
+the trained PQ codebook), each lane ONE corpus pass via
+``similarity.ivf_pq_nprobe_sweep``. This is the recall-per-probe-cost
+frontier the trained-IVF compensation question needs: read off how many
+probes the trained lane needs to match the sampled lane's recall.
 """
 
 from __future__ import annotations
@@ -69,12 +76,33 @@ def main() -> int:
             grid[f"ivf_{ci}.pq_{bi}"] = round(
                 sum(r["recall"] for r in rows) / len(rows), 4
             )
+    # nprobe × {sampled, trained}-IVF frontier, trained PQ on both lanes,
+    # one corpus pass per lane (similarity.ivf_pq_nprobe_sweep)
+    from csvtool_spark.operators.similarity import ivf_pq_nprobe_sweep
+
+    nps = sorted({p for p in (1, 2, 4, 8, 16, 32) if p <= n_cells})
+    sweep = {}
+    for ci, cv in cents.items():
+        out = ivf_pq_nprobe_sweep(
+            e, "embedding", "vec_id", queries, nprobes=nps, k=10,
+            n_cells=n_cells, centroids=cv, codebook=cbs["trained"],
+        )
+        rows = out.collect()
+        release_stages(out)
+        by_np: dict[int, list[float]] = {}
+        for r in rows:
+            by_np.setdefault(int(r["nprobe"]), []).append(r["recall"])
+        sweep[f"ivf_{ci}"] = {
+            str(np_): round(sum(v) / len(v), 4)
+            for np_, v in sorted(by_np.items())
+        }
     print(json.dumps({
         "metric": "ivfpq_mean_recall_at_10",
         "sf_dir": sf_dir,
         "n_cells": n_cells, "nprobe": nprobe, "m": m, "n_cents": n_cents,
         "n_queries": len(queries),
         "grid": grid,
+        "nprobe_sweep": sweep,
     }))
     return 0
 
