@@ -84,3 +84,51 @@ def test_pipeline_is_one_spark_plan_until_pack(spark):
     chunks = chunk_documents(kept, "text", "doc_id", chunk_tokens=32, overlap=8)
     plan = chunks._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_readme_curation_recipe(spark):
+    """The README's end-to-end curation recipe (round-8 verdict item 6):
+    clean -> langid gate -> quality cut -> transitive near-dedup ->
+    decontaminate -> quota -> tokens -> pack, as ONE pipe query. Every
+    stage is deterministic md5 machinery, so the sf0.001 row counts are
+    exact pins (the README documents the sf0.1 run of the same text)."""
+    from csvtool_spark.engine import CsvEngine
+    from csvtool_spark.functions.caching import release_stages
+
+    eng = CsvEngine(spark)
+    eng.register_dir(SF_SMALL, ["documents"])
+    bench = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter("source = 'src0'")
+        .select("doc_id", "text")
+    )
+    eng.register("bench", bench)
+    out = eng.sql(
+        "select doc_id, source, text from documents "
+        "where source != 'src0' "
+        "|> clean(text, terminal=0) "
+        "|> langid(text, keep=en) "
+        "|> quality(text, min=0.7) "
+        "|> neardup(text, id=doc_id, threshold=0.4, transitive=1) "
+        "|> decontaminate(text, id=doc_id, ref=bench, k=4) "
+        "|> quota(source, cap=75, order=doc_id) "
+        "|> tokens(text) "
+        "|> pack(n_tokens, id=doc_id, budget=512)"
+    )
+    rows = out.collect()
+    release_stages(out)
+    assert out.columns == [
+        "doc_id", "source", "text", "lang_guess", "quality",
+        "n_tokens", "seq_id", "seq_offset", "n_tok",
+    ]
+    # deterministic pins at sf0.001 (475 non-bench docs in)
+    assert len(rows) == 319  # spans
+    assert len({r["seq_id"] for r in rows}) == 33  # packed sequences
+    assert len({r["doc_id"] for r in rows}) == 287  # curated documents
+    # the gates actually held
+    assert all(r["lang_guess"] == "en" for r in rows)
+    assert all(r["quality"] >= 0.7 for r in rows)
+    assert all(1 <= r["n_tok"] <= 512 for r in rows)
+    from collections import Counter
+
+    assert max(Counter(r["source"] for r in rows).values()) <= 75 * 2  # spans per doc <= 2 here
