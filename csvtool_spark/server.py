@@ -278,6 +278,49 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
     return ret
 
 
+def explain_response(engine, text: str) -> dict:
+    """Formatted Catalyst plan(s) for the page's statements WITHOUT
+    executing them — the web twin of the CLI's ``--explain`` flag. This
+    deliberately exceeds the reference (its GUI shows results only,
+    server.go:126-177): a Spark engine's users tune plans, so the plan
+    belongs one click from the query box. Returns the ReturnData-shaped
+    envelope with ``plans`` entries (statement text + plan string);
+    compile errors report exactly like ``query_response`` so the UI's
+    message pane behaves identically."""
+    ret: dict = {
+        "status": DAT_BLANK,
+        "originalQuery": text,
+        "plans": [],
+        "message": "",
+    }
+    try:
+        from csvtool_spark.functions.caching import release_stages
+
+        jvm = engine.spark._jvm
+        for stmt in (s for s in text.split(";") if s.strip()):
+            df = engine.sql(stmt)
+            try:
+                plan = jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            finally:
+                release_stages(df)
+            ret["plans"].append({"query": stmt.strip(), "plan": plan})
+        ret["status"] |= DAT_GOOD
+        ret["message"] = "Explain successful"
+    except PasswordRequired as e:
+        ret["status"] |= DAT_ERROR
+        ret["needPassword"] = True
+        ret["message"] = str(e)
+    except DialectError as e:
+        ret["status"] |= DAT_ERROR
+        ret["message"] = str(e)
+    except Exception as e:  # noqa: BLE001 — surfaced to the client like the reference
+        ret["status"] |= DAT_ERROR
+        ret["message"] = f"{type(e).__name__}: {e}"
+    return ret
+
+
 #: extensions the engine's _load can actually read (engine.py:68-121);
 #: the reference lists only `.csv$` (files.go:193) — widened here because
 #: this engine also scans parquet/JSONL and compressed shards
@@ -415,6 +458,11 @@ class CsvToolServer:
                     finally:
                         job.finish()
                     self._send(resp)
+                elif self.path.startswith("/explain"):
+                    req = self._body()
+                    self._send(
+                        explain_response(outer.engine, req.get("query", ""))
+                    )
                 elif self.path.startswith("/cancel"):
                     req = self._body()
                     job = outer._get_job(str(req.get("id", "")))

@@ -59,6 +59,7 @@ INDEX_HTML = """<!doctype html>
 <h2>csvtool-spark</h2>
 <textarea id="q" placeholder="select * from 'file.csv' where ...;  (ctrl+enter runs)"></textarea>
 <br><button id="run">run</button>
+<button id="explain">explain</button>
 <button id="browse">browse</button>
 <button id="save">save</button>
 <button id="cancel" hidden>cancel</button>
@@ -259,7 +260,41 @@ function toggleBrowser() {
   browseTo(".");
 }
 
+// explain (engine-exceeds-reference): show the formatted Catalyst plan
+// for each statement on the page without executing it (POST /explain)
+async function explainRun() {
+  $("msg").textContent = "explaining\\u2026";
+  $("msg").className = "";
+  try {
+    const r = await fetch("/explain/", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ query: $("q").value }),
+    });
+    const data = await r.json();
+    const msg = $("msg"), out = $("out");
+    msg.textContent = data.message || "";
+    msg.className = (data.status & 1) ? "err" : "ok";
+    out.replaceChildren();
+    for (const p of data.plans || []) {
+      const cap = document.createElement("div");
+      cap.style.opacity = ".7";
+      cap.style.fontSize = ".8rem";
+      cap.textContent = p.query;
+      out.appendChild(cap);
+      const pre = document.createElement("pre");
+      pre.style.fontSize = ".8rem";
+      pre.textContent = p.plan;
+      out.appendChild(pre);
+    }
+  } catch (err) {
+    $("msg").textContent = String(err);
+    $("msg").className = "err";
+  }
+}
+
 $("run").addEventListener("click", () => run());
+$("explain").addEventListener("click", explainRun);
 $("browse").addEventListener("click", toggleBrowser);
 $("save").addEventListener("click", saveRun);
 $("cancel").addEventListener("click", cancelRun);

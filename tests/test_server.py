@@ -620,3 +620,46 @@ def test_query_response_releases_pipe_stages(spark):
     ret = query_response(FakeEngine(), "select pretend-pipe-query")
     assert ret["status"] & DAT_GOOD
     assert not stage.storageLevel.useMemory  # released, not leaked
+
+
+def test_explain_response_contract(eng):
+    """POST /explain — the web twin of the CLI's --explain: formatted
+    Catalyst plan per statement, nothing executed, errors shaped like
+    query_response (engine-exceeds-reference surface)."""
+    from csvtool_spark.server import explain_response
+
+    ret = explain_response(
+        eng,
+        "select plate fine from" + V + "where fine > 100; "
+        "select count(*) from" + V,
+    )
+    assert ret["status"] & DAT_GOOD and not ret["status"] & DAT_ERROR
+    assert len(ret["plans"]) == 2
+    for p in ret["plans"]:
+        assert "== Physical Plan ==" in p["plan"] and p["query"]
+    # same compile error the /query surface reports (modulo is int-only)
+    bad = explain_response(eng, "select plate % 2 from" + V)
+    assert bad["status"] & DAT_ERROR and bad["plans"] == []
+    assert bad["message"]
+
+
+def test_http_explain_roundtrip_and_webui_wiring(eng):
+    srv = CsvToolServer(eng, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/explain/",
+            data=json.dumps(
+                {"query": "select plate from" + V + "where fine > 100"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            ret = json.loads(resp.read())
+        assert ret["status"] & DAT_GOOD
+        assert "== Physical Plan ==" in ret["plans"][0]["plan"]
+    finally:
+        srv.stop()
+    from csvtool_spark.webui import INDEX_HTML
+
+    assert 'id="explain"' in INDEX_HTML and "/explain/" in INDEX_HTML
