@@ -603,6 +603,19 @@ STREAM_SAFE = {
 }
 
 
+def _stream_safe(st: ast.Stage) -> bool:
+    """Per-STAGE-CALL streaming legality: unconditional members of
+    STREAM_SAFE, plus ``mixture(rates=1)`` — the apply mode is a pure
+    CASE + coin filter (no global token counts), while share mode stays
+    batch-only."""
+    if st.name in STREAM_SAFE:
+        return True
+    if st.name == "mixture":
+        r = st.kwargs.get("rates")
+        return r is not None and r.val.isdigit() and int(r.val) != 0
+    return False
+
+
 def apply_stages_streaming(
     df: DataFrame, stages: list[ast.Stage], engine=None
 ) -> DataFrame:
@@ -611,11 +624,12 @@ def apply_stages_streaming(
     text drives batch SQL and a readStream frame with equal results
     (batch-equality pinned in tests/test_streaming.py)."""
     for st in stages:
-        if st.name in STAGES and st.name not in STREAM_SAFE:
+        if st.name in STAGES and not _stream_safe(st):
             raise SemanticError(
                 f"stage '{st.name}' is not streaming-safe (needs cross-row "
                 f"state; streaming twins: dedup -> curated_stream, "
-                f"decontaminate -> decontaminated_stream). Streaming "
+                f"decontaminate -> decontaminated_stream, mixture -> "
+                f"mixture(rates=1)). Streaming "
                 f"stages: {', '.join(sorted(STREAM_SAFE))}"
             )
     return apply_stages(df, stages, engine)
@@ -752,39 +766,65 @@ def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     labels with uppercase characters are not addressable from the SQL
     surface, and sources literally named 'key' or 'tokens' collide with
     the reserved kwargs — use ``sampling.mixture_resample`` directly for
-    those."""
-    from csvtool_spark.operators.sampling import mixture_resample
+    those.
+
+    ``rates=1`` switches to the streaming-legal APPLY mode
+    (``sampling.mixture_apply``): the <src>=<ppm> values are
+    PRE-COMPUTED keep rates (e.g. a prior batch run's ``keep_ppm``
+    audit) rather than target shares — a pure CASE + coin filter with
+    no global counts, so the stage passes the streaming gate. The
+    ``tokens=`` kwarg is batch/share mode only (rates need no token
+    totals); 'rates' joins the reserved source names above."""
+    from csvtool_spark.operators.sampling import mixture_apply, mixture_resample
 
     if len(st.args) != 1:
         raise SemanticError(
             "stage 'mixture' takes exactly one source column argument"
         )
     source = _resolve_col(df, st, st.args[0])
+    rates_mode = bool(_int_kwarg(st, "rates", 0))
     key = st.kwargs.get("key")
     tok = st.kwargs.get("tokens")
-    if key is None or tok is None:
+    if rates_mode:
+        if tok is not None:
+            raise SemanticError(
+                "stage 'mixture': tokens= applies only to share mode "
+                "(rates=1 takes pre-computed keep rates, no token totals)"
+            )
+        if key is None:
+            raise SemanticError("stage 'mixture' requires key=<column>")
+    elif key is None or tok is None:
         raise SemanticError(
             "stage 'mixture' requires key=<column> and tokens=<column>"
         )
-    keyc, tokc = _resolve_col(df, st, key), _resolve_col(df, st, tok)
+    keyc = _resolve_col(df, st, key)
     if "keep_ppm" in {c.lower() for c in df.columns}:
         raise SemanticError(
             "stage 'mixture': output column 'keep_ppm' already exists"
         )
     target: dict[str, int] = {}
     for k2, v in st.kwargs.items():
-        if k2 in ("key", "tokens"):
+        if k2 in ("key", "tokens", "rates"):
             continue
-        if not v.val.isdigit() or int(v.val) <= 0:
+        if (
+            not v.val.isdigit()
+            or int(v.val) <= 0
+            or (rates_mode and int(v.val) > 1_000_000)
+        ):
+            what = "keep rate in (0, 1000000]" if rates_mode else "ppm share"
             raise SemanticError(
-                f"stage 'mixture': {k2}= expects a positive ppm share, "
+                f"stage 'mixture': {k2}= expects a positive {what}, "
                 f"got '{v.val}'"
             )
         target[k2] = int(v.val)
     if not target:
+        what = "keep rate" if rates_mode else "share"
         raise SemanticError(
-            "stage 'mixture' needs at least one <source>=<ppm> share"
+            f"stage 'mixture' needs at least one <source>=<ppm> {what}"
         )
+    if rates_mode:
+        return mixture_apply(df, source, keyc, target)
+    tokc = _resolve_col(df, st, tok)
     return mixture_resample(df, source, keyc, tokc, target)
 
 

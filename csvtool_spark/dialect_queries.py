@@ -562,6 +562,33 @@ dialect(
 )
 
 
+dialect(
+    "q_dialect_pipe_mixture_rates",
+    # streaming-legal APPLY mode (r9): pre-computed keep rates, pure
+    # CASE + coin filter — no global counts (sampling.mixture_apply)
+    "select doc_id, source, text from documents "
+    "|> mixture(source, key=doc_id, rates=1, "
+    "src0=750000, src1=250000, src2=1000000)",
+    """
+    WITH r AS (
+      SELECT doc_id, source, text,
+             CASE source WHEN 'src0' THEN CAST(750000 AS BIGINT)
+                         WHEN 'src1' THEN CAST(250000 AS BIGINT)
+                         WHEN 'src2' THEN CAST(1000000 AS BIGINT)
+             END AS keep_ppm
+      FROM documents
+    )
+    SELECT doc_id, source, text, keep_ppm
+    FROM r
+    WHERE keep_ppm IS NOT NULL
+      AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < keep_ppm
+    """,
+    registered=False,  # shadow: the share-mode twin above holds the
+    # mixture slot; this pins the rates lane's CASE+coin semantics
+)
+
+
 def _pipe_ccdedup_oracle() -> str:
     from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
 

@@ -157,6 +157,46 @@ def mixture_resample(
     return df.join(F.broadcast(rates), source_col).filter(coin < F.col("keep_ppm"))
 
 
+def mixture_apply(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates_ppm: dict[str, int],
+) -> DataFrame:
+    """Apply PRE-COMPUTED per-source keep rates (ppm of rows to keep) —
+    the streaming-legal complement of ``mixture_resample``: that
+    operator derives its rates from GLOBAL per-source token counts (a
+    batch-only aggregate), then keeps rows by a deterministic key coin.
+    This one takes the realized rates (``mixture_resample``'s audit
+    ``keep_ppm`` column, or an offline mixing recipe) and applies the
+    SAME coin — so a stream gated by last night's batch rates keeps
+    exactly the rows the batch run would have kept, with no cross-row
+    state at all.
+
+    Pure Column machinery: the bounded rate table compiles to a CASE
+    chain (no join, no shuffle, streaming-safe); sources without a rate
+    are dropped; appends the ``keep_ppm`` audit column like the batch
+    operator."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    bad = {
+        s: p for s, p in rates_ppm.items()
+        if not 0 < int(p) <= 1_000_000
+    }
+    if bad or not rates_ppm:
+        raise ValueError(
+            f"rates_ppm must be non-empty with rates in (0, 1000000], "
+            f"got {bad or rates_ppm}"
+        )
+    rate = F.lit(None).cast("long")
+    for s, p in sorted(rates_ppm.items()):
+        rate = F.when(F.col(source_col) == F.lit(s), F.lit(int(p))).otherwise(rate)
+    coin = md5_prefix_long(F.col(key_col).cast("string")) % 1_000_000
+    return df.withColumn("keep_ppm", rate.cast("long")).filter(
+        F.col("keep_ppm").isNotNull() & (coin < F.col("keep_ppm"))
+    )
+
+
 def negative_pairs(
     df: DataFrame,
     id_col: str,

@@ -777,3 +777,51 @@ def test_salted_coins_keep_split_fractions(eng, docs):
     # for matching fraction scales)
     splits = {r["split"] for r in out}
     assert splits == {"train", "test"}
+
+
+def test_mixture_rates_mode(eng, docs):
+    """mixture(rates=1): pre-computed keep rates as a pure CASE + coin
+    filter (sampling.mixture_apply) — applying the batch run's realized
+    keep_ppm reproduces the batch survivors exactly, and it is the one
+    mixture form the streaming gate admits."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages_streaming
+    from csvtool_spark.operators.sampling import mixture_apply, mixture_resample
+
+    toks = docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+    batch = mixture_resample(
+        toks, "source", "doc_id", "n_tokens",
+        {"src0": 500000, "src1": 500000},
+    )
+    rates = {
+        r["source"]: int(r["keep_ppm"])
+        for r in batch.select("source", "keep_ppm").distinct().collect()
+    }
+    applied = mixture_apply(toks, "source", "doc_id", rates)
+    assert sorted(r["doc_id"] for r in applied.collect()) == sorted(
+        r["doc_id"] for r in batch.collect()
+    )
+    assert dict(applied.dtypes)["keep_ppm"] == "bigint"  # audit column type
+    # streaming gate: rates mode admitted, share mode rejected
+    out = apply_stages_streaming(
+        docs, parse_pipeline("mixture(source, key=doc_id, rates=1, src0=800000)")
+    )
+    assert out.columns[-1] == "keep_ppm" and out.count() > 0
+    with pytest.raises(SemanticError, match="not streaming-safe"):
+        apply_stages_streaming(
+            toks,
+            parse_pipeline(
+                "mixture(source, key=doc_id, tokens=n_tokens, src0=500000)"
+            ),
+        )
+    # rates mode rejects tokens= and rates outside (0, 1e6]
+    with pytest.raises(SemanticError, match="tokens= applies only"):
+        eng.sql(
+            "select doc_id, source, text from documents |> tokens(text) "
+            "|> mixture(source, key=doc_id, rates=1, tokens=n_tokens, src0=5)"
+        )
+    with pytest.raises(SemanticError, match="keep rate"):
+        eng.sql(
+            "select doc_id, source, text from documents "
+            "|> mixture(source, key=doc_id, rates=1, src0=2000000)"
+        )

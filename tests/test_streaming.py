@@ -676,3 +676,30 @@ def test_piped_stream_rejects_stateful_stages(spark):
     ):
         with pytest.raises(SemanticError, match="not streaming-safe"):
             piped_stream(stream, bad)
+
+
+def test_piped_stream_mixture_rates(spark):
+    """mixture(rates=1) — the streaming-legal apply mode — runs inside a
+    real readStream pipe and equals the batch result of the same text."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.streaming import document_stream, piped_stream, run_to_memory
+
+    pipe = (
+        "langid(text, keep=en) "
+        "|> mixture(source, key=doc_id, rates=1, src0=900000, src1=400000)"
+    )
+    stream = document_stream(spark, SF_SMALL)
+    run_to_memory(piped_stream(stream, pipe), "mix_out", output_mode="append")
+    got = {
+        (r["doc_id"], r["keep_ppm"])
+        for r in spark.sql("SELECT doc_id, keep_ppm FROM mix_out").collect()
+    }
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    expect = {
+        (r["doc_id"], r["keep_ppm"])
+        for r in apply_stages(batch, parse_pipeline(pipe))
+        .select("doc_id", "keep_ppm")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
