@@ -218,6 +218,21 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         raise SemanticError(
             f"stage 'neardup': threshold must be in (0, 1], got {thr}"
         )
+    transitive = _int_kwarg(st, "transitive", 0)
+    if transitive:
+        from pyspark.sql.types import IntegralType
+
+        # validate BEFORE building the pair pipeline: near_dup_pairs
+        # persists staging frames eagerly, and an error raised after
+        # that would orphan them (the round-9 review's leak class —
+        # release_stages only sees stages attached to a RESULT)
+        if not isinstance(df.schema[idc].dataType, IntegralType):
+            raise SemanticError(
+                f"stage 'neardup': transitive=1 needs an integral id "
+                f"column; '{idc}' is "
+                f"{df.schema[idc].dataType.simpleString()} — derive a "
+                f"surrogate long id first, or use transitive=0"
+            )
     pairs = near_dup_pairs_minhash(
         df,
         text,
@@ -227,20 +242,9 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         bands=bands,
         hash_family="md5",
     )
-    if _int_kwarg(st, "transitive", 0):
-        from pyspark.sql.types import IntegralType
-
+    if transitive:
         from csvtool_spark.operators.components import dedup_clusters
 
-        # the component closure keys on long ids; a string/UUID id would
-        # cast to NULL and silently drop EVERY row (round-8 ADVICE)
-        if not isinstance(df.schema[idc].dataType, IntegralType):
-            raise SemanticError(
-                f"stage 'neardup': transitive=1 needs an integral id "
-                f"column; '{idc}' is "
-                f"{df.schema[idc].dataType.simpleString()} — derive a "
-                f"surrogate long id first, or use transitive=0"
-            )
         survivors = (
             dedup_clusters(df.select(F.col(idc)), pairs, idc)
             .filter("is_survivor")
@@ -374,10 +378,14 @@ def _stage_split(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     key-hash split labels (operators.sampling.hash_split buckets). Every
     non-reserved kwarg is a label=fraction pair.
 
-    The bucket coin is salted with the stage name (``md5('split:' ||
-    key)``) so it is independent of ``hash_sample``'s coin on the same
-    key: a prior thinning must not skew the train/test fractions
-    (round-8 verdict item 7). NULL keys get a NULL label, as before."""
+    The label is DELIBERATELY the unsalted ``split_label(key)``: the
+    split family has a recompute-from-key contract (``hash_split``,
+    ``split_leakage``, ``cluster_safe_split`` all re-derive a row's
+    split from its key with the same coin), so the pipe stage must
+    assign exactly the labels those auditors recompute (round-9 review).
+    Coin independence from a prior ``hash_sample`` on the same key is
+    achieved by salting THAT stage's coin instead (round-8 verdict
+    item 7). NULL keys get a NULL label."""
     from csvtool_spark.operators.sampling import split_label
 
     key = st.kwargs.get("key")
@@ -402,9 +410,7 @@ def _stage_split(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             "stage 'split' needs at least one label=fraction pair"
         )
     try:
-        expr = split_label(
-            F.concat(F.lit("split:"), F.col(keyc).cast("string")), fractions
-        )
+        expr = split_label(F.col(keyc), fractions)
     except ValueError as e:  # fractions sum > 1
         raise SemanticError(f"stage 'split': {e}") from None
     return df.withColumn(name, expr)
@@ -607,12 +613,16 @@ def _stream_safe(st: ast.Stage) -> bool:
     """Per-STAGE-CALL streaming legality: unconditional members of
     STREAM_SAFE, plus ``mixture(rates=1)`` — the apply mode is a pure
     CASE + coin filter (no global token counts), while share mode stays
-    batch-only."""
+    batch-only. A malformed ``rates=`` value passes the gate on purpose
+    so the user sees the stage's own "expects an integer" error, not a
+    misleading not-streaming-safe one (round-9 review)."""
     if st.name in STREAM_SAFE:
         return True
     if st.name == "mixture":
         r = st.kwargs.get("rates")
-        return r is not None and r.val.isdigit() and int(r.val) != 0
+        if r is None:
+            return False
+        return not r.val.isdigit() or int(r.val) != 0
     return False
 
 

@@ -290,8 +290,7 @@ def _pipe_neardup_oracle() -> str:
     WITH {minhash_pairs_cte_sql("documents", threshold=0.4)},
     losers AS (SELECT DISTINCT id_b FROM mh_pairs)
     SELECT d.doc_id, d.text,
-           CASE WHEN CAST(concat('0x',
-                          substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                           AS BIGINT) % 10000 < 8000 THEN 'train'
                 ELSE 'test' END AS split
     FROM documents d LEFT JOIN losers l ON d.doc_id = l.id_b

@@ -2195,11 +2195,11 @@ def ivf_pq_nprobe_sweep(
         centroids if centroids is not None
         else ivf_centroids(df, vec_col, id_col, n_cells)
     )
-    if nps[-1] > len(cents):
-        raise ValueError(
-            f"ivf_pq_nprobe_sweep: max nprobe {nps[-1]} exceeds "
-            f"{len(cents)} cells"
-        )
+    # clamp to the cells that exist, like the one-shot eval's
+    # _probe_cells ranked[:nprobe] — a small corpus (fewer centroids
+    # than requested) must not crash the sweep (round-9 review); the
+    # clamped budgets collapse into one full-coverage entry
+    nps = sorted({min(p, len(cents)) for p in nps})
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
     qlits = []
     for qid, vec in sorted(queries.items()):

@@ -278,21 +278,33 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
     return ret
 
 
-def explain_response(engine, text: str) -> dict:
-    """Formatted Catalyst plan(s) for the page's statements WITHOUT
-    executing them — the web twin of the CLI's ``--explain`` flag. This
-    deliberately exceeds the reference (its GUI shows results only,
-    server.go:126-177): a Spark engine's users tune plans, so the plan
-    belongs one click from the query box. Returns the ReturnData-shaped
-    envelope with ``plans`` entries (statement text + plan string);
-    compile errors report exactly like ``query_response`` so the UI's
-    message pane behaves identically."""
+def explain_response(engine, text: str, password: str | None = None) -> dict:
+    """Formatted Catalyst plan(s) for the page's statements without
+    collecting their results — the web twin of the CLI's ``--explain``
+    flag. This deliberately exceeds the reference (its GUI shows results
+    only, server.go:126-177): a Spark engine's users tune plans, so the
+    plan belongs one click from the query box. Returns the
+    ReturnData-shaped envelope with ``plans`` entries (statement text +
+    plan string); compile errors (and the ``needPassword`` retry signal)
+    report exactly like ``query_response`` so the UI's message pane
+    behaves identically. NB: "no execution" means no result collection —
+    stages that validate eagerly (mixture share mode, bpe merges load)
+    still run their small plan-build jobs, which is why the HTTP route
+    runs this under the same cancellable job group as ``/query``."""
     ret: dict = {
         "status": DAT_BLANK,
         "originalQuery": text,
         "plans": [],
         "message": "",
     }
+    if password is not None:
+        from csvtool_spark.dialect.compiler import set_thread_password_provider
+
+        try:
+            set_thread_password_provider(lambda _fn: password)
+            return explain_response(engine, text)
+        finally:
+            set_thread_password_provider(None)
     try:
         from csvtool_spark.functions.caching import release_stages
 
@@ -460,9 +472,31 @@ class CsvToolServer:
                     self._send(resp)
                 elif self.path.startswith("/explain"):
                     req = self._body()
-                    self._send(
-                        explain_response(outer.engine, req.get("query", ""))
-                    )
+                    text = req.get("query", "")
+                    password = req.get("password")
+                    qid = req.get("id")
+                    if not qid:
+                        self._send(
+                            explain_response(outer.engine, text,
+                                             password=password)
+                        )
+                        return
+                    # same cancellable job-group plumbing as /query: the
+                    # plan build itself can launch jobs (eager stage
+                    # validation), and those must answer POST /cancel
+                    try:
+                        job = outer._register_job(str(qid))
+                    except JobIdInUse as e:
+                        self._send({"status": DAT_BADPATH, "message": str(e)})
+                        return
+                    try:
+                        resp = job.run(
+                            lambda: explain_response(outer.engine, text,
+                                                     password=password)
+                        )
+                    finally:
+                        job.finish()
+                    self._send(resp)
                 elif self.path.startswith("/cancel"):
                     req = self._body()
                     job = outer._get_job(str(req.get("id", "")))

@@ -261,17 +261,31 @@ function toggleBrowser() {
 }
 
 // explain (engine-exceeds-reference): show the formatted Catalyst plan
-// for each statement on the page without executing it (POST /explain)
+// for each statement on the page without collecting it (POST /explain).
+// Same password prompt-and-retry and cancellable job id as /query.
+async function postExplain(password) {
+  const qid = "e" + Date.now().toString(36) + Math.random().toString(36).slice(2, 8);
+  currentId = qid;
+  const body = { query: $("q").value, id: qid };
+  if (password !== undefined) body.password = password;
+  const r = await fetch("/explain/", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(body),
+  });
+  return r.json();
+}
+
 async function explainRun() {
   $("msg").textContent = "explaining\\u2026";
   $("msg").className = "";
+  $("cancel").hidden = false;
   try {
-    const r = await fetch("/explain/", {
-      method: "POST",
-      headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ query: $("q").value }),
-    });
-    const data = await r.json();
+    let data = await postExplain();
+    if (data.needPassword) {
+      const pw = window.prompt("password for encrypt()/decrypt():");
+      if (pw !== null) data = await postExplain(pw);
+    }
     const msg = $("msg"), out = $("out");
     msg.textContent = data.message || "";
     msg.className = (data.status & 1) ? "err" : "ok";
@@ -290,6 +304,9 @@ async function explainRun() {
   } catch (err) {
     $("msg").textContent = String(err);
     $("msg").className = "err";
+  } finally {
+    currentId = null;
+    $("cancel").hidden = true;
   }
 }
 

@@ -145,7 +145,9 @@ def test_hash_sample_and_split(eng, docs):
         "select doc_id from documents |> hash_sample(0.3, key=doc_id) "
         "|> split(key=doc_id, train=0.7, test=0.3)"
     ).collect()
-    # stage coins are salted with the stage name (round-8 verdict item 7)
+    # hash_sample's coin is salted with its stage name (round-8 verdict
+    # item 7); split stays the UNSALTED split_label so the hash_split /
+    # split_leakage recompute-from-key contract holds (round-9 review)
     expect = (
         docs.filter(
             md5_prefix_long(
@@ -155,10 +157,9 @@ def test_hash_sample_and_split(eng, docs):
         )
         .select(
             "doc_id",
-            split_label(
-                F.concat(F.lit("split:"), F.col("doc_id").cast("string")),
-                {"train": 0.7, "test": 0.3},
-            ).alias("split"),
+            split_label(F.col("doc_id"), {"train": 0.7, "test": 0.3}).alias(
+                "split"
+            ),
         )
         .collect()
     )
@@ -777,6 +778,16 @@ def test_salted_coins_keep_split_fractions(eng, docs):
     # for matching fraction scales)
     splits = {r["split"] for r in out}
     assert splits == {"train", "test"}
+    # audit contract (round-9 review): the pipe split assigns EXACTLY the
+    # labels operators.sampling.hash_split / split_leakage recompute from
+    # the key — the stage coin is deliberately unsalted
+    from csvtool_spark.operators.sampling import hash_split
+
+    expect = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.5, "test": 0.5}).collect()
+    }
+    assert all(expect[r["doc_id"]] == r["split"] for r in out)
 
 
 def test_mixture_rates_mode(eng, docs):

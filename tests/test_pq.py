@@ -628,8 +628,16 @@ def test_ivf_pq_nprobe_sweep_validation(spark):
         ivf_pq_nprobe_sweep(
             df, "embedding", "vec_id", {0: [0.0] * 4}, nprobes=[0, 2]
         )
-    with pytest.raises(ValueError, match="exceeds"):
-        ivf_pq_nprobe_sweep(
-            df, "embedding", "vec_id", {0: [0.0] * 4},
-            nprobes=[64], n_cells=4,
-        )
+    # over-large budgets CLAMP to the cells that exist (the one-shot
+    # eval's _probe_cells behavior) instead of crashing a small corpus
+    q = {0: [0.1] * 4}
+    big = ivf_pq_nprobe_sweep(
+        df, "embedding", "vec_id", q, nprobes=[64], n_cells=4, n_cents=12,
+    ).collect()
+    full = ivf_pq_nprobe_sweep(
+        df, "embedding", "vec_id", q, nprobes=[4], n_cells=4, n_cents=12,
+    ).collect()
+    assert [(r["qid"], r["n_hits"]) for r in big] == [
+        (r["qid"], r["n_hits"]) for r in full
+    ]
+    assert big[0]["nprobe"] == 4  # reported at the clamped budget
