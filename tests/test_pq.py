@@ -632,10 +632,12 @@ def test_ivf_pq_nprobe_sweep_validation(spark):
     # eval's _probe_cells behavior) instead of crashing a small corpus
     q = {0: [0.1] * 4}
     big = ivf_pq_nprobe_sweep(
-        df, "embedding", "vec_id", q, nprobes=[64], n_cells=4, n_cents=12,
+        df, "embedding", "vec_id", q, nprobes=[64],
+        n_cells=4, m=2, n_cents=12,
     ).collect()
     full = ivf_pq_nprobe_sweep(
-        df, "embedding", "vec_id", q, nprobes=[4], n_cells=4, n_cents=12,
+        df, "embedding", "vec_id", q, nprobes=[4],
+        n_cells=4, m=2, n_cents=12,
     ).collect()
     assert [(r["qid"], r["n_hits"]) for r in big] == [
         (r["qid"], r["n_hits"]) for r in full
