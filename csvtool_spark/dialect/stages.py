@@ -765,6 +765,35 @@ def _stage_derep(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return _join_back_rewritten(df, rewritten, text, idc)
 
 
+def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``gopher(text, id=k [, filter=1])`` — Gopher repetition signals
+    (Rae et al. 2021 Table A1, line granularity;
+    ``textstats.gopher_repetition``): append ``dup_line_frac``,
+    ``dup_line_char_frac``, ``top_{2,3,4}gram_char_frac`` and
+    ``dup_{5..10}gram_char_frac``; ``filter=1`` also DROPS documents
+    exceeding ANY paper threshold (GOPHER_THRESHOLDS — one shared
+    constant with the operator and the SQL twin). NULL signals pass the
+    filter: a too-short document is undefined, not spam."""
+    from csvtool_spark.operators.textstats import (
+        GOPHER_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    _no_extra_kwargs(st, {"id", "filter"})
+    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    lower = {c.lower() for c in df.columns}
+    for c in GOPHER_THRESHOLDS:
+        if c in lower:
+            raise SemanticError(
+                f"stage 'gopher': output column '{c}' already exists"
+            )
+    out = df.join(gopher_repetition(df, text, idc), idc)
+    if _int_kwarg(st, "filter", 0):
+        for c, thr in GOPHER_THRESHOLDS.items():
+            out = out.filter(F.coalesce(F.col(c), F.lit(0.0)) <= F.lit(thr))
+    return out
+
+
 def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``mixture(source, key=k, tokens=n_col, <src>=<ppm>, ...)`` —
     token-budget data mixing (operators.sampling.mixture_resample):
@@ -857,4 +886,5 @@ STAGES = {
     "clean": _stage_clean,
     "derep": _stage_derep,
     "mixture": _stage_mixture,
+    "gopher": _stage_gopher,
 }

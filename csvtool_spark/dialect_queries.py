@@ -588,6 +588,38 @@ dialect(
 )
 
 
+def _pipe_gopher_oracle() -> str:
+    # twin WHERE generated from the SAME threshold constants as the
+    # stage's filter — column order is the dict's order, which is also
+    # the operator's output order
+    from csvtool_spark.operators.textstats import (
+        GOPHER_THRESHOLDS,
+        gopher_oracle_sql,
+    )
+
+    cols = ", ".join(GOPHER_THRESHOLDS)
+    conds = "\n      AND ".join(
+        f"coalesce({c}, 0) <= {t}" for c, t in GOPHER_THRESHOLDS.items()
+    )
+    return f"""
+    SELECT d.doc_id, d.text, {cols}
+    FROM documents d JOIN ({gopher_oracle_sql()}) g USING (doc_id)
+    WHERE {conds}
+    """
+
+
+dialect(
+    "q_dialect_pipe_gopher",
+    # Gopher Table A1 repetition gate from SQL: append the char-fraction
+    # signals and drop documents exceeding any paper threshold
+    "select doc_id, text from documents |> gopher(text, id=doc_id, filter=1)",
+    _pipe_gopher_oracle(),
+    registered=False,  # shadow: pins the gopher stage + threshold filter
+    # against the generated DuckDB twin (q_gopher_repetition pins the
+    # unfiltered signal columns)
+)
+
+
 def _pipe_ccdedup_oracle() -> str:
     from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
 

@@ -255,6 +255,218 @@ def repetition_stats(df, text_col: str, id_col: str = "doc_id"):
     )
 
 
+#: Gopher repetition-filter families (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", Table A1 —
+#: line-granularity variants): most-frequent-n-gram character coverage
+#: for small n, duplicated-n-gram character coverage for large n. ONE
+#: definition shared by the operator, the pipe stage's filter and the
+#: generated DuckDB twin, so the three can never drift (the r8 lesson).
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(df, text_col: str, id_col: str = "doc_id"):
+    """Gopher repetition filters, char-fraction form (Rae et al. 2021
+    Table A1) — the signals real pretraining pipelines threshold on,
+    complementing ``repetition_stats``' word-fraction trio:
+
+    - ``dup_line_frac``: line occurrences beyond their first distinct
+      line / total lines ('\\n'-split);
+    - ``dup_line_char_frac``: characters of those beyond-first line
+      occurrences / total line characters (NULL when the doc has no
+      line characters);
+    - ``top_{n}gram_char_frac`` (n in GOPHER_TOP_NS): the character
+      coverage ``count·len(gram)`` of the heaviest word n-gram divided
+      by ``len(text)`` — max of coverage, so count ties are
+      deterministic without a lexicographic tie-break;
+    - ``dup_{n}gram_char_frac`` (n in GOPHER_DUP_NS): summed coverage of
+      n-grams occurring ≥ 2 times / ``len(text)``, capped at 1.0 (the
+      overlap-agnostic form — Gopher's exact non-double-counting needs
+      positional interval union; documented simplification).
+
+    NULL text → every signal NULL; a doc shorter than n words has NULL
+    for that n (signal undefined, not zero). Every doc in ``df`` appears
+    exactly once (left join back on the id).
+
+    Scale shape: ONE explode over lines + every n's grams tagged with n
+    (flatten of per-n transform arrays — one pass over the tokens), one
+    (id, n, gram) combiner-backed count whose shuffle rows are bounded
+    by distinct grams, one (id, n) fold, then a conditional-aggregation
+    pivot per id — three exchanges total regardless of how many n
+    families are measured, and the corpus text itself never shuffles."""
+    txt = F.col(text_col)
+    toks = tokens(F.lower(txt))
+    lines = F.split(txt, "\n")
+    nt = F.size(toks)
+
+    def grams(n: int) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(0), nt - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.when(nt >= n, sh).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
+        )
+
+    entries = F.flatten(
+        F.array(
+            tag(0, lines),
+            *[tag(n, grams(n)) for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)],
+        )
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.length(txt).cast("long").alias("__chars"),
+        F.explode(entries).alias("__e"),
+    ).select(
+        id_col,
+        "__chars",
+        F.col("__e")["n"].alias("__n"),
+        F.col("__e")["g"].alias("__g"),
+    )
+    pg = occ.groupBy(id_col, "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c"), F.first("__chars").alias("__chars")
+    ).select(
+        id_col, "__n", "__c", "__chars", F.length("__g").cast("long").alias("__l")
+    )
+    dup_c = F.when(F.col("__c") >= 2, F.col("__c"))
+    pn = pg.groupBy(id_col, "__n").agg(
+        F.first("__chars").alias("__chars"),
+        F.sum("__c").alias("__tot"),
+        F.sum(F.coalesce(dup_c - 1, F.lit(0))).alias("__dupocc"),
+        F.sum(F.coalesce((dup_c - 1) * F.col("__l"), F.lit(0))).alias("__dupx"),
+        F.sum(F.coalesce(dup_c * F.col("__l"), F.lit(0))).alias("__dupall"),
+        F.sum(F.col("__c") * F.col("__l")).alias("__allchars"),
+        F.max(F.col("__c") * F.col("__l")).alias("__topcover"),
+    )
+    n_is = lambda n: F.col("__n") == F.lit(n)  # noqa: E731
+    chars_ok = F.col("__chars") > 0
+    cols = [
+        F.max(
+            F.when(n_is(0), F.col("__dupocc").cast("double") / F.col("__tot"))
+        ).alias("dup_line_frac"),
+        F.max(
+            F.when(
+                n_is(0) & (F.col("__allchars") > 0),
+                F.col("__dupx").cast("double") / F.col("__allchars"),
+            )
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in GOPHER_TOP_NS:
+        cols.append(
+            F.max(
+                F.when(
+                    n_is(n) & chars_ok,
+                    F.col("__topcover").cast("double") / F.col("__chars"),
+                )
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in GOPHER_DUP_NS:
+        cols.append(
+            F.max(
+                F.when(
+                    n_is(n) & chars_ok,
+                    F.least(
+                        F.lit(1.0),
+                        F.col("__dupall").cast("double") / F.col("__chars"),
+                    ),
+                )
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    stats = pn.groupBy(id_col).agg(*cols)
+    return df.select(F.col(id_col)).join(stats, id_col, "left")
+
+
+def gopher_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``gopher_repetition`` — GENERATED from the same
+    GOPHER_TOP_NS/GOPHER_DUP_NS constants (no copy-paste drift)."""
+    ns = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+    gram_ctes = ",\n    ".join(
+        f"g{n} AS (SELECT {id_col}, unnest(range(1, len(t) - {n} + 2)) AS i, t"
+        f" FROM base WHERE len(t) >= {n})"
+        for n in ns
+    )
+    occ_parts = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col}, {n} AS n, array_to_string(t[i:i + {n - 1}], ' ')"
+        f" AS g FROM g{n}"
+        for n in ns
+    )
+    top_cols = ",\n        ".join(
+        f"max(CASE WHEN n = {n} AND chars > 0 THEN"
+        f" CAST(topcover AS DOUBLE) / chars END) AS top_{n}gram_char_frac"
+        for n in GOPHER_TOP_NS
+    )
+    dup_cols = ",\n        ".join(
+        f"max(CASE WHEN n = {n} AND chars > 0 THEN"
+        f" least(1.0, CAST(dupall AS DOUBLE) / chars) END)"
+        f" AS dup_{n}gram_char_frac"
+        for n in GOPHER_DUP_NS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, string_split(lower({text_col}), ' ') AS t,
+             string_split({text_col}, chr(10)) AS ls,
+             length({text_col}) AS chars
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    {gram_ctes},
+    occ AS (
+      SELECT {id_col}, 0 AS n, unnest(ls) AS g FROM base
+      UNION ALL
+      {occ_parts}
+    ),
+    pg AS (
+      SELECT {id_col}, n, g, count(*) AS c, length(g) AS l
+      FROM occ GROUP BY {id_col}, n, g
+    ),
+    pn AS (
+      SELECT {id_col}, n, sum(c) AS tot,
+             sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dupocc,
+             sum(CASE WHEN c >= 2 THEN (c - 1) * l ELSE 0 END) AS dupx,
+             sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dupall,
+             sum(c * l) AS allchars,
+             max(c * l) AS topcover
+      FROM pg GROUP BY {id_col}, n
+    ),
+    m AS (
+      SELECT pn.{id_col},
+        max(CASE WHEN n = 0 THEN CAST(dupocc AS DOUBLE) / tot END)
+          AS dup_line_frac,
+        max(CASE WHEN n = 0 AND allchars > 0 THEN
+            CAST(dupx AS DOUBLE) / allchars END) AS dup_line_char_frac,
+        {top_cols},
+        {dup_cols}
+      FROM pn JOIN (SELECT {id_col}, chars FROM base) b USING ({id_col})
+      GROUP BY pn.{id_col}
+    )
+    SELECT d.{id_col}, m.dup_line_frac, m.dup_line_char_frac,
+           {", ".join("m.top_%dgram_char_frac" % n for n in GOPHER_TOP_NS)},
+           {", ".join("m.dup_%dgram_char_frac" % n for n in GOPHER_DUP_NS)}
+    FROM {table} d LEFT JOIN m USING ({id_col})
+    """
+
+
 def content_fingerprint(col: Column) -> Column:
     """Order-insensitive content hash: md5 over the sorted distinct token
     set. Survives token reordering; the standard 'bag fingerprint'."""

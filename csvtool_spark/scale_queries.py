@@ -1306,6 +1306,22 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(d, "text", "doc_id")
 
 
+@register(
+    "q_gopher_repetition",
+    textstats.gopher_oracle_sql(),
+    registered=False,  # shadow (r9): the char-fraction Gopher family
+    # (Table A1) — twin GENERATED from GOPHER_TOP_NS/GOPHER_DUP_NS;
+    # the word-fraction trio rides q_text_repetition
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 repetition signals, char-fraction form: duplicate
+    lines, heaviest-{2,3,4}-gram character coverage, duplicated-{5..10}-
+    gram character coverage — the thresholds real pretraining pipelines
+    filter on. textstats.gopher_repetition."""
+    d = load(spark, sf_dir, "documents")
+    return textstats.gopher_repetition(d, "text", "doc_id")
+
+
 # --- benchmark decontamination -------------------------------------------
 
 

@@ -196,3 +196,17 @@ def test_duplicate_span_stats_null_parity(corpus, con):
     )
     want = _sql(con, duplicate_span_oracle_sql(k=3), 4)
     assert got == want
+
+
+def test_gopher_repetition_null_parity(corpus, con):
+    from csvtool_spark.operators.textstats import (
+        gopher_oracle_sql,
+        gopher_repetition,
+    )
+
+    out = gopher_repetition(corpus, "text", "doc_id")
+    got = _rows(out, out.columns)
+    want = _sql(con, gopher_oracle_sql(), len(out.columns))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert all(v is None for v in by_id[2][1:])  # NULL text -> NULL signals

@@ -145,6 +145,17 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
         ("unknown-kwarg", Q + "derep(text, id=doc_id, bogus=1)", "unknown keyword"),
         ("wrong-type", Q + "derep(text, id=doc_id, k=abc)", "expects an integer"),
     ],
+    "gopher": [
+        ("missing-id", Q + "gopher(text)", "requires id="),
+        ("wrong-type", Q + "gopher(n_tokens, id=doc_id)", "must be a string"),
+        ("unknown-kwarg", Q + "gopher(text, id=doc_id, bogus=1)", "unknown keyword"),
+        ("reserved-name",
+         "select doc_id, text, 0.1 as dup_line_frac from battery_t "
+         "|> gopher(text, id=doc_id)",
+         "already exists"),
+        ("wrong-type", Q + "gopher(text, id=doc_id, filter=x)",
+         "expects an integer"),
+    ],
     "mixture": [
         ("missing-arg", Q + "mixture(key=doc_id, tokens=n_tokens, web=1000)",
          "exactly one source column"),

@@ -363,3 +363,34 @@ def test_lm_surprisal_bigram_hand_computed(spark):
     assert got == expected
     # the doc holding the rare transition 'a c' scores strictly highest
     assert got[4][1] == max(v for _, v in got.values())
+
+
+def test_gopher_repetition_known_values(spark):
+    """Hand-computed Gopher char fractions (Rae et al. Table A1 form)."""
+    from csvtool_spark.operators import textstats
+
+    rows = [
+        # 3 lines: 'x y' twice -> dup_line_frac 1/3; dup line chars 3 of
+        # 17+3+3=23 line chars (newlines excluded); heaviest 2-gram of
+        # the space-split tokens is 'a b' (4x, len 3 -> cover 12) over
+        # len(text)=25
+        (1, "a b a b a b a b c\nx y\nx y"),
+        (2, "all tokens here are unique words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.gopher_repetition(
+        df, "text", "doc_id"
+    ).collect()}
+    r1 = out[1]
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(r1["dup_line_char_frac"] - 3 / 23) < 1e-12
+    # heaviest 2-gram of the lowercased token stream 'a b ... c\nx ...':
+    # 'b a' appears 3x? no — 'a b' appears 4x, len 3 -> 12/25
+    assert abs(r1["top_2gram_char_frac"] - 12 / 25) < 1e-12
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert all(
+        r2[f"dup_{n}gram_char_frac"] == 0.0 for n in (5,)
+    )
+    # doc 2 has 6 tokens -> 7..10-gram signals undefined (NULL)
+    assert r2["dup_7gram_char_frac"] is None
