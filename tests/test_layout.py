@@ -64,3 +64,15 @@ def test_zorder_nulls_cluster_low_and_errors_are_named(spark):
         layout.zorder_by(
             spark.createDataFrame([(1, None)], "id long, x double"), ["x"]
         )
+
+
+def test_readme_documents_every_pipe_stage():
+    """The README stage-reference table must cover STAGES exactly — a new
+    stage ships with user docs or fails here (same lock pattern as the
+    negative battery)."""
+    from csvtool_spark.dialect.stages import STAGES
+
+    readme = open("/root/repo/README.md").read()
+    table = readme.split("## Pipe stage reference", 1)[1].split("## ", 1)[0]
+    for name in STAGES:
+        assert f"| `{name}` |" in table, f"stage '{name}' missing from README"
