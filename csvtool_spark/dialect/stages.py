@@ -787,7 +787,9 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             raise SemanticError(
                 f"stage 'gopher': output column '{c}' already exists"
             )
-    out = df.join(gopher_repetition(df, text, idc), idc)
+    # LEFT join: an append-only stage must not change the row count — a
+    # NULL-id row keeps its row with NULL signals (round-9 review)
+    out = df.join(gopher_repetition(df, text, idc), idc, "left")
     if _int_kwarg(st, "filter", 0):
         for c, thr in GOPHER_THRESHOLDS.items():
             out = out.filter(F.coalesce(F.col(c), F.lit(0.0)) <= F.lit(thr))

@@ -553,7 +553,8 @@ dialect(
     r AS (SELECT source, least(1000000, w_ppm * t.T // tok) AS keep_ppm FROM s, t)
     SELECT n.doc_id, n.source, n.text, n.n_tokens, r.keep_ppm
     FROM n JOIN r USING (source)
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    WHERE CAST(concat('0x',
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < r.keep_ppm
     """,
     registered=False,  # shadow: the mixing rule also rides q_mixture;
@@ -580,7 +581,8 @@ dialect(
     SELECT doc_id, source, text, keep_ppm
     FROM r
     WHERE keep_ppm IS NOT NULL
-      AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AND CAST(concat('0x',
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < keep_ppm
     """,
     registered=False,  # shadow: the share-mode twin above holds the

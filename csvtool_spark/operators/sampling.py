@@ -94,6 +94,27 @@ def source_quota(
     )
 
 
+def mixture_coin(key_col) -> F.Column:
+    """THE mixture-family keep coin: 32-bit md5 prefix of
+    ``'mixture:' + key``, mod 1e6 — one definition shared by
+    ``mixture_resample``, ``mixture_apply`` and
+    ``streaming.sampled_stream`` so the exact-replay contract (apply a
+    batch run's realized rates → keep exactly the batch survivors)
+    cannot drift between copies. Salted with the family name because
+    1e6 is a multiple of ``split_bucket``'s 1e4: with a shared raw
+    coin, mixture survivors at ``keep_ppm=p`` all land in split buckets
+    ``< p % 1e4``-ish — a mixture followed by a split on the same key
+    would skew or empty the labels (round-9 review). DuckDB twin:
+    ``CAST(concat('0x', substr(md5('mixture:' || CAST(k AS VARCHAR)),
+    1, 8)) AS BIGINT) % 1000000``."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    return (
+        md5_prefix_long(F.concat(F.lit("mixture:"), key_col.cast("string")))
+        % 1_000_000
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     source_col: str,
@@ -118,8 +139,6 @@ def mixture_resample(
     shuffles. int64 bounds: ``tokens_s·1e6`` and ``share_ppm·T`` stay
     under ~1e18 up to a trillion tokens per source.
     """
-    from csvtool_spark.functions.hashing import md5_prefix_long
-
     bad = {s: p for s, p in target_ppm.items() if int(p) <= 0}
     if bad:
         # a 0 share would otherwise surface as an ANSI divide-by-zero deep
@@ -153,7 +172,7 @@ def mixture_resample(
             F.lit(1_000_000).cast("long"), F.expr("w_ppm * __T div __tok")
         ).alias("keep_ppm"),
     )
-    coin = md5_prefix_long(F.col(key_col).cast("string")) % 1_000_000
+    coin = mixture_coin(F.col(key_col))
     return df.join(F.broadcast(rates), source_col).filter(coin < F.col("keep_ppm"))
 
 
@@ -191,7 +210,7 @@ def mixture_apply(
     rate = F.lit(None).cast("long")
     for s, p in sorted(rates_ppm.items()):
         rate = F.when(F.col(source_col) == F.lit(s), F.lit(int(p))).otherwise(rate)
-    coin = md5_prefix_long(F.col(key_col).cast("string")) % 1_000_000
+    coin = mixture_coin(F.col(key_col))
     return df.withColumn("keep_ppm", rate.cast("long")).filter(
         F.col("keep_ppm").isNotNull() & (coin < F.col("keep_ppm"))
     )

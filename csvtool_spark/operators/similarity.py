@@ -2195,6 +2195,10 @@ def ivf_pq_nprobe_sweep(
         centroids if centroids is not None
         else ivf_centroids(df, vec_col, id_col, n_cells)
     )
+    if not cents:
+        raise ValueError(
+            "ivf_pq_nprobe_sweep: no centroids (empty/all-NULL corpus)"
+        )
     # clamp to the cells that exist, like the one-shot eval's
     # _probe_cells ranked[:nprobe] — a small corpus (fewer centroids
     # than requested) must not crash the sweep (round-9 review); the

@@ -2056,7 +2056,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT source, least(1000000, w_ppm * t.T // tok) AS keep_ppm FROM s, t)
     SELECT d.doc_id, d.source, r.keep_ppm
     FROM documents d JOIN r USING (source)
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    WHERE CAST(concat('0x',
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < r.keep_ppm
     """,
     registered=False,  # shadow (r5 swap: slot given to q_dsir_sample)

@@ -142,9 +142,9 @@ def sampled_stream(
     Sources absent from ``rates`` keep at ``default_ppm`` (default: keep
     everything — a new source appearing after training must not silently
     vanish; set 0 to drop unknown sources explicitly)."""
-    from csvtool_spark.functions.hashing import md5_prefix_long
+    from csvtool_spark.operators.sampling import mixture_coin
 
-    coin = md5_prefix_long(F.col(id_col).cast("string")) % 1_000_000
+    coin = mixture_coin(F.col(id_col))
     return (
         stream.join(F.broadcast(rates), group_col, "left")
         .filter(coin < F.coalesce(F.col("keep_ppm"), F.lit(int(default_ppm))))

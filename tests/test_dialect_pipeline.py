@@ -836,3 +836,47 @@ def test_mixture_rates_mode(eng, docs):
             "select doc_id, source, text from documents "
             "|> mixture(source, key=doc_id, rates=1, src0=2000000)"
         )
+
+
+def test_mixture_then_split_not_correlated(eng):
+    """Round-9 review (2nd pass): 1e6 is a multiple of split_bucket's
+    1e4, so an unsalted shared coin would send EVERY mixture survivor at
+    keep_ppm=5000 into split buckets < 5000 (train only). The
+    mixture-family salt keeps the composition sane: both labels appear
+    at ~the requested fractions."""
+    out = eng.sql(
+        "select doc_id, source, text from documents "
+        "|> mixture(source, key=doc_id, rates=1, src0=500000, src1=500000, "
+        "src2=500000, src3=500000, src4=500000, src5=500000, src6=500000, "
+        "src7=500000, src8=500000, src9=500000) "
+        "|> split(key=doc_id, train=0.5, test=0.5)"
+    ).collect()
+    n = len(out)
+    assert n > 80
+    tr = sum(1 for r in out if r["split"] == "train")
+    assert 0 < tr < n and abs(tr / n - 0.5) < 0.12, f"{tr}/{n} skewed"
+
+
+def test_gopher_stage_appends_without_dropping(eng, docs, spark):
+    """gopher (filter=0) is append-only: row count preserved even for a
+    NULL id row (round-9 review), and the signal columns match the
+    operator."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (None, "x y"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = apply_stages(d, parse_pipeline("gopher(text, id=doc_id)"))
+    rows = out.collect()
+    assert len(rows) == 3  # NULL id and NULL text rows survive
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["top_2gram_char_frac"] is not None
+    assert by_id[None]["dup_line_frac"] is None  # unjoinable -> NULL signals
+    assert by_id[3]["dup_line_frac"] is None  # NULL text -> NULL signals
+    # filter=1 drops the heavy-repetition doc
+    kept = apply_stages(
+        d, parse_pipeline("gopher(text, id=doc_id, filter=1)")
+    ).collect()
+    assert 1 not in {r["doc_id"] for r in kept}

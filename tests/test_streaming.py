@@ -301,7 +301,9 @@ def test_sampled_stream_replay_idempotent_and_matches_coin(spark):
     assert set(counts.values()) == {2}
 
     batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    coin = md5_prefix_long(F.col("doc_id").cast("string")) % 1_000_000
+    from csvtool_spark.operators.sampling import mixture_coin
+
+    coin = mixture_coin(F.col("doc_id"))
     # mirror the stream's unseen-source policy: left join, absent → keep
     want = {
         r.doc_id
