@@ -616,9 +616,10 @@ dialect(
     # signals and drop documents exceeding any paper threshold
     "select doc_id, text from documents |> gopher(text, id=doc_id, filter=1)",
     _pipe_gopher_oracle(),
-    registered=False,  # shadow: pins the gopher stage + threshold filter
-    # against the generated DuckDB twin (q_gopher_repetition pins the
-    # unfiltered signal columns)
+    # driver window (r9 swap: q_minhash_recall -> shadow): the Gopher
+    # Table A1 repetition gate end to end — stage + operator + shared
+    # thresholds vs the generated DuckDB twin (q_gopher_repetition pins
+    # the unfiltered signal columns in shadow)
 )
 
 

@@ -3284,7 +3284,10 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_recall",
     dedup.minhash_recall_oracle_sql(threshold=0.4, sample_frac=0.5),
-    # driver window (r7 swap: q_like_in -> shadow)
+    registered=False,  # shadow (r9 swap: slot given to
+    # q_dialect_pipe_gopher — a new judged family; recall-eval machinery
+    # stays in-window via q_ann_recall, and the minhash pair pipeline
+    # via q_dedup_minhash_det; was in-window r7-r9)
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall of the 8×4 MinHash banding vs exact SHINGLE-Jaccard ground
