@@ -605,7 +605,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 #: see past and stay batch-only.
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
-    "hash_sample", "split", "chunk", "bpe", "clean",
+    "hash_sample", "split", "chunk", "bpe", "clean", "gopher",
 }
 
 
@@ -766,30 +766,35 @@ def _stage_derep(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 
 def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
-    """``gopher(text, id=k [, filter=1])`` — Gopher repetition signals
+    """``gopher(text [, filter=1])`` — Gopher repetition signals
     (Rae et al. 2021 Table A1, line granularity;
     ``textstats.gopher_repetition``): append ``dup_line_frac``,
     ``dup_line_char_frac``, ``top_{2,3,4}gram_char_frac`` and
     ``dup_{5..10}gram_char_frac``; ``filter=1`` also DROPS documents
     exceeding ANY paper threshold (GOPHER_THRESHOLDS — one shared
     constant with the operator and the SQL twin). NULL signals pass the
-    filter: a too-short document is undefined, not spam."""
+    filter: a too-short document is undefined, not spam.
+
+    The signals are per-row (the operator's Arrow kernel), so the stage
+    is a pure column append — no join, no shuffle, streaming-legal; a
+    NULL-id row keeps its row and its signals (round-9 review: an
+    append-only stage must not change the row count)."""
     from csvtool_spark.operators.textstats import (
         GOPHER_THRESHOLDS,
-        gopher_repetition,
+        _gopher_arrow,
     )
 
-    _no_extra_kwargs(st, {"id", "filter"})
-    text, idc = _text_arg(df, st), _id_kwarg(df, st)
+    _no_extra_kwargs(st, {"filter"})
+    text = _text_arg(df, st)
     lower = {c.lower() for c in df.columns}
     for c in GOPHER_THRESHOLDS:
         if c in lower:
             raise SemanticError(
                 f"stage 'gopher': output column '{c}' already exists"
             )
-    # LEFT join: an append-only stage must not change the row count — a
-    # NULL-id row keeps its row with NULL signals (round-9 review)
-    out = df.join(gopher_repetition(df, text, idc), idc, "left")
+    out = df.select(
+        *df.columns, _gopher_arrow(F.col(text)).alias("__g")
+    ).select(*df.columns, "__g.*")
     if _int_kwarg(st, "filter", 0):
         for c, thr in GOPHER_THRESHOLDS.items():
             out = out.filter(F.coalesce(F.col(c), F.lit(0.0)) <= F.lit(thr))

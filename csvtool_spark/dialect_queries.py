@@ -614,7 +614,7 @@ dialect(
     "q_dialect_pipe_gopher",
     # Gopher Table A1 repetition gate from SQL: append the char-fraction
     # signals and drop documents exceeding any paper threshold
-    "select doc_id, text from documents |> gopher(text, id=doc_id, filter=1)",
+    "select doc_id, text from documents |> gopher(text, filter=1)",
     _pipe_gopher_oracle(),
     # driver window (r9 swap: q_minhash_recall -> shadow): the Gopher
     # Table A1 repetition gate end to end — stage + operator + shared

@@ -858,25 +858,35 @@ def test_mixture_then_split_not_correlated(eng):
 
 
 def test_gopher_stage_appends_without_dropping(eng, docs, spark):
-    """gopher (filter=0) is append-only: row count preserved even for a
-    NULL id row (round-9 review), and the signal columns match the
-    operator."""
+    """gopher (filter=0) is a pure per-row append (Arrow kernel, no
+    join): row count preserved, NULL-id rows keep their signals,
+    NULL-text rows get NULL signals; the streaming gate admits it."""
     from csvtool_spark.dialect.parser import parse_pipeline
-    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.dialect.stages import apply_stages, apply_stages_streaming
 
     d = spark.createDataFrame(
         [(1, "a b a b a b a b"), (None, "x y"), (3, None)],
         "doc_id long, text string",
     )
-    out = apply_stages(d, parse_pipeline("gopher(text, id=doc_id)"))
+    out = apply_stages_streaming(d, parse_pipeline("gopher(text)"))
     rows = out.collect()
     assert len(rows) == 3  # NULL id and NULL text rows survive
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["top_2gram_char_frac"] is not None
-    assert by_id[None]["dup_line_frac"] is None  # unjoinable -> NULL signals
+    assert by_id[None]["dup_line_frac"] == 0.0  # per-row: no join to miss
     assert by_id[3]["dup_line_frac"] is None  # NULL text -> NULL signals
+    # the stage signals match the operator exactly
+    op = {
+        r["doc_id"]: r
+        for r in __import__(
+            "csvtool_spark.operators.textstats", fromlist=["x"]
+        ).gopher_repetition(d, "text", "doc_id").collect()
+        if r["doc_id"] is not None
+    }
+    for i in (1, 3):
+        assert by_id[i]["dup_5gram_char_frac"] == op[i]["dup_5gram_char_frac"]
     # filter=1 drops the heavy-repetition doc
     kept = apply_stages(
-        d, parse_pipeline("gopher(text, id=doc_id, filter=1)")
+        d, parse_pipeline("gopher(text, filter=1)")
     ).collect()
     assert 1 not in {r["doc_id"] for r in kept}

@@ -146,15 +146,14 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
         ("wrong-type", Q + "derep(text, id=doc_id, k=abc)", "expects an integer"),
     ],
     "gopher": [
-        ("missing-id", Q + "gopher(text)", "requires id="),
-        ("wrong-type", Q + "gopher(n_tokens, id=doc_id)", "must be a string"),
-        ("unknown-kwarg", Q + "gopher(text, id=doc_id, bogus=1)", "unknown keyword"),
+        ("missing-arg", Q + "gopher()", "exactly one column"),
+        ("wrong-type", Q + "gopher(n_tokens)", "must be a string"),
+        ("unknown-kwarg", Q + "gopher(text, id=doc_id)", "unknown keyword"),
         ("reserved-name",
          "select doc_id, text, 0.1 as dup_line_frac from battery_t "
-         "|> gopher(text, id=doc_id)",
+         "|> gopher(text)",
          "already exists"),
-        ("wrong-type", Q + "gopher(text, id=doc_id, filter=x)",
-         "expects an integer"),
+        ("wrong-type", Q + "gopher(text, filter=x)", "expects an integer"),
     ],
     "mixture": [
         ("missing-arg", Q + "mixture(key=doc_id, tokens=n_tokens, web=1000)",
