@@ -705,3 +705,29 @@ def test_piped_stream_mixture_rates(spark):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_piped_stream_gopher(spark):
+    """The gopher stage (Arrow kernel, pure per-row append) runs inside a
+    real readStream pipe and equals the batch result of the same text."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.streaming import document_stream, piped_stream, run_to_memory
+
+    pipe = "gopher(text, filter=1) |> tokens(text)"
+    stream = document_stream(spark, SF_SMALL)
+    run_to_memory(piped_stream(stream, pipe), "gopher_out", output_mode="append")
+    got = {
+        (r["doc_id"], r["dup_line_frac"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT doc_id, dup_line_frac, n_tokens FROM gopher_out"
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    expect = {
+        (r["doc_id"], r["dup_line_frac"], r["n_tokens"])
+        for r in apply_stages(batch, parse_pipeline(pipe))
+        .select("doc_id", "dup_line_frac", "n_tokens")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
