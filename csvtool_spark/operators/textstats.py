@@ -1562,7 +1562,13 @@ def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
     with the EXACT ``lang_id`` decision rule — marker lists and the
     greatest-chain tie-break are GENERATED from ``LANG_MARKERS``, so the
     SQL twin cannot drift from the Column implementation (round-8 review:
-    the CASE chain had been copy-pasted into four oracle sites)."""
+    the CASE chain had been copy-pasted into four oracle sites).
+
+    NB (round-8 verdict advisory): the generated greatest-chain is
+    quadratic in ``len(LANG_MARKERS)`` — WHEN clause i compares against
+    the remaining len-i languages. Fine at 5 languages; if the marker
+    set is ever widened substantially, switch the twin to an
+    argmax-over-struct-list form instead of growing this chain."""
     langs = list(LANG_MARKERS)
     counts = ",\n             ".join(
         f"CAST(len(list_filter(string_split(lower({text_col}),' '), x -> x IN"
