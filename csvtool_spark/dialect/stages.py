@@ -792,9 +792,15 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             raise SemanticError(
                 f"stage 'gopher': output column '{c}' already exists"
             )
+    # collision-proof struct alias: a user column literally named '__g'
+    # would otherwise make the second select's '__g.*' ambiguous
+    # (round-9 third review, verified AnalysisException)
+    tmp = "__g"
+    while tmp in lower:
+        tmp += "_"
     out = df.select(
-        *df.columns, _gopher_arrow(F.col(text)).alias("__g")
-    ).select(*df.columns, "__g.*")
+        *df.columns, _gopher_arrow(F.col(text)).alias(tmp)
+    ).select(*df.columns, f"{tmp}.*")
     if _int_kwarg(st, "filter", 0):
         for c, thr in GOPHER_THRESHOLDS.items():
             out = out.filter(F.coalesce(F.col(c), F.lit(0.0)) <= F.lit(thr))

@@ -483,7 +483,11 @@ def gopher_repetition(
         for n in GOPHER_DUP_NS:
             cols.append(
                 F.when(
-                    chars_ok,
+                    # the nt >= n guard matters: least(1.0, NULL) is 1.0
+                    # (least SKIPS nulls), so an unguarded short doc
+                    # would read as maximally duplicated instead of
+                    # undefined (round-9 third review, verified live)
+                    chars_ok & (nt >= n),
                     F.least(
                         F.lit(1.0),
                         _rep_fold(gram_arr(n))["dupall"].cast("double") / chars,

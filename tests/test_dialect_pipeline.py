@@ -883,10 +883,19 @@ def test_gopher_stage_appends_without_dropping(eng, docs, spark):
         ).gopher_repetition(d, "text", "doc_id").collect()
         if r["doc_id"] is not None
     }
+    from csvtool_spark.operators.textstats import GOPHER_THRESHOLDS
+
     for i in (1, 3):
-        assert by_id[i]["dup_5gram_char_frac"] == op[i]["dup_5gram_char_frac"]
+        for c in GOPHER_THRESHOLDS:  # every signal column, not just one
+            assert by_id[i][c] == op[i][c], (i, c)
     # filter=1 drops the heavy-repetition doc
     kept = apply_stages(
         d, parse_pipeline("gopher(text, filter=1)")
     ).collect()
     assert 1 not in {r["doc_id"] for r in kept}
+    # a user column literally named __g must not break the struct expand
+    # (round-9 third review: AMBIGUOUS_REFERENCE)
+    clash = apply_stages(
+        d.withColumn("__g", F.lit(7)), parse_pipeline("gopher(text)")
+    )
+    assert clash.count() == 3 and "__g" in clash.columns

@@ -140,8 +140,12 @@ def _py_gopher(rows, top_ns, dup_ns):
     return out
 
 
-@pytest.mark.parametrize("seed", range(5))
-def test_gopher_repetition_matches_python_reference(spark, seed):
+@pytest.mark.parametrize("kernel", ["arrow", "column", "explode"])
+@pytest.mark.parametrize("seed", range(3))
+def test_gopher_repetition_matches_python_reference(spark, seed, kernel):
+    """All THREE kernels against the Python reference (round-9 third
+    review: the column lane shipped untested and read short docs as
+    maximally duplicated via least(1.0, NULL))."""
     from csvtool_spark.operators.textstats import (
         GOPHER_DUP_NS,
         GOPHER_TOP_NS,
@@ -158,9 +162,11 @@ def test_gopher_repetition_matches_python_reference(spark, seed):
             for _ in range(nl)
         )
 
-    rows = [(i, doc()) for i in range(8)] + [(8, None), (9, "")]
+    rows = [(i, doc()) for i in range(8)] + [
+        (8, None), (9, ""), (10, "one two three"),  # < 5 tokens: dup_n NULL
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    res = gopher_repetition(df, "text", "doc_id")
+    res = gopher_repetition(df, "text", "doc_id", kernel=kernel)
     cols = [c for c in res.columns if c != "doc_id"]
     got = {rr["doc_id"]: {c: rr[c] for c in cols} for rr in res.collect()}
     want = _py_gopher(rows, GOPHER_TOP_NS, GOPHER_DUP_NS)
