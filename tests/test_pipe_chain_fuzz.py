@@ -1,0 +1,189 @@
+"""Pipe-chain differential fuzzer: RANDOM `|>` stage chains vs a
+compositional DuckDB oracle (dialect.stage_oracles.chain_oracle_sql).
+
+The catalog pins fixed chains; this locks the COMPOSITION surface — a
+rewrite stage feeding a filter stage, stacked coin stages on one key,
+repeated appends under as= renames, cardinality changes mid-chain — on
+the same exact compare (rows, names, dtypes, values) as the gate."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from csvtool_spark.dialect.stage_oracles import STAGE_TWINS, chain_oracle_sql
+from csvtool_spark.engine import CsvEngine
+from csvtool_spark.oracle import compare
+
+SF = "/root/testdata/sf0.001"
+BASE_TEXT = "select doc_id, text, source from documents"
+BASE_SQL = "SELECT doc_id, text, source FROM documents"
+BASE_COLS = ["doc_id", "text", "source"]
+
+#: stages whose TWIN groups by id (gopher) or breaks ties by id
+#: (dedup/quota) — only legal while doc_id is still unique (pre-chunk)
+NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher"}
+#: stages allowed at most once per chain (fixed output names)
+ONCE = {"chunk", "gopher", "mixture"}
+
+
+def _gen_chain(rng: random.Random):
+    """One random chain: returns (dialect stage text, twin chain spec).
+
+    Tracks the engine's column/uniqueness state so every generated chain
+    is VALID — the negative battery owns the error paths."""
+    n_stages = rng.randint(2, 4)
+    parts: list[str] = []
+    chain: list[tuple[str, dict]] = []
+    used_names = {c.lower() for c in BASE_COLS}
+    unique_id = True
+    used_once: set[str] = set()
+    pool = list(STAGE_TWINS)
+
+    def fresh(default: str) -> tuple[str, str]:
+        """(output name, dialect as= suffix) avoiding collisions."""
+        if default.lower() not in used_names:
+            used_names.add(default.lower())
+            return default, ""
+        i = 2
+        while f"{default}{i}".lower() in used_names:
+            i += 1
+        name = f"{default}{i}"
+        used_names.add(name.lower())
+        return name, f", as={name}"
+
+    for _ in range(n_stages):
+        choices = [
+            s
+            for s in pool
+            if not (s in NEEDS_UNIQUE_ID and not unique_id)
+            and not (s in ONCE and s in used_once)
+            # fixed appended names -> once per chain unless as= exists
+            and not (s == "chunk" and (
+                "chunk_id" in used_names or "n_chunk_tokens" in used_names))
+        ]
+        s = rng.choice(choices)
+        used_once.add(s)
+        if s == "langid":
+            name, asfx = fresh("lang_guess")
+            keep = rng.choice([None, None, "en", "unknown"])
+            kfx = f", keep={keep}" if keep else ""
+            parts.append(f"langid(text{asfx}{kfx})")
+            p = {"text": "text", "as": name}
+            if keep:
+                p["keep"] = keep
+            chain.append(("langid", p))
+        elif s == "quality":
+            name, asfx = fresh("quality")
+            lo = rng.choice([None, 0.3, 0.45, 0.6])
+            lfx = f", min={lo}" if lo is not None else ""
+            parts.append(f"quality(text{asfx}{lfx})")
+            chain.append(("quality", {"text": "text", "as": name, "min": lo}))
+        elif s == "tokens":
+            name, asfx = fresh("n_tokens")
+            parts.append(f"tokens(text{asfx})")
+            chain.append(("tokens", {"text": "text", "as": name}))
+        elif s == "fingerprint":
+            name, asfx = fresh("content_fp")
+            parts.append(f"fingerprint(text{asfx})")
+            chain.append(("fingerprint", {"text": "text", "as": name}))
+        elif s == "pii_scrub":
+            parts.append("pii_scrub(text)")
+            chain.append(("pii_scrub", {"text": "text"}))
+        elif s == "hash_sample":
+            frac = rng.choice([0.25, 0.5, 0.8, 0.95])
+            parts.append(f"hash_sample({frac}, key=doc_id)")
+            chain.append(("hash_sample", {"frac": frac, "key": "doc_id"}))
+        elif s == "split":
+            name, asfx = fresh("split")
+            fr = rng.choice(
+                [
+                    {"train": 0.8, "test": 0.2},
+                    {"train": 0.7, "dev": 0.1, "test": 0.2},
+                    {"a": 0.5, "b": 0.3},  # remainder -> NULL label
+                ]
+            )
+            kw = ", ".join(f"{k}={v}" for k, v in fr.items())
+            parts.append(f"split(key=doc_id, {kw}{asfx})")
+            chain.append(
+                ("split", {"key": "doc_id", "fractions": fr, "as": name})
+            )
+        elif s == "dedup":
+            parts.append("dedup(text, id=doc_id)")
+            chain.append(("dedup", {"text": "text", "id": "doc_id"}))
+        elif s == "quota":
+            cap = rng.randint(1, 25)
+            parts.append(f"quota(source, cap={cap}, order=doc_id)")
+            chain.append(
+                ("quota", {"group": "source", "order": "doc_id", "cap": cap})
+            )
+        elif s == "chunk":
+            size = rng.choice([16, 32, 64])
+            overlap = rng.choice([0, 4, size // 2 - 1])
+            parts.append(f"chunk(text, id=doc_id, size={size}, overlap={overlap})")
+            chain.append(
+                ("chunk", {"text": "text", "id": "doc_id",
+                           "size": size, "overlap": overlap})
+            )
+            used_names.update({"chunk_id", "n_chunk_tokens"})
+            unique_id = False
+        elif s == "clean":
+            mw = rng.randint(1, 6)
+            term = rng.choice([0, 1])
+            parts.append(f"clean(text, min_words={mw}, terminal={term})")
+            chain.append(
+                ("clean", {"text": "text", "min_words": mw,
+                           "terminal": bool(term)})
+            )
+        elif s == "gopher":
+            filt = rng.choice([0, 1])
+            parts.append(f"gopher(text, filter={filt})")
+            chain.append(
+                ("gopher", {"text": "text", "id": "doc_id", "filter": filt})
+            )
+            from csvtool_spark.operators.textstats import GOPHER_THRESHOLDS
+
+            used_names.update(GOPHER_THRESHOLDS)
+        elif s == "mixture":
+            srcs = rng.sample([f"src{i}" for i in range(20)], rng.randint(4, 12))
+            rates = {x: rng.randrange(100_000, 1_000_001) for x in srcs}
+            kw = ", ".join(f"{k}={v}" for k, v in sorted(rates.items()))
+            parts.append(f"mixture(source, key=doc_id, rates=1, {kw})")
+            chain.append(
+                ("mixture", {"source": "source", "key": "doc_id",
+                             "rates": rates})
+            )
+            used_names.add("keep_ppm")
+        else:  # pragma: no cover — keep the pool and this dispatch in sync
+            raise AssertionError(f"unhandled stage {s}")
+    return " |> ".join(parts), chain
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = CsvEngine(spark)
+    eng.register_dir(SF, ["documents"])
+    return eng
+
+
+def test_twin_registry_covers_generator():
+    """Every STAGE_TWINS entry is reachable from the generator (a twin
+    nobody fuzzes is dead weight; a generated stage without a twin is a
+    KeyError in chain_oracle_sql)."""
+    rng = random.Random(0)
+    seen: set[str] = set()
+    for _ in range(300):
+        _, chain = _gen_chain(rng)
+        seen.update(name for name, _ in chain)
+    assert seen == set(STAGE_TWINS)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_pipe_chain_matches_oracle(engine, duck, seed):
+    rng = random.Random(1000 + seed)
+    stage_text, chain = _gen_chain(rng)
+    sdf = engine.sql(f"{BASE_TEXT} |> {stage_text}")
+    sql, _ = chain_oracle_sql(BASE_SQL, BASE_COLS, chain)
+    err = compare(sdf, duck, sql)
+    assert err is None, f"chain `{stage_text}`: {err}"
