@@ -200,11 +200,21 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
       (operators.components alternating-star, O(log n) rounds) and keep
       exactly ONE row per duplicate cluster — the min-id survivor. The
       canonical corpus-dedup rule; strictly fewer survivors on chains
-      A~B~C where A~C itself fails the threshold."""
+      A~B~C where A~C itself fails the threshold.
+
+    ``by=<numeric column>`` (transitive=1 only) switches the survivor
+    rule to KEEP THE BEST member per cluster — highest ``by`` value,
+    ties to the lowest id (operators.components.canonical_select; the
+    SemDeDup-style curation policy: of near-identical pages keep the
+    highest-quality one, not the accidentally-lowest-id one). NULL
+    scores lose to every real score. Compose as ``|> quality(text) |>
+    neardup(text, id=doc_id, transitive=1, by=quality)``."""
     from csvtool_spark.functions.caching import attach_stages
     from csvtool_spark.operators.dedup import near_dup_pairs_minhash
 
-    _no_extra_kwargs(st, {"id", "threshold", "n_hashes", "bands", "transitive"})
+    _no_extra_kwargs(
+        st, {"id", "threshold", "n_hashes", "bands", "transitive", "by"}
+    )
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
     n_hashes = _int_kwarg(st, "n_hashes", 32)
     bands = _int_kwarg(st, "bands", 8)
@@ -219,6 +229,23 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             f"stage 'neardup': threshold must be in (0, 1], got {thr}"
         )
     transitive = _int_kwarg(st, "transitive", 0)
+    by = st.kwargs.get("by")
+    byc = None
+    if by is not None:
+        if not transitive:
+            raise SemanticError(
+                "stage 'neardup': by= (keep the best-scoring cluster "
+                "member) applies only with transitive=1 — the pairwise "
+                "rule has no cluster to pick a best member from"
+            )
+        from pyspark.sql.types import NumericType
+
+        byc = _resolve_col(df, st, by)
+        if not isinstance(df.schema[byc].dataType, NumericType):
+            raise SemanticError(
+                f"stage 'neardup': by= needs a numeric score column; "
+                f"'{byc}' is {df.schema[byc].dataType.simpleString()}"
+            )
     if transitive:
         from pyspark.sql.types import IntegralType
 
@@ -242,7 +269,16 @@ def _stage_neardup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         bands=bands,
         hash_family="md5",
     )
-    if transitive:
+    if transitive and byc is not None:
+        from csvtool_spark.operators.components import canonical_select
+
+        survivors = (
+            canonical_select(df, pairs, idc, byc)
+            .filter("is_kept")
+            .select(idc)
+        )
+        out = df.join(survivors, idc, "left_semi")
+    elif transitive:
         from csvtool_spark.operators.components import dedup_clusters
 
         survivors = (

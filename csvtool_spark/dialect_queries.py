@@ -642,6 +642,43 @@ def _pipe_ccdedup_oracle() -> str:
     """
 
 
+def _pipe_bestdedup_oracle() -> str:
+    from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
+
+    return f"""
+    WITH RECURSIVE {minhash_pairs_cte_sql("documents", threshold=0.4)},
+    e AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.n_chars, d.text
+    FROM documents d JOIN comp USING (doc_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY component
+      ORDER BY coalesce(CAST(d.n_chars AS DOUBLE),
+                        CAST('-infinity' AS DOUBLE)) DESC,
+               d.doc_id ASC) = 1
+    """
+
+
+dialect(
+    "q_dialect_pipe_bestdedup",
+    # the SemDeDup-style survivor rule from SQL: transitive closure over
+    # the verified MinHash pairs, keep the BEST-scoring member per
+    # cluster (by=n_chars here; ties -> lowest id, NULL scores lose) —
+    # components.canonical_select under the ccdedup closure twin
+    "select doc_id, n_chars, text from documents "
+    "|> neardup(text, id=doc_id, threshold=0.4, transitive=1, by=n_chars)",
+    _pipe_bestdedup_oracle(),
+    registered=False,  # shadow: the closure itself is in-window via
+    # q_dialect_pipe_ccdedup; this pins the keep-best survivor variant
+)
+
+
 dialect(
     "q_dialect_pipe_ccdedup",
     # transitive-closure near-dup from SQL: connected components over the

@@ -729,6 +729,39 @@ def test_neardup_transitive_keeps_one_per_cluster(eng, docs):
     assert got <= greedy_ids
 
 
+def test_neardup_transitive_by_keeps_best_member(eng, docs):
+    """by=<score> switches transitive=1's survivor from min-id to the
+    SemDeDup-style best-scoring member (ties -> lowest id); survivor
+    COUNT equals the min-id rule's (still exactly one per cluster)."""
+    from csvtool_spark.operators.components import canonical_select
+    from csvtool_spark.operators.dedup import near_dup_pairs_minhash
+
+    out = eng.sql(
+        "select doc_id, n_chars, text from documents "
+        "|> neardup(text, id=doc_id, threshold=0.4, transitive=1, by=n_chars)"
+    )
+    pairs = near_dup_pairs_minhash(
+        docs, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8,
+        hash_family="md5",
+    )
+    expect = {
+        r["doc_id"]
+        for r in canonical_select(docs, pairs, "doc_id", "n_chars")
+        .filter("is_kept").collect()
+    }
+    release_stages(pairs)
+    got = {r["doc_id"] for r in out.collect()}
+    release_stages(out)
+    assert got == expect
+    minid = eng.sql(
+        "select doc_id, text from documents "
+        "|> neardup(text, id=doc_id, threshold=0.4, transitive=1)"
+    )
+    minid_ids = {r["doc_id"] for r in minid.collect()}
+    release_stages(minid)
+    assert len(got) == len(minid_ids)
+
+
 def test_parse_pipeline_rejects_trailing_pipe():
     """Round-8 ADVICE: a dangling '|>' must fail like the full-query
     parser's 'Expected a stage name', not silently parse."""

@@ -32,6 +32,10 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
         ("bad-value", Q + "neardup(text, id=doc_id, n_hashes=32, bands=5)",
          "multiple of bands"),
         ("wrong-type", Q + "neardup(text, id=text, transitive=1)", "integral"),
+        ("bad-value", Q + "neardup(text, id=doc_id, by=n_tokens)",
+         "applies only with transitive=1"),
+        ("wrong-type", Q + "neardup(text, id=doc_id, transitive=1, by=text)",
+         "numeric score column"),
     ],
     "langid": [
         ("wrong-type", Q + "langid(n_tokens)", "must be a string"),
