@@ -641,7 +641,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 #: see past and stay batch-only.
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
-    "hash_sample", "split", "chunk", "bpe", "clean", "gopher",
+    "hash_sample", "split", "chunk", "bpe", "clean", "gopher", "shard",
 }
 
 
@@ -843,6 +843,41 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return out
 
 
+def _stage_shard(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``shard(n=N, key=k [, as=shard, repartition=0])`` — deterministic
+    output sharding: append ``shard`` = 32-bit md5 coin of
+    ``'shard:' + key`` mod N, the balanced write-layout step (md5 is
+    uniform, so N shards get ~equal row counts regardless of key skew —
+    e.g. ``|> shard(n=1024, key=doc_id)`` then ``partitionBy('shard')``
+    or one output file per shard at any corpus size). Salted like the
+    other coin families so it is independent of hash_sample/split/
+    mixture coins on the same key; a NULL key gets a NULL shard (the
+    append-only row-count contract). ``repartition=1`` also hash-
+    repartitions the frame into exactly N partitions on the new column
+    — same rows, physically co-located shards for the writer (one
+    shuffle; leave 0 when a downstream stage would shuffle anyway)."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+
+    _no_extra_kwargs(st, {"n", "key", "as", "repartition"})
+    if st.args:
+        raise SemanticError("stage 'shard' takes keyword arguments only")
+    n = _int_kwarg(st, "n", 0)
+    if n < 1:
+        raise SemanticError("stage 'shard' requires n=<positive integer>")
+    key = st.kwargs.get("key")
+    if key is None:
+        raise SemanticError("stage 'shard' requires key=<column>")
+    keyc = _resolve_col(df, st, key)
+    name = _out_name(df, st, "shard")
+    coin = md5_prefix_long(
+        F.concat(F.lit("shard:"), F.col(keyc).cast("string"))
+    )
+    out = df.withColumn(name, (coin % F.lit(n)).cast("long"))
+    if _int_kwarg(st, "repartition", 0):
+        out = out.repartition(n, F.col(name))
+    return out
+
+
 def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``mixture(source, key=k, tokens=n_col, <src>=<ppm>, ...)`` —
     token-budget data mixing (operators.sampling.mixture_resample):
@@ -936,4 +971,5 @@ STAGES = {
     "derep": _stage_derep,
     "mixture": _stage_mixture,
     "gopher": _stage_gopher,
+    "shard": _stage_shard,
 }

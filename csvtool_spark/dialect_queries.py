@@ -642,6 +642,32 @@ def _pipe_ccdedup_oracle() -> str:
     """
 
 
+def _pipe_shard_oracle() -> str:
+    # generated by the COMPOSABLE twin builder (dialect.stage_oracles) —
+    # the same machinery the pipe-chain fuzzer uses, so the catalog pins
+    # that composer's shard shape too
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, source FROM documents",
+        ["doc_id", "source"],
+        [("shard", {"n": 16, "key": "doc_id"})],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_shard",
+    # deterministic balanced output sharding from SQL: salted key coin
+    # mod 16 — the write-layout step before partitionBy('shard')
+    "select doc_id, source from documents |> shard(n=16, key=doc_id)",
+    _pipe_shard_oracle(),
+    registered=False,  # shadow: per-row coin machinery is in-window via
+    # q_dialect_curate's hash_sample; this pins the shard stage + the
+    # composable twin builder in the gate
+)
+
+
 def _pipe_bestdedup_oracle() -> str:
     from csvtool_spark.operators.dedup import minhash_pairs_cte_sql
 

@@ -762,6 +762,35 @@ def test_neardup_transitive_by_keeps_best_member(eng, docs):
     assert len(got) == len(minid_ids)
 
 
+def test_shard_stage_balance_and_repartition(eng):
+    """shard(n=8, key=doc_id): every row keeps its row (append-only),
+    shards are ~uniform (md5 coin), NULL shard only for NULL keys, and
+    repartition=1 physically lands each shard in its own partition."""
+    out = eng.sql(
+        "select doc_id, text from documents |> shard(n=8, key=doc_id)"
+    )
+    rows = out.collect()
+    assert len(rows) == 500 and {"doc_id", "text", "shard"} == set(out.columns)
+    by = {}
+    for r in rows:
+        by[r["shard"]] = by.get(r["shard"], 0) + 1
+    assert set(by) <= set(range(8))
+    assert min(by.values()) > 500 / 8 * 0.5  # uniform within 2x
+    rep = eng.sql(
+        "select doc_id, text from documents "
+        "|> shard(n=8, key=doc_id, repartition=1)"
+    )
+    assert rep.rdd.getNumPartitions() == 8
+    # co-location: a shard value never straddles two physical partitions
+    # (hash partitioning may still land two shard values together)
+    per_part = rep.select("shard").rdd.mapPartitions(
+        lambda it: [list({r["shard"] for r in it})]
+    ).collect()
+    flat = [v for part in per_part for v in part]
+    assert len(flat) == len(set(flat))
+    assert {r["doc_id"] for r in rep.collect()} == {r["doc_id"] for r in rows}
+
+
 def test_parse_pipeline_rejects_trailing_pipe():
     """Round-8 ADVICE: a dangling '|>' must fail like the full-query
     parser's 'Expected a stage name', not silently parse."""

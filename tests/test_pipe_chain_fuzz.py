@@ -145,6 +145,13 @@ def _gen_chain(rng: random.Random):
             from csvtool_spark.operators.textstats import GOPHER_THRESHOLDS
 
             used_names.update(GOPHER_THRESHOLDS)
+        elif s == "shard":
+            name, asfx = fresh("shard")
+            n = rng.choice([4, 16, 64])
+            rep = rng.choice([0, 0, 1])
+            rfx = ", repartition=1" if rep else ""
+            parts.append(f"shard(n={n}, key=doc_id{asfx}{rfx})")
+            chain.append(("shard", {"n": n, "key": "doc_id", "as": name}))
         elif s == "mixture":
             srcs = rng.sample([f"src{i}" for i in range(20)], rng.randint(4, 12))
             rates = {x: rng.randrange(100_000, 1_000_001) for x in srcs}

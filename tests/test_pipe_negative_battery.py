@@ -18,6 +18,16 @@ Q = "select doc_id, text, source, n_tokens from battery_t |> "
 
 #: stage -> [(category, full query, message regex)]
 CASES: dict[str, list[tuple[str, str, str]]] = {
+    "shard": [
+        ("missing-id", Q + "shard(key=doc_id)", "requires n="),
+        ("missing-id", Q + "shard(n=8)", "requires key="),
+        ("bad-value", Q + "shard(n=0, key=doc_id)", "requires n="),
+        ("wrong-type", Q + "shard(n=x, key=doc_id)", "expects an integer"),
+        ("unknown-kwarg", Q + "shard(n=8, key=doc_id, bogus=1)", "unknown keyword"),
+        ("bad-value", Q + "shard(text, n=8, key=doc_id)", "keyword arguments only"),
+        ("reserved-name", Q + "shard(n=8, key=doc_id, as=text)", "already exists"),
+        ("bad-column", Q + "shard(n=8, key=nope)", "no column"),
+    ],
     "dedup": [
         ("missing-id", Q + "dedup(text)", "requires id="),
         ("wrong-type", Q + "dedup(n_tokens, id=doc_id)", "must be a string"),

@@ -641,21 +641,22 @@ def test_piped_stream_batch_equality(spark):
     pipe = (
         "langid(text, keep=en) |> quality(text, min=0.5) "
         "|> hash_sample(0.6, key=doc_id) "
-        "|> chunk(text, id=doc_id, size=64, overlap=8)"
+        "|> chunk(text, id=doc_id, size=64, overlap=8) "
+        "|> shard(n=4, key=doc_id)"
     )
     stream = document_stream(spark, SF_SMALL)
     run_to_memory(piped_stream(stream, pipe), "pipe_out", output_mode="append")
     got = {
-        (r["doc_id"], r["chunk_id"], r["text"])
+        (r["doc_id"], r["chunk_id"], r["text"], r["shard"])
         for r in spark.sql(
-            "SELECT doc_id, chunk_id, text FROM pipe_out"
+            "SELECT doc_id, chunk_id, text, shard FROM pipe_out"
         ).collect()
     }
     batch = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     expect = {
-        (r["doc_id"], r["chunk_id"], r["text"])
+        (r["doc_id"], r["chunk_id"], r["text"], r["shard"])
         for r in apply_stages(batch, parse_pipeline(pipe))
-        .select("doc_id", "chunk_id", "text")
+        .select("doc_id", "chunk_id", "text", "shard")
         .collect()
     }
     assert got == expect and len(got) > 0
