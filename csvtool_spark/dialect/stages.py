@@ -570,13 +570,19 @@ def _stage_despan(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 
 def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
-    """``quota(group, cap=N, order=col)`` — cap rows per group, keeping
-    the first N by deterministic ``order`` (operators.sampling.
-    source_quota): the source-balancing / data-mixing step, so one crawl
-    host cannot dominate the mixture."""
-    from csvtool_spark.operators.sampling import source_quota
+    """``quota(group, cap=N, order=col [, tokens=col])`` — cap rows per
+    group, keeping the first N by deterministic ``order``
+    (operators.sampling.source_quota): the source-balancing /
+    data-mixing step, so one crawl host cannot dominate the mixture.
 
-    _no_extra_kwargs(st, {"cap", "order"})
+    With ``tokens=<numeric column>`` the cap is a TOKEN budget instead
+    (``sampling.token_quota``): keep rows in order while the group's
+    running token sum stays ≤ cap — the rule a mixing recipe actually
+    states ("at most N tokens per domain"). Compose as ``|> tokens(text)
+    |> quota(source, cap=100000, order=doc_id, tokens=n_tokens)``."""
+    from csvtool_spark.operators.sampling import source_quota, token_quota
+
+    _no_extra_kwargs(st, {"cap", "order", "tokens"})
     if len(st.args) != 1:
         raise SemanticError(
             "stage 'quota' takes exactly one group column argument"
@@ -591,6 +597,17 @@ def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             "stage 'quota' requires order=<column> (the deterministic "
             "keep rule)"
         )
+    tok = st.kwargs.get("tokens")
+    if tok is not None:
+        from pyspark.sql.types import NumericType
+
+        tokc = _resolve_col(df, st, tok)
+        if not isinstance(df.schema[tokc].dataType, NumericType):
+            raise SemanticError(
+                f"stage 'quota': tokens= needs a numeric count column; "
+                f"'{tokc}' is {df.schema[tokc].dataType.simpleString()}"
+            )
+        return token_quota(df, group, _resolve_col(df, st, order), tokc, cap)
     return source_quota(df, group, _resolve_col(df, st, order), cap)
 
 

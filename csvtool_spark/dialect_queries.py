@@ -642,6 +642,33 @@ def _pipe_ccdedup_oracle() -> str:
     """
 
 
+def _pipe_quota_tokens_oracle() -> str:
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, source, text FROM documents",
+        ["doc_id", "source", "text"],
+        [
+            ("tokens", {"text": "text"}),
+            ("quota", {"group": "source", "order": "doc_id",
+                       "cap": 300, "tokens": "n_tokens"}),
+        ],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_quota_tokens",
+    # token-BUDGET quota from SQL ("at most N tokens per domain"): keep
+    # docs per source, in id order, while the running token sum <= cap
+    "select doc_id, source, text from documents "
+    "|> tokens(text) |> quota(source, cap=300, order=doc_id, tokens=n_tokens)",
+    _pipe_quota_tokens_oracle(),
+    registered=False,  # shadow: the row-cap mode rides q_dialect_pipe_quota;
+    # this pins the token-budget mode + the composable twin's prefix sum
+)
+
+
 def _pipe_shard_oracle() -> str:
     # generated by the COMPOSABLE twin builder (dialect.stage_oracles) —
     # the same machinery the pipe-chain fuzzer uses, so the catalog pins

@@ -94,6 +94,36 @@ def source_quota(
     )
 
 
+def token_quota(
+    df: DataFrame, group_col: str, order_col: str, token_col: str, cap: int
+) -> DataFrame:
+    """Cap TOKENS per group — ``source_quota``'s budget-aware sibling:
+    keep rows in deterministic ``order_col`` order while the group's
+    running token sum (inclusive) stays ≤ ``cap``. This is the rule a
+    mixing recipe actually states ("at most N tokens per domain");
+    a row cap only approximates it when documents vary in length. A
+    single document larger than the whole budget is dropped (strict
+    budget — the alternative, always keeping the first row, would
+    overshoot by up to one document). NULL token counts spend 0.
+
+    Scale shape: identical to ``source_quota`` — one shuffle on the
+    group key + an in-partition running sum (no second pass, no
+    collect); the same hot-group pre-thinning advice applies."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= int(cap))
+        .drop("__cum")
+    )
+
+
 def mixture_coin(key_col) -> F.Column:
     """THE mixture-family keep coin: 32-bit md5 prefix of
     ``'mixture:' + key``, mod 1e6 — one definition shared by

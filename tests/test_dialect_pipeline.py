@@ -762,6 +762,34 @@ def test_neardup_transitive_by_keeps_best_member(eng, docs):
     assert len(got) == len(minid_ids)
 
 
+def test_quota_token_budget(spark):
+    """quota(..., tokens=) keeps rows in order while the group's running
+    token sum stays <= cap: a doc that would overflow the budget drops,
+    as does everything after it in that group; an oversized first doc
+    drops too (strict budget); NULL counts spend 0."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 40), (2, "a", 50), (3, "a", 20), (4, "a", 5),
+            (5, "b", 200),              # first doc alone busts the cap
+            (6, "c", None), (7, "c", 100),  # NULL spends 0
+        ],
+        "doc_id long, src string, n_tok long",
+    )
+    out = apply_stages(
+        df, parse_pipeline("quota(src, cap=100, order=doc_id, tokens=n_tok)")
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # group a cumsums: 40, 90, 110, 115 -> only docs 1, 2 survive. Doc 4
+    # (5 tokens) drops even though skipping doc 3 would leave room: the
+    # budget is a PREFIX sum in order, not a knapsack — deterministic
+    # and one-pass. Group b: 200 > 100, strict budget drops it. Group c:
+    # cumsums 0, 100 -> both survive.
+    assert kept == {1, 2, 6, 7}
+
+
 def test_shard_stage_balance_and_repartition(eng):
     """shard(n=8, key=doc_id): every row keeps its row (append-only),
     shards are ~uniform (md5 coin), NULL shard only for NULL keys, and

@@ -39,6 +39,7 @@ def _gen_chain(rng: random.Random):
     used_names = {c.lower() for c in BASE_COLS}
     unique_id = True
     used_once: set[str] = set()
+    token_cols: list[str] = []  # integer count columns usable as tokens=
     pool = list(STAGE_TWINS)
 
     def fresh(default: str) -> tuple[str, str]:
@@ -84,6 +85,7 @@ def _gen_chain(rng: random.Random):
             name, asfx = fresh("n_tokens")
             parts.append(f"tokens(text{asfx})")
             chain.append(("tokens", {"text": "text", "as": name}))
+            token_cols.append(name)
         elif s == "fingerprint":
             name, asfx = fresh("content_fp")
             parts.append(f"fingerprint(text{asfx})")
@@ -113,11 +115,25 @@ def _gen_chain(rng: random.Random):
             parts.append("dedup(text, id=doc_id)")
             chain.append(("dedup", {"text": "text", "id": "doc_id"}))
         elif s == "quota":
-            cap = rng.randint(1, 25)
-            parts.append(f"quota(source, cap={cap}, order=doc_id)")
-            chain.append(
-                ("quota", {"group": "source", "order": "doc_id", "cap": cap})
-            )
+            if token_cols and rng.random() < 0.5:
+                # token-budget mode (integer counts only — double sums
+                # would be at the mercy of window-accumulation order)
+                cap = rng.randint(40, 800)
+                tc = rng.choice(token_cols)
+                parts.append(
+                    f"quota(source, cap={cap}, order=doc_id, tokens={tc})"
+                )
+                chain.append(
+                    ("quota", {"group": "source", "order": "doc_id",
+                               "cap": cap, "tokens": tc})
+                )
+            else:
+                cap = rng.randint(1, 25)
+                parts.append(f"quota(source, cap={cap}, order=doc_id)")
+                chain.append(
+                    ("quota", {"group": "source", "order": "doc_id",
+                               "cap": cap})
+                )
         elif s == "chunk":
             size = rng.choice([16, 32, 64])
             overlap = rng.choice([0, 4, size // 2 - 1])

@@ -120,6 +120,10 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
          "expects an integer"),
         ("unknown-kwarg", Q + "quota(source, cap=5, order=doc_id, bogus=1)",
          "unknown keyword"),
+        ("wrong-type", Q + "quota(source, cap=5, order=doc_id, tokens=text)",
+         "numeric count column"),
+        ("bad-column", Q + "quota(source, cap=5, order=doc_id, tokens=nope)",
+         "no column"),
     ],
     "chunk": [
         ("missing-id", Q + "chunk(text)", "requires id="),
