@@ -1,0 +1,85 @@
+"""Randomized batch≡stream parity for the curation pipe: a RANDOM chain
+of streaming-legal stages applied to the documents readStream must emit
+exactly the rows the same chain produces in batch.
+
+The fixed parity pins (tests/test_streaming.py) cover hand-picked chains;
+this fuzzes the composition — the micro-batch boundary is where per-row
+claims quietly break (a stage that peeked across rows would pass batch
+tests and diverge here). Chains are generated from STREAM_SAFE itself, so
+a stage added to the streaming set without per-row semantics gets fuzzed
+automatically."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+#: generator for each streaming-legal stage (mixture is the rates=1 form —
+#: the only conditionally-safe stage; bpe needs a trained artifact and is
+#: pinned separately in test_streaming)
+SKIP = {"bpe"}
+
+
+def _gen_stream_chain(rng: random.Random) -> str:
+    from csvtool_spark.dialect.stages import STREAM_SAFE
+
+    makers = {
+        "langid": lambda: "langid(text)"
+        if rng.random() < 0.5
+        else "langid(text, keep=en)",
+        "quality": lambda: f"quality(text, min={rng.choice([0.3, 0.5])})",
+        "tokens": lambda: "tokens(text)",
+        "fingerprint": lambda: "fingerprint(text)",
+        "pii_scrub": lambda: "pii_scrub(text)",
+        "hash_sample": lambda: f"hash_sample({rng.choice([0.4, 0.7])}, key=doc_id)",
+        "split": lambda: "split(key=doc_id, train=0.8, test=0.2)",
+        "chunk": lambda: (
+            f"chunk(text, id=doc_id, size={rng.choice([32, 64])}, overlap=4)"
+        ),
+        "clean": lambda: f"clean(text, min_words={rng.randint(1, 4)}, terminal=0)",
+        "gopher": lambda: f"gopher(text, filter={rng.choice([0, 1])})",
+        "shard": lambda: f"shard(n={rng.choice([4, 16])}, key=doc_id)",
+    }
+    assert set(makers) | SKIP == STREAM_SAFE, (
+        "streaming fuzz generator out of sync with STREAM_SAFE: "
+        f"{sorted((set(makers) | SKIP) ^ STREAM_SAFE)}"
+    )
+    # each appending stage at most once (fixed output names); 2-4 stages,
+    # plus sometimes the conditionally-legal mixture(rates=1)
+    names = rng.sample(sorted(makers), rng.randint(2, 4))
+    parts = [makers[n]() for n in names]
+    if rng.random() < 0.3:
+        srcs = rng.sample([f"src{i}" for i in range(20)], 6)
+        kw = ", ".join(f"{s}={rng.randrange(200_000, 1_000_001)}" for s in sorted(srcs))
+        parts.append(f"mixture(source, key=doc_id, rates=1, {kw})")
+    return " |> ".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_stream_chain_matches_batch(spark, seed):
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.streaming import (
+        document_stream,
+        piped_stream,
+        run_to_memory,
+    )
+
+    rng = random.Random(7000 + seed)
+    pipe = _gen_stream_chain(rng)
+    stream = document_stream(spark, SF)
+    name = f"pipe_fuzz_{seed}"
+    run_to_memory(piped_stream(stream, pipe), name, output_mode="append")
+    got = spark.sql(f"SELECT * FROM {name}")
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expect = apply_stages(batch, parse_pipeline(pipe))
+    assert sorted(got.columns) == sorted(expect.columns), pipe
+    from csvtool_spark.oracle import normalize
+
+    cols = sorted(got.columns)
+    g = normalize([tuple(r) for r in got.select(*cols).collect()], cols)
+    e = normalize([tuple(r) for r in expect.select(*cols).collect()], cols)
+    assert g == e and len(g) > 0, f"chain `{pipe}`: stream != batch"
