@@ -21,6 +21,34 @@ BASE_TEXT = "select doc_id, text, source from documents"
 BASE_SQL = "SELECT doc_id, text, source FROM documents"
 BASE_COLS = ["doc_id", "text", "source"]
 
+#: base-query variety: the chain must compose with whatever the dialect
+#: query upstream produced, not just the bare projection — (dialect text,
+#: oracle SQL, columns, integer count columns present). The where-clause
+#: twins mirror the dialect's null-safe '='/'!=' (selector.go semantics).
+BASES = [
+    (BASE_TEXT, BASE_SQL, BASE_COLS, []),
+    (
+        "select doc_id, text, source, n_chars from documents",
+        "SELECT doc_id, text, source, n_chars FROM documents",
+        ["doc_id", "text", "source", "n_chars"],
+        ["n_chars"],
+    ),
+    (
+        "select doc_id, text, source from documents where n_chars > 250",
+        "SELECT doc_id, text, source FROM documents WHERE n_chars > 250",
+        BASE_COLS,
+        [],
+    ),
+    (
+        "select doc_id, text, lang, source from documents "
+        "where source != src3",
+        "SELECT doc_id, text, lang, source FROM documents "
+        "WHERE NOT (source IS NOT DISTINCT FROM 'src3')",
+        ["doc_id", "text", "lang", "source"],
+        [],
+    ),
+]
+
 #: stages whose TWIN groups by id (gopher) or breaks ties by id
 #: (dedup/quota) — only legal while doc_id is still unique (pre-chunk)
 NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher"}
@@ -28,18 +56,20 @@ NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher"}
 ONCE = {"chunk", "gopher", "mixture"}
 
 
-def _gen_chain(rng: random.Random):
+def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
     """One random chain: returns (dialect stage text, twin chain spec).
 
     Tracks the engine's column/uniqueness state so every generated chain
     is VALID — the negative battery owns the error paths."""
-    n_stages = rng.randint(2, 4)
+    base_cols = base_cols or BASE_COLS
+    n_stages = rng.randint(2, 5)
     parts: list[str] = []
     chain: list[tuple[str, dict]] = []
-    used_names = {c.lower() for c in BASE_COLS}
+    used_names = {c.lower() for c in base_cols}
     unique_id = True
     used_once: set[str] = set()
-    token_cols: list[str] = []  # integer count columns usable as tokens=
+    # integer count columns usable as tokens=
+    token_cols: list[str] = list(base_tokens)
     pool = list(STAGE_TWINS)
 
     def fresh(default: str) -> tuple[str, str]:
@@ -205,8 +235,9 @@ def test_twin_registry_covers_generator():
 @pytest.mark.parametrize("seed", range(30))
 def test_random_pipe_chain_matches_oracle(engine, duck, seed):
     rng = random.Random(1000 + seed)
-    stage_text, chain = _gen_chain(rng)
-    sdf = engine.sql(f"{BASE_TEXT} |> {stage_text}")
-    sql, _ = chain_oracle_sql(BASE_SQL, BASE_COLS, chain)
+    base_text, base_sql, base_cols, base_tokens = rng.choice(BASES)
+    stage_text, chain = _gen_chain(rng, base_cols, base_tokens)
+    sdf = engine.sql(f"{base_text} |> {stage_text}")
+    sql, _ = chain_oracle_sql(base_sql, base_cols, chain)
     err = compare(sdf, duck, sql)
-    assert err is None, f"chain `{stage_text}`: {err}"
+    assert err is None, f"base `{base_text}` chain `{stage_text}`: {err}"
