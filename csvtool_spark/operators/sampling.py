@@ -117,10 +117,16 @@ def token_quota(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    # collision-proof temp name: withColumn would silently OVERWRITE a
+    # caller's '__cum' and drop it from the result (round-9 review)
+    tmp = "__cum"
+    lower = {c.lower() for c in df.columns}
+    while tmp in lower:
+        tmp += "_"
     return (
-        df.withColumn("__cum", cum)
-        .filter(F.col("__cum") <= int(cap))
-        .drop("__cum")
+        df.withColumn(tmp, cum)
+        .filter(F.col(tmp) <= int(cap))
+        .drop(tmp)
     )
 
 

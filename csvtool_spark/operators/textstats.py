@@ -1559,7 +1559,10 @@ def _sql_word_list(words: list[str]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
 
 
-def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
+def langid_cte_sql(
+    table: str, cols: str, text_col: str = "text",
+    out_col: str = "lang_guess",
+) -> str:
     """DuckDB CTE pair ``lidc``/``lid`` (no leading WITH): ``lid`` carries
     ``cols`` (a comma-separated pass-through list, which should include
     ``text_col`` if downstream CTEs need it) plus ``lang_guess`` computed
@@ -1572,7 +1575,13 @@ def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
     quadratic in ``len(LANG_MARKERS)`` — WHEN clause i compares against
     the remaining len-i languages. Fine at 5 languages; if the marker
     set is ever widened substantially, switch the twin to an
-    argmax-over-struct-list form instead of growing this chain."""
+    argmax-over-struct-list form instead of growing this chain.
+
+    ``out_col`` renames the guess column — required when ``cols`` already
+    carries a ``lang_guess`` from an earlier langid application: DuckDB
+    silently binds the duplicate name to the FIRST occurrence, so a fixed
+    name would return the STALE guess (round-9 review, composable-twin
+    fuzzer)."""
     langs = list(LANG_MARKERS)
     counts = ",\n             ".join(
         f"CAST(len(list_filter(string_split(lower({text_col}),' '), x -> x IN"
@@ -1595,16 +1604,20 @@ def langid_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
                   WHEN __cjk * 4 > __L THEN 'zh'
                   WHEN greatest({', '.join(langs)}) = 0 THEN 'unknown'
                   {chain}
-                  ELSE '{langs[-1]}' END AS lang_guess
+                  ELSE '{langs[-1]}' END AS {out_col}
       FROM lidc
     )"""
 
 
-def quality_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
+def quality_cte_sql(
+    table: str, cols: str, text_col: str = "text", out_col: str = "quality"
+) -> str:
     """DuckDB CTE pair ``qt``/``q`` (no leading WITH): ``q`` carries
     ``cols`` plus ``quality`` — the exact ``quality_score`` expression
     (length band, diversity, stopword share; stopword list generated from
-    ``ENGLISH_STOPWORDS``). One definition for every oracle twin."""
+    ``ENGLISH_STOPWORDS``). One definition for every oracle twin.
+    ``out_col`` renames the score — required when ``cols`` already holds
+    a ``quality`` (same duplicate-bind hazard as ``langid_cte_sql``)."""
     stops = _sql_word_list(ENGLISH_STOPWORDS)
     return f"""qt AS (
       SELECT {cols},
@@ -1619,7 +1632,7 @@ def quality_cte_sql(table: str, cols: str, text_col: str = "text") -> str:
              round((CASE WHEN __n >= 10 AND __n <= 5000 THEN 1.0 ELSE 0.3 END) * 0.4
                    + coalesce(__nd / (CASE WHEN __n > 0 THEN __n END), 0.0) * 0.4
                    + (CASE WHEN coalesce(__stop / (CASE WHEN __n > 0 THEN __n END), 0.0) > 0.02
-                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+                           THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS {out_col}
       FROM qt
     )"""
 

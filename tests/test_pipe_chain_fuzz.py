@@ -232,6 +232,30 @@ def test_twin_registry_covers_generator():
     assert seen == set(STAGE_TWINS)
 
 
+def test_repeated_stage_after_rewrite_recomputes(engine, duck):
+    """langid/quality applied AGAIN after a text rewrite (chunk) must
+    recompute over the new text — the twin used to bind the duplicate
+    column name to the FIRST (stale) value because langid_cte_sql /
+    quality_cte_sql hardcoded their output names (round-9 review; DuckDB
+    resolves duplicate names silently instead of erroring)."""
+    chain = [
+        ("langid", {"text": "text", "as": "lang_guess"}),
+        ("quality", {"text": "text", "as": "quality", "min": None}),
+        ("chunk", {"text": "text", "id": "doc_id", "size": 16, "overlap": 0}),
+        ("langid", {"text": "text", "as": "lang_guess2"}),
+        ("quality", {"text": "text", "as": "quality2", "min": 0.3}),
+    ]
+    stage_text = (
+        "langid(text) |> quality(text) "
+        "|> chunk(text, id=doc_id, size=16, overlap=0) "
+        "|> langid(text, as=lang_guess2) |> quality(text, as=quality2, min=0.3)"
+    )
+    sdf = engine.sql(f"{BASE_TEXT} |> {stage_text}")
+    sql, _ = chain_oracle_sql(BASE_SQL, BASE_COLS, chain)
+    err = compare(sdf, duck, sql)
+    assert err is None, err
+
+
 @pytest.mark.parametrize("seed", range(30))
 def test_random_pipe_chain_matches_oracle(engine, duck, seed):
     rng = random.Random(1000 + seed)
