@@ -195,3 +195,25 @@ def test_pipe_chunk_no_extra_shuffle_on_explode(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_pipe_shard_is_shuffle_free_projection(spark):
+    """The shard stage (no repartition=) is a pure column append — the
+    whole q_dialect_pipe_shard entry must compile to a scan + project:
+    no Exchange, no Join (what makes it streaming-safe and free at any
+    corpus size)."""
+    plan = _plan(catalog.SHADOW_QUERIES["q_dialect_pipe_shard"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pipe_quota_tokens_single_exchange(spark):
+    """tokens -> token-budget quota is a projection plus ONE shuffle on
+    the group key (the running-sum window); a second Exchange means the
+    budget regressed into a two-pass/self-join shape."""
+    plan = _plan(
+        catalog.SHADOW_QUERIES["q_dialect_pipe_quota_tokens"](spark, SF_SMALL)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
