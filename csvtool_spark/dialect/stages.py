@@ -659,6 +659,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
     "hash_sample", "split", "chunk", "bpe", "clean", "gopher", "shard",
+    "normalize",
 }
 
 
@@ -860,6 +861,20 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return out
 
 
+def _stage_normalize(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``normalize(text)`` — rewrite the column in place with
+    ``textstats.normalize_text``: NFC composition, C0-control strip
+    (tab/newline kept), space/tab-run collapse + trim. The ingest pass
+    that makes byte-variant copies of the same text hash identically —
+    run it BEFORE dedup/fingerprint stages. Per-row (Arrow-batched NFC
+    kernel + JVM regexes) → streaming-safe."""
+    from csvtool_spark.operators.textstats import normalize_text
+
+    _no_extra_kwargs(st, set())
+    text = _text_arg(df, st)
+    return df.withColumn(text, normalize_text(F.col(text)))
+
+
 def _stage_shard(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``shard(n=N, key=k [, as=shard, repartition=0])`` — deterministic
     output sharding: append ``shard`` = 32-bit md5 coin of
@@ -989,4 +1004,5 @@ STAGES = {
     "mixture": _stage_mixture,
     "gopher": _stage_gopher,
     "shard": _stage_shard,
+    "normalize": _stage_normalize,
 }

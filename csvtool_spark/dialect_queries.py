@@ -642,6 +642,33 @@ def _pipe_ccdedup_oracle() -> str:
     """
 
 
+def _pipe_normalize_oracle() -> str:
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        ["doc_id", "text"],
+        [
+            ("normalize", {"text": "text"}),
+            ("fingerprint", {"text": "text"}),
+        ],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_normalize",
+    # the motivating composition: normalize BEFORE hashing so byte-variant
+    # copies of one text fingerprint identically (NFC via the Arrow
+    # kernel vs DuckDB's utf8proc — unicode probes pinned in pytest)
+    "select doc_id, text from documents |> normalize(text) "
+    "|> fingerprint(text)",
+    _pipe_normalize_oracle(),
+    registered=False,  # shadow: per-row rewrite machinery is in-window
+    # via q_dialect_curate; this pins NFC/control/whitespace cleanup
+)
+
+
 def _pipe_quota_tokens_oracle() -> str:
     from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
 

@@ -651,6 +651,52 @@ def gopher_oracle_sql(
     """
 
 
+#: control characters stripped by text normalization — C0 controls and
+#: DEL, KEEPING tab/newline/carriage-return (document structure). The
+#: Java-regex ∩ RE2 hex-class form, so the DuckDB twin runs the SAME
+#: pattern string (the redact.py battery convention).
+NORMALIZE_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Unicode/whitespace text normalization (the ftfy-lite ingest pass
+    every crawl pipeline runs before hashing or dedup — unnormalized
+    text makes byte-identical documents hash differently): NFC
+    composition, then strip C0 controls + DEL (tab/newline kept), then
+    collapse space/tab runs to one space and trim.
+
+    NFC has no JVM builtin, so this is the repo's documented fallback: a
+    vectorized Arrow-batched pandas UDF (unicodedata.normalize) — the
+    regex/trim steps stay JVM-side. Per-row and stateless → streaming-
+    safe. DuckDB twin: ``normalize_sql_expr`` (utf8proc nfc_normalize +
+    the same pattern strings); NULL stays NULL on both engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v)
+            if isinstance(v, str)
+            else None
+        )
+
+    x = F.regexp_replace(_nfc(col), NORMALIZE_CTRL, "")
+    return F.trim(F.regexp_replace(x, r"[ \t]+", " "))
+
+
+def normalize_sql_expr(text_col: str) -> str:
+    """DuckDB twin expression of ``normalize_text`` — same pattern
+    strings (Java-regex ∩ RE2), utf8proc NFC vs Python unicodedata NFC
+    (both implement the Unicode algorithm; pinned equal on composed/
+    decomposed/control/CJK probes in tests)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_col}), "
+        f"'{NORMALIZE_CTRL}', '', 'g'), '[ \\t]+', ' ', 'g'))"
+    )
+
+
 def content_fingerprint(col: Column) -> Column:
     """Order-insensitive content hash: md5 over the sorted distinct token
     set. Survives token reordering; the standard 'bag fingerprint'."""

@@ -123,6 +123,9 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
         elif s == "pii_scrub":
             parts.append("pii_scrub(text)")
             chain.append(("pii_scrub", {"text": "text"}))
+        elif s == "normalize":
+            parts.append("normalize(text)")
+            chain.append(("normalize", {"text": "text"}))
         elif s == "hash_sample":
             frac = rng.choice([0.25, 0.5, 0.8, 0.95])
             parts.append(f"hash_sample({frac}, key=doc_id)")
@@ -230,6 +233,52 @@ def test_twin_registry_covers_generator():
         _, chain = _gen_chain(rng)
         seen.update(name for name, _ in chain)
     assert seen == set(STAGE_TWINS)
+
+
+def test_normalize_cross_engine_on_unicode_probes(spark):
+    """normalize(text) pinned cross-engine on the inputs that matter:
+    decomposed vs composed accents (NFC must merge them), C0 controls
+    (stripped) while newlines survive and space/tab runs collapse to one
+    space, CJK (untouched), NULL/empty (preserved). Python unicodedata
+    NFC and DuckDB's utf8proc NFC must agree byte for byte."""
+    import duckdb
+    import pandas as pd
+
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+    from csvtool_spark.operators.textstats import normalize_sql_expr
+
+    rows = [
+        (0, "café con leche"),          # decomposed -> café
+        (1, "café con leche"),            # composed stays
+        (2, "a\x00b\x07c"),                    # C0 controls strip
+        (3, "keep\tthis\nline"),               # tab/newline kept...
+        (4, "a  \t b\t\tc"),                   # ...but runs collapse
+        (5, "  padded  "),                     # trim
+        (6, "中文 text"),              # CJK untouched
+        (7, None),
+        (8, ""),
+        (9, "Å ring"),                   # decomposed Å
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = apply_stages(
+        spark.createDataFrame(pdf.astype({"doc_id": "int64"})),
+        parse_pipeline("normalize(text)"),
+    )
+    con = duckdb.connect()
+    con.register("probe", pdf)
+    got = {r["doc_id"]: r["text"] for r in sdf.collect()}
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {normalize_sql_expr('text')} FROM probe"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[0] == got[1]                      # NFC merged the accents
+    assert got[2] == "abc"                       # controls stripped
+    assert got[3] == "keep this\nline"           # tab -> space, \n kept
+    assert got[4] == "a b c" and got[5] == "padded"
+    assert got[7] is None and got[8] == ""
 
 
 def test_repeated_stage_after_rewrite_recomputes(engine, duck):

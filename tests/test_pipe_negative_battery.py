@@ -18,6 +18,12 @@ Q = "select doc_id, text, source, n_tokens from battery_t |> "
 
 #: stage -> [(category, full query, message regex)]
 CASES: dict[str, list[tuple[str, str, str]]] = {
+    "normalize": [
+        ("missing-arg", Q + "normalize()", "exactly one column argument"),
+        ("wrong-type", Q + "normalize(n_tokens)", "must be a string"),
+        ("unknown-kwarg", Q + "normalize(text, bogus=1)", "unknown keyword"),
+        ("bad-column", Q + "normalize(nope)", "no column"),
+    ],
     "shard": [
         ("missing-id", Q + "shard(key=doc_id)", "requires n="),
         ("missing-id", Q + "shard(n=8)", "requires key="),

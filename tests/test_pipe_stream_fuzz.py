@@ -34,6 +34,7 @@ def _gen_stream_chain(rng: random.Random) -> str:
         "tokens": lambda: "tokens(text)",
         "fingerprint": lambda: "fingerprint(text)",
         "pii_scrub": lambda: "pii_scrub(text)",
+        "normalize": lambda: "normalize(text)",
         "hash_sample": lambda: f"hash_sample({rng.choice([0.4, 0.7])}, key=doc_id)",
         "split": lambda: "split(key=doc_id, train=0.8, test=0.2)",
         "chunk": lambda: (
