@@ -106,6 +106,7 @@ def test_readme_curation_recipe(spark):
     out = eng.sql(
         "select doc_id, source, text from documents "
         "where source != 'src0' "
+        "|> normalize(text) "
         "|> clean(text, terminal=0) "
         "|> langid(text, keep=en) "
         "|> quality(text, min=0.7) "
@@ -113,14 +114,18 @@ def test_readme_curation_recipe(spark):
         "|> decontaminate(text, id=doc_id, ref=bench, k=4) "
         "|> quota(source, cap=75, order=doc_id) "
         "|> tokens(text) "
-        "|> pack(n_tokens, id=doc_id, budget=512)"
+        "|> pack(n_tokens, id=doc_id, budget=512) "
+        "|> shard(n=64, key=doc_id)"
     )
     rows = out.collect()
     release_stages(out)
     assert out.columns == [
         "doc_id", "source", "text", "lang_guess", "quality",
-        "n_tokens", "seq_id", "seq_offset", "n_tok",
+        "n_tokens", "seq_id", "seq_offset", "n_tok", "shard",
     ]
+    # normalize is pinned IDENTITY on the synthetic corpus (single-space
+    # ASCII), so the downstream md5 pins are unchanged; shard appends
+    assert all(0 <= r["shard"] < 64 for r in rows)
     # deterministic pins at sf0.001 (475 non-bench docs in)
     assert len(rows) == 319  # spans
     assert len({r["seq_id"] for r in rows}) == 33  # packed sequences
