@@ -49,11 +49,11 @@ BASES = [
     ),
 ]
 
-#: stages whose TWIN groups by id (gopher) or breaks ties by id
+#: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
 #: (dedup/quota) — only legal while doc_id is still unique (pre-chunk)
-NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher"}
-#: stages allowed at most once per chain (fixed output names)
-ONCE = {"chunk", "gopher", "mixture"}
+NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher", "neardup"}
+#: stages allowed at most once per chain (fixed output/CTE names)
+ONCE = {"chunk", "gopher", "mixture", "neardup"}
 
 
 def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
@@ -147,6 +147,13 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
         elif s == "dedup":
             parts.append("dedup(text, id=doc_id)")
             chain.append(("dedup", {"text": "text", "id": "doc_id"}))
+        elif s == "neardup":
+            thr = rng.choice([0.3, 0.4, 0.5])
+            parts.append(f"neardup(text, id=doc_id, threshold={thr})")
+            chain.append(
+                ("neardup", {"text": "text", "id": "doc_id",
+                             "threshold": thr})
+            )
         elif s == "quota":
             if token_cols and rng.random() < 0.5:
                 # token-budget mode (integer counts only — double sums
@@ -313,4 +320,9 @@ def test_random_pipe_chain_matches_oracle(engine, duck, seed):
     sdf = engine.sql(f"{base_text} |> {stage_text}")
     sql, _ = chain_oracle_sql(base_sql, base_cols, chain)
     err = compare(sdf, duck, sql)
+    # a drawn neardup attaches persisted MinHash staging frames — free
+    # them so 30 seeds don't accumulate cached blocks
+    from csvtool_spark.functions.caching import release_stages
+
+    release_stages(sdf)
     assert err is None, f"base `{base_text}` chain `{stage_text}`: {err}"
