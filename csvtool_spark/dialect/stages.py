@@ -863,8 +863,8 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 def _stage_normalize(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``normalize(text)`` — rewrite the column in place with
-    ``textstats.normalize_text``: NFC composition, C0-control strip
-    (tab/newline kept), space/tab-run collapse + trim. The ingest pass
+    ``textstats.normalize_text``: C0-control strip (tab/newline kept),
+    then NFC composition, then space/tab-run collapse + trim. The pass
     that makes byte-variant copies of the same text hash identically —
     run it BEFORE dedup/fingerprint stages. Per-row (Arrow-batched NFC
     kernel + JVM regexes) → streaming-safe."""

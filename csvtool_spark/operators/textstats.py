@@ -661,9 +661,15 @@ NORMALIZE_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 def normalize_text(col: Column) -> Column:
     """Unicode/whitespace text normalization (the ftfy-lite ingest pass
     every crawl pipeline runs before hashing or dedup — unnormalized
-    text makes byte-identical documents hash differently): NFC
-    composition, then strip C0 controls + DEL (tab/newline kept), then
+    text makes byte-identical documents hash differently): strip C0
+    controls + DEL (tab/newline kept), THEN NFC composition, then
     collapse space/tab runs to one space and trim.
+
+    Controls strip FIRST: a stray control between a base char and its
+    combining mark is a starter that blocks composition, so NFC-then-
+    strip would leave 'cafe<NUL>´' decomposed while the clean copy
+    composes — exactly the byte-variance this stage exists to remove
+    (round-9 second review).
 
     NFC has no JVM builtin, so this is the repo's documented fallback: a
     vectorized Arrow-batched pandas UDF (unicodedata.normalize) — the
@@ -682,7 +688,7 @@ def normalize_text(col: Column) -> Column:
             else None
         )
 
-    x = F.regexp_replace(_nfc(col), NORMALIZE_CTRL, "")
+    x = _nfc(F.regexp_replace(col, NORMALIZE_CTRL, ""))
     return F.trim(F.regexp_replace(x, r"[ \t]+", " "))
 
 
@@ -692,8 +698,8 @@ def normalize_sql_expr(text_col: str) -> str:
     (both implement the Unicode algorithm; pinned equal on composed/
     decomposed/control/CJK probes in tests)."""
     return (
-        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_col}), "
-        f"'{NORMALIZE_CTRL}', '', 'g'), '[ \\t]+', ' ', 'g'))"
+        f"trim(regexp_replace(nfc_normalize(regexp_replace({text_col}, "
+        f"'{NORMALIZE_CTRL}', '', 'g')), '[ \\t]+', ' ', 'g'))"
     )
 
 

@@ -266,6 +266,10 @@ def test_normalize_cross_engine_on_unicode_probes(spark):
         (7, None),
         (8, ""),
         (9, "Å ring"),                   # decomposed Å
+        # stray control BETWEEN base char and combining mark: controls
+        # must strip BEFORE NFC or the mark can never compose (round-9
+        # second review) — must normalize equal to row 0's clean copy
+        (10, "cafe\x00\u0301 con leche"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     sdf = apply_stages(
@@ -282,6 +286,7 @@ def test_normalize_cross_engine_on_unicode_probes(spark):
     )
     assert got == want
     assert got[0] == got[1]                      # NFC merged the accents
+    assert got[10] == got[0]                     # control couldn't block NFC
     assert got[2] == "abc"                       # controls stripped
     assert got[3] == "keep this\nline"           # tab -> space, \n kept
     assert got[4] == "a b c" and got[5] == "padded"
@@ -319,10 +324,13 @@ def test_random_pipe_chain_matches_oracle(engine, duck, seed):
     stage_text, chain = _gen_chain(rng, base_cols, base_tokens)
     sdf = engine.sql(f"{base_text} |> {stage_text}")
     sql, _ = chain_oracle_sql(base_sql, base_cols, chain)
-    err = compare(sdf, duck, sql)
     # a drawn neardup attaches persisted MinHash staging frames — free
-    # them so 30 seeds don't accumulate cached blocks
+    # them even when compare RAISES, so a failing seed doesn't leave the
+    # remaining seeds under accumulated cached blocks
     from csvtool_spark.functions.caching import release_stages
 
-    release_stages(sdf)
+    try:
+        err = compare(sdf, duck, sql)
+    finally:
+        release_stages(sdf)
     assert err is None, f"base `{base_text}` chain `{stage_text}`: {err}"
