@@ -70,6 +70,7 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
     used_once: set[str] = set()
     # integer count columns usable as tokens=
     token_cols: list[str] = list(base_tokens)
+    fp_cols: list[str] = []  # fingerprint columns usable as dedup keys
     pool = list(STAGE_TWINS)
 
     def fresh(default: str) -> tuple[str, str]:
@@ -120,6 +121,7 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             name, asfx = fresh("content_fp")
             parts.append(f"fingerprint(text{asfx})")
             chain.append(("fingerprint", {"text": "text", "as": name}))
+            fp_cols.append(name)
         elif s == "pii_scrub":
             parts.append("pii_scrub(text)")
             chain.append(("pii_scrub", {"text": "text"}))
@@ -145,8 +147,12 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
                 ("split", {"key": "doc_id", "fractions": fr, "as": name})
             )
         elif s == "dedup":
-            parts.append("dedup(text, id=doc_id)")
-            chain.append(("dedup", {"text": "text", "id": "doc_id"}))
+            # sometimes dedup on a FINGERPRINT column instead of the raw
+            # text — the order-insensitive dedup composition (fingerprint
+            # is a string column, so the stage accepts it unchanged)
+            key = rng.choice(fp_cols) if fp_cols and rng.random() < 0.5 else "text"
+            parts.append(f"dedup({key}, id=doc_id)")
+            chain.append(("dedup", {"text": key, "id": "doc_id"}))
         elif s == "neardup":
             thr = rng.choice([0.3, 0.4, 0.5])
             parts.append(f"neardup(text, id=doc_id, threshold={thr})")
