@@ -164,21 +164,38 @@ def _join_back_rewritten(
 
 
 def _stage_dedup(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
-    """``dedup(text, id=k)`` — exact dedup: keep the lowest-id row per
-    normalized text (operators.dedup.exact_dedup's identity — md5 of
-    lower/trim — but row-preserving: the survivor keeps every column).
-    ONE pass: rank within each 128-bit hash partition by id and keep
-    rank 1 — a single shuffle on the hash, no self-join (the
-    groupBy-min + semi-join alternative computes the upstream twice and
-    shuffles both sides). Partitions are bounded by a text's copy count;
-    ids are assumed unique (the _id_kwarg contract)."""
+    """``dedup(text, id=k [, by=score])`` — exact dedup: keep the
+    lowest-id row per normalized text (operators.dedup.exact_dedup's
+    identity — md5 of lower/trim — but row-preserving: the survivor
+    keeps every column). ONE pass: rank within each 128-bit hash
+    partition by id and keep rank 1 — a single shuffle on the hash, no
+    self-join (the groupBy-min + semi-join alternative computes the
+    upstream twice and shuffles both sides). Partitions are bounded by a
+    text's copy count; ids are assumed unique (the _id_kwarg contract).
+
+    ``by=<numeric column>`` keeps the BEST-scoring copy instead (score
+    DESC NULLS LAST, ties → lowest id) — the neardup ``by=`` rule at
+    exact granularity. Numeric-only: a string score would ride each
+    engine's collation."""
     from pyspark.sql import Window
 
     from csvtool_spark.operators.dedup import normalized
 
-    _no_extra_kwargs(st, {"id"})
+    _no_extra_kwargs(st, {"id", "by"})
     text, idc = _text_arg(df, st), _id_kwarg(df, st)
-    w = Window.partitionBy("__h").orderBy(idc)
+    by = st.kwargs.get("by")
+    order = [F.col(idc)]
+    if by is not None:
+        from pyspark.sql.types import NumericType
+
+        byc = _resolve_col(df, st, by)
+        if not isinstance(df.schema[byc].dataType, NumericType):
+            raise SemanticError(
+                f"stage 'dedup': by= needs a numeric score column; "
+                f"'{byc}' is {df.schema[byc].dataType.simpleString()}"
+            )
+        order = [F.col(byc).desc_nulls_last(), F.col(idc)]
+    w = Window.partitionBy("__h").orderBy(*order)
     return (
         df.withColumn("__h", F.md5(normalized(F.col(text))))
         .withColumn("__rn", F.row_number().over(w))

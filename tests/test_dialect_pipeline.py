@@ -790,6 +790,27 @@ def test_quota_token_budget(spark):
     assert kept == {1, 2, 6, 7}
 
 
+def test_dedup_by_keeps_best_copy(spark):
+    """dedup(text, id=k, by=score): among exact (normalized) copies the
+    highest score survives, NULL scores lose, ties break to lowest id;
+    non-duplicated rows always survive."""
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stages import apply_stages
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 10), (2, "Same Text  ", 50), (3, "same text", None),
+            (4, "other", 1),
+            (5, "tie", 7), (6, "tie", 7),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = apply_stages(
+        df, parse_pipeline("dedup(text, id=doc_id, by=score)")
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 4, 5}
+
+
 def test_shard_stage_balance_and_repartition(eng):
     """shard(n=8, key=doc_id): every row keeps its row (append-only),
     shards are ~uniform (md5 coin), NULL shard only for NULL keys, and

@@ -149,10 +149,17 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
         elif s == "dedup":
             # sometimes dedup on a FINGERPRINT column instead of the raw
             # text — the order-insensitive dedup composition (fingerprint
-            # is a string column, so the stage accepts it unchanged)
+            # is a string column, so the stage accepts it unchanged) —
+            # and sometimes keep the BEST-scoring copy via by= (integer
+            # count columns only, same reasoning as quota tokens=)
             key = rng.choice(fp_cols) if fp_cols and rng.random() < 0.5 else "text"
-            parts.append(f"dedup({key}, id=doc_id)")
-            chain.append(("dedup", {"text": key, "id": "doc_id"}))
+            p = {"text": key, "id": "doc_id"}
+            byfx = ""
+            if token_cols and rng.random() < 0.4:
+                p["by"] = rng.choice(token_cols)
+                byfx = f", by={p['by']}"
+            parts.append(f"dedup({key}, id=doc_id{byfx})")
+            chain.append(("dedup", p))
         elif s == "neardup":
             thr = rng.choice([0.3, 0.4, 0.5])
             parts.append(f"neardup(text, id=doc_id, threshold={thr})")

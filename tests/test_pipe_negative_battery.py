@@ -39,6 +39,8 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
         ("wrong-type", Q + "dedup(n_tokens, id=doc_id)", "must be a string"),
         ("unknown-kwarg", Q + "dedup(text, id=doc_id, bogus=1)", "unknown keyword"),
         ("bad-column", Q + "dedup(nope, id=doc_id)", "no column"),
+        ("wrong-type", Q + "dedup(text, id=doc_id, by=source)",
+         "numeric score column"),
     ],
     "neardup": [
         ("missing-id", Q + "neardup(text)", "requires id="),
