@@ -47,6 +47,17 @@ BASES = [
         ["doc_id", "text", "lang", "source"],
         [],
     ),
+    (
+        # dialect arithmetic upstream of the pipe: truncating int
+        # division (value.go semantics) feeding the token/score slots
+        "select doc_id, text, source, n_chars / 7 as bucket "
+        "from documents",
+        "SELECT doc_id, text, source, "
+        "CAST(trunc(CAST(n_chars AS DOUBLE) / nullif(7, 0)) AS BIGINT) "
+        "AS bucket FROM documents",
+        ["doc_id", "text", "source", "bucket"],
+        ["bucket"],
+    ),
 ]
 
 #: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
