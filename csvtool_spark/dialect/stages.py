@@ -676,7 +676,7 @@ def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 STREAM_SAFE = {
     "langid", "quality", "tokens", "fingerprint", "pii_scrub",
     "hash_sample", "split", "chunk", "bpe", "clean", "gopher", "shard",
-    "normalize",
+    "normalize", "filter",
 }
 
 
@@ -878,6 +878,41 @@ def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     return out
 
 
+def _stage_filter(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
+    """``filter(col, min=x [, max=y])`` — inclusive numeric range gate on
+    ANY current column, including ones earlier stages appended (the
+    query's own WHERE runs before the pipe, so it cannot see
+    ``n_tokens``/gopher signals/``shard``/``keep_ppm``; ``quality`` has
+    only its built-in ``min=``). At least one bound required; NULL
+    values drop (a NULL comparison is not true on either engine).
+    Pure per-row predicate → streaming-safe."""
+    from pyspark.sql.types import NumericType
+
+    _no_extra_kwargs(st, {"min", "max"})
+    if len(st.args) != 1:
+        raise SemanticError(
+            "stage 'filter' takes exactly one column argument"
+        )
+    col = _resolve_col(df, st, st.args[0])
+    if not isinstance(df.schema[col].dataType, NumericType):
+        raise SemanticError(
+            f"stage 'filter': column '{col}' must be numeric "
+            f"(got {df.schema[col].dataType.simpleString()})"
+        )
+    lo = _float_kwarg(st, "min", None)
+    hi = _float_kwarg(st, "max", None)
+    if lo is None and hi is None:
+        raise SemanticError(
+            "stage 'filter' requires min= and/or max= (inclusive bounds)"
+        )
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return df.filter(cond)
+
+
 def _stage_normalize(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``normalize(text)`` — rewrite the column in place with
     ``textstats.normalize_text``: C0-control strip (tab/newline kept),
@@ -1022,4 +1057,5 @@ STAGES = {
     "gopher": _stage_gopher,
     "shard": _stage_shard,
     "normalize": _stage_normalize,
+    "filter": _stage_filter,
 }

@@ -139,6 +139,22 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
         elif s == "normalize":
             parts.append("normalize(text)")
             chain.append(("normalize", {"text": "text"}))
+        elif s == "filter":
+            # range-gate a numeric column appended earlier (or a base
+            # integer column); integer columns only — see quota tokens=
+            col = rng.choice(token_cols) if token_cols else "doc_id"
+            lo, hi = sorted(rng.sample(range(0, 400), 2))
+            form = rng.choice(["both", "min", "max"])
+            p = {"col": col}
+            if form in ("both", "min"):
+                p["min"] = float(lo)
+            if form in ("both", "max"):
+                p["max"] = float(hi)
+            kw = ", ".join(
+                f"{k}={v}" for k, v in p.items() if k in ("min", "max")
+            )
+            parts.append(f"filter({col}, {kw})")
+            chain.append(("filter", p))
         elif s == "hash_sample":
             frac = rng.choice([0.25, 0.5, 0.8, 0.95])
             parts.append(f"hash_sample({frac}, key=doc_id)")

@@ -18,6 +18,15 @@ Q = "select doc_id, text, source, n_tokens from battery_t |> "
 
 #: stage -> [(category, full query, message regex)]
 CASES: dict[str, list[tuple[str, str, str]]] = {
+    "filter": [
+        ("missing-arg", Q + "filter(min=1)", "exactly one column argument"),
+        ("missing-arg", Q + "filter(n_tokens)", "requires min= and/or max="),
+        ("wrong-type", Q + "filter(text, min=1)", "must be numeric"),
+        ("wrong-type", Q + "filter(n_tokens, min=abc)", "expects a number"),
+        ("unknown-kwarg", Q + "filter(n_tokens, min=1, bogus=2)",
+         "unknown keyword"),
+        ("bad-column", Q + "filter(nope, min=1)", "no column"),
+    ],
     "normalize": [
         ("missing-arg", Q + "normalize()", "exactly one column argument"),
         ("wrong-type", Q + "normalize(n_tokens)", "must be a string"),

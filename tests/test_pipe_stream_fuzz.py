@@ -32,6 +32,7 @@ def _gen_stream_chain(rng: random.Random) -> str:
         else "langid(text, keep=en)",
         "quality": lambda: f"quality(text, min={rng.choice([0.3, 0.5])})",
         "tokens": lambda: "tokens(text)",
+        "filter": lambda: f"filter(doc_id, min={rng.randrange(0, 200)})",
         "fingerprint": lambda: "fingerprint(text)",
         "pii_scrub": lambda: "pii_scrub(text)",
         "normalize": lambda: "normalize(text)",
