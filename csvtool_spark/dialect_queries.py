@@ -642,6 +642,31 @@ def _pipe_ccdedup_oracle() -> str:
     """
 
 
+def _pipe_filter_oracle() -> str:
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        ["doc_id", "text"],
+        [
+            ("tokens", {"text": "text"}),
+            ("filter", {"col": "n_tokens", "min": 30.0, "max": 90.0}),
+        ],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_filter",
+    # range gate on a STAGE-APPENDED column (the query's WHERE runs
+    # before the pipe and cannot see n_tokens)
+    "select doc_id, text from documents "
+    "|> tokens(text) |> filter(n_tokens, min=30, max=90)",
+    _pipe_filter_oracle(),
+    registered=False,  # shadow: pins the filter stage + composer shape
+)
+
+
 def _pipe_normalize_oracle() -> str:
     from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
 
