@@ -689,8 +689,9 @@ dialect(
     "select doc_id, text from documents |> normalize(text) "
     "|> fingerprint(text)",
     _pipe_normalize_oracle(),
-    registered=False,  # shadow: per-row rewrite machinery is in-window
-    # via q_dialect_curate; this pins NFC/control/whitespace cleanup
+    # driver window (r10 swap: q_kn_buckets -> shadow): NFC cleanup
+    # ahead of fingerprinting — the byte-canonicalization step every
+    # dedup pipeline needs before hashing (utf8proc twin, probe-pinned)
 )
 
 
@@ -716,8 +717,9 @@ dialect(
     "select doc_id, source, text from documents "
     "|> tokens(text) |> quota(source, cap=300, order=doc_id, tokens=n_tokens)",
     _pipe_quota_tokens_oracle(),
-    registered=False,  # shadow: the row-cap mode rides q_dialect_pipe_quota;
-    # this pins the token-budget mode + the composable twin's prefix sum
+    # driver window (r10 swap: q_cluster_sample -> shadow): the
+    # token-BUDGET quota — the mixing rule training recipes state
+    # ("at most N tokens per domain"), one shuffle + running prefix sum
 )
 
 
@@ -779,8 +781,9 @@ dialect(
     "select doc_id, n_chars, text from documents "
     "|> neardup(text, id=doc_id, threshold=0.4, transitive=1, by=n_chars)",
     _pipe_bestdedup_oracle(),
-    registered=False,  # shadow: the closure itself is in-window via
-    # q_dialect_pipe_ccdedup; this pins the keep-best survivor variant
+    # driver window (r10 swap: q_ann_bruteforce -> shadow): the SemDeDup
+    # keep-best survivor rule real corpus dedup ships — closure +
+    # QUALIFY-argmax twin; greedy closure stays in-window via ccdedup
 )
 
 

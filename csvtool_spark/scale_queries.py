@@ -723,6 +723,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ORDER BY cos DESC, e.vec_id LIMIT 10
     """,
+    registered=False,  # shadow (r10 swap: q_dialect_pipe_bestdedup ->
+    # window): exact brute-force top-k stays in-window as the ground
+    # truth INSIDE q_ann_recall, plus q_ann_ivf_pq / q_pq_compare
 )
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -2314,8 +2317,9 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.kn_buckets_oracle_sql(
         train_where="length(source) = 4", score_where="length(source) = 5"
     ),
-    # driver window (r8 swap: q_dedup_cluster_stats -> shadow): the CCNet
-    # perplexity-bucketing composition joins q_kn_score in-window
+    registered=False,  # shadow (r10 swap: q_dialect_pipe_normalize ->
+    # window): the KN family keeps q_kn_score in-window; the bucketing
+    # composition stays oracle-checked here in the local gate
 )
 def q_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition of the scored half: per-source
@@ -3324,7 +3328,9 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cluster_sample",
     clustering.cluster_balanced_oracle_sql(k=8, per_cluster=10, iters=2),
-    # driver window (r7 swap: q_winsorize -> shadow)
+    registered=False,  # shadow (r10 swap: q_dialect_pipe_quota_tokens ->
+    # window): clustering keeps q_kmeans in-window; the balanced-sample
+    # derivative stays oracle-checked here in the local gate
 )
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced curation sample: ≤10 vectors per k-means cluster,
