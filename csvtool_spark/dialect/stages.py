@@ -110,6 +110,35 @@ def _float_kwarg(st: ast.Stage, key: str, default: float | None) -> float | None
         ) from None
 
 
+def _num_kwarg(
+    st: ast.Stage, key: str, default: float | int | None
+) -> float | int | None:
+    """Numeric kwarg preserving the literal's LANE: an integer lexeme
+    stays a Python int (both engines then compare integral columns in
+    the exact int64 lane), anything else parses as float (double lane —
+    exact only to 2^53, the documented bound for fractional gates on
+    BIGINT columns). Twin builders mirror the same isinstance branch."""
+    arg = st.kwargs.get(key)
+    if arg is None:
+        return default
+    v = arg.val
+    sign = v[1:] if v[:1] in "+-" else v
+    if sign.isdigit():
+        iv = int(v)
+        if not -(2**63) <= iv <= 2**63 - 1:
+            raise SemanticError(
+                f"stage '{st.name}': {key}={v} is outside the BIGINT "
+                f"range [-2^63, 2^63)"
+            )
+        return iv
+    try:
+        return float(v)
+    except ValueError:
+        raise SemanticError(
+            f"stage '{st.name}': {key}= expects a number, got '{v}'"
+        ) from None
+
+
 def _int_kwarg(st: ast.Stage, key: str, default: int) -> int:
     arg = st.kwargs.get(key)
     if arg is None:
@@ -596,10 +625,17 @@ def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     (``sampling.token_quota``): keep rows in order while the group's
     running token sum stays ≤ cap — the rule a mixing recipe actually
     states ("at most N tokens per domain"). Compose as ``|> tokens(text)
-    |> quota(source, cap=100000, order=doc_id, tokens=n_tokens)``."""
+    |> quota(source, cap=100000, order=doc_id, tokens=n_tokens)``.
+
+    DETERMINISM: the keep rule is only run-to-run stable when the order
+    column (or ``(order, tie)`` with the optional ``tie=<unique id>``
+    kwarg) is unique within each group — duplicate order values rank in
+    engine-chosen tie order (see sampling.source_quota/token_quota).
+    Pass ``tie=`` whenever ``order=`` can repeat (e.g. ordering by a
+    score: ``quota(source, cap=100, order=n_tokens, tie=doc_id)``)."""
     from csvtool_spark.operators.sampling import source_quota, token_quota
 
-    _no_extra_kwargs(st, {"cap", "order", "tokens"})
+    _no_extra_kwargs(st, {"cap", "order", "tokens", "tie"})
     if len(st.args) != 1:
         raise SemanticError(
             "stage 'quota' takes exactly one group column argument"
@@ -614,6 +650,8 @@ def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             "stage 'quota' requires order=<column> (the deterministic "
             "keep rule)"
         )
+    tie = st.kwargs.get("tie")
+    tiec = _resolve_col(df, st, tie) if tie is not None else None
     tok = st.kwargs.get("tokens")
     if tok is not None:
         from pyspark.sql.types import NumericType
@@ -624,8 +662,12 @@ def _stage_quota(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
                 f"stage 'quota': tokens= needs a numeric count column; "
                 f"'{tokc}' is {df.schema[tokc].dataType.simpleString()}"
             )
-        return token_quota(df, group, _resolve_col(df, st, order), tokc, cap)
-    return source_quota(df, group, _resolve_col(df, st, order), cap)
+        return token_quota(
+            df, group, _resolve_col(df, st, order), tokc, cap, tie_col=tiec
+        )
+    return source_quota(
+        df, group, _resolve_col(df, st, order), cap, tie_col=tiec
+    )
 
 
 def _stage_chunk(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
@@ -885,7 +927,11 @@ def _stage_filter(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     ``n_tokens``/gopher signals/``shard``/``keep_ppm``; ``quality`` has
     only its built-in ``min=``). At least one bound required; NULL
     values drop (a NULL comparison is not true on either engine).
-    Pure per-row predicate → streaming-safe."""
+    Pure per-row predicate → streaming-safe.
+
+    Lane rule: integer-lexeme bounds (``min=30``) compare in the exact
+    int64 lane on integral columns; fractional bounds (``min=0.5``)
+    compare in the double lane, exact only to 2^53 (_num_kwarg)."""
     from pyspark.sql.types import NumericType
 
     _no_extra_kwargs(st, {"min", "max"})
@@ -899,8 +945,8 @@ def _stage_filter(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
             f"stage 'filter': column '{col}' must be numeric "
             f"(got {df.schema[col].dataType.simpleString()})"
         )
-    lo = _float_kwarg(st, "min", None)
-    hi = _float_kwarg(st, "max", None)
+    lo = _num_kwarg(st, "min", None)
+    hi = _num_kwarg(st, "max", None)
     if lo is None and hi is None:
         raise SemanticError(
             "stage 'filter' requires min= and/or max= (inclusive bounds)"

@@ -650,7 +650,9 @@ def _pipe_filter_oracle() -> str:
         ["doc_id", "text"],
         [
             ("tokens", {"text": "text"}),
-            ("filter", {"col": "n_tokens", "min": 30.0, "max": 90.0}),
+            # int literals in the query text -> int params, so the twin
+            # mirrors the engine's exact int64 lane (_num_kwarg)
+            ("filter", {"col": "n_tokens", "min": 30, "max": 90}),
         ],
     )
     return sql

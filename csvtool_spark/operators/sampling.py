@@ -71,12 +71,19 @@ def stratified_sample(
 
 
 def source_quota(
-    df: DataFrame, group_col: str, order_col: str, cap: int
+    df: DataFrame, group_col: str, order_col: str, cap: int,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Cap rows per group — the source-balancing / data-mixing step of a
     training pipeline (e.g. at most N documents per domain so one crawl
     host can't dominate the mixture). Keeps the first ``cap`` rows per
     group by deterministic ``order_col`` order.
+
+    DETERMINISM CONTRACT: the result is run-to-run stable only when
+    ``order_col`` (or ``(order_col, tie_col)`` when ``tie_col`` is
+    given) is unique within each group — ties rank in partition
+    encounter order, which Spark does not fix. Pass ``tie_col`` (any
+    unique id) whenever the order values can repeat.
 
     Scale shape: one shuffle on the group key + an in-partition sort
     (rank-and-filter window). A pathological hot group makes one task
@@ -86,7 +93,8 @@ def source_quota(
     task input."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    order = [order_col] if tie_col is None else [order_col, tie_col]
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(cap))
@@ -95,7 +103,8 @@ def source_quota(
 
 
 def token_quota(
-    df: DataFrame, group_col: str, order_col: str, token_col: str, cap: int
+    df: DataFrame, group_col: str, order_col: str, token_col: str, cap: int,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Cap TOKENS per group — ``source_quota``'s budget-aware sibling:
     keep rows in deterministic ``order_col`` order while the group's
@@ -106,14 +115,23 @@ def token_quota(
     budget — the alternative, always keeping the first row, would
     overshoot by up to one document). NULL token counts spend 0.
 
+    DETERMINISM CONTRACT: the ROWS-frame prefix sum follows the window
+    order, so the kept set is run-to-run stable only when ``order_col``
+    (or ``(order_col, tie_col)`` when ``tie_col`` is given) is unique
+    within each group — duplicate order values make the running sum,
+    and therefore WHICH duplicate exhausts the budget, depend on the
+    engine's tie order. Pass ``tie_col`` (any unique id) whenever the
+    order values can repeat.
+
     Scale shape: identical to ``source_quota`` — one shuffle on the
     group key + an in-partition running sum (no second pass, no
     collect); the same hot-group pre-thinning advice applies."""
     from pyspark.sql import Window
 
+    order = [order_col] if tie_col is None else [order_col, tie_col]
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)

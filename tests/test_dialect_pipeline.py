@@ -1012,3 +1012,74 @@ def test_gopher_stage_appends_without_dropping(eng, docs, spark):
         d.withColumn("__g", F.lit(7)), parse_pipeline("gopher(text)")
     )
     assert clash.count() == 3 and "__g" in clash.columns
+
+
+def test_quota_tie_breaks_duplicate_order(eng, duck):
+    """quota over a NON-unique order column: ``tie=<unique id>`` restores
+    the determinism contract (sampling.source_quota/token_quota order by
+    ``(order, tie)``) and the twin mirrors the two-column ORDER BY — an
+    exact cross-engine match where order-only ranking is engine-chosen
+    (round-9 ADVICE). Covers both the row-cap and token-budget modes."""
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+    from csvtool_spark.oracle import compare
+
+    base_text = "select doc_id, source, lang, text from documents"
+    base_sql = "SELECT doc_id, source, lang, text FROM documents"
+    cols = ["doc_id", "source", "lang", "text"]
+    # lang repeats within every source -> order=lang alone is ambiguous
+    sdf = eng.sql(f"{base_text} |> quota(source, cap=7, order=lang, tie=doc_id)")
+    sql, _ = chain_oracle_sql(
+        base_sql, cols,
+        [("quota", {"group": "source", "order": "lang",
+                    "tie": "doc_id", "cap": 7})],
+    )
+    err = compare(sdf, duck, sql)
+    assert err is None, err
+    sdf = eng.sql(
+        f"{base_text} |> tokens(text) "
+        "|> quota(source, cap=400, order=lang, tie=doc_id, tokens=n_tokens)"
+    )
+    sql, _ = chain_oracle_sql(
+        base_sql, cols,
+        [("tokens", {"text": "text"}),
+         ("quota", {"group": "source", "order": "lang", "tie": "doc_id",
+                    "cap": 400, "tokens": "n_tokens"})],
+    )
+    err = compare(sdf, duck, sql)
+    assert err is None, err
+
+
+def test_filter_integer_lane_beyond_double_precision(spark):
+    """filter bounds with an integer lexeme compare in the exact int64
+    lane (round-9 ADVICE): min=2^53+1 on a BIGINT column is not
+    representable as a double (it rounds down to 2^53), so the old
+    all-double lane would wrongly keep the 2^53 row. Twin mirrors the
+    BIGINT literal; fractional bounds stay in the documented double
+    lane; bounds outside int64 raise."""
+    import duckdb
+    import pandas as pd
+
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stage_oracles import STAGE_TWINS
+    from csvtool_spark.dialect.stages import apply_stages
+
+    base = 2**53
+    rows = [(1, base - 1), (2, base), (3, base + 1), (4, base + 2)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = apply_stages(df, parse_pipeline(f"filter(v, min={base + 1})"))
+    assert sorted(r["id"] for r in out.collect()) == [3, 4]
+    # the double lane (fractional lexeme) keeps the 2^53 row too — the
+    # documented 2^53 precision bound for fractional gates
+    out = apply_stages(df, parse_pipeline(f"filter(v, min={base + 1}.0)"))
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4]
+    # twin emits the same BIGINT lane
+    con = duckdb.connect()
+    con.register("probe", pd.DataFrame(rows, columns=["id", "v"]))
+    sql, _ = STAGE_TWINS["filter"](
+        "SELECT * FROM probe", ["id", "v"], {"col": "v", "min": base + 1}
+    )
+    assert sorted(r[0] for r in con.execute(sql).fetchall()) == [3, 4]
+    from csvtool_spark.dialect.errors import SemanticError
+
+    with pytest.raises(SemanticError, match="BIGINT range"):
+        apply_stages(df, parse_pipeline(f"filter(v, min={2**63})"))
