@@ -350,9 +350,12 @@ def _parse_expr_list(p: _P) -> list[ast.Expr]:
             out.append(_parse_expr_add(p))
             continue
         # space-separated expressions end at clause keywords / EOF / ')'
+        # / '|>' (a curation pipe directly after the group-by list —
+        # "group by source |> tokens(text)" — found by the round-10
+        # join/group-by fuzzer bases)
         if p.tok().kind == "EOF" or p.is_kw(
             "from", "where", "group", "having", "order", "limit", "asc"
-        ) or (p.tok().kind == "OP" and p.tok().val == ")"):
+        ) or (p.tok().kind == "OP" and p.tok().val in (")", "|>")):
             return out
         out.append(_parse_expr_add(p))
 

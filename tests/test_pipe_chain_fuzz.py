@@ -58,6 +58,32 @@ BASES = [
         ["doc_id", "text", "source", "bucket"],
         ["bucket"],
     ),
+    (
+        # JOIN upstream (round-10 directive): a pipe over an aliased
+        # self-join exercises the column-provenance paths where the
+        # round-9 stale-bind bug class lived — every column reaching the
+        # chain was resolved through a join-side alias
+        "select d.doc_id, d.text, d.source, e.n_chars from documents d "
+        "join documents e on d.doc_id = e.doc_id",
+        "SELECT d.doc_id, d.text, d.source, e.n_chars FROM documents d "
+        "JOIN documents e ON d.doc_id = e.doc_id",
+        ["doc_id", "text", "source", "n_chars"],
+        ["n_chars"],
+    ),
+    (
+        # GROUP BY upstream (round-10 directive): quality/langid/dedup
+        # over AGGREGATED text — min(text) per source, dialect count()
+        # -> FLOAT (n_docs is double, so not a tokens= candidate), and
+        # the id slot is itself an aggregate (min(doc_id), unique
+        # because doc_ids partition across sources)
+        "select source, min(doc_id) as doc_id, min(text) as text, "
+        "count(*) as n_docs from documents group by source",
+        "SELECT source, min(doc_id) AS doc_id, min(text) AS text, "
+        "CAST(count(*) AS DOUBLE) AS n_docs FROM documents "
+        "GROUP BY source",
+        ["source", "doc_id", "text", "n_docs"],
+        [],
+    ),
 ]
 
 #: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
@@ -141,15 +167,18 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             chain.append(("normalize", {"text": "text"}))
         elif s == "filter":
             # range-gate a numeric column appended earlier (or a base
-            # integer column); integer columns only — see quota tokens=
+            # integer column); integer columns only — see quota tokens=.
+            # Bounds draw BOTH literal lanes: int lexemes ride the exact
+            # int64 lane, fractional ones the double lane (_num_kwarg)
             col = rng.choice(token_cols) if token_cols else "doc_id"
             lo, hi = sorted(rng.sample(range(0, 400), 2))
+            lane = int if rng.random() < 0.5 else float
             form = rng.choice(["both", "min", "max"])
             p = {"col": col}
             if form in ("both", "min"):
-                p["min"] = float(lo)
+                p["min"] = lane(lo)
             if form in ("both", "max"):
-                p["max"] = float(hi)
+                p["max"] = lane(hi)
             kw = ", ".join(
                 f"{k}={v}" for k, v in p.items() if k in ("min", "max")
             )
@@ -195,24 +224,31 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
                              "threshold": thr})
             )
         elif s == "quota":
+            # sometimes order by a NON-unique score column with the
+            # tie=doc_id determinism restore ("shortest docs first" —
+            # the shape the round-9 ADVICE flagged as never fuzzed)
+            order, tiefx, tie = "doc_id", "", None
+            if token_cols and rng.random() < 0.35:
+                order = rng.choice(token_cols)
+                tie, tiefx = "doc_id", ", tie=doc_id"
             if token_cols and rng.random() < 0.5:
                 # token-budget mode (integer counts only — double sums
                 # would be at the mercy of window-accumulation order)
                 cap = rng.randint(40, 800)
                 tc = rng.choice(token_cols)
                 parts.append(
-                    f"quota(source, cap={cap}, order=doc_id, tokens={tc})"
+                    f"quota(source, cap={cap}, order={order}, tokens={tc}{tiefx})"
                 )
                 chain.append(
-                    ("quota", {"group": "source", "order": "doc_id",
-                               "cap": cap, "tokens": tc})
+                    ("quota", {"group": "source", "order": order,
+                               "cap": cap, "tokens": tc, "tie": tie})
                 )
             else:
                 cap = rng.randint(1, 25)
-                parts.append(f"quota(source, cap={cap}, order=doc_id)")
+                parts.append(f"quota(source, cap={cap}, order={order}{tiefx})")
                 chain.append(
-                    ("quota", {"group": "source", "order": "doc_id",
-                               "cap": cap})
+                    ("quota", {"group": "source", "order": order,
+                               "cap": cap, "tie": tie})
                 )
         elif s == "chunk":
             size = rng.choice([16, 32, 64])
