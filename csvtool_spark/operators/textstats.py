@@ -256,16 +256,20 @@ def repetition_stats(df, text_col: str, id_col: str = "doc_id"):
 
 
 #: Gopher repetition-filter families (Rae et al. 2021, "Scaling Language
-#: Models: Methods, Analysis & Insights from Training Gopher", Table A1 —
-#: line-granularity variants): most-frequent-n-gram character coverage
-#: for small n, duplicated-n-gram character coverage for large n. ONE
-#: definition shared by the operator, the pipe stage's filter and the
-#: generated DuckDB twin, so the three can never drift (the r8 lesson).
+#: Models: Methods, Analysis & Insights from Training Gopher", Table A1):
+#: duplicate line AND paragraph fractions (paragraphs = '\n\n'-split,
+#: same Counter math at both granularities), most-frequent-n-gram
+#: character coverage for small n, duplicated-n-gram character coverage
+#: for large n. ONE definition shared by the operator, the pipe stage's
+#: filter and the generated DuckDB twin, so they can never drift (the
+#: r8 lesson). Threshold values are Table A1's.
 GOPHER_TOP_NS = (2, 3, 4)
 GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
 GOPHER_THRESHOLDS: dict[str, float] = {
     "dup_line_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_frac": 0.30,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -350,18 +354,19 @@ def _gopher_arrow(text_col: Column) -> Column:
                 out.append({c: None for c in names})
                 continue
             m: dict = {}
-            lines = t.split("\n")
-            cl = Counter(lines)
-            m["dup_line_frac"] = (
-                sum(c - 1 for c in cl.values()) / len(lines)
-            )
-            allch = sum(len(x) for x in lines)
-            m["dup_line_char_frac"] = (
-                sum((c - 1) * len(x) for x, c in cl.items() if c >= 2)
-                / allch
-                if allch > 0
-                else None
-            )
+            for unit, sep in (("line", "\n"), ("para", "\n\n")):
+                parts = t.split(sep)
+                cu = Counter(parts)
+                m[f"dup_{unit}_frac"] = (
+                    sum(c - 1 for c in cu.values()) / len(parts)
+                )
+                allch = sum(len(x) for x in parts)
+                m[f"dup_{unit}_char_frac"] = (
+                    sum((c - 1) * len(x) for x, c in cu.items() if c >= 2)
+                    / allch
+                    if allch > 0
+                    else None
+                )
             toks = t.lower().split(" ")
             chars = len(t)
             for n in (*top_ns, *dup_ns):
@@ -403,6 +408,9 @@ def gopher_repetition(
     - ``dup_line_char_frac``: characters of those beyond-first line
       occurrences / total line characters (NULL when the doc has no
       line characters);
+    - ``dup_para_frac`` / ``dup_para_char_frac``: the same pair at
+      paragraph granularity ('\\n\\n'-split — Table A1 specifies both
+      granularities; round-10 directive 5);
     - ``top_{n}gram_char_frac`` (n in GOPHER_TOP_NS): the character
       coverage ``count·len(gram)`` of the heaviest word n-gram divided
       by ``len(text)`` — max of coverage, so count ties are
@@ -444,6 +452,7 @@ def gopher_repetition(
     txt = F.col(text_col)
     toks = tokens(F.lower(txt))
     lines = F.split(txt, "\n")
+    paras = F.split(txt, "\n\n")
     nt = F.size(toks)
 
     if kernel == "column":
@@ -458,21 +467,23 @@ def gopher_repetition(
 
         chars = F.length(txt)
         chars_ok = chars > 0
-        lf = _rep_fold(lines)
-        allch = F.aggregate(
-            lines,
-            F.lit(0).cast("long"),
-            lambda acc, l: acc + F.length(l),
-        )
-        cols = [
-            (
-                (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
-                / F.size(lines)
-            ).alias("dup_line_frac"),
-            F.when(allch > 0, lf["dupx"].cast("double") / allch).alias(
-                "dup_line_char_frac"
-            ),
-        ]
+        cols = []
+        for unit, arr in (("line", lines), ("para", paras)):
+            uf = _rep_fold(arr)
+            allch = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, l: acc + F.length(l),
+            )
+            cols.extend([
+                (
+                    (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
+                    / F.size(arr)
+                ).alias(f"dup_{unit}_frac"),
+                F.when(allch > 0, uf["dupx"].cast("double") / allch).alias(
+                    f"dup_{unit}_char_frac"
+                ),
+            ])
         for n in GOPHER_TOP_NS:
             cols.append(
                 F.when(
@@ -514,6 +525,7 @@ def gopher_repetition(
     entries = F.flatten(
         F.array(
             tag(0, lines),
+            tag(-1, paras),  # paragraphs ride the same pipeline, n = -1
             *[tag(n, grams(n)) for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)],
         )
     )
@@ -544,17 +556,22 @@ def gopher_repetition(
     )
     n_is = lambda n: F.col("__n") == F.lit(n)  # noqa: E731
     chars_ok = F.col("__chars") > 0
-    cols = [
-        F.max(
-            F.when(n_is(0), F.col("__dupocc").cast("double") / F.col("__tot"))
-        ).alias("dup_line_frac"),
-        F.max(
-            F.when(
-                n_is(0) & (F.col("__allchars") > 0),
-                F.col("__dupx").cast("double") / F.col("__allchars"),
-            )
-        ).alias("dup_line_char_frac"),
-    ]
+    cols = []
+    for unit, tag_n in (("line", 0), ("para", -1)):
+        cols.extend([
+            F.max(
+                F.when(
+                    n_is(tag_n),
+                    F.col("__dupocc").cast("double") / F.col("__tot"),
+                )
+            ).alias(f"dup_{unit}_frac"),
+            F.max(
+                F.when(
+                    n_is(tag_n) & (F.col("__allchars") > 0),
+                    F.col("__dupx").cast("double") / F.col("__allchars"),
+                )
+            ).alias(f"dup_{unit}_char_frac"),
+        ])
     for n in GOPHER_TOP_NS:
         cols.append(
             F.max(
@@ -611,12 +628,15 @@ def gopher_oracle_sql(
     WITH base AS (
       SELECT {id_col}, string_split(lower({text_col}), ' ') AS t,
              string_split({text_col}, chr(10)) AS ls,
+             string_split({text_col}, chr(10) || chr(10)) AS ps,
              length({text_col}) AS chars
       FROM {table} WHERE {text_col} IS NOT NULL
     ),
     {gram_ctes},
     occ AS (
       SELECT {id_col}, 0 AS n, unnest(ls) AS g FROM base
+      UNION ALL
+      SELECT {id_col}, -1 AS n, unnest(ps) AS g FROM base
       UNION ALL
       {occ_parts}
     ),
@@ -639,12 +659,17 @@ def gopher_oracle_sql(
           AS dup_line_frac,
         max(CASE WHEN n = 0 AND allchars > 0 THEN
             CAST(dupx AS DOUBLE) / allchars END) AS dup_line_char_frac,
+        max(CASE WHEN n = -1 THEN CAST(dupocc AS DOUBLE) / tot END)
+          AS dup_para_frac,
+        max(CASE WHEN n = -1 AND allchars > 0 THEN
+            CAST(dupx AS DOUBLE) / allchars END) AS dup_para_char_frac,
         {top_cols},
         {dup_cols}
       FROM pn JOIN (SELECT {id_col}, chars FROM base) b USING ({id_col})
       GROUP BY pn.{id_col}
     )
     SELECT d.{id_col}, m.dup_line_frac, m.dup_line_char_frac,
+           m.dup_para_frac, m.dup_para_char_frac,
            {", ".join("m.top_%dgram_char_frac" % n for n in GOPHER_TOP_NS)},
            {", ".join("m.dup_%dgram_char_frac" % n for n in GOPHER_DUP_NS)}
     FROM {table} d LEFT JOIN m USING ({id_col})

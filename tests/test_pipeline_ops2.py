@@ -376,6 +376,10 @@ def test_gopher_repetition_known_values(spark):
         # len(text)=25
         (1, "a b a b a b a b c\nx y\nx y"),
         (2, "all tokens here are unique words"),
+        # paragraphs: ['x y', 'x y', 'z'] -> dup_para_frac 1/3, dup para
+        # chars 3 of 7; lines: ['x y', '', 'x y', '', 'z'] -> two dup
+        # pairs but the '' dup adds no chars -> 2/5 and 3/7
+        (3, "x y\n\nx y\n\nz"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in textstats.gopher_repetition(
@@ -387,6 +391,13 @@ def test_gopher_repetition_known_values(spark):
     # heaviest 2-gram of the lowercased token stream 'a b ... c\nx ...':
     # 'b a' appears 3x? no — 'a b' appears 4x, len 3 -> 12/25
     assert abs(r1["top_2gram_char_frac"] - 12 / 25) < 1e-12
+    # doc 1 has no blank line -> ONE paragraph, nothing duplicated
+    assert r1["dup_para_frac"] == 0.0 and r1["dup_para_char_frac"] == 0.0
+    r3 = out[3]
+    assert abs(r3["dup_para_frac"] - 1 / 3) < 1e-12
+    assert abs(r3["dup_para_char_frac"] - 3 / 7) < 1e-12
+    assert abs(r3["dup_line_frac"] - 2 / 5) < 1e-12
+    assert abs(r3["dup_line_char_frac"] - 3 / 7) < 1e-12
     r2 = out[2]
     assert r2["dup_line_frac"] == 0.0
     assert all(

@@ -103,15 +103,18 @@ def _py_gopher(rows, top_ns, dup_ns):
             out[i] = {}
             continue
         m: dict[str, float | None] = {}
-        lines = t.split("\n")
-        cl = Counter(lines)
-        m["dup_line_frac"] = sum(c - 1 for c in cl.values()) / len(lines)
-        allch = sum(len(x) for x in lines)
-        m["dup_line_char_frac"] = (
-            sum((c - 1) * len(x) for x, c in cl.items() if c >= 2) / allch
-            if allch > 0
-            else None
-        )
+        for unit, sep in (("line", "\n"), ("para", "\n\n")):
+            parts = t.split(sep)
+            cu = Counter(parts)
+            m[f"dup_{unit}_frac"] = (
+                sum(c - 1 for c in cu.values()) / len(parts)
+            )
+            allch = sum(len(x) for x in parts)
+            m[f"dup_{unit}_char_frac"] = (
+                sum((c - 1) * len(x) for x, c in cu.items() if c >= 2) / allch
+                if allch > 0
+                else None
+            )
         toks = t.lower().split(" ")
         chars = len(t)
         for n in (*top_ns, *dup_ns):
@@ -157,13 +160,17 @@ def test_gopher_repetition_matches_python_reference(spark, seed, kernel):
 
     def doc():
         nl = r.randint(1, 4)
-        return "\n".join(
+        # mixed separators so the PARAGRAPH signals get real values
+        # (repeated short lines make duplicate paragraphs likely too)
+        return "".join(
             " ".join(r.choice(vocab) for _ in range(r.randint(1, 12)))
+            + r.choice(["\n", "\n\n", "\n\n\n"])
             for _ in range(nl)
-        )
+        ).rstrip("\n")
 
     rows = [(i, doc()) for i in range(8)] + [
         (8, None), (9, ""), (10, "one two three"),  # < 5 tokens: dup_n NULL
+        (11, "x y\n\nx y\n\nx y\n\nz"),  # duplicate paragraphs
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     res = gopher_repetition(df, "text", "doc_id", kernel=kernel)
