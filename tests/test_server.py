@@ -663,3 +663,28 @@ def test_http_explain_roundtrip_and_webui_wiring(eng):
     from csvtool_spark.webui import INDEX_HTML
 
     assert 'id="explain"' in INDEX_HTML and "/explain/" in INDEX_HTML
+
+
+def test_explain_surface_pins_parquet_pushdown(eng):
+    """Plan-drift telemetry through the GUI surface (round-10 verdict
+    item 8): the /explain plan for a filtered parquet scan must carry
+    the predicate in PushedFilters and prune the read schema to the
+    selected columns — if an engine change ever un-pushes the q1-shaped
+    filter, this fails here, one click from the query box, not just in
+    test_plans."""
+    from csvtool_spark.server import explain_response
+
+    ret = explain_response(
+        eng,
+        "select l_returnflag from "
+        "'/root/testdata/sf0.001/lineitem.parquet' "
+        "where l_quantity > 30",
+    )
+    assert ret["status"] & DAT_GOOD
+    plan = ret["plans"][0]["plan"]
+    assert "== Physical Plan ==" in plan
+    pushed = plan.split("PushedFilters:", 1)
+    assert len(pushed) == 2, plan
+    assert "GreaterThan(l_quantity,30" in pushed[1].split("]", 1)[0], plan
+    schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_returnflag" in schema and "l_shipdate" not in schema, schema
