@@ -84,6 +84,30 @@ BASES = [
         ["source", "doc_id", "text", "n_docs"],
         [],
     ),
+    (
+        # ORDER BY + LIMIT upstream: a sorted-and-clipped base ('asc'
+        # flips the dialect's default DESC; unique sort key -> the 200
+        # rows are deterministic) feeding the chain
+        "select doc_id, text, source from documents "
+        "order by doc_id asc limit 200",
+        "SELECT doc_id, text, source FROM documents "
+        "ORDER BY doc_id ASC LIMIT 200",
+        BASE_COLS,
+        [],
+    ),
+    (
+        # HAVING upstream: the agg-hoist path between group-by and the
+        # pipe — same provenance class as the grouped base plus the
+        # post-aggregation filter
+        "select source, min(doc_id) as doc_id, min(text) as text, "
+        "count(*) as n_docs from documents group by source "
+        "having count(*) > 10",
+        "SELECT source, min(doc_id) AS doc_id, min(text) AS text, "
+        "CAST(count(*) AS DOUBLE) AS n_docs FROM documents "
+        "GROUP BY source HAVING count(*) > 10",
+        ["source", "doc_id", "text", "n_docs"],
+        [],
+    ),
 ]
 
 #: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
