@@ -123,7 +123,9 @@ def _num_kwarg(
         return default
     v = arg.val
     sign = v[1:] if v[:1] in "+-" else v
-    if sign.isdigit():
+    # isascii() guards str.isdigit()'s wider Unicode notion — int('²')
+    # raises even though '²'.isdigit() is True (round-10 review)
+    if sign.isascii() and sign.isdigit():
         iv = int(v)
         if not -(2**63) <= iv <= 2**63 - 1:
             raise SemanticError(
@@ -131,12 +133,7 @@ def _num_kwarg(
                 f"range [-2^63, 2^63)"
             )
         return iv
-    try:
-        return float(v)
-    except ValueError:
-        raise SemanticError(
-            f"stage '{st.name}': {key}= expects a number, got '{v}'"
-        ) from None
+    return _float_kwarg(st, key, default)
 
 
 def _int_kwarg(st: ast.Stage, key: str, default: int) -> int:
@@ -880,9 +877,10 @@ def _stage_derep(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
 
 def _stage_gopher(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     """``gopher(text [, filter=1])`` — Gopher repetition signals
-    (Rae et al. 2021 Table A1, line granularity;
+    (Rae et al. 2021 Table A1, line AND paragraph granularity;
     ``textstats.gopher_repetition``): append ``dup_line_frac``,
-    ``dup_line_char_frac``, ``top_{2,3,4}gram_char_frac`` and
+    ``dup_line_char_frac``, ``dup_para_frac``, ``dup_para_char_frac``
+    ('\\n\\n'-split), ``top_{2,3,4}gram_char_frac`` and
     ``dup_{5..10}gram_char_frac``; ``filter=1`` also DROPS documents
     exceeding ANY paper threshold (GOPHER_THRESHOLDS — one shared
     constant with the operator and the SQL twin). NULL signals pass the

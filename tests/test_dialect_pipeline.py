@@ -1083,3 +1083,7 @@ def test_filter_integer_lane_beyond_double_precision(spark):
 
     with pytest.raises(SemanticError, match="BIGINT range"):
         apply_stages(df, parse_pipeline(f"filter(v, min={2**63})"))
+    # Unicode digits pass str.isdigit() but not int() — must surface as
+    # the dialect's SemanticError, not a raw ValueError (round-10 review)
+    with pytest.raises(SemanticError, match="expects a number"):
+        apply_stages(df, parse_pipeline("filter(v, min=²)"))
