@@ -6,6 +6,10 @@ from __future__ import annotations
 from csvtool_spark import queries as catalog
 from tests.conftest import SF_SMALL
 
+#: window+shadow merged: plan pins survive window promotions/demotions
+#: (round-10: a pin bound to SHADOW_QUERIES broke when its row promoted)
+ALL_QUERIES = {**catalog.SHADOW_QUERIES, **catalog.QUERIES}
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -26,13 +30,13 @@ def test_q3_dims_broadcast(spark):
 
 
 def test_column_pruning_reaches_parquet_scan(spark):
-    plan = _plan(catalog.SHADOW_QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    plan = _plan(ALL_QUERIES["q_orderby_topk"](spark, SF_SMALL))
     # only the two projected columns are read
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
 
 
 def test_topk_is_take_ordered(spark):
-    plan = _plan(catalog.SHADOW_QUERIES["q_orderby_topk"](spark, SF_SMALL))
+    plan = _plan(ALL_QUERIES["q_orderby_topk"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -191,7 +195,7 @@ def test_pipe_chunk_no_extra_shuffle_on_explode(spark):
     per-row explode — carried columns ride the explode itself
     (chunk_documents extras), so the whole entry must be SHUFFLE-FREE
     and join-free (also what makes the chunk stage streaming-safe)."""
-    plan = _plan(catalog.SHADOW_QUERIES["q_dialect_pipe_chunk"](spark, SF_SMALL))
+    plan = _plan(ALL_QUERIES["q_dialect_pipe_chunk"](spark, SF_SMALL))
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate explode" in plan
@@ -202,7 +206,7 @@ def test_pipe_shard_is_shuffle_free_projection(spark):
     whole q_dialect_pipe_shard entry must compile to a scan + project:
     no Exchange, no Join (what makes it streaming-safe and free at any
     corpus size)."""
-    plan = _plan(catalog.SHADOW_QUERIES["q_dialect_pipe_shard"](spark, SF_SMALL))
+    plan = _plan(ALL_QUERIES["q_dialect_pipe_shard"](spark, SF_SMALL))
     assert "Exchange" not in plan
     assert "Join" not in plan
 
@@ -212,8 +216,20 @@ def test_pipe_quota_tokens_single_exchange(spark):
     the group key (the running-sum window); a second Exchange means the
     budget regressed into a two-pass/self-join shape."""
     plan = _plan(
-        catalog.SHADOW_QUERIES["q_dialect_pipe_quota_tokens"](spark, SF_SMALL)
+        ALL_QUERIES["q_dialect_pipe_quota_tokens"](spark, SF_SMALL)
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pipe_normalize_is_shuffle_free_projection(spark):
+    """The promoted normalize -> fingerprint chain is a pure per-row
+    rewrite: one Arrow-batched Python projection (the NFC kernel — no
+    JVM builtin exists, see ROUND_NOTES r10 measurement) plus JVM
+    regex/hash projections. No Exchange, no Join — free at any corpus
+    size and the reason the stage is streaming-legal."""
+    plan = _plan(ALL_QUERIES["q_dialect_pipe_normalize"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
