@@ -1087,3 +1087,61 @@ def test_filter_integer_lane_beyond_double_precision(spark):
     # the dialect's SemanticError, not a raw ValueError (round-10 review)
     with pytest.raises(SemanticError, match="expects a number"):
         apply_stages(df, parse_pipeline("filter(v, min=²)"))
+
+
+def test_quota_null_order_values_cross_engine(spark):
+    """twin_quota emits ORDER BY ... NULLS FIRST claiming it mirrors
+    Spark's ASC window default (DuckDB defaults NULLS LAST) — pin that
+    claim with order values that ARE NULL, on both quota modes, with
+    tie=id making the full order deterministic. A NULL-order row must
+    rank FIRST (consuming budget ahead of every ranked row) identically
+    on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from csvtool_spark.dialect.parser import parse_pipeline
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+    from csvtool_spark.dialect.stages import apply_stages
+
+    rows = [
+        # (id, grp, score, tok) — score NULL on two rows per group
+        (1, "a", None, 10), (2, "a", 5, 10), (3, "a", None, 10),
+        (4, "a", 1, 10), (5, "b", 2, 10), (6, "b", None, 10),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "grp", "score", "tok"])
+    df = spark.createDataFrame(
+        pdf.astype({"doc_id": "int64", "tok": "int64"}),
+        "doc_id long, grp string, score double, tok long",
+    )
+    con = duckdb.connect()
+    con.register("probe", pdf)
+
+    def both(chain_text, chain_spec):
+        got = sorted(
+            r["doc_id"]
+            for r in apply_stages(df, parse_pipeline(chain_text)).collect()
+        )
+        sql, _ = chain_oracle_sql(
+            "SELECT doc_id, grp, score, tok FROM probe",
+            ["doc_id", "grp", "score", "tok"],
+            [chain_spec],
+        )
+        want = sorted(r[0] for r in con.execute(sql).fetchall())
+        assert got == want, (chain_text, got, want)
+        return got
+
+    # row-cap mode: NULL scores rank first -> a cap of 2 in group 'a'
+    # keeps the two NULL rows (ids 1,3), not the best-scored ones
+    kept = both(
+        "quota(grp, cap=2, order=score, tie=doc_id)",
+        ("quota", {"group": "grp", "order": "score", "tie": "doc_id",
+                   "cap": 2}),
+    )
+    assert kept == [1, 3, 5, 6]
+    # token-budget mode: same NULLS FIRST consumption order
+    kept = both(
+        "quota(grp, cap=25, order=score, tie=doc_id, tokens=tok)",
+        ("quota", {"group": "grp", "order": "score", "tie": "doc_id",
+                   "cap": 25, "tokens": "tok"}),
+    )
+    assert kept == [1, 3, 5, 6]

@@ -116,3 +116,16 @@ def test_every_stream_safe_stage_matches_batch(spark, stage):
     if stage == "shard":
         pipe = "shard(n=4, key=doc_id, repartition=1)"
     _assert_stream_matches_batch(spark, pipe, f"pipe_stage_{stage}")
+
+
+def test_mixture_rates_stream_matches_batch_directed(spark):
+    """mixture(rates=1) is the one CONDITIONALLY stream-safe stage (not
+    in STREAM_SAFE, so the per-stage parametrization skips it) and the
+    random chains only draw it with p=0.3 — pin one directed batch≡
+    stream parity case so the apply-mode coin + CASE gate always has
+    stream coverage."""
+    pipe = (
+        "mixture(source, key=doc_id, rates=1, src0=1000000, src1=750000, "
+        "src2=500000, src3=250000, src4=100000, src5=900000)"
+    )
+    _assert_stream_matches_batch(spark, pipe, "pipe_stage_mixture_rates")

@@ -94,3 +94,33 @@ def test_shard_pruned_read_hits_one_directory(eng, spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == sorted(
         r["doc_id"] for r in mem.collect()
     ) and back.count() > 0
+
+
+def test_shard_write_csv_dir_exactly_n(eng, spark, tmp_path):
+    """The CSV scale sink honors the same layout contract as parquet:
+    partitionBy('shard') after repartition=1 emits exactly N shard
+    directories with one csv part-file each, and the header round trip
+    returns the same (doc_id, shard) assignment. Reference analogue:
+    the single-file CSV sink's -N contract (files.go:85-156); this is
+    the distributed-directory sibling."""
+    out = str(tmp_path / "curated_csv")
+    written = eng.save_csv_dir(PIPE, out, partition_by=["shard"])
+    assert written == [out]
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs == sorted(f"shard={i}" for i in range(N))
+    for d in shard_dirs:
+        parts = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.startswith("part-") and f.endswith(".csv")
+        ]
+        assert len(parts) == 1, (d, parts)
+    back = spark.read.option("header", True).csv(out)
+    mem = eng.sql(PIPE)
+    got = sorted(
+        (int(r["doc_id"]), int(r["shard"])) for r in back.collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["shard"]) for r in mem.collect()
+    )
+    assert got == want and len(got) > 0
