@@ -140,3 +140,52 @@ def test_neardup_stage_composes_after_exact_on_skew(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     release_stages(out)
     assert kept == [0, N_HOT, N_HOT + 2, N_HOT + 3, N_HOT + 4]
+
+
+def test_cross_corpus_over_cap_side_prunes(spark):
+    """Cross-corpus decontamination under the same attack: 1,500 copies
+    of the boilerplate in the NEW crawl (over MAX_BUCKET) against a ref
+    set that contains the boilerplate too. The new side's hot buckets
+    prune BEFORE the new x ref equi-join, so the join fan-out the
+    degenerate block would cause (1500 x ref copies x bands) never
+    materializes — while a genuine cross-corpus near-dup among the
+    distinct docs still surfaces."""
+    from csvtool_spark.operators.dedup import cross_corpus_neardup
+
+    n_hot = MAX_BUCKET + 500
+    new = _corpus(spark, n_hot)
+    ref_rows = [(0, BOILER), (1, BOILER),
+                (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    pairs = cross_corpus_neardup(
+        new, ref, "text", "doc_id", threshold=0.9,
+        n_hashes=BANDS * ROWS, bands=BANDS,
+    )
+    got = pairs.collect()
+    release_stages(pairs)
+    # no pair touches the over-cap boilerplate block on the new side
+    assert all(r["new_id"] >= n_hot for r in got)
+    # the distinct near-dup still decontaminates (new id n_hot == ref 2)
+    assert {(r["new_id"], r["ref_id"]) for r in got} == {(n_hot, 2)}
+
+
+def test_cross_corpus_in_cap_fanout_is_exact(spark):
+    """In-cap skew: 200 new copies x 2 ref copies of the boilerplate
+    must yield EXACTLY 200*2 distinct verified pairs (jaccard 1.0) —
+    the bounded MAX_BUCKET^2-per-bucket worst case the docstring
+    promises, distinct-ed across bands."""
+    from csvtool_spark.operators.dedup import cross_corpus_neardup
+
+    n_hot = 200
+    new = _corpus(spark, n_hot)
+    ref = spark.createDataFrame(
+        [(0, BOILER), (1, BOILER)], "doc_id long, text string"
+    )
+    pairs = cross_corpus_neardup(
+        new, ref, "text", "doc_id", threshold=0.9,
+        n_hashes=BANDS * ROWS, bands=BANDS,
+    )
+    got = [r for r in pairs.collect() if r["new_id"] < n_hot]
+    release_stages(pairs)
+    assert len(got) == n_hot * 2
+    assert all(r["jaccard"] == 1.0 for r in got)
