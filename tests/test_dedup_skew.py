@@ -189,3 +189,33 @@ def test_cross_corpus_in_cap_fanout_is_exact(spark):
     release_stages(pairs)
     assert len(got) == n_hot * 2
     assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_degenerate_embedding_corpus_stays_correct(spark):
+    """The embedding-side analogue of the boilerplate attack: 500
+    IDENTICAL vectors collapse k-means/IVF structure (one hot cell,
+    empty siblings). Unlike the LSH candidate generator, an ANN index
+    must NOT drop hot-cell members (recall is its contract) — the
+    documented posture is that a hot cell degrades to an in-cell scan
+    with correctness intact. Pins: exact top-k stays exact, IVF probe
+    of the degenerate layout finds the identical block, fixed-point
+    k-means survives empty clusters and keeps every row."""
+    from csvtool_spark.operators import clustering, similarity
+
+    base = [0.5] * 8
+    rows = [(i, base) for i in range(500)] + [
+        (500 + i, [float(i + 1)] * 8) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bf = similarity.ann_bruteforce(df, "embedding", "vec_id", base, k=5)
+    got = bf.collect()
+    # every returned neighbour is an exact copy (cos 1.0), ids are the
+    # deterministic tie-break (lowest first)
+    assert [r["vec_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert all(abs(r["cos"] - 1.0) < 1e-12 for r in got)
+    ivf = similarity.ann_ivf(
+        df, "embedding", "vec_id", base, k=5, n_cells=8, nprobe=2
+    ).collect()
+    assert [r["vec_id"] for r in ivf] == [0, 1, 2, 3, 4]
+    km = clustering.kmeans(df, "embedding", "vec_id", k=4, iters=2)
+    assert km.count() == 504  # no row lost to an empty/degenerate cluster
