@@ -108,6 +108,19 @@ BASES = [
         ["source", "doc_id", "text", "n_docs"],
         [],
     ),
+    (
+        # SAMPLE clause upstream: the deterministic TABLESAMPLE (md5
+        # scan-position coin) thinning the corpus before the chain —
+        # the q_dialect_sample twin shape over documents
+        "select doc_id, text, source from documents sample 0.5",
+        "WITH numbered AS (SELECT doc_id, text, source, "
+        "row_number() OVER () - 1 AS __i FROM documents) "
+        "SELECT doc_id, text, source FROM numbered WHERE "
+        "CAST(concat('0x', substr(md5('smp#' || CAST(__i AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) < {int(0.5 * 2**32)}",
+        BASE_COLS,
+        [],
+    ),
 ]
 
 #: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
