@@ -13,6 +13,7 @@ import random
 import pytest
 
 from csvtool_spark.dialect.stage_oracles import STAGE_TWINS, chain_oracle_sql
+from csvtool_spark.dialect_queries import _SMP_COIN
 from csvtool_spark.engine import CsvEngine
 from csvtool_spark.oracle import compare
 
@@ -111,13 +112,13 @@ BASES = [
     (
         # SAMPLE clause upstream: the deterministic TABLESAMPLE (md5
         # scan-position coin) thinning the corpus before the chain —
-        # the q_dialect_sample twin shape over documents
+        # the q_dialect_sample twin shape over documents, built from the
+        # SHARED _SMP_COIN constant so the two oracles drift together
         "select doc_id, text, source from documents sample 0.5",
         "WITH numbered AS (SELECT doc_id, text, source, "
         "row_number() OVER () - 1 AS __i FROM documents) "
-        "SELECT doc_id, text, source FROM numbered WHERE "
-        "CAST(concat('0x', substr(md5('smp#' || CAST(__i AS VARCHAR)), "
-        f"1, 8)) AS BIGINT) < {int(0.5 * 2**32)}",
+        "SELECT doc_id, text, source FROM numbered "
+        f"WHERE {_SMP_COIN} < {int(0.5 * 2**32)}",
         BASE_COLS,
         [],
     ),
