@@ -141,6 +141,8 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
          "numeric count column"),
         ("bad-column", Q + "quota(source, cap=5, order=doc_id, tokens=nope)",
          "no column"),
+        ("bad-column", Q + "quota(source, cap=5, order=doc_id, tie=nope)",
+         "no column"),
     ],
     "chunk": [
         ("missing-id", Q + "chunk(text)", "requires id="),
