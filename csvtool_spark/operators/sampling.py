@@ -88,9 +88,14 @@ def source_quota(
     Scale shape: one shuffle on the group key + an in-partition sort
     (rank-and-filter window). A pathological hot group makes one task
     sort that group; when cap << group size, pre-thin hot groups with a
-    cheap hash predicate (e.g. ``split_bucket(order) < p`` at a p that
-    keeps ≥ cap survivors) before the exact rank — same result, bounded
-    task input."""
+    predicate MONOTONE in the order key — a range cut ``order < b`` at a
+    b that keeps ≥ cap survivors (estimate b from a quantile sketch of
+    the hot group). A monotone cut keeps a PREFIX of the order, so the
+    surviving first-cap set is exactly the full group's — whereas a hash
+    predicate on the order value keeps a random subset and CHANGES which
+    rows rank first (round-10 review of this docstring; only when
+    ``order_col`` is itself a uniform hash coin does thresholding that
+    same coin double as the range cut)."""
     from pyspark.sql import Window
 
     order = [order_col] if tie_col is None else [order_col, tie_col]
@@ -125,7 +130,10 @@ def token_quota(
 
     Scale shape: identical to ``source_quota`` — one shuffle on the
     group key + an in-partition running sum (no second pass, no
-    collect); the same hot-group pre-thinning advice applies."""
+    collect); the same hot-group pre-thinning advice applies (monotone
+    range cut on the order key, keeping enough prefix that its token
+    sum already exceeds ``cap`` — then the budget exhausts inside the
+    kept prefix and the result is unchanged)."""
     from pyspark.sql import Window
 
     order = [order_col] if tie_col is None else [order_col, tie_col]

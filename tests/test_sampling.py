@@ -265,3 +265,43 @@ def test_priority_sample_is_nested_in_k(spark):
     s10 = {r.id for r in priority_sample(d, "w", "id", k=10).collect()}
     s25 = {r.id for r in priority_sample(d, "w", "id", k=25).collect()}
     assert s10 < s25
+
+
+def test_quota_hot_group_and_monotone_prethin(spark):
+    """Hot-GROUP skew for the quota family: one 50k-row group under a
+    cap of 10 ranks in a single task and still keeps exactly the first
+    cap by order. Also pins the corrected pre-thinning contract (this
+    docstring claimed a HASH predicate preserved the result — round-10
+    review): a range cut MONOTONE in the order key keeps a prefix, so
+    quota-after-thin equals quota-direct; a hash-coin thin does NOT."""
+    from csvtool_spark.functions.hashing import md5_prefix_long
+    from csvtool_spark.operators.sampling import source_quota, token_quota
+
+    df = spark.range(50_000).select(
+        F.lit("hot").alias("g"), F.col("id")
+    )
+    direct = sorted(
+        r["id"] for r in source_quota(df, "g", "id", 10).collect()
+    )
+    assert direct == list(range(10))
+    # monotone range cut: prefix of the order -> identical first-cap set
+    pre = sorted(
+        r["id"]
+        for r in source_quota(df.filter(F.col("id") < 1000), "g", "id", 10)
+        .collect()
+    )
+    assert pre == direct
+    # a hash predicate keeps a random subset -> the first-cap set CHANGES
+    hashed = df.filter(
+        md5_prefix_long(F.col("id").cast("string")) % 2 == 0
+    )
+    hash_pre = sorted(
+        r["id"] for r in source_quota(hashed, "g", "id", 10).collect()
+    )
+    assert hash_pre != direct
+    # token-budget mode on the hot group: budget 70 at 7 tokens/row
+    t = df.withColumn("tok", F.lit(7))
+    kept = sorted(
+        r["id"] for r in token_quota(t, "g", "id", "tok", 70).collect()
+    )
+    assert kept == list(range(10))
