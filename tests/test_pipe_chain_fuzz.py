@@ -145,6 +145,7 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
     used_once: set[str] = set()
     # integer count columns usable as tokens=
     token_cols: list[str] = list(base_tokens)
+    score_cols: list[str] = []  # double score columns (quality) for filter
     fp_cols: list[str] = []  # fingerprint columns usable as dedup keys
     pool = list(STAGE_TWINS)
 
@@ -187,6 +188,7 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             lfx = f", min={lo}" if lo is not None else ""
             parts.append(f"quality(text{asfx}{lfx})")
             chain.append(("quality", {"text": "text", "as": name, "min": lo}))
+            score_cols.append(name)
         elif s == "tokens":
             name, asfx = fresh("n_tokens")
             parts.append(f"tokens(text{asfx})")
@@ -205,12 +207,20 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             chain.append(("normalize", {"text": "text"}))
         elif s == "filter":
             # range-gate a numeric column appended earlier (or a base
-            # integer column); integer columns only — see quota tokens=.
-            # Bounds draw BOTH literal lanes: int lexemes ride the exact
-            # int64 lane, fractional ones the double lane (_num_kwarg)
-            col = rng.choice(token_cols) if token_cols else "doc_id"
-            lo, hi = sorted(rng.sample(range(0, 400), 2))
-            lane = int if rng.random() < 0.5 else float
+            # integer column); sometimes the DOUBLE quality score — the
+            # bounds then stay in the float lane with [0,1]-scale cuts.
+            # Integer columns draw BOTH literal lanes: int lexemes ride
+            # the exact int64 lane, fractional the double (_num_kwarg)
+            if score_cols and rng.random() < 0.3:
+                col = rng.choice(score_cols)
+                lo, hi = sorted(
+                    rng.sample([0.15, 0.3, 0.45, 0.6, 0.75, 0.9], 2)
+                )
+                lane = float
+            else:
+                col = rng.choice(token_cols) if token_cols else "doc_id"
+                lo, hi = sorted(rng.sample(range(0, 400), 2))
+                lane = int if rng.random() < 0.5 else float
             form = rng.choice(["both", "min", "max"])
             p = {"col": col}
             if form in ("both", "min"):
