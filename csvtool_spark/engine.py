@@ -9,7 +9,9 @@ Tables come from three places (superset of the reference, which only
 accepts ``.csv`` paths — utils.go:508,531):
 - CSV paths (quoted or bare, ``~`` expanded) → sampling schema inference
   (sources/csv.py);
-- parquet paths (engine extension);
+- parquet / ORC paths (engine extensions — both columnar formats Spark
+  ships natively, typed straight from the file footer);
+- JSONL paths with bounded inference (sources/jsonl.py);
 - names registered via ``register(name, df)`` (engine extension) — dialect
   types derived from the Spark schema.
 """
@@ -72,8 +74,16 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
-        if path.endswith(".parquet"):
-            df = self.spark.read.parquet(path)
+        if path.endswith((".parquet", ".orc")):
+            # columnar self-describing formats Spark ships natively —
+            # same typed-schema lane (engine extension; the reference
+            # reads CSV only, files.go)
+            reader = (
+                self.spark.read.parquet
+                if path.endswith(".parquet")
+                else self.spark.read.orc
+            )
+            df = reader(path)
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types

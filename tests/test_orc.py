@@ -1,0 +1,85 @@
+"""ORC source: the second columnar self-describing format the engine
+reads natively (engine extension — the reference reads CSV only,
+files.go). Spark ships the ORC reader/writer in-distribution, so the
+dispatch is the same typed-schema lane as parquet: no inference pass,
+dialect types come from the file footer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csvtool_spark.engine import CsvEngine
+
+
+def _fixture(spark, tmp_path) -> str:
+    p = str(tmp_path / "orders_slice.orc")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority", "o_orderdate")
+        .write.orc(p)
+    )
+    return p
+
+
+def test_engine_reads_orc_with_typed_schema(spark, tmp_path):
+    p = _fixture(spark, tmp_path)
+    eng = CsvEngine(spark)
+    out = eng.sql(
+        f"select o_orderkey, o_totalprice from '{p}' "
+        "where o_totalprice > 100000 order by o_orderkey asc limit 10"
+    )
+    rows = out.collect()
+    assert len(rows) == 10 and all(r["o_totalprice"] > 100000 for r in rows)
+    # parity with the parquet lane on the same slice
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_orc_joins_typed_and_dates_work(spark, tmp_path):
+    """Typed lanes survive the footer round trip: doubles aggregate,
+    dates compare, and the ORC table joins a parquet table in one
+    dialect statement (mixed-format N-file chain)."""
+    p = _fixture(spark, tmp_path)
+    eng = CsvEngine(spark)
+    out = eng.sql(
+        f"select o_orderpriority, count(*) as n, max(o_totalprice) as mx "
+        f"from '{p}' where o_orderdate >= '1995-01-01' "
+        "group by o_orderpriority"
+    )
+    rows = out.collect()
+    assert len(rows) > 1 and all(r["mx"] > 0 for r in rows)
+    mixed = eng.sql(
+        f"select o.o_orderkey, c.c_name from '{p}' o join "
+        "'/root/testdata/sf0.001/customer.parquet' c "
+        "on o.o_custkey = c.c_custkey"
+    )
+    n = mixed.count()
+    pq_orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pq_cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    want = pq_orders.join(
+        pq_cust, pq_orders.o_custkey == pq_cust.c_custkey
+    ).count()
+    assert n == want and n > 0
+
+
+def test_orc_pipe_chain_runs(spark, tmp_path):
+    """The curation pipe composes over an ORC scan like any source."""
+    p = str(tmp_path / "docs.orc")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.orc(p)
+    eng = CsvEngine(spark)
+    out = eng.sql(
+        f"select doc_id, text from '{p}' |> tokens(text) "
+        "|> filter(n_tokens, min=30)"
+    )
+    rows = out.collect()
+    assert len(rows) > 0 and all(r["n_tokens"] >= 30 for r in rows)
