@@ -89,9 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                 df.explain("formatted")
             return 0
         if args.output:
-            # sink dispatch by extension: .parquet → distributed parquet dir,
-            # anything else → the reference's single-file CSV shape
-            if args.output.lower().endswith(".parquet"):
+            # sink dispatch by extension: .parquet/.orc → distributed
+            # columnar dir, anything else → the reference's single-file
+            # CSV shape
+            if args.output.lower().endswith((".parquet", ".orc")):
                 paths = eng.save_parquet(text, args.output)
             else:
                 paths = eng.save_csv(text, args.output)

@@ -202,10 +202,12 @@ class CsvEngine:
     def save_parquet(
         self, text: str, out_dir: str, partition_by: list[str] | None = None
     ) -> list[str]:
-        """Parquet sink (engine extension — the reference only writes CSV).
-        Multi-statement -N suffixes go BEFORE the extension (``out-2.parquet``,
-        mirroring ``save_csv``) so every written path stays readable through
-        the extension dispatch."""
+        """Columnar sink (engine extension — the reference only writes
+        CSV): parquet by default, ORC when ``out_dir`` ends in ``.orc``
+        (the same extension dispatch the read side uses, so a written
+        path is always readable back). Multi-statement -N suffixes go
+        BEFORE the extension (``out-2.parquet``, mirroring
+        ``save_csv``)."""
         stem, ext = os.path.splitext(out_dir)
         written = []
         for i, df in enumerate(self.run(text)):
@@ -213,7 +215,10 @@ class CsvEngine:
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(path)
+            if ext.lower() == ".orc":
+                w.orc(path)
+            else:
+                w.parquet(path)
             written.append(path)
         return written
 

@@ -83,3 +83,28 @@ def test_orc_pipe_chain_runs(spark, tmp_path):
     )
     rows = out.collect()
     assert len(rows) > 0 and all(r["n_tokens"] >= 30 for r in rows)
+
+
+def test_orc_sink_round_trip_and_multi_statement(spark, tmp_path):
+    """save_parquet's extension dispatch writes ORC for .orc paths; a
+    two-statement text gets the -N suffix BEFORE the extension so both
+    outputs stay readable back through the read-side dispatch."""
+    eng = CsvEngine(spark)
+    src = "/root/testdata/sf0.001/orders.parquet"
+    out = str(tmp_path / "out.orc")
+    text = (
+        f"select o_orderkey, o_totalprice from '{src}' where o_totalprice > 300000; "
+        f"select o_orderpriority, count(*) as n from '{src}' group by o_orderpriority"
+    )
+    written = eng.save_parquet(text, out)
+    assert written == [out, str(tmp_path / "out-2.orc")]
+    first = eng.sql(f"select o_orderkey, o_totalprice from '{written[0]}'")
+    want = eng.sql(
+        f"select o_orderkey, o_totalprice from '{src}' where o_totalprice > 300000"
+    )
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    second = spark.read.orc(written[1])
+    assert sorted(second.columns) == ["n", "o_orderpriority"]
+    assert second.count() == 5
