@@ -12,6 +12,8 @@ accepts ``.csv`` paths — utils.go:508,531):
 - parquet / ORC paths (engine extensions — both columnar formats Spark
   ships natively, typed straight from the file footer);
 - JSONL paths with bounded inference (sources/jsonl.py);
+- raw ``.txt`` lines (one-document-per-line corpus ingest, single
+  ``line`` column);
 - names registered via ``register(name, df)`` (engine extension) — dialect
   types derived from the Spark schema.
 """
@@ -126,6 +128,17 @@ class CsvEngine:
             return read_csv(
                 self.spark, path, noheader=ref.noheader, multiline=ref.multiline
             )
+        if base.endswith(".txt"):
+            # raw line-oriented text (engine extension): one row per
+            # line, single string column ``line`` — the ingest shape for
+            # one-document-per-line LLM corpora, feeding the curation
+            # pipe directly ("select line as text from 'corpus.txt' |>
+            # ..."). Spark's text reader splits and decompresses like
+            # the other line formats.
+            if _missing(path):
+                raise SemanticError(f"cannot open file {ref.path}")
+            df = self.spark.read.text(path).withColumnRenamed("value", "line")
+            return df, ["line"], [T_STRING]
         raise SemanticError(f"unknown table or file {ref.path!r}")
 
     # --- query execution --------------------------------------------------

@@ -108,3 +108,29 @@ def test_orc_sink_round_trip_and_multi_statement(spark, tmp_path):
     second = spark.read.orc(written[1])
     assert sorted(second.columns) == ["n", "o_orderpriority"]
     assert second.count() == 5
+
+
+def test_txt_lines_feed_the_pipe(spark, tmp_path):
+    """Raw .txt ingest (engine extension): one row per line, single
+    string column `line` — the one-document-per-line corpus shape piped
+    straight into curation stages."""
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "the quick brown fox jumps over the lazy dog again\n"
+        "short\n"
+        "spark reads raw text lines into the curation pipe cleanly\n",
+        encoding="utf-8",
+    )
+    eng = CsvEngine(spark)
+    out = eng.sql(
+        f"select line as text from '{p}' |> tokens(text) "
+        "|> filter(n_tokens, min=6)"
+    )
+    rows = out.collect()
+    assert out.columns == ["text", "n_tokens"] and len(rows) == 2
+    assert all(r["n_tokens"] >= 6 for r in rows)
+    # dialect WHERE + LIKE work over the single line column
+    got = eng.sql(
+        f"select line from '{p}' where line like '%fox%'"
+    ).collect()
+    assert len(got) == 1 and "fox" in got[0]["line"]
