@@ -122,11 +122,15 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
-        if base.endswith(".csv"):
+        if base.endswith((".csv", ".tsv")):
+            # .tsv rides the SAME inference lane with a tab separator
+            # (engine extension; the reference is comma-only)
             if _missing(path):
                 raise SemanticError(f"cannot open file {ref.path}")
             return read_csv(
-                self.spark, path, noheader=ref.noheader, multiline=ref.multiline
+                self.spark, path, noheader=ref.noheader,
+                multiline=ref.multiline,
+                sep="\t" if base.endswith(".tsv") else ",",
             )
         if base.endswith(".txt"):
             # raw line-oriented text (engine extension): one row per

@@ -269,6 +269,7 @@ def read_csv(
     noheader: bool = False,
     multiline: bool = False,
     epoch_promotion: bool = True,
+    sep: str = ",",
 ) -> tuple[DataFrame, list[str], list[int]]:
     """Read a CSV with inferred dialect types.
 
@@ -287,6 +288,7 @@ def read_csv(
         spark.read.option("header", "false" if noheader else "true")
         .option("quote", '"')
         .option("escape", '"')
+        .option("sep", sep)
         .option("multiLine", "true" if multiline else "false")
         .option("mode", "PERMISSIVE")
         .csv(path)

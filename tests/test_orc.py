@@ -134,3 +134,28 @@ def test_txt_lines_feed_the_pipe(spark, tmp_path):
         f"select line from '{p}' where line like '%fox%'"
     ).collect()
     assert len(got) == 1 and "fox" in got[0]["line"]
+
+
+def test_tsv_rides_the_csv_inference_lane(spark, tmp_path):
+    """.tsv dispatches into the SAME sampling-inference reader with a
+    tab separator: typed columns (int/float/date narrowing), WHERE and
+    aggregates behave exactly as for the comma form."""
+    p = tmp_path / "t.tsv"
+    p.write_text(
+        "id\tname\tprice\tday\n"
+        "1\talpha\t10.5\t2024-01-02\n"
+        "2\tbeta\t20.25\t2024-02-03\n"
+        "3\tgamma, with comma\t30.0\t2024-03-04\n",
+        encoding="utf-8",
+    )
+    eng = CsvEngine(spark)
+    out = eng.sql(
+        f"select id, name, price from '{p}' where price > 15 "
+        "order by id asc"
+    )
+    rows = out.collect()
+    assert [(r["id"], r["name"]) for r in rows] == [
+        (2, "beta"), (3, "gamma, with comma")
+    ]
+    agg = eng.sql(f"select sum(price) as s from '{p}'").collect()
+    assert abs(agg[0]["s"] - 60.75) < 1e-9
