@@ -7,8 +7,8 @@
 
 Tables come from three places (superset of the reference, which only
 accepts ``.csv`` paths — utils.go:508,531):
-- CSV paths (quoted or bare, ``~`` expanded) → sampling schema inference
-  (sources/csv.py);
+- CSV / TSV paths (quoted or bare, ``~`` expanded) → sampling schema
+  inference (sources/csv.py; tab separator for ``.tsv``);
 - parquet / ORC paths (engine extensions — both columnar formats Spark
   ships natively, typed straight from the file footer);
 - JSONL paths with bounded inference (sources/jsonl.py);
