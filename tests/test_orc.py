@@ -159,3 +159,24 @@ def test_tsv_rides_the_csv_inference_lane(spark, tmp_path):
     ]
     agg = eng.sql(f"select sum(price) as s from '{p}'").collect()
     assert abs(agg[0]["s"] - 60.75) < 1e-9
+
+
+def test_compressed_txt_and_tsv_ride_the_codec_strip(spark, tmp_path):
+    """.txt.gz / .tsv.gz reach their readers through the codec-extension
+    strip (gzip ships in this distribution); Spark's line readers
+    decompress transparently."""
+    import gzip
+
+    pt = tmp_path / "corpus.txt.gz"
+    with gzip.open(pt, "wt", encoding="utf-8") as f:
+        f.write("alpha beta gamma delta epsilon zeta\nshort\n")
+    eng = CsvEngine(spark)
+    rows = eng.sql(
+        f"select line from '{pt}' |> tokens(line) |> filter(n_tokens, min=5)"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 6
+    pv = tmp_path / "t.tsv.gz"
+    with gzip.open(pv, "wt", encoding="utf-8") as f:
+        f.write("id\tv\n1\t10.5\n2\t20.5\n")
+    got = eng.sql(f"select id, v from '{pv}' where v > 15").collect()
+    assert [(r["id"], r["v"]) for r in got] == [(2, 20.5)]
