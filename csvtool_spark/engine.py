@@ -5,7 +5,7 @@
     for df in eng.run("select ... ; select ..."):   # multi-statement
         ...
 
-Tables come from three places (superset of the reference, which only
+Tables come from these places (superset of the reference, which only
 accepts ``.csv`` paths — utils.go:508,531):
 - CSV / TSV paths (quoted or bare, ``~`` expanded) → sampling schema
   inference (sources/csv.py; tab separator for ``.tsv``);
@@ -76,19 +76,6 @@ class CsvEngine:
             names = list(df.columns)
             types = [_dialect_type(f.dataType) for f in df.schema.fields]
             return df, names, types
-        if path.endswith((".parquet", ".orc")):
-            # columnar self-describing formats Spark ships natively —
-            # same typed-schema lane (engine extension; the reference
-            # reads CSV only, files.go)
-            reader = (
-                self.spark.read.parquet
-                if path.endswith(".parquet")
-                else self.spark.read.orc
-            )
-            df = reader(path)
-            names = list(df.columns)
-            types = [_dialect_type(f.dataType) for f in df.schema.fields]
-            return df, names, types
         # Shard globs ('shards/*.csv') read as ONE table — the multi-file
         # scan a single-process engine cannot do; Spark lists and splits
         # the matches. The existence check becomes "glob matches something
@@ -103,12 +90,32 @@ class CsvEngine:
                 return not _glob.glob(p) and not os.path.exists(p)
             return not os.path.exists(p)
 
+        # extension dispatch is CASE-INSENSITIVE (OUT.ORC written by the
+        # sink's lowered dispatch must read back — round-10 review);
+        # `low` is for matching only, every read uses the original path
+        low = path.lower()
+        if low.endswith((".parquet", ".orc")):
+            # columnar self-describing formats Spark ships natively —
+            # same typed-schema lane (engine extension; the reference
+            # reads CSV only, files.go). Same clean missing-path error
+            # as the line formats instead of a raw AnalysisException.
+            if _missing(path):
+                raise SemanticError(f"cannot open file {ref.path}")
+            reader = (
+                self.spark.read.parquet
+                if low.endswith(".parquet")
+                else self.spark.read.orc
+            )
+            df = reader(path)
+            names = list(df.columns)
+            types = [_dialect_type(f.dataType) for f in df.schema.fields]
+            return df, names, types
         # Spark's text-based readers decompress by file extension —
         # ONLY for codecs this distribution actually ships (gzip, bzip2,
         # deflate). zstd/xz are deliberately not listed: without their
         # Hadoop codecs the reader would return raw compressed bytes as
         # garbage rows instead of erroring.
-        base = path
+        base = low
         for codec_ext in (".gz", ".bz2", ".deflate"):
             if base.endswith(codec_ext):
                 base = base[: -len(codec_ext)]
@@ -260,22 +267,34 @@ class CsvEngine:
         return out
 
     def save_csv(self, text: str, out_path: str) -> list[str]:
-        """Run statements and write each result as ONE csv file; multi-query
-        outputs get -N suffixes before the extension (files.go:85-156)."""
+        """Run statements and write each result as ONE delimited file;
+        multi-query outputs get -N suffixes before the extension
+        (files.go:85-156). The separator follows the extension so the
+        written path always reads back through ``_load``'s dispatch
+        (round-10 review: a comma-separated body under a ``.tsv`` name
+        re-parsed as one mangled column): ``.tsv`` writes
+        tab-separated, ``.txt`` writes RAW LINES (single string column
+        required — no header, the one-doc-per-line ingest shape),
+        anything else the reference's comma CSV."""
         results = self.run(text)
         written = []
         stem, ext = os.path.splitext(out_path)
         ext = ext or ".csv"
         for i, df in enumerate(results):
             p = out_path if len(results) == 1 else f"{stem}-{i + 1}{ext}"
-            write_single_csv(df, p)
+            if ext.lower() == ".txt":
+                write_single_text(df, p)
+            else:
+                write_single_csv(
+                    df, p, sep="\t" if ext.lower() == ".tsv" else ","
+                )
             written.append(p)
         return written
 
 
-def write_single_csv(df: DataFrame, path: str) -> None:
-    """Single-file CSV sink. coalesce(1) matches the reference's one-file
-    contract for interactive use; large extracts should use
+def write_single_csv(df: DataFrame, path: str, sep: str = ",") -> None:
+    """Single-file CSV/TSV sink. coalesce(1) matches the reference's
+    one-file contract for interactive use; large extracts should use
     ``df.write.csv(dir)`` (one file per partition) instead."""
     import glob
     import shutil
@@ -287,10 +306,42 @@ def write_single_csv(df: DataFrame, path: str) -> None:
         for f in df.schema.fields:
             if isinstance(f.dataType, T.DayTimeIntervalType):
                 out = out.withColumn(f.name, F.col(f.name).cast("string"))
-        out.coalesce(1).write.mode("overwrite").option("header", True).csv(
-            f"{tmp}/out"
-        )
+        out.coalesce(1).write.mode("overwrite").option("header", True).option(
+            "sep", sep
+        ).csv(f"{tmp}/out")
         part = glob.glob(f"{tmp}/out/part-*.csv")[0]
+        shutil.copy(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_single_text(df: DataFrame, path: str) -> None:
+    """Single-file raw-line sink for ``.txt`` outputs: exactly one
+    string-typed column, one value per line, NO header — the inverse of
+    ``_load``'s one-doc-per-line ingest, so a written .txt reads back as
+    the same rows. Multi-column results must pick a delimited extension
+    instead (a CSV body under a .txt name would re-read as mangled raw
+    lines — round-10 review)."""
+    import glob
+    import shutil
+    import tempfile
+
+    if len(df.columns) != 1:
+        raise SemanticError(
+            f".txt writes one string column as raw lines; this result has "
+            f"{len(df.columns)} columns ({', '.join(df.columns)}) — use "
+            f".csv/.tsv/.parquet/.orc instead"
+        )
+    tmp = tempfile.mkdtemp(prefix="txtsink_")
+    try:
+        # NULL -> empty line (the text writer rejects nulls)
+        out = df.select(
+            F.coalesce(
+                F.col(df.columns[0]).cast("string"), F.lit("")
+            ).alias("value")
+        )
+        out.coalesce(1).write.mode("overwrite").text(f"{tmp}/out")
+        part = glob.glob(f"{tmp}/out/part-*.txt")[0]
         shutil.copy(part, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -333,14 +333,17 @@ def explain_response(engine, text: str, password: str | None = None) -> dict:
     return ret
 
 
-#: extensions the engine's _load can actually read (engine.py:68-121);
-#: the reference lists only `.csv$` (files.go:193) — widened here because
-#: this engine also scans parquet/JSONL and compressed shards
+#: extensions the engine's ``_load`` can actually read (engine._load's
+#: dispatch); the reference lists only `.csv$` (files.go:193) — widened
+#: here because this engine also scans parquet/ORC, TSV, JSONL, raw
+#: text, and compressed LINE-format shards (columnar files are
+#: internally compressed — no codec suffix lane for them)
+_LINE_EXTS = (".csv", ".tsv", ".txt", ".jsonl", ".ndjson", ".json")
 _BROWSE_EXTS = tuple(
     base + codec
-    for base in (".csv", ".parquet", ".jsonl", ".ndjson", ".json")
+    for base in _LINE_EXTS
     for codec in ("", ".gz", ".bz2", ".deflate")
-)
+) + (".parquet", ".orc")
 
 
 def browse_dir(path: str, mode: str = "open") -> dict:
@@ -366,7 +369,7 @@ def browse_dir(path: str, mode: str = "open") -> dict:
             if os.path.isdir(full):
                 if not entry.startswith("."):
                     out["dirs"].append(entry)
-            elif entry.endswith(_BROWSE_EXTS):
+            elif entry.lower().endswith(_BROWSE_EXTS):
                 out["files"].append(entry)
     except OSError:
         out["status"] = DAT_BADPATH

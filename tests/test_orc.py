@@ -180,3 +180,63 @@ def test_compressed_txt_and_tsv_ride_the_codec_strip(spark, tmp_path):
         f.write("id\tv\n1\t10.5\n2\t20.5\n")
     got = eng.sql(f"select id, v from '{pv}' where v > 15").collect()
     assert [(r["id"], r["v"]) for r in got] == [(2, 20.5)]
+
+
+def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
+    """Round-10 third review: every path the sinks write must read back
+    through _load. Pins (1) case-insensitive extension dispatch
+    (OUT.ORC written by the lowered sink check reads back), (2) .tsv
+    output writes TAB-separated so re-reading doesn't mangle columns,
+    (3) .txt output writes raw lines (single column, no header) and
+    re-reads as the same rows, (4) a multi-column .txt write fails with
+    a clear dialect error, (5) a missing .orc path raises the dialect's
+    'cannot open file', not a raw AnalysisException."""
+    from csvtool_spark.dialect.errors import SemanticError
+
+    eng = CsvEngine(spark)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    # (1) upper-cased columnar path round trip
+    up = str(tmp_path / "OUT.ORC")
+    eng.save_parquet(f"select doc_id, source from '{src}'", up)
+    assert eng.sql(f"select doc_id from '{up}'").count() == 500
+    # (2) .tsv sink -> tab-separated -> identical values back
+    tsv = str(tmp_path / "out.tsv")
+    eng.save_csv(f"select doc_id, source from '{src}' where doc_id < 20", tsv)
+    back = eng.sql(f"select doc_id, source from '{tsv}'").collect()
+    want = eng.sql(
+        f"select doc_id, source from '{src}' where doc_id < 20"
+    ).collect()
+    assert sorted(map(tuple, back)) == sorted(map(tuple, want))
+    # (3) .txt sink: raw lines, no header, round trip
+    txt = str(tmp_path / "out.txt")
+    eng.save_csv(f"select source from '{src}' where doc_id < 5", txt)
+    lines = open(txt, encoding="utf-8").read().splitlines()
+    assert len(lines) == 5 and not lines[0].startswith("source")
+    assert eng.sql(f"select line from '{txt}'").count() == 5
+    # (4) multi-column .txt is a clear error, not silent mangling
+    import pytest
+
+    with pytest.raises(SemanticError, match="one string column"):
+        eng.save_csv(f"select doc_id, source from '{src}'", str(tmp_path / "bad.txt"))
+    # (5) missing columnar path -> dialect error like every other lane
+    with pytest.raises(SemanticError, match="cannot open file"):
+        eng.sql("select a from '/no/such/file.orc'")
+
+
+def test_browser_lists_every_readable_format(tmp_path):
+    """The server file browser must show exactly what _load can read —
+    .tsv/.txt/.orc were invisible after the format wave (round-10
+    third review)."""
+    from csvtool_spark.server import browse_dir
+
+    names = [
+        "a.csv", "b.tsv", "c.txt", "d.parquet", "e.orc", "f.jsonl",
+        "g.txt.gz", "H.CSV", "skip.xyz", "i.parquet.gz",
+    ]
+    for n in names:
+        (tmp_path / n).write_text("x")
+    got = set(browse_dir(str(tmp_path))["files"])
+    assert got == {
+        "a.csv", "b.tsv", "c.txt", "d.parquet", "e.orc", "f.jsonl",
+        "g.txt.gz", "H.CSV",
+    }  # no .xyz; no .parquet.gz (columnar formats have no codec lane)

@@ -118,11 +118,13 @@ def test_browse_dir_reference_shape(tmp_path):
     (tmp_path / "a.csv").write_text("x\n1\n")
     (tmp_path / "b.parquet").write_bytes(b"")
     (tmp_path / "c.jsonl.gz").write_bytes(b"")
-    (tmp_path / "notes.txt").write_text("not a table")
+    (tmp_path / "notes.rst").write_text("not a table")
     out = browse_dir(str(tmp_path))
     assert out["parent"] == str(tmp_path.parent)
     assert out["dirs"] == ["sub"]  # .hidden skipped
-    assert out["files"] == ["a.csv", "b.parquet", "c.jsonl.gz"]  # no .txt
+    # .rst filtered; .txt would now be listed (raw-line ingest is a
+    # table since round 10 — see test_orc.test_browser_lists_every_...)
+    assert out["files"] == ["a.csv", "b.parquet", "c.jsonl.gz"]
 
 
 def test_query_response_password_flow(eng):
