@@ -172,3 +172,30 @@ def test_md5_prefix_long_matches_duckdb(s):
         "SELECT CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT)", params=[s]
     ).fetchone()[0]
     assert got == ref, (s, got, ref)
+
+
+@given(
+    st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_num_kwarg_lane_matches_twin_lane(v):
+    """The filter stage's literal-lane rule and twin_filter's isinstance
+    branch must agree for EVERY numeric lexeme: an integer lexeme parses
+    to int on the engine side exactly when the twin would emit the
+    BIGINT lane for the parsed value; every other lexeme lands both
+    sides in the double lane (round-10 lane contract)."""
+    from csvtool_spark.dialect import ast as dast
+    from csvtool_spark.dialect.stages import _num_kwarg
+
+    text = repr(v)
+    st_stub = dast.Stage(
+        name="filter", args=[], kwargs={"min": dast.StageArg(text, False)}
+    )
+    got = _num_kwarg(st_stub, "min", None)
+    if isinstance(v, int):
+        assert got == v and isinstance(got, int)  # exact int64 lane
+    else:
+        assert isinstance(got, float) and got == float(text)
