@@ -665,7 +665,9 @@ dialect(
     "select doc_id, text from documents "
     "|> tokens(text) |> filter(n_tokens, min=30, max=90)",
     _pipe_filter_oracle(),
-    registered=False,  # shadow: pins the filter stage + composer shape
+    # driver window (r11 swap: q_pq_compare -> shadow): the post-append
+    # range gate every curation recipe ends with, carrying the int64 /
+    # 2^53-double literal-lane contract pinned in test_properties
 )
 
 
@@ -745,9 +747,9 @@ dialect(
     # mod 16 — the write-layout step before partitionBy('shard')
     "select doc_id, source from documents |> shard(n=16, key=doc_id)",
     _pipe_shard_oracle(),
-    registered=False,  # shadow: per-row coin machinery is in-window via
-    # q_dialect_curate's hash_sample; this pins the shard stage + the
-    # composable twin builder in the gate
+    # driver window (r11 swap: q_priority_sample -> shadow): the
+    # write-layout stage — salted-coin shard assignment now carrying the
+    # exactly-N-dirs x one-file disk contract (tests/test_writer_layout)
 )
 
 

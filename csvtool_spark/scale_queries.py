@@ -1312,9 +1312,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_gopher_repetition",
     textstats.gopher_oracle_sql(),
-    registered=False,  # shadow (r9): the char-fraction Gopher family
-    # (Table A1) — twin GENERATED from GOPHER_TOP_NS/GOPHER_DUP_NS;
-    # the word-fraction trio rides q_text_repetition
+    # driver window (r11 swap: q_paragraph_dedup -> shadow): the
+    # char-fraction Gopher Table-A1 family at line AND paragraph
+    # granularity — twin GENERATED from GOPHER_TOP_NS/GOPHER_DUP_NS;
+    # the stage form stays in-window via q_dialect_pipe_gopher
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table A1 repetition signals, char-fraction form: duplicate
@@ -1864,10 +1865,10 @@ def _pq_trained_ctes(iters: int) -> str:
     LEFT JOIN hits_s hs ON hs.qid = q.qid
     LEFT JOIN hits_t ht ON ht.qid = q.qid
     """,
-    # driver window (r8 swap: q_contamination -> shadow): the
-    # trained-vs-sampled codebook report — subsumes q_pq_recall's shape
-    # (same exact-vs-ADC recall CTEs) and carries the pq_train_kmeans
-    # evidence the round-7 verdict asked for
+    registered=False,  # shadow (r11 swap: q_dialect_pipe_filter ->
+    # window): the PQ family keeps q_ann_ivf_pq + q_ann_recall (exact
+    # ground truth) in-window; this trained-vs-sampled codebook report
+    # stays oracle-checked here in the local gate
 )
 def q_pq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does Lloyd-training the PQ codebook beat the sampled one? recall@10
@@ -2756,9 +2757,10 @@ _PARA_DERIVE_SQL = f"""
         sep="\n\n", min_docs=2, keep="first", table="docs2"
     )
     + ") SELECT * FROM base",
-    # driver window (r8 swap: q_dedup_exact -> shadow): the Lee-et-al
-    # exact-substring family's paragraph-granularity member joins
-    # q_span_removal in-window
+    registered=False,  # shadow (r11 swap: q_gopher_repetition ->
+    # window): the Lee-et-al exact-substring family keeps q_run_removal
+    # in-window; the paragraph-granularity member stays oracle-checked
+    # here in the local gate
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact paragraph dedup across the corpus: 25-token pseudo-paragraph
@@ -2793,7 +2795,10 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_priority_sample",
     sampling.priority_sample_oracle_sql("n_chars", "doc_id", 100),
-    # promoted to the driver window in round 4 (swap with q_distinct_sketch)
+    registered=False,  # shadow (r11 swap: q_dialect_pipe_shard ->
+    # window): the sampling family keeps q_dsir_sample, q_dialect_sample
+    # and the quota stages in-window; the weighted priority sample stays
+    # oracle-checked here in the local gate
 )
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
