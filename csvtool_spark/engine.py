@@ -120,6 +120,16 @@ class CsvEngine:
             if base.endswith(codec_ext):
                 base = base[: -len(codec_ext)]
                 break
+        if base != low and base.endswith((".parquet", ".orc")):
+            # data.parquet.gz slipped past the columnar check above and
+            # would otherwise fall through every line-format branch to
+            # the generic unknown-file error (round-10 advice): columnar
+            # files are internally compressed — no codec suffix lane
+            raise SemanticError(
+                f"cannot open file {ref.path}: .parquet/.orc files are "
+                f"internally compressed and take no .gz/.bz2/.deflate "
+                f"suffix — drop the codec suffix"
+            )
         if base.endswith((".jsonl", ".ndjson", ".json")):
             from csvtool_spark.sources.jsonl import read_jsonl
 
@@ -275,21 +285,41 @@ class CsvEngine:
         re-parsed as one mangled column): ``.tsv`` writes
         tab-separated, ``.txt`` writes RAW LINES (single string column
         required — no header, the one-doc-per-line ingest shape),
-        anything else the reference's comma CSV."""
+        ``.parquet``/``.orc`` delegate to the native columnar directory
+        sink, anything else the reference's comma CSV (dispatch lives in
+        ``write_single_result`` — one shared lane with the GUI save)."""
         results = self.run(text)
         written = []
         stem, ext = os.path.splitext(out_path)
         ext = ext or ".csv"
         for i, df in enumerate(results):
             p = out_path if len(results) == 1 else f"{stem}-{i + 1}{ext}"
-            if ext.lower() == ".txt":
-                write_single_text(df, p)
-            else:
-                write_single_csv(
-                    df, p, sep="\t" if ext.lower() == ".tsv" else ","
-                )
+            write_single_result(df, p)
             written.append(p)
         return written
+
+
+def write_single_result(df: DataFrame, path: str) -> None:
+    """THE extension dispatch for writing one result to one user-named
+    path — shared by ``CsvEngine.save_csv`` and the GUI save flow
+    (server.query_response), so a saved name always reads back through
+    ``_load``'s read-side dispatch (round-10/11 reviews: two divergent
+    dispatches produced comma bodies under ``.tsv`` names):
+
+    - ``.txt``    → raw lines (``write_single_text``, 1 string column)
+    - ``.tsv``    → tab-separated single file
+    - ``.parquet``/``.orc`` → native columnar DIRECTORY sink (delegated
+      to Spark; columnar data has no single-file text shape)
+    - anything else → the reference's comma CSV (files.go:85-156)
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".txt":
+        write_single_text(df, path)
+    elif ext in (".parquet", ".orc"):
+        w = df.write.mode("overwrite")
+        (w.parquet if ext == ".parquet" else w.orc)(path)
+    else:
+        write_single_csv(df, path, sep="\t" if ext == ".tsv" else ",")
 
 
 def write_single_csv(df: DataFrame, path: str, sep: str = ",") -> None:
@@ -318,10 +348,14 @@ def write_single_csv(df: DataFrame, path: str, sep: str = ",") -> None:
 def write_single_text(df: DataFrame, path: str) -> None:
     """Single-file raw-line sink for ``.txt`` outputs: exactly one
     string-typed column, one value per line, NO header — the inverse of
-    ``_load``'s one-doc-per-line ingest, so a written .txt reads back as
-    the same rows. Multi-column results must pick a delimited extension
-    instead (a CSV body under a .txt name would re-read as mangled raw
-    lines — round-10 review)."""
+    ``_load``'s one-doc-per-line ingest. Round-trip caveats (the format
+    has no escaping, so these are inherent to raw lines, not bugs):
+    NULL is written as an empty line and reads back as ``""``, and a
+    value containing an embedded newline splits into multiple rows on
+    re-read — results needing exact NULL/newline fidelity must pick
+    ``.csv``/``.tsv`` (quoted) or a columnar extension. Multi-column
+    results must pick a delimited extension instead (a CSV body under a
+    .txt name would re-read as mangled raw lines — round-10 review)."""
     import glob
     import shutil
     import tempfile

@@ -189,7 +189,7 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
         finally:
             set_thread_password_provider(None)
     try:
-        from csvtool_spark.engine import write_single_csv
+        from csvtool_spark.engine import write_single_result
 
         stmts = [s for s in text.split(";") if s.strip()]
         out_paths: list[str | None] = [None] * len(stmts)
@@ -219,7 +219,11 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
                     # under the job wrapper so it's cancellable like collects.
                     df = df.persist()
                     try:
-                        write = lambda: write_single_csv(df, out_path)  # noqa: E731,B023
+                        # the SAME extension dispatch as engine.save_csv
+                        # (.tsv tab / .txt raw lines / .parquet/.orc
+                        # columnar) — a GUI save to out.tsv must not
+                        # produce a comma body (round-11 advice)
+                        write = lambda: write_single_result(df, out_path)  # noqa: E731,B023
                         if runner is not None:
                             runner(write)
                         else:

@@ -221,6 +221,19 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
     # (5) missing columnar path -> dialect error like every other lane
     with pytest.raises(SemanticError, match="cannot open file"):
         eng.sql("select a from '/no/such/file.orc'")
+    # (6) round-11 advice: a columnar path with a codec suffix gets a
+    # targeted message (columnar files are internally compressed), not
+    # the generic unknown-file fallthrough — even when the file exists
+    gz = tmp_path / "data.parquet.gz"
+    gz.write_bytes(b"\x1f\x8b\x08\x00junk")
+    for p in (str(gz), str(tmp_path / "missing.orc.gz")):
+        with pytest.raises(SemanticError, match="no .gz"):
+            eng.sql(f"select a from '{p}'")
+    # (7) engine.save_csv delegates .parquet/.orc to the columnar sink
+    # (shared write_single_result dispatch with the GUI save flow)
+    pq = str(tmp_path / "via_save_csv.parquet")
+    eng.save_csv(f"select doc_id, source from '{src}' where doc_id < 7", pq)
+    assert eng.sql(f"select doc_id from '{pq}'").count() == 7
 
 
 def test_browser_lists_every_readable_format(tmp_path):

@@ -452,6 +452,42 @@ def test_save_flow_multi_statement_via_http(eng, tmp_path):
     assert rows2[0] == ["state"] and len(rows2) == 3
 
 
+def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
+    # round-11 advice: the GUI save must ride the SAME extension
+    # dispatch as engine.save_csv — out.tsv gets a TAB body, out.txt
+    # raw lines, out.parquet a readable columnar sink; a comma-CSV
+    # body under those names would re-read as mangled rows
+    tsv = tmp_path / "out.tsv"
+    ret = query_response(eng, "select top 3 plate fine from" + V,
+                         save_path=str(tsv))
+    assert ret["status"] & DAT_GOOD
+    body = tsv.read_text()
+    assert "\t" in body.splitlines()[0] and "," not in body.splitlines()[0]
+    # the written .tsv reads back through the engine's own dispatch
+    back = eng.sql(f"select plate, fine from '{tsv}'").collect()
+    assert len(back) == 3 and all(len(r) == 2 for r in back)
+
+    txt = tmp_path / "out.txt"
+    ret = query_response(eng, "select top 3 plate from" + V,
+                         save_path=str(txt))
+    assert ret["status"] & DAT_GOOD
+    lines = txt.read_text().splitlines()
+    assert len(lines) == 3 and "plate" not in lines[0]  # no header
+
+    # multi-column .txt save -> the writer's SemanticError surfaces as
+    # a client error, never a silent mangled file
+    ret = query_response(eng, "select top 3 plate fine from" + V,
+                         save_path=str(tmp_path / "bad.txt"))
+    assert ret["status"] & DAT_ERROR and "one string column" in ret["message"]
+    assert not (tmp_path / "bad.txt").exists()
+
+    pq = tmp_path / "out.parquet"
+    ret = query_response(eng, "select top 3 plate fine from" + V,
+                         save_path=str(pq))
+    assert ret["status"] & DAT_GOOD
+    assert spark.read.parquet(str(pq)).count() == 3
+
+
 def test_save_flow_bare_name_and_bad_path(eng, tmp_path):
     # no extension -> .csv appended (files.go:173-178); missing parent
     # dir / bare directory -> DAT_ERROR "Invalid path" (files.go:158-170)
