@@ -233,3 +233,73 @@ def test_pipe_normalize_is_shuffle_free_projection(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_dialect_join_splits_skewed_partition_under_aqe(spark, tmp_path):
+    """100 TB skew hygiene for the USER-FACING dialect join (round-10
+    verdict gap #3): the dedup lanes cap hot buckets themselves, but a
+    skewed key through plain ``join ... on`` relies on AQE's skew-join
+    split. This pins that the session's shipped configs
+    (adaptive.skewJoin.enabled=true in session._BASE_CONF) actually
+    split a hot partition for a dialect-compiled join — the executed
+    plan must carry ``SortMergeJoin(skew=true)`` with an
+    ``AQEShuffleRead skewed`` child.
+
+    The fixture puts ~50% of the left rows on ONE key. Local data is
+    tiny, so the detection thresholds (defaults 256MB / 5x median —
+    cluster-appropriate, documented in ARCHITECTURE.md) are lowered for
+    the test; broadcast is disabled because a small right side would
+    otherwise broadcast and dodge the shuffle entirely (exactly what a
+    100 TB right side cannot do)."""
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.engine import CsvEngine
+
+    left = spark.range(1_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.concat(F.lit("payload-padding-payload-"), F.col("id")).alias("pay"),
+    )
+    right = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("k"),
+        F.concat(F.lit("r"), F.col("id")).alias("rp"),
+    )
+    lp, rp = str(tmp_path / "skew_l.parquet"), str(tmp_path / "skew_r.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        eng = CsvEngine(spark)
+        # the projection must KEEP the payload: project only the join key
+        # and column pruning shrinks the shuffled rows to 8 bytes each,
+        # dropping the hot partition below the detection threshold
+        df = eng.sql(
+            f"select l.k, l.pay from '{lp}' l join '{rp}' r on l.k = r.k"
+        )
+        # count-shaped action: partial agg imposes no distribution on the
+        # join output, so AQE is free to split (a downstream groupBy on
+        # the join key would legitimately suppress the split unless
+        # spark.sql.adaptive.forceOptimizeSkewedJoin is set). The count
+        # is over PAY, not 1: count(1) lets Catalyst prune the payload
+        # out of the shuffle, shrinking the hot partition to bare longs
+        # below any realistic detection threshold
+        out = df.agg(F.count(df.columns[-1]).alias("n"))
+        assert out.collect()[0]["n"] == 100_000_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        # coalescing may apply to the same read ("coalesced and skewed")
+        assert "AQEShuffleRead coalesced and skewed" in plan or \
+            "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
