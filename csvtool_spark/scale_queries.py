@@ -3384,3 +3384,57 @@ def q_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_runs(
         d, "text", "doc_id", k=3, min_run_tokens=8
     )
+
+
+# --- columnar format lane: ORC write+read round trip (round 11) ------------
+
+
+@register(
+    "q_orc_roundtrip",
+    # the twin reads the ORIGINAL parquet: equality pins that the ORC
+    # write+read round trip is value-exact (types, timestamps, doubles)
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS first_dt,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS last_dt
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+    registered=False,  # shadow: standing oracle coverage for the ORC
+    # sink+source lane (engine.py:97-146 dispatch; pytest pins the
+    # mechanics, this row keeps VALUES oracle-checked every gate run)
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format-lane round trip: a filtered orders slice is written to
+    ORC, read back through the ENGINE's columnar dispatch
+    (CsvEngine.resolve_table -> _load's .orc lane), and aggregated —
+    while the DuckDB twin reads the original parquet. A value or type
+    lost by the ORC writer/reader (timestamp precision, double
+    fidelity, priority strings) breaks the hash match. Exercises the
+    same lane as OUT.ORC GUI saves (engine.write_single_result)."""
+    import os
+    import tempfile
+
+    from csvtool_spark.engine import CsvEngine
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    )
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(
+        tempfile.gettempdir(), f"csvtool_spark_orc_roundtrip_{sfname}.orc"
+    )
+    o.write.mode("overwrite").orc(path)
+    back = CsvEngine(spark).resolve_table(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("sum_price_c"),
+        F.min("o_orderdate").alias("first_dt"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
