@@ -22,6 +22,51 @@ BASE_TEXT = "select doc_id, text, source from documents"
 BASE_SQL = "SELECT doc_id, text, source FROM documents"
 BASE_COLS = ["doc_id", "text", "source"]
 
+#: file-read bases (round-11 directive): the CSV-inference x
+#: stage-typecheck seam — schema-INFERRED int/string columns flowing into
+#: pipe stages. Fixed paths so the BASES strings stay static; the files
+#: are (re)written from the CURRENT sf parquet by ensure_file_bases(), so
+#: a driver testdata regeneration can never strand stale fixtures.
+FUZZ_TSV = "/tmp/csvtool_fuzz_docs.tsv"
+FUZZ_TXT = "/tmp/csvtool_fuzz_docs.txt"
+
+
+def ensure_file_bases(sf_dir: str = SF) -> None:
+    """Write the .tsv / .txt twin fixtures of the documents table.
+
+    TSV has no escaping beyond what both parsers share, so this asserts
+    the corpus is hazard-free (no tabs/newlines/quotes in the written
+    columns) rather than silently producing parser-divergent bytes. NULL
+    text is written as the empty field/line; the oracle bases mirror
+    that with coalesce."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    rows = sorted(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["source"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        )
+    )
+    for _d, x, s, _n in rows:
+        for v in (x or "", s or ""):
+            assert "\t" not in v and "\n" not in v and '"' not in v, (
+                "documents corpus gained TSV-hazard characters; the file "
+                "bases need an escaping-aware writer now"
+            )
+    with open(FUZZ_TSV, "w") as f:
+        f.write("doc_id\ttext\tsource\tn_chars\n")
+        for d, x, s, n in rows:
+            f.write(f"{d}\t{x or ''}\t{s or ''}\t{n}\n")
+    with open(FUZZ_TXT, "w") as f:
+        for _d, x, _s, _n in rows:
+            f.write((x or "") + "\n")
+
 #: base-query variety: the chain must compose with whatever the dialect
 #: query upstream produced, not just the bare projection — (dialect text,
 #: oracle SQL, columns, integer count columns present). The where-clause
@@ -122,11 +167,40 @@ BASES = [
         BASE_COLS,
         [],
     ),
+    (
+        # .tsv FILE base (round-11 directive): every column arrives
+        # through the CSV INFERENCE lane (doc_id/n_chars sampled to
+        # int64, text/source to string) instead of the parquet footer —
+        # the inference x stage-typecheck seam. Twin reads the parquet
+        # view the file was written from (ensure_file_bases).
+        f"select doc_id, text, source, n_chars from '{FUZZ_TSV}'",
+        "SELECT doc_id, coalesce(text, '') AS text, source, n_chars "
+        "FROM documents",
+        ["doc_id", "text", "source", "n_chars"],
+        ["n_chars"],
+    ),
+    (
+        # .txt RAW-LINE base: one string column from the one-doc-per-line
+        # ingest lane, with the dialect's inc() providing the unique id
+        # the coin/dedup stages key on — doc_id is a DOUBLE here
+        # (reference inc() semantics), so every id-keyed twin also gets
+        # fuzzed against double ids. Lines were written in doc_id order;
+        # inc() numbers in scan order, so row_number() OVER (ORDER BY
+        # doc_id) is the exact twin.
+        f"select inc() as doc_id, line as text from '{FUZZ_TXT}'",
+        "SELECT CAST(row_number() OVER (ORDER BY doc_id) AS DOUBLE) "
+        "AS doc_id, coalesce(text, '') AS text FROM documents",
+        ["doc_id", "text"],
+        [],
+    ),
 ]
 
 #: stages whose TWIN groups by id (gopher, neardup) or breaks ties by id
 #: (dedup/quota) — only legal while doc_id is still unique (pre-chunk)
 NEEDS_UNIQUE_ID = {"dedup", "quota", "gopher", "neardup"}
+#: stages that hard-reference the `source` column — skipped for bases
+#: that don't carry one (the .txt raw-line base)
+NEEDS_SOURCE = {"quota", "mixture"}
 #: stages allowed at most once per chain (fixed output/CTE names)
 ONCE = {"chunk", "gopher", "mixture", "neardup"}
 
@@ -166,6 +240,8 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             s
             for s in pool
             if not (s in NEEDS_UNIQUE_ID and not unique_id)
+            and not (s in NEEDS_SOURCE
+                     and "source" not in {c.lower() for c in base_cols})
             and not (s in ONCE and s in used_once)
             # fixed appended names -> once per chain unless as= exists
             and not (s == "chunk" and (
@@ -351,6 +427,7 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
 def engine(spark):
     eng = CsvEngine(spark)
     eng.register_dir(SF, ["documents"])
+    ensure_file_bases(SF)
     return eng
 
 

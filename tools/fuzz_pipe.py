@@ -38,6 +38,7 @@ def main() -> int:
     spark = get_spark("pipe-fuzz")
     eng = CsvEngine(spark)
     eng.register_dir(sf, ["documents"])
+    fz.ensure_file_bases(sf)  # the .tsv/.txt file bases mirror THIS sf
     con = duck_connect(sf)
 
     failures = 0
