@@ -76,6 +76,92 @@ GOOD = [
     "nh select c.c1 r.c2 from" + C + "c left join" + R + "r on c.c3=r.c1",
 ]
 
+# Round-11 completeness audit vs main_test.go (tests/REFERENCE_BATTERY.md
+# maps all 88 reference cases): these close every previously-unmirrored
+# GOOD case. Comments carry the reference case number from that table.
+GOOD += [
+    # 12: searched case with mixed THEN types (bareword/str/int lanes)
+    "select top 20 mixpred=case when state like ny then likey "
+    "when fine+count < 20 then 'int-flt' when issued < 2017 then datecomp "
+    "when count+ticket < 20 then intint end from" + V,
+    # 13: simple case with int/float/column/expression comparands
+    "select top 20 casexpr=case fine+count*ticket when 23 then inty "
+    "when 24.45 then floaty when 23*24.54 then combo when fee then fcol "
+    "when count then icol when fee+count then ficol else 234 end from" + V,
+    # 14: bareword string concat in THEN (new+york)
+    "select top 20 caseexpr=case state when NY then new+york "
+    "when MA then massechuestsskjsdlkj when VA then virginia "
+    "else flyover end from" + V,
+    # 23: date = contradiction (runs, empty result)
+    "select top 20 issued from" + V
+    + "where issued = '6/14/2017' and issued != '6/14/2017'",
+    # 24: between-dates contradiction
+    "select top 20 issued from" + V + "where issued between '8/1/2016' "
+    "and '10/30/2016' and issued not between '8/1/2016' and '10/30/2016'",
+    # 31: CASE = CASE in the predicate
+    "select top 20 vtype make case vtype when COM then 1 when OMT then 2 "
+    "when PAS then 3 else 4 end case make when TOYOT then 1 when FORD "
+    "then 2 when BMW then 3 else 4 end from" + V
+    + "where case vtype when COM then 1 when OMT then 2 when PAS then 3 "
+    "else 4 end = case make when TOYOT then 1 when FORD then 2 when BMW "
+    "then 3 else 4 end",
+    # 32: searched case with mixed result types in predicate position
+    "select top 10 make count fine issued case when make=TOYOT then 1.2 "
+    "when count=36 or fine=30.32 then 48 when issued > 'june 1 1017' "
+    "then horse end from" + V + "where case when make=TOYOT then 1.2 "
+    "when count=36 or fine=30.32 then 48 when issued > 'june 1 1017' "
+    "then horse end = 48",
+    # 36/37: literal numbers + cN addressing, default and c modes
+    "select top 5 1 2 3 '1' '2' '3' c1 c2 c3 from" + V,
+    "c select top 5 1 2 3 '1' '2' '3' c1 c2 c3 from" + V,
+    # 38: column = column disjunction (incl. null-y columns)
+    "select top 20 fine fee paid note from" + V
+    + "where fine = fee or paid = note",
+    # 43: BETWEEN over float/int/string/bareword operand mixes
+    "select fine count ticket 'and' vtype 'and' make vtype zip from" + V
+    + "where fine between count and ticket and vtype between COM and PAS "
+    "and make between vtype and zip",
+    # 46/49: xor / not xor (and/or/not-and/not-or are in the list above)
+    "select top 10 paid note from" + V + "where paid = null xor note = null",
+    "select top 10 paid note from" + V
+    + "where not (paid = null xor note = null)",
+    # 57: c-mode numeric column refs vs null and '' (both null-token forms)
+    "c select top 2000 4 9 from" + V
+    + "where 4=null and 9<>null and 4='' and 9!=''",
+    # 59/60: int = null; float = null and <> null
+    "select top 20 paid from" + V + "where paid = null",
+    "select top 20 fine fee from" + V + "where fine = null and fee <> null",
+    # 78: quoted column name as a function argument in GROUP BY/HAVING
+    "select count(*) month('issued') from" + V
+    + "group by month('issued') having count(*) between 8 and 100",
+    # 83: string column against an int IN-list
+    "select top 20 state from" + V
+    + "where state in (8479417420, 7813745231, 7536344478)",
+    # 86: expression join keys with bareword string concat
+    "nh select top 20 from" + C + "c join" + R + "r on c.c1+dog=r.c2+dog",
+    # 18: <> relop between two int columns
+    "select top 20 count ticket from" + V + "where count <> ticket",
+    # 20: like AND not like in one predicate
+    "select top 20 state vtype from" + V
+    + "where state like ny and vtype not like '%pa%'",
+    # 30: or-chain across string/int/float/date comparison types
+    "select top 20 plate ticket fee issued from" + V + "where plate = PL1000 "
+    "or ticket > 4000000037 or fee > 72.12 or issued > '6/1/2017'",
+    # 47: not (... and ...) — the not-or twin is in the list above
+    "select top 10 paid note from" + V
+    + "where not (paid = null and note = null)",
+    # 65: bare non-key column under GROUP BY (last-value-per-group)
+    "select max(ticket) as max min(ticket) as min sum(ticket) as sum "
+    "avg(ticket) as avg count(ticket) as cnt ticket from" + V
+    + "group by state",
+    # 82: int column against an int IN-list
+    "select top 20 ticket from" + V
+    + "where ticket in (4000000000, 4000000007, 4000000019)",
+    # 88: plain (non-hinted) ordered join
+    "nh select top 20 from" + C + "c join" + R + "r on c.c3=r.c1 "
+    "order by c.c1",
+]
+
 BAD = [
     # syntax
     "select top 20 case count when 7 then 7.12 else 12.3 end as floaty + 1 from" + V,
@@ -103,6 +189,25 @@ BAD = [
     "select top 20 from '/nonexistent/file.csv'",
     "nh select top 20 from" + C + "c join" + R + "r on c.c3=r.c1 and c.c3=r.c2",
     "nh select top 20 from" + C + "c join" + R + "r on c.c3=r.c1+c.c3",
+]
+
+# Round-11 audit additions (reference case numbers per REFERENCE_BATTERY.md)
+BAD += [
+    # 58: null literal in arithmetic (c-mode) — "cant multiply null"
+    "c select top 2000 4 9 from" + V + "where 4=null*2",
+    # 71/73: the two BETWEEN agg-placement variants not yet mirrored
+    # (mixed agg/plain bounds in each slot; 70/72 are in the list above)
+    "select top 20 from" + V + "where max(fine) between fine and max(fee)",
+    "select top 20 from" + V + "where fine between fine and max(fee)",
+    # 76: simple-case agg comparand against plain WHEN comparands
+    "select top 20 case max(fine) when fee then a when fee then b end from" + V,
+    # 84: unknown alias in a join predicate (reference: l.c1)
+    "nh select top 20 from" + C + "c join" + R + "r on c.c3=r.c1 and c.c3=l.c1",
+    # 28: dangling predicate EXPRESSION after a logop
+    "select top 20 plate from" + V + "where (plate = PL1000) and plate+dog",
+    # 75: agg simple-case comparand with a mixed agg/plain WHEN list
+    "select top 20 case max(fine) when fee then a when max(fee) then b "
+    "end from" + V,
 ]
 
 
