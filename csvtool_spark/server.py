@@ -137,7 +137,13 @@ def check_save_path(path: str) -> str:
     the name has no extension. Raises ValueError on a bad path."""
     p = os.path.expanduser(path)
     if os.path.isdir(p):
-        raise ValueError(f"Invalid path: {path} (directory, need a file name)")
+        # an existing DIRECTORY is valid only when it's a columnar sink
+        # target being overwritten (Spark writes .parquet/.orc as dirs —
+        # round-11 review: re-saving to your own out.parquet was rejected)
+        if not p.rstrip("/").lower().endswith((".parquet", ".orc")):
+            raise ValueError(
+                f"Invalid path: {path} (directory, need a file name)"
+            )
     if not os.path.isdir(os.path.dirname(os.path.abspath(p))):
         raise ValueError(f"Invalid path: {path}")
     if not os.path.splitext(p)[1]:

@@ -486,6 +486,16 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
                          save_path=str(pq))
     assert ret["status"] & DAT_GOOD
     assert spark.read.parquet(str(pq)).count() == 3
+    # re-saving over your own columnar output must OVERWRITE, not hit
+    # check_save_path's existing-directory rejection (round-11 review)
+    ret = query_response(eng, "select top 2 plate fine from" + V,
+                         save_path=str(pq))
+    assert ret["status"] & DAT_GOOD
+    assert spark.read.parquet(str(pq)).count() == 2
+    # a plain directory (no columnar extension) is still invalid
+    bad = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path))
+    assert bad["status"] & DAT_ERROR and "Invalid path" in bad["message"]
 
 
 def test_save_flow_bare_name_and_bad_path(eng, tmp_path):
