@@ -303,3 +303,46 @@ def test_dialect_join_splits_skewed_partition_under_aqe(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """100 TB semi-join reduction: when a selective dim filter feeds a
+    shuffle join, Spark can build a bloom filter on the dim side and
+    inject a might_contain() predicate on the FACT side — rows that
+    cannot match are dropped before the shuffle instead of after the
+    join. The session ships spark.sql.optimizer.runtime.bloomFilter.
+    enabled=true (Spark default); the size thresholds (10 GB scan /
+    10 MB creation side) are cluster-appropriate and never fire on
+    local fixtures, so the pin lowers them — same discipline as the
+    AQE skew pin above. Broadcast is disabled because a broadcast hash
+    join already prunes at the build side (the case a 100 TB dim
+    cannot provide)."""
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.sources.parquet import read_table
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10MB",
+    }
+    old = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        l = read_table(spark, SF_SMALL, "lineitem")
+        o = read_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        j.write.mode("overwrite").format("noop").save()
+        plan = _plan(j)
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
