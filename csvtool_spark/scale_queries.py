@@ -3438,3 +3438,53 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_dt"),
         F.max("o_orderdate").alias("last_dt"),
     )
+
+
+@register(
+    "q_tsv_roundtrip",
+    # twin reads the ORIGINAL parquet: equality pins the .tsv sink ->
+    # CSV-INFERENCE read-back loop (types re-inferred from bytes: ints
+    # back to int64, strings stay strings, NULL text -> empty field ->
+    # null token -> NULL again)
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           min(text) AS first_text,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY source
+    """,
+    registered=False,  # shadow: the delimited format lane's standing
+    # oracle row (engine.write_single_csv -> _load .tsv inference,
+    # engine.py:132-151; the chain fuzzer's .tsv base covers the same
+    # lane under random downstream stages)
+)
+def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited format-lane round trip: the documents table is written
+    as a single TSV through the engine's sink dispatch and read back
+    through the dialect's CSV-INFERENCE lane (no schema hints — types
+    come from the 10k-row sample), then aggregated; the DuckDB twin
+    reads the original parquet. A type mis-inferred (int64 column
+    arriving as string) or a value mangled by the quote/sep round trip
+    breaks the dtype-exact hash match."""
+    import os
+    import tempfile
+
+    from csvtool_spark.engine import CsvEngine, write_single_result
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(
+        tempfile.gettempdir(), f"csvtool_spark_tsv_roundtrip_{sfname}.tsv"
+    )
+    write_single_result(d, path)
+    back = CsvEngine(spark).resolve_table(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("text").alias("first_text"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
