@@ -299,6 +299,11 @@ class CsvEngine:
         return written
 
 
+#: write-side codec map — the same three codecs ``_load`` strips on read,
+#: so every name this dispatch accepts reads back through the same lane
+_WRITE_CODECS = {".gz": "gzip", ".bz2": "bzip2", ".deflate": "deflate"}
+
+
 def write_single_result(df: DataFrame, path: str) -> None:
     """THE extension dispatch for writing one result to one user-named
     path — shared by ``CsvEngine.save_csv`` and the GUI save flow
@@ -308,25 +313,64 @@ def write_single_result(df: DataFrame, path: str) -> None:
 
     - ``.txt``    → raw lines (``write_single_text``, 1 string column)
     - ``.tsv``    → tab-separated single file
+    - ``.jsonl``/``.ndjson``/``.json`` → JSON lines (explicit nulls, so
+      an all-null column round-trips instead of vanishing)
     - ``.parquet``/``.orc`` → native columnar DIRECTORY sink (delegated
       to Spark; columnar data has no single-file text shape)
     - anything else → the reference's comma CSV (files.go:85-156)
+
+    A trailing ``.gz``/``.bz2``/``.deflate`` on any LINE format writes
+    that codec (out.csv.gz is a real gzip body — a plain-text body under
+    a codec name would re-read as garbage, the same mangled-round-trip
+    class the .tsv fix closed); columnar names reject codec suffixes
+    exactly like the read side.
     """
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".txt":
-        write_single_text(df, path)
-    elif ext in (".parquet", ".orc"):
+    low = path.lower()
+    codec = None
+    base = low
+    for cext, cname in _WRITE_CODECS.items():
+        if base.endswith(cext):
+            base = base[: -len(cext)]
+            codec = cname
+            break
+    ext = os.path.splitext(base)[1]
+    if ext in (".parquet", ".orc"):
+        if codec:
+            raise SemanticError(
+                f"cannot save {path}: .parquet/.orc files are internally "
+                f"compressed and take no codec suffix — drop it"
+            )
         w = df.write.mode("overwrite")
         (w.parquet if ext == ".parquet" else w.orc)(path)
+    elif ext == ".txt":
+        write_single_text(df, path, codec=codec)
+    elif ext in (".jsonl", ".ndjson", ".json"):
+        write_single_jsonl(df, path, codec=codec)
     else:
-        write_single_csv(df, path, sep="\t" if ext == ".tsv" else ",")
+        write_single_csv(
+            df, path, sep="\t" if ext == ".tsv" else ",", codec=codec
+        )
 
 
-def write_single_csv(df: DataFrame, path: str, sep: str = ",") -> None:
+def _copy_single_part(tmp_dir: str, path: str) -> None:
+    """Copy the one part file Spark wrote under ``tmp_dir`` to ``path``
+    (codec suffixes vary, so match any part-* data file)."""
+    import glob
+    import shutil
+
+    parts = [
+        p for p in glob.glob(f"{tmp_dir}/part-*")
+        if not p.endswith(".crc")
+    ]
+    shutil.copy(parts[0], path)
+
+
+def write_single_csv(
+    df: DataFrame, path: str, sep: str = ",", codec: str | None = None
+) -> None:
     """Single-file CSV/TSV sink. coalesce(1) matches the reference's
     one-file contract for interactive use; large extracts should use
     ``df.write.csv(dir)`` (one file per partition) instead."""
-    import glob
     import shutil
     import tempfile
 
@@ -336,16 +380,47 @@ def write_single_csv(df: DataFrame, path: str, sep: str = ",") -> None:
         for f in df.schema.fields:
             if isinstance(f.dataType, T.DayTimeIntervalType):
                 out = out.withColumn(f.name, F.col(f.name).cast("string"))
-        out.coalesce(1).write.mode("overwrite").option("header", True).option(
-            "sep", sep
-        ).csv(f"{tmp}/out")
-        part = glob.glob(f"{tmp}/out/part-*.csv")[0]
-        shutil.copy(part, path)
+        w = out.coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).option("sep", sep)
+        if codec:
+            w = w.option("compression", codec)
+        w.csv(f"{tmp}/out")
+        _copy_single_part(f"{tmp}/out", path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def write_single_text(df: DataFrame, path: str) -> None:
+def write_single_jsonl(
+    df: DataFrame, path: str, codec: str | None = None
+) -> None:
+    """Single-file JSON-lines sink — the inverse of ``_load``'s .jsonl
+    lane. Nulls are written EXPLICITLY (ignoreNullFields=false): Spark's
+    default omits null fields, and a column that happens to be all-null
+    in this result would otherwise vanish from the file entirely."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="jsonsink_")
+    try:
+        out = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.DayTimeIntervalType):
+                out = out.withColumn(f.name, F.col(f.name).cast("string"))
+        w = out.coalesce(1).write.mode("overwrite").option(
+            "ignoreNullFields", False
+        )
+        if codec:
+            w = w.option("compression", codec)
+        w.json(f"{tmp}/out")
+        _copy_single_part(f"{tmp}/out", path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_single_text(
+    df: DataFrame, path: str, codec: str | None = None
+) -> None:
     """Single-file raw-line sink for ``.txt`` outputs: exactly one
     string-typed column, one value per line, NO header — the inverse of
     ``_load``'s one-doc-per-line ingest. Round-trip caveats (the format
@@ -356,7 +431,6 @@ def write_single_text(df: DataFrame, path: str) -> None:
     ``.csv``/``.tsv`` (quoted) or a columnar extension. Multi-column
     results must pick a delimited extension instead (a CSV body under a
     .txt name would re-read as mangled raw lines — round-10 review)."""
-    import glob
     import shutil
     import tempfile
 
@@ -374,8 +448,10 @@ def write_single_text(df: DataFrame, path: str) -> None:
                 F.col(df.columns[0]).cast("string"), F.lit("")
             ).alias("value")
         )
-        out.coalesce(1).write.mode("overwrite").text(f"{tmp}/out")
-        part = glob.glob(f"{tmp}/out/part-*.txt")[0]
-        shutil.copy(part, path)
+        w = out.coalesce(1).write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.text(f"{tmp}/out")
+        _copy_single_part(f"{tmp}/out", path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -234,6 +234,19 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
     pq = str(tmp_path / "via_save_csv.parquet")
     eng.save_csv(f"select doc_id, source from '{src}' where doc_id < 7", pq)
     assert eng.sql(f"select doc_id from '{pq}'").count() == 7
+    # (8) round-11: .jsonl and codec-suffixed line sinks round-trip
+    # through save_csv's dispatch and _load's read side
+    for name, col, n in (
+        ("r.jsonl", "doc_id", 9),
+        ("r.jsonl.gz", "doc_id", 9),
+        ("r.tsv.bz2", "doc_id", 9),
+        ("r.txt.gz", "line", 9),
+    ):
+        p = str(tmp_path / name)
+        q = ("select source from" if name.startswith("r.txt")
+             else "select doc_id, source from")
+        eng.save_csv(f"{q} '{src}' where doc_id < 9", p)
+        assert eng.sql(f"select {col} from '{p}'").count() == n, name
 
 
 def test_browser_lists_every_readable_format(tmp_path):

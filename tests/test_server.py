@@ -481,6 +481,34 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
     assert ret["status"] & DAT_ERROR and "one string column" in ret["message"]
     assert not (tmp_path / "bad.txt").exists()
 
+    # .jsonl: one JSON object per line, explicit nulls, engine-readable
+    jl = tmp_path / "out.jsonl"
+    ret = query_response(eng, "select top 3 plate fine note from" + V,
+                         save_path=str(jl))
+    assert ret["status"] & DAT_GOOD
+    import json as _json
+
+    first = _json.loads(jl.read_text().splitlines()[0])
+    assert first["plate"] and "note" in first  # null field present
+    assert eng.sql(f"select plate, fine from '{jl}'").count() == 3
+
+    # codec suffix on a line format -> REAL compressed body (a plain
+    # body under out.csv.gz would re-read as garbage)
+    import gzip as _gzip
+
+    gz = tmp_path / "out.csv.gz"
+    ret = query_response(eng, "select top 4 plate fine from" + V,
+                         save_path=str(gz))
+    assert ret["status"] & DAT_GOOD
+    with _gzip.open(gz, "rt") as f:
+        assert f.readline().strip() == "plate,fine"
+    assert eng.sql(f"select plate from '{gz}'").count() == 4
+
+    # columnar + codec suffix is rejected on the WRITE side too
+    ret = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path / "x.parquet.gz"))
+    assert ret["status"] & DAT_ERROR and "codec suffix" in ret["message"]
+
     pq = tmp_path / "out.parquet"
     ret = query_response(eng, "select top 3 plate fine from" + V,
                          save_path=str(pq))
