@@ -191,7 +191,9 @@ async function run(savePath) {
 // save path — every query on the page is written (-N suffixes when
 // there are several); no extension means .csv
 function saveRun() {
-  const p = window.prompt("save results to (path, .csv appended if bare):");
+  const p = window.prompt(
+    "save results to (.csv/.tsv/.txt/.jsonl[.gz]/.parquet/.orc; " +
+    ".csv appended if bare):");
   if (p) run(p);
 }
 
