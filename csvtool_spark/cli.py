@@ -19,7 +19,12 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="csvtool-spark", description=__doc__)
     ap.add_argument("-c", "--command", help="query text (default: read stdin)")
-    ap.add_argument("-o", "--output", help="write result CSV to this path")
+    ap.add_argument(
+        "-o", "--output",
+        help="write results to this path (.csv/.tsv/.txt/.jsonl single "
+        "file, optional .gz/.bz2/.deflate suffix; .parquet/.orc write a "
+        "distributed directory)",
+    )
     ap.add_argument("--json", action="store_true", help="print JSON lines instead of CSV")
     ap.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
     ap.add_argument(
