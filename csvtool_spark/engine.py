@@ -242,6 +242,17 @@ class CsvEngine:
         path is always readable back). Multi-statement -N suffixes go
         BEFORE the extension (``out-2.parquet``, mirroring
         ``save_csv``)."""
+        low = out_dir.lower()
+        for cext in _WRITE_CODECS:
+            if low.endswith(cext) and low[: -len(cext)].endswith(
+                (".parquet", ".orc")
+            ):
+                # x.orc.gz would write a directory _load can never read
+                # (the read side rejects codec suffixes on columnar names)
+                raise SemanticError(
+                    f"cannot save {out_dir}: .parquet/.orc are internally "
+                    f"compressed and take no codec suffix — drop it"
+                )
         stem, ext = os.path.splitext(out_dir)
         written = []
         for i, df in enumerate(self.run(text)):

@@ -229,6 +229,11 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
     for p in (str(gz), str(tmp_path / "missing.orc.gz")):
         with pytest.raises(SemanticError, match="no .gz"):
             eng.sql(f"select a from '{p}'")
+    # ...and the WRITE side rejects the same names (save_parquet would
+    # otherwise write a directory _load can never read)
+    with pytest.raises(SemanticError, match="codec suffix"):
+        eng.save_parquet(f"select doc_id from '{src}'",
+                         str(tmp_path / "w.orc.gz"))
     # (7) engine.save_csv delegates .parquet/.orc to the columnar sink
     # (shared write_single_result dispatch with the GUI save flow)
     pq = str(tmp_path / "via_save_csv.parquet")
