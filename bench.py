@@ -152,8 +152,13 @@ def main() -> None:
     # Persist the full line as a sidecar so the record never depends on
     # tail capture size (round-8 verdict item 4).
     try:
+        # BENCH_LAST.json is the committed record of the CANONICAL sf0.1
+        # run — tiny-SF verify runs must not clobber it (bit rounds 10
+        # AND 11; now structural): other SFs write an sf-tagged sidecar.
+        tag = "" if str(out["sf"]) == "0.1" else f"_sf{out['sf']}"
         sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LAST{tag}.json",
         )
         with open(sidecar, "w") as f:
             f.write(line + "\n")

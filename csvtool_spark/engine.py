@@ -301,10 +301,8 @@ class CsvEngine:
         ``write_single_result`` — one shared lane with the GUI save)."""
         results = self.run(text)
         written = []
-        stem, ext = os.path.splitext(out_path)
-        ext = ext or ".csv"
         for i, df in enumerate(results):
-            p = out_path if len(results) == 1 else f"{stem}-{i + 1}{ext}"
+            p = numbered_sink_path(out_path, i, len(results))
             write_single_result(df, p)
             written.append(p)
         return written
@@ -313,6 +311,35 @@ class CsvEngine:
 #: write-side codec map — the same three codecs ``_load`` strips on read,
 #: so every name this dispatch accepts reads back through the same lane
 _WRITE_CODECS = {".gz": "gzip", ".bz2": "bzip2", ".deflate": "deflate"}
+
+
+def split_sink_name(path: str) -> tuple[str, str, str]:
+    """``(stem, format_ext, codec_ext)`` for a sink path — codec-AWARE:
+    ``out.jsonl.gz`` → ``('out', '.jsonl', '.gz')``. A naive splitext
+    would put a multi-statement -N suffix between ``.jsonl`` and ``.gz``
+    (``out.jsonl-2.gz``), a name neither dispatch can ever read back
+    (round-11 review)."""
+    codec = ""
+    base = path
+    for cext in _WRITE_CODECS:
+        if path.lower().endswith(cext):
+            codec = path[-len(cext):]
+            base = path[: -len(cext)]
+            break
+    stem, ext = os.path.splitext(base)
+    return stem, ext, codec
+
+
+def numbered_sink_path(path: str, i: int, n: int) -> str:
+    """The sink path for statement ``i`` of ``n`` (0-based): a single
+    statement keeps the requested name; multiple statements ALL get -N
+    suffixes (-1, -2, ... — files.go:85-156), inserted before the FORMAT
+    extension with any codec suffix kept outermost — ``out.jsonl.gz`` →
+    ``out-2.jsonl.gz``, never ``out.jsonl-2.gz`` (round-11 review)."""
+    if n == 1:
+        return path
+    stem, ext, codec = split_sink_name(path)
+    return f"{stem}-{i + 1}{ext}{codec}"
 
 
 def write_single_result(df: DataFrame, path: str) -> None:
@@ -336,15 +363,17 @@ def write_single_result(df: DataFrame, path: str) -> None:
     class the .tsv fix closed); columnar names reject codec suffixes
     exactly like the read side.
     """
-    low = path.lower()
-    codec = None
-    base = low
-    for cext, cname in _WRITE_CODECS.items():
-        if base.endswith(cext):
-            base = base[: -len(cext)]
-            codec = cname
-            break
-    ext = os.path.splitext(base)[1]
+    _stem, ext, codec_ext = split_sink_name(path)
+    ext = ext.lower()
+    codec = _WRITE_CODECS[codec_ext.lower()] if codec_ext else None
+    if codec and not ext:
+        # 'out.gz' — a codec with no format extension would write bytes
+        # _load can never dispatch (it strips the codec and finds no
+        # format); reject instead of silently writing unreadable data
+        raise SemanticError(
+            f"cannot save {path}: a codec suffix needs a format "
+            f"extension before it (out.csv.gz, out.jsonl.gz, ...)"
+        )
     if ext in (".parquet", ".orc"):
         if codec:
             raise SemanticError(

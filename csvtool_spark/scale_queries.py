@@ -3426,9 +3426,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 3 == 0)
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
     )
+    # pid-keyed: a concurrent gate + soak pair on the same sf must not
+    # overwrite each other's file mid-read (round-11 review)
     sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = os.path.join(
-        tempfile.gettempdir(), f"csvtool_spark_orc_roundtrip_{sfname}.orc"
+        tempfile.gettempdir(),
+        f"csvtool_spark_orc_roundtrip_{sfname}_{os.getpid()}.orc",
     )
     o.write.mode("overwrite").orc(path)
     back = CsvEngine(spark).resolve_table(path)
@@ -3476,9 +3479,11 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
+    # pid-keyed against concurrent gate/soak runs (round-11 review)
     sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = os.path.join(
-        tempfile.gettempdir(), f"csvtool_spark_tsv_roundtrip_{sfname}.tsv"
+        tempfile.gettempdir(),
+        f"csvtool_spark_tsv_roundtrip_{sfname}_{os.getpid()}.tsv",
     )
     write_single_result(d, path)
     back = CsvEngine(spark).resolve_table(path)

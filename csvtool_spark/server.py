@@ -144,6 +144,10 @@ def check_save_path(path: str) -> str:
             raise ValueError(
                 f"Invalid path: {path} (directory, need a file name)"
             )
+        # normalize 'out.parquet/' so splitext sees the extension — a
+        # trailing slash would otherwise get '.csv' appended and write a
+        # hidden CSV INSIDE the parquet directory (round-11 review)
+        p = p.rstrip("/")
     if not os.path.isdir(os.path.dirname(os.path.abspath(p))):
         raise ValueError(f"Invalid path: {path}")
     if not os.path.splitext(p)[1]:
@@ -200,10 +204,13 @@ def query_response(engine, text: str, runner=None, password: str | None = None,
         stmts = [s for s in text.split(";") if s.strip()]
         out_paths: list[str | None] = [None] * len(stmts)
         if save_path:
+            from csvtool_spark.engine import numbered_sink_path
+
             base = check_save_path(save_path)
-            stem, ext = os.path.splitext(base)
+            # codec-aware -N suffixing (out.jsonl.gz -> out-2.jsonl.gz,
+            # never out.jsonl-2.gz) — same helper as engine.save_csv
             out_paths = [
-                base if len(stmts) == 1 else f"{stem}-{i + 1}{ext}"
+                numbered_sink_path(base, i, len(stmts))
                 for i in range(len(stmts))
             ]
         from csvtool_spark.functions.caching import release_stages

@@ -24,11 +24,21 @@ BASE_COLS = ["doc_id", "text", "source"]
 
 #: file-read bases (round-11 directive): the CSV-inference x
 #: stage-typecheck seam — schema-INFERRED int/string columns flowing into
-#: pipe stages. Fixed paths so the BASES strings stay static; the files
-#: are (re)written from the CURRENT sf parquet by ensure_file_bases(), so
-#: a driver testdata regeneration can never strand stale fixtures.
-FUZZ_TSV = "/tmp/csvtool_fuzz_docs.tsv"
-FUZZ_TXT = "/tmp/csvtool_fuzz_docs.txt"
+#: pipe stages. PID-keyed paths (static within a process, which is all
+#: the BASES strings need): a concurrent fuzz/pytest pair running against
+#: DIFFERENT sf dirs must not clobber each other's fixtures mid-run
+#: (round-11 review). The files are (re)written from the CURRENT sf
+#: parquet by ensure_file_bases(), so a driver testdata regeneration can
+#: never strand stale fixtures either.
+import os as _os
+import tempfile as _tempfile
+
+FUZZ_TSV = _os.path.join(
+    _tempfile.gettempdir(), f"csvtool_fuzz_docs_{_os.getpid()}.tsv"
+)
+FUZZ_TXT = _os.path.join(
+    _tempfile.gettempdir(), f"csvtool_fuzz_docs_{_os.getpid()}.txt"
+)
 
 
 def ensure_file_bases(sf_dir: str = SF) -> None:

@@ -509,6 +509,25 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
                          save_path=str(tmp_path / "x.parquet.gz"))
     assert ret["status"] & DAT_ERROR and "codec suffix" in ret["message"]
 
+    # a bare codec name (out.gz) is rejected — _load could never
+    # dispatch what it would write (round-11 review)
+    ret = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path / "bare.gz"))
+    assert ret["status"] & DAT_ERROR and "format" in ret["message"]
+
+    # multi-statement + codec name: -N goes BEFORE the format extension
+    # (out-1.jsonl.gz), never between format and codec (round-11 review)
+    ret = query_response(
+        eng,
+        "select top 2 plate fine from" + V + "; select top 3 state from" + V,
+        save_path=str(tmp_path / "multi.jsonl.gz"),
+    )
+    assert ret["status"] & DAT_GOOD
+    m1, m2 = tmp_path / "multi-1.jsonl.gz", tmp_path / "multi-2.jsonl.gz"
+    assert m1.exists() and m2.exists()
+    assert eng.sql(f"select plate from '{m1}'").count() == 2
+    assert eng.sql(f"select state from '{m2}'").count() == 3
+
     pq = tmp_path / "out.parquet"
     ret = query_response(eng, "select top 3 plate fine from" + V,
                          save_path=str(pq))
@@ -524,6 +543,14 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
     bad = query_response(eng, "select top 2 plate from" + V,
                          save_path=str(tmp_path))
     assert bad["status"] & DAT_ERROR and "Invalid path" in bad["message"]
+    # trailing slash on the columnar dir target: still a parquet
+    # OVERWRITE, not a hidden '.csv' inside the directory (round-11
+    # review: splitext('out.parquet/') has no extension)
+    ret = query_response(eng, "select top 1 plate fine from" + V,
+                         save_path=str(pq) + "/")
+    assert ret["status"] & DAT_GOOD
+    assert spark.read.parquet(str(pq)).count() == 1
+    assert not (pq / ".csv").exists() and not (tmp_path / ".csv").exists()
 
 
 def test_save_flow_bare_name_and_bad_path(eng, tmp_path):

@@ -294,13 +294,19 @@ def main() -> int:
     scales = [1, 10, 50]
     rest = []
     it = iter(args)
-    for a in it:
-        if a == "--base":
-            base_dir = next(it)
-        elif a == "--scales":
-            scales = [int(x) for x in next(it).split(",")]
-        else:
-            rest.append(a)
+    try:
+        for a in it:
+            if a == "--base":
+                base_dir = next(it)
+            elif a == "--scales":
+                scales = [int(x) for x in next(it).split(",")]
+            else:
+                rest.append(a)
+    except (StopIteration, ValueError):
+        raise SystemExit(
+            "usage: scale_probe.py [out.json] [--base SF_DIR] "
+            "[--scales 1,10,50]"
+        ) from None
     if rest:
         out_path = rest[0]
 
