@@ -300,9 +300,18 @@ class CsvEngine:
         sink, anything else the reference's comma CSV (dispatch lives in
         ``write_single_result`` — one shared lane with the GUI save)."""
         results = self.run(text)
+        # a bare name (no extension) means comma CSV — when suffixing
+        # for multiple statements, keep the historical names
+        # (out -> out-1.csv, not out-1); a single statement writes the
+        # requested path verbatim (pathChecker appends .csv upstream)
+        base = out_path
+        if len(results) > 1:
+            _stem, ext, codec = split_sink_name(out_path)
+            if not ext and not codec:
+                base = out_path + ".csv"
         written = []
         for i, df in enumerate(results):
-            p = numbered_sink_path(out_path, i, len(results))
+            p = numbered_sink_path(base, i, len(results))
             write_single_result(df, p)
             written.append(p)
         return written
