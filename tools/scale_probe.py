@@ -53,6 +53,8 @@ from csvtool_spark.operators.dedup import (
     candidate_pairs,
     cross_corpus_neardup,
     near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+    ngram_jaccard_pairs,
 )
 from csvtool_spark.operators.similarity import ann_ivf, ivf_centroids
 
@@ -195,6 +197,48 @@ def probe_minhash(docs: DataFrame) -> dict:
     }
 
 
+def probe_simhash(docs: DataFrame) -> dict:
+    """SimHash lane: 16-bit chunk blocking then exact Hamming verify.
+    VERIFIED-pair counts are inherently high-variance under per-copy
+    hash relabeling (near-threshold pairs dominate; measured 124-3110
+    across 10 isomorphic copies), so the linear-growth contract here is
+    (a) ``cross_copy_pairs`` == 0 — disjoint sub-corpora never verify
+    against each other — and (b) shuffle records ~linear; ``pairs`` is
+    recorded raw for the curve, not ratio-normalized."""
+    pairs = near_dup_pairs_simhash(docs, "text", "doc_id", max_hamming=8)
+    out = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.floor(F.col("id_a") / ID_STRIDE)
+                != F.floor(F.col("id_b") / ID_STRIDE),
+                1,
+            ).otherwise(0)
+        ).alias("cross"),
+    )
+    t0 = time.perf_counter()
+    row = out.collect()[0]
+    wall = time.perf_counter() - t0
+    work = plan_work_metrics(out)
+    release_stages(pairs)
+    return {
+        "pairs": row["n"],
+        "cross_copy_pairs": int(row["cross"] or 0),
+        "wall_sec": round(wall, 3),
+        **work,
+    }
+
+
+def probe_ngram(docs: DataFrame) -> dict:
+    """Exact n-gram-Jaccard lane: the shingle equi-join is the EXACT
+    operator (documented quadratic on hot shingles) — on the
+    disjoint-shingle corpus its join work must still scale linearly."""
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    n, work, wall = counted(pairs)
+    release_stages(pairs)
+    return {"pairs": n, "wall_sec": round(wall, 3), **work}
+
+
 def probe_cross(docs: DataFrame, ref: DataFrame) -> dict:
     """Decontamination lane: new side scales, ref side fixed — matches
     grow with the planted contamination (linear in corpus size)."""
@@ -245,12 +289,15 @@ def run_probe(spark, base_dir: str, scales: list[int],
         "base_docs": docs_base.count(),
         "base_vectors": emb_base.count(),
         "scales": scales,
-        "lanes": {"minhash": {}, "cross_corpus": {}, "ivf": {}},
+        "lanes": {"minhash": {}, "simhash": {}, "ngram": {},
+                  "cross_corpus": {}, "ivf": {}},
     }
     for m in scales:
         docs = scaled_docs(docs_base, m).persist()
         docs.count()
         out["lanes"]["minhash"][str(m)] = probe_minhash(docs)
+        out["lanes"]["simhash"][str(m)] = probe_simhash(docs)
+        out["lanes"]["ngram"][str(m)] = probe_ngram(docs)
         out["lanes"]["cross_corpus"][str(m)] = probe_cross(
             scaled_docs(docs_base, m, contaminate_every=contaminate_every,
                         perturb_all=True),
@@ -271,6 +318,8 @@ def run_probe(spark, base_dir: str, scales: list[int],
     for lane, keys in (
         ("minhash", ("candidate_pairs", "cand_shuffle_records_written",
                      "cand_shuffle_bytes_written")),
+        ("simhash", ("shuffle_records_written",)),
+        ("ngram", ("pairs", "shuffle_records_written")),
         ("cross_corpus", ("matches", "shuffle_records_written",
                           "shuffle_bytes_written")),
         ("ivf", ("scanned_rows", "shuffle_bytes_written")),
