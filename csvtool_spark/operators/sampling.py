@@ -278,6 +278,63 @@ def mixture_apply(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_count_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-balanced source sampling — the multilingual-corpus
+    mixing rule (sample source s with probability ∝ n_s^alpha, alpha<1
+    upweighting small sources; alpha=1 is natural proportions, alpha=0
+    uniform): per-source keep rate ``rate_s = 1e6·(n_min/n_s)^(1-alpha)``
+    so KEPT tokens ∝ n_s^alpha with the smallest source kept whole (no
+    upsampling). Rows survive by the shared deterministic
+    ``mixture_coin`` — re-runs and stream replays keep exactly the same
+    rows. Rates are clamped to [1, 1e6] ppm (a source is thinned, never
+    silently dropped).
+
+    alpha=0.5 (the common default) computes the exponent as an IEEE-754
+    ``sqrt`` — correctly rounded on every engine, so the realized rate
+    table is BIT-IDENTICAL cross-engine (the DuckDB twin hash-matches).
+    Other alphas go through ``pow``, which is not correctly rounded —
+    same semantics, but a twin may differ by one ppm at floor
+    boundaries; pin those with tolerance or a Spark-side differential.
+
+    Scale shape (mixture_resample's): one combiner-backed per-source
+    aggregate (#sources rows), a 1-row global min, one broadcast join of
+    the tiny rate table onto the corpus scan — the corpus never
+    shuffles.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count_col).cast("long").alias("__tok")
+    )
+    mn = counts.agg(F.min("__tok").alias("__mn"))
+    ratio = F.col("__mn").cast("double") / F.col("__tok").cast("double")
+    powed = (
+        F.sqrt(ratio)
+        if float(alpha) == 0.5
+        else F.pow(ratio, F.lit(1.0 - float(alpha)))
+    )
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        source_col,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(F.lit(1_000_000.0) * powed).cast("long"),
+            ),
+        ).alias("keep_ppm"),
+    )
+    coin = mixture_coin(F.col(key_col))
+    return df.join(F.broadcast(rates), source_col).filter(
+        coin < F.col("keep_ppm")
+    )
+
+
 def negative_pairs(
     df: DataFrame,
     id_col: str,

@@ -3493,3 +3493,43 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("first_text"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+@register(
+    "q_mixture_temperature",
+    # alpha=0.5 rides the correctly-rounded IEEE sqrt lane, so the rate
+    # table (floor(1e6*sqrt(n_min/n_s)) clamped to [1, 1e6]) is
+    # BIT-IDENTICAL cross-engine and the row set hash-matches exactly
+    """
+    WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+               FROM documents GROUP BY source),
+    m AS (SELECT min(tok) AS mn FROM c),
+    r AS (SELECT source,
+                 greatest(CAST(1 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                   CAST(floor(1000000.0 *
+                     sqrt(CAST(m.mn AS DOUBLE) / CAST(tok AS DOUBLE)))
+                   AS BIGINT))) AS keep_ppm
+          FROM c, m)
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x',
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < r.keep_ppm
+    """,
+    registered=False,  # shadow: the mixture family's RATE-DERIVATION
+    # member (q_mixture pins explicit target shares; this pins the
+    # temperature rule real multilingual recipes use to SET them)
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source sampling (alpha=0.5): keep rates
+    derived as 1e6*(n_min/n_s)^(1-alpha) from per-source n_chars
+    weights, so kept weight ∝ n_s^alpha — the sampling-temperature rule
+    multilingual pretraining recipes use to upweight small sources —
+    applied through the shared deterministic mixture coin.
+    sampling.temperature_mixture."""
+    from csvtool_spark.operators.sampling import temperature_mixture
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mixture(
+        d, "source", "doc_id", "n_chars", alpha=0.5
+    ).select("doc_id", "source", "keep_ppm")

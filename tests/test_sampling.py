@@ -305,3 +305,44 @@ def test_quota_hot_group_and_monotone_prethin(spark):
         r["id"] for r in token_quota(t, "g", "id", "tok", 70).collect()
     )
     assert kept == list(range(10))
+
+
+def test_temperature_mixture_semantics_and_plan(spark):
+    """alpha=1 keeps everything (natural proportions need no thinning);
+    alpha=0.5 keeps the smallest source whole and thins larger sources
+    with rates monotone-decreasing in source size (kept weight ~
+    n^alpha); rates clamp to >=1 ppm (never a silent source drop); the
+    corpus side never shuffles (broadcast rate table)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"), 10)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+    kept1 = temperature_mixture(df, "source", "doc_id", "tok", alpha=1.0)
+    assert kept1.count() == 1000  # every rate is exactly 1e6
+
+    kept = temperature_mixture(df, "source", "doc_id", "tok", alpha=0.5)
+    rates = {
+        r["source"]: r["keep_ppm"]
+        for r in kept.select("source", "keep_ppm").distinct().collect()
+    }
+    assert rates["small"] == 1_000_000  # smallest source kept whole
+    # monotone in size, matching floor(1e6*sqrt(n_min/n_s)) exactly
+    assert rates["small"] > rates["mid"] > rates["big"]
+    assert rates["big"] == math.floor(1e6 * math.sqrt(100 / 9000))
+    assert rates["mid"] == math.floor(1e6 * math.sqrt(100 / 900))
+
+    # degenerate giant source still keeps >=1 ppm, never dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, "source", "doc_id", "tok", alpha=1.5)
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
