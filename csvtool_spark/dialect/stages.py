@@ -1025,8 +1025,21 @@ def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     audit) rather than target shares — a pure CASE + coin filter with
     no global counts, so the stage passes the streaming gate. The
     ``tokens=`` kwarg is batch/share mode only (rates need no token
-    totals); 'rates' joins the reserved source names above."""
-    from csvtool_spark.operators.sampling import mixture_apply, mixture_resample
+    totals); 'rates' joins the reserved source names above.
+
+    ``temperature=a`` (0 < a <= 1) switches to the RATE-DERIVATION mode
+    (``sampling.temperature_mixture``): no <src>= values at all — keep
+    rates come from the per-source token totals as
+    ``1e6*(n_min/n_s)^(1-a)``, the multilingual sampling-temperature
+    rule (kept tokens ∝ n_s^a, smallest source kept whole). Batch-only
+    like share mode (global counts); a=0.5 is bit-exact cross-engine
+    (IEEE sqrt), other exponents ride pow. Mutually exclusive with
+    rates= and with explicit <src>=<ppm> values."""
+    from csvtool_spark.operators.sampling import (
+        mixture_apply,
+        mixture_resample,
+        temperature_mixture,
+    )
 
     if len(st.args) != 1:
         raise SemanticError(
@@ -1034,8 +1047,45 @@ def _stage_mixture(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
         )
     source = _resolve_col(df, st, st.args[0])
     rates_mode = bool(_int_kwarg(st, "rates", 0))
+    temp = _float_kwarg(st, "temperature", None)
     key = st.kwargs.get("key")
     tok = st.kwargs.get("tokens")
+    if temp is not None:
+        if rates_mode:
+            raise SemanticError(
+                "stage 'mixture': temperature= and rates= are mutually "
+                "exclusive (derive rates OR apply pre-computed ones)"
+            )
+        if not 0.0 < temp <= 1.0:
+            raise SemanticError(
+                f"stage 'mixture': temperature= expects a value in "
+                f"(0, 1], got {temp}"
+            )
+        if key is None or tok is None:
+            raise SemanticError(
+                "stage 'mixture' temperature mode requires key=<column> "
+                "and tokens=<column>"
+            )
+        extra = sorted(
+            set(st.kwargs) - {"key", "tokens", "temperature"}
+        )
+        if extra:
+            raise SemanticError(
+                f"stage 'mixture': temperature mode derives every rate "
+                f"from the corpus — explicit <source>=<ppm> values "
+                f"({', '.join(extra)}) are not allowed"
+            )
+        if "keep_ppm" in {c.lower() for c in df.columns}:
+            raise SemanticError(
+                "stage 'mixture': output column 'keep_ppm' already exists"
+            )
+        return temperature_mixture(
+            df,
+            source,
+            _resolve_col(df, st, key),
+            _resolve_col(df, st, tok),
+            alpha=temp,
+        )
     if rates_mode:
         if tok is not None:
             raise SemanticError(

@@ -590,6 +590,37 @@ dialect(
 )
 
 
+def _pipe_mixture_temp_oracle() -> str:
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, source, text FROM documents",
+        ["doc_id", "source", "text"],
+        [
+            ("tokens", {"text": "text"}),
+            ("mixture", {"source": "source", "key": "doc_id",
+                         "tokens": "n_tokens", "temperature": 0.5}),
+        ],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_mixture_temp",
+    # temperature rate-DERIVATION mode (r11): no explicit shares —
+    # keep_ppm = 1e6*sqrt(n_min/n_s) from the corpus's own per-source
+    # token totals (kept tokens ~ n^0.5, the multilingual upweighting
+    # rule); alpha=0.5 rides the IEEE-sqrt lane so the twin is bit-exact
+    "select doc_id, source, text from documents "
+    "|> tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
+    "temperature=0.5)",
+    _pipe_mixture_temp_oracle(),
+    registered=False,  # shadow: third mixture lane (share targets /
+    # pre-computed rates / temperature derivation); the composable twin
+    # builder generates this oracle, so the fuzzer's shape is pinned too
+)
+
+
 def _pipe_gopher_oracle() -> str:
     # twin WHERE generated from the SAME threshold constants as the
     # stage's filter — column order is the dict's order, which is also

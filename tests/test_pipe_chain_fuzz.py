@@ -419,14 +419,29 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             parts.append(f"shard(n={n}, key=doc_id{asfx}{rfx})")
             chain.append(("shard", {"n": n, "key": "doc_id", "as": name}))
         elif s == "mixture":
-            srcs = rng.sample([f"src{i}" for i in range(20)], rng.randint(4, 12))
-            rates = {x: rng.randrange(100_000, 1_000_001) for x in srcs}
-            kw = ", ".join(f"{k}={v}" for k, v in sorted(rates.items()))
-            parts.append(f"mixture(source, key=doc_id, rates=1, {kw})")
-            chain.append(
-                ("mixture", {"source": "source", "key": "doc_id",
-                             "rates": rates})
-            )
+            if token_cols and rng.random() < 0.35:
+                # temperature rate-derivation mode (alpha pinned to 0.5
+                # — the only exponent with a bit-exact cross-engine twin)
+                tc = rng.choice(token_cols)
+                parts.append(
+                    f"mixture(source, key=doc_id, tokens={tc}, "
+                    f"temperature=0.5)"
+                )
+                chain.append(
+                    ("mixture", {"source": "source", "key": "doc_id",
+                                 "tokens": tc, "temperature": 0.5})
+                )
+            else:
+                srcs = rng.sample(
+                    [f"src{i}" for i in range(20)], rng.randint(4, 12)
+                )
+                rates = {x: rng.randrange(100_000, 1_000_001) for x in srcs}
+                kw = ", ".join(f"{k}={v}" for k, v in sorted(rates.items()))
+                parts.append(f"mixture(source, key=doc_id, rates=1, {kw})")
+                chain.append(
+                    ("mixture", {"source": "source", "key": "doc_id",
+                                 "rates": rates})
+                )
             used_names.add("keep_ppm")
         else:  # pragma: no cover — keep the pool and this dispatch in sync
             raise AssertionError(f"unhandled stage {s}")

@@ -206,6 +206,27 @@ CASES: dict[str, list[tuple[str, str, str]]] = {
          "from battery_t |> mixture(source, key=doc_id, tokens=n_tokens, "
          "web=1000)",
          "keep_ppm' already exists"),
+        # temperature mode (round 11)
+        ("mode-conflict",
+         Q + "mixture(source, key=doc_id, tokens=n_tokens, rates=1, "
+         "temperature=0.5)",
+         "mutually exclusive"),
+        ("bad-value",
+         Q + "mixture(source, key=doc_id, tokens=n_tokens, temperature=1.5)",
+         "in \\(0, 1\\]"),
+        ("bad-value",
+         Q + "mixture(source, key=doc_id, tokens=n_tokens, temperature=0)",
+         "in \\(0, 1\\]"),
+        ("missing-key",
+         Q + "mixture(source, key=doc_id, temperature=0.5)",
+         "temperature mode requires"),
+        ("mode-conflict",
+         Q + "mixture(source, key=doc_id, tokens=n_tokens, "
+         "temperature=0.5, web=1000)",
+         "not allowed"),
+        ("wrong-type",
+         Q + "mixture(source, key=doc_id, tokens=n_tokens, temperature=x)",
+         "expects a number"),
     ],
 }
 

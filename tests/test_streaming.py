@@ -676,6 +676,10 @@ def test_piped_stream_rejects_stateful_stages(spark):
         "quota(source, cap=5, order=doc_id)",
         "decontaminate(text, id=doc_id, ref=x)",
         "despan(text, id=doc_id)",
+        # temperature mode derives rates from GLOBAL per-source counts —
+        # batch-only, unlike the rates=1 apply mode below (round 11)
+        "tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
+        "temperature=0.5)",
     ):
         with pytest.raises(SemanticError, match="not streaming-safe"):
             piped_stream(stream, bad)
