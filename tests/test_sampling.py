@@ -346,3 +346,28 @@ def test_temperature_mixture_semantics_and_plan(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_temperature_mixture_alpha_monotonicity(spark):
+    """The pow lane (alpha != 0.5) has no bit-exact cross-engine twin,
+    so pin its SEMANTICS Spark-side: for every source, keep rates are
+    non-decreasing in alpha (alpha -> 1 approaches natural proportions,
+    rate -> 1e6 for all), and any alpha keeps the smallest source
+    whole."""
+    from csvtool_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"), 10)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+    def rates(alpha):
+        kept = temperature_mixture(df, "source", "doc_id", "tok", alpha=alpha)
+        return {
+            r["source"]: r["keep_ppm"]
+            for r in kept.select("source", "keep_ppm").distinct().collect()
+        }
+
+    r3, r5, r7 = rates(0.3), rates(0.5), rates(0.7)
+    for s in ("big", "mid", "small"):
+        assert r3[s] <= r5[s] <= r7[s], (s, r3[s], r5[s], r7[s])
+    assert r3["small"] == r5["small"] == r7["small"] == 1_000_000
