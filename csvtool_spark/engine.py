@@ -300,15 +300,16 @@ class CsvEngine:
         sink, anything else the reference's comma CSV (dispatch lives in
         ``write_single_result`` — one shared lane with the GUI save)."""
         results = self.run(text)
-        # a bare name (no extension) means comma CSV — when suffixing
-        # for multiple statements, keep the historical names
-        # (out -> out-1.csv, not out-1); a single statement writes the
-        # requested path verbatim (pathChecker appends .csv upstream)
+        # a bare name (no extension) gets '.csv' appended in EVERY
+        # branch — the reference's pathChecker rule (files.go:173-178),
+        # applied here too because the CLI's -o lane calls save_csv
+        # directly without the server's check_save_path (round-11
+        # second review: '-o out' wrote an extensionless file for one
+        # statement but out-1.csv/out-2.csv for two)
         base = out_path
-        if len(results) > 1:
-            _stem, ext, codec = split_sink_name(out_path)
-            if not ext and not codec:
-                base = out_path + ".csv"
+        _stem, ext, codec = split_sink_name(out_path)
+        if not ext and not codec:
+            base = out_path + ".csv"
         written = []
         for i, df in enumerate(results):
             p = numbered_sink_path(base, i, len(results))

@@ -292,8 +292,10 @@ def temperature_mixture(
     so KEPT tokens ∝ n_s^alpha with the smallest source kept whole (no
     upsampling). Rows survive by the shared deterministic
     ``mixture_coin`` — re-runs and stream replays keep exactly the same
-    rows. Rates are clamped to [1, 1e6] ppm (a source is thinned, never
-    silently dropped).
+    rows. Rates are clamped to [1, 1e6] ppm (a labeled source is
+    thinned, never silently dropped; NULL-source rows ARE dropped and
+    excluded from the totals, and a source with no positive token mass
+    raises — its n_min=0 would collapse every rate to the clamp).
 
     alpha=0.5 (the common default) computes the exponent as an IEEE-754
     ``sqrt`` — correctly rounded on every engine, so the realized rate
@@ -307,11 +309,33 @@ def temperature_mixture(
     the tiny rate table onto the corpus scan — the corpus never
     shuffles.
     """
+    from csvtool_spark.functions.caching import attach_stages
+
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # NULL source is "no source": those rows are dropped and their token
+    # mass excluded from the totals (the family's equi-join semantics,
+    # made explicit so n_min can't be skewed by an unlabeled bucket)
+    df = df.filter(F.col(source_col).isNotNull())
+    # persisted: the zero-guard action, the global min, and the rate
+    # projection all read it — ONE corpus-counting scan, #sources rows
+    # of state (mixture_resample's `sized` discipline)
     counts = df.groupBy(source_col).agg(
         F.sum(token_count_col).cast("long").alias("__tok")
+    ).persist()
+    # a zero/negative-token source would set n_min<=0 and collapse EVERY
+    # source's rate to the 1 ppm clamp — a silent near-empty corpus that
+    # the twin reproduces (shared-semantic-bug class); fail with names
+    # instead, matching mixture_resample's missing-source discipline
+    dead = sorted(
+        r[0] for r in counts.filter(F.col("__tok") <= 0)
+        .select(source_col).collect()
     )
+    if dead:
+        raise ValueError(
+            f"temperature_mixture: sources with no positive token mass "
+            f"would collapse every rate to the 1 ppm clamp: {dead}"
+        )
     mn = counts.agg(F.min("__tok").alias("__mn"))
     ratio = F.col("__mn").cast("double") / F.col("__tok").cast("double")
     powed = (
@@ -330,8 +354,11 @@ def temperature_mixture(
         ).alias("keep_ppm"),
     )
     coin = mixture_coin(F.col(key_col))
-    return df.join(F.broadcast(rates), source_col).filter(
-        coin < F.col("keep_ppm")
+    return attach_stages(
+        df.join(F.broadcast(rates), source_col).filter(
+            coin < F.col("keep_ppm")
+        ),
+        [counts],
     )
 
 

@@ -490,3 +490,20 @@ def test_encrypt_prompts_via_getpass_in_cli(eng, monkeypatch, capsys):
     assert compiler.PASSWORD_PROVIDER is None
     with pytest.raises(SemanticError, match="password"):
         eng.sql("select encrypt(plate) from" + V + "limit 1")
+
+
+def test_csv_sink_bare_name_gets_csv_extension(eng, tmp_path):
+    """A bare -o name gets '.csv' appended in BOTH branches (reference
+    pathChecker rule, files.go:173-178) — the CLI lane calls save_csv
+    without the server's check_save_path, and round-11's second review
+    caught 'out' (one statement) vs 'out-1.csv' (two) inconsistency."""
+    single = eng.save_csv("select top 2 plate from" + V,
+                          str(tmp_path / "bare"))
+    assert [os.path.basename(p) for p in single] == ["bare.csv"]
+    multi = eng.save_csv(
+        "select top 2 plate from" + V + "; select top 2 state from" + V,
+        str(tmp_path / "bare2"),
+    )
+    assert [os.path.basename(p) for p in multi] == [
+        "bare2-1.csv", "bare2-2.csv"
+    ]
