@@ -376,13 +376,17 @@ def write_single_result(df: DataFrame, path: str) -> None:
     _stem, ext, codec_ext = split_sink_name(path)
     ext = ext.lower()
     codec = _WRITE_CODECS[codec_ext.lower()] if codec_ext else None
-    if codec and not ext:
-        # 'out.gz' — a codec with no format extension would write bytes
-        # _load can never dispatch (it strips the codec and finds no
-        # format); reject instead of silently writing unreadable data
+    if codec and ext not in (
+        ".csv", ".tsv", ".txt", ".jsonl", ".ndjson", ".json"
+    ):
+        # 'out.gz' (no format) or 'out.tar.gz' (unknown format under the
+        # codec) — either would write bytes _load can never dispatch (it
+        # strips the codec and finds no known format lane); reject
+        # instead of silently writing unreadable data
         raise SemanticError(
-            f"cannot save {path}: a codec suffix needs a format "
-            f"extension before it (out.csv.gz, out.jsonl.gz, ...)"
+            f"cannot save {path}: a codec suffix needs a known line "
+            f"format before it (out.csv.gz, out.tsv.gz, out.txt.gz, "
+            f"out.jsonl.gz, ...)"
         )
     if ext in (".parquet", ".orc"):
         if codec:
@@ -412,6 +416,13 @@ def _copy_single_part(tmp_dir: str, path: str) -> None:
         p for p in glob.glob(f"{tmp_dir}/part-*")
         if not p.endswith(".crc")
     ]
+    if not parts:
+        # a zero-partition plan can leave no part-* file at all — surface
+        # a real error, not an IndexError (round-12 ADVICE)
+        raise SemanticError(
+            f"cannot save {path}: Spark produced no output part file "
+            f"(empty zero-partition result)"
+        )
     shutil.copy(parts[0], path)
 
 

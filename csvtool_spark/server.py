@@ -136,18 +136,23 @@ def check_save_path(path: str) -> str:
     path is invalid — a file name is required), and append ``.csv`` when
     the name has no extension. Raises ValueError on a bad path."""
     p = os.path.expanduser(path)
+    if p.rstrip("/") != p and p.rstrip("/").lower().endswith(
+        (".parquet", ".orc")
+    ):
+        # normalize 'out.parquet/' so splitext sees the extension — a
+        # trailing slash would otherwise get '.csv' appended and (for a
+        # FIRST-TIME save, where no directory exists yet) the copy into
+        # the nonexistent dir would raise a raw FileNotFoundError
+        # (round-11 review + round-12 ADVICE)
+        p = p.rstrip("/")
     if os.path.isdir(p):
         # an existing DIRECTORY is valid only when it's a columnar sink
         # target being overwritten (Spark writes .parquet/.orc as dirs —
         # round-11 review: re-saving to your own out.parquet was rejected)
-        if not p.rstrip("/").lower().endswith((".parquet", ".orc")):
+        if not p.lower().endswith((".parquet", ".orc")):
             raise ValueError(
                 f"Invalid path: {path} (directory, need a file name)"
             )
-        # normalize 'out.parquet/' so splitext sees the extension — a
-        # trailing slash would otherwise get '.csv' appended and write a
-        # hidden CSV INSIDE the parquet directory (round-11 review)
-        p = p.rstrip("/")
     if not os.path.isdir(os.path.dirname(os.path.abspath(p))):
         raise ValueError(f"Invalid path: {path}")
     if not os.path.splitext(p)[1]:

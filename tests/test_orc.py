@@ -234,6 +234,20 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
     with pytest.raises(SemanticError, match="codec suffix"):
         eng.save_parquet(f"select doc_id from '{src}'",
                          str(tmp_path / "w.orc.gz"))
+    # (6b) round-12 advice: a codec over an UNKNOWN format extension
+    # ('out.tar.gz' -> gzip comma-CSV the read side strips to '.tar' and
+    # can never dispatch) is the same mangled-round-trip class — reject
+    with pytest.raises(SemanticError, match="known line format"):
+        eng.save_csv(f"select doc_id from '{src}'",
+                     str(tmp_path / "out.tar.gz"))
+    # (6c) round-12 advice: zero part files under the tmp dir surface a
+    # clear SemanticError, not an IndexError
+    from csvtool_spark.engine import _copy_single_part
+
+    empty = tmp_path / "no_parts"
+    empty.mkdir()
+    with pytest.raises(SemanticError, match="no output part file"):
+        _copy_single_part(str(empty), str(tmp_path / "never.csv"))
     # (7) engine.save_csv delegates .parquet/.orc to the columnar sink
     # (shared write_single_result dispatch with the GUI save flow)
     pq = str(tmp_path / "via_save_csv.parquet")

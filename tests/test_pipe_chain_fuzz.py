@@ -548,7 +548,19 @@ def test_random_pipe_chain_matches_oracle(engine, duck, seed):
     rng = random.Random(1000 + seed)
     base_text, base_sql, base_cols, base_tokens = rng.choice(BASES)
     stage_text, chain = _gen_chain(rng, base_cols, base_tokens)
-    sdf = engine.sql(f"{base_text} |> {stage_text}")
+    try:
+        sdf = engine.sql(f"{base_text} |> {stage_text}")
+    except ValueError as e:
+        # documented engine/twin divergence (round-12 ADVICE): upstream
+        # stages can empty one source's token mass, and the engine's
+        # temperature mixture REFUSES (n_min=0 would clamp every rate to
+        # 1 ppm) while the SQL twin can only clamp — an expected skip,
+        # but only for that exact error under a drawn temperature stage
+        if "no positive token mass" in str(e) and any(
+            n == "mixture" and "temperature" in p for n, p in chain
+        ):
+            pytest.skip(f"zero-mass source under temperature mixture: {e}")
+        raise
     sql, _ = chain_oracle_sql(base_sql, base_cols, chain)
     # a drawn neardup attaches persisted MinHash staging frames — free
     # them even when compare RAISES, so a failing seed doesn't leave the

@@ -515,6 +515,13 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
                          save_path=str(tmp_path / "bare.gz"))
     assert ret["status"] & DAT_ERROR and "format" in ret["message"]
 
+    # a codec over an UNKNOWN format extension (out.tar.gz) is rejected
+    # too — _load strips the .gz, finds .tar matches no lane, and the
+    # file could never read back (round-12 ADVICE)
+    ret = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path / "out.tar.gz"))
+    assert ret["status"] & DAT_ERROR and "format" in ret["message"]
+
     # multi-statement + codec name: -N goes BEFORE the format extension
     # (out-1.jsonl.gz), never between format and codec (round-11 review)
     ret = query_response(
@@ -551,6 +558,14 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
     assert ret["status"] & DAT_GOOD
     assert spark.read.parquet(str(pq)).count() == 1
     assert not (pq / ".csv").exists() and not (tmp_path / ".csv").exists()
+    # FIRST-TIME save with a trailing slash (no directory exists yet):
+    # must also be a real parquet write, not a FileNotFoundError from a
+    # '.csv' copy into the nonexistent dir (round-12 ADVICE)
+    fresh = tmp_path / "fresh.parquet"
+    ret = query_response(eng, "select top 2 plate fine from" + V,
+                         save_path=str(fresh) + "/")
+    assert ret["status"] & DAT_GOOD
+    assert spark.read.parquet(str(fresh)).count() == 2
 
 
 def test_save_flow_bare_name_and_bad_path(eng, tmp_path):

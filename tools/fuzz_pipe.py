@@ -46,7 +46,18 @@ def main() -> int:
         rng = random.Random(seed)
         base_text, base_sql, base_cols, base_tokens = rng.choice(fz.BASES)
         stage_text, chain = fz._gen_chain(rng, base_cols, base_tokens)
-        sdf = eng.sql(f"{base_text} |> {stage_text}")
+        try:
+            sdf = eng.sql(f"{base_text} |> {stage_text}")
+        except ValueError as e:
+            # documented engine/twin divergence: temperature mixture
+            # refuses zero-mass sources the twin can only clamp — an
+            # expected skip (see tests/test_pipe_chain_fuzz.py)
+            if "no positive token mass" in str(e) and any(
+                nm == "mixture" and "temperature" in p for nm, p in chain
+            ):
+                print(f"SKIP seed={seed} zero-mass source: {e}")
+                continue
+            raise
         try:
             err = compare(sdf, con, chain_oracle_sql(base_sql, base_cols, chain)[0])
         except Exception as e:  # noqa: BLE001 — a fuzz run reports, not dies
