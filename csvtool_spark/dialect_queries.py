@@ -524,9 +524,10 @@ def _pipe_clean_oracle() -> str:
 register(
     "q_dialect_pipe_clean",
     _pipe_clean_oracle(),
-    # driver window (r9 swap: q_nb_calibration -> shadow): the C4 clean
-    # stage end to end (line word-count + terminal-punctuation +
-    # blocklist rules vs the generated DuckDB twin)
+    registered=False,  # shadow (r12 swap: -> q_dialect_pipe_mixture_temp):
+    # the C4 clean stage end to end (line word-count + terminal-
+    # punctuation + blocklist rules vs the generated DuckDB twin); the
+    # per-row rewrite family keeps driver standing via q_dialect_curate
 )(_q_dialect_pipe_clean)
 
 
@@ -615,9 +616,11 @@ dialect(
     "|> tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
     "temperature=0.5)",
     _pipe_mixture_temp_oracle(),
-    registered=False,  # shadow: third mixture lane (share targets /
-    # pre-computed rates / temperature derivation); the composable twin
-    # builder generates this oracle, so the fuzzer's shape is pinned too
+    # driver window (r12 swap: q_dialect_pipe_clean -> shadow): the
+    # round-11 flagship — temperature rate DERIVATION through the pipe,
+    # the rule multilingual recipes use to set mixing rates; the
+    # composable twin builder generates this oracle, so the fuzzer's
+    # shape is driver-pinned too
 )
 
 
@@ -724,9 +727,10 @@ dialect(
     "select doc_id, text from documents |> normalize(text) "
     "|> fingerprint(text)",
     _pipe_normalize_oracle(),
-    # driver window (r10 swap: q_kn_buckets -> shadow): NFC cleanup
-    # ahead of fingerprinting — the byte-canonicalization step every
-    # dedup pipeline needs before hashing (utf8proc twin, probe-pinned)
+    registered=False,  # shadow (r12 swap: -> q_mixture_temperature):
+    # NFC cleanup ahead of fingerprinting (utf8proc twin, probe-pinned);
+    # per-row rewrite coverage stays driver-evidenced via
+    # q_dialect_curate + q_pii_scrub, and the unicode probes stay pytest
 )
 
 
@@ -816,9 +820,10 @@ dialect(
     "select doc_id, n_chars, text from documents "
     "|> neardup(text, id=doc_id, threshold=0.4, transitive=1, by=n_chars)",
     _pipe_bestdedup_oracle(),
-    # driver window (r10 swap: q_ann_bruteforce -> shadow): the SemDeDup
-    # keep-best survivor rule real corpus dedup ships — closure +
-    # QUALIFY-argmax twin; greedy closure stays in-window via ccdedup
+    registered=False,  # shadow (r12 swap: -> q_tsv_roundtrip): the
+    # SemDeDup keep-best survivor rule (closure + QUALIFY-argmax twin);
+    # the near-dup family keeps q_dedup_minhash_det + the ccdedup
+    # closure in window, and this row stays dtype-exact in the local gate
 )
 
 

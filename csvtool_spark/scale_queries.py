@@ -3458,10 +3458,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY source
     """,
-    registered=False,  # shadow: the delimited format lane's standing
-    # oracle row (engine.write_single_csv -> _load .tsv inference,
-    # engine.py:132-151; the chain fuzzer's .tsv base covers the same
-    # lane under random downstream stages)
+    # driver window (r12 swap: q_dialect_pipe_bestdedup -> shadow): the
+    # delimited format lane's standing oracle row — the sink->re-read
+    # contract (engine.write_single_result -> _load .tsv inference)
+    # where two round-11 review passes found the most seams; the chain
+    # fuzzer's .tsv base covers the same lane under random stages
 )
 def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delimited format-lane round trip: the documents table is written
@@ -3516,9 +3517,11 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < r.keep_ppm
     """,
-    registered=False,  # shadow: the mixture family's RATE-DERIVATION
-    # member (q_mixture pins explicit target shares; this pins the
-    # temperature rule real multilingual recipes use to SET them)
+    # driver window (r12 swap: q_dialect_pipe_normalize -> shadow): the
+    # mixture family's RATE-DERIVATION member (q_mixture pins explicit
+    # target shares in shadow; this pins the temperature rule real
+    # multilingual recipes use to SET them; q_dsir_sample keeps the
+    # importance-sampling member in window)
 )
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced source sampling (alpha=0.5): keep rates
