@@ -299,10 +299,13 @@ def temperature_mixture(
 
     alpha=0.5 (the common default) computes the exponent as an IEEE-754
     ``sqrt`` — correctly rounded on every engine, so the realized rate
-    table is BIT-IDENTICAL cross-engine (the DuckDB twin hash-matches).
-    Other alphas go through ``pow``, which is not correctly rounded —
-    same semantics, but a twin may differ by one ppm at floor
-    boundaries; pin those with tolerance or a Spark-side differential.
+    table is BIT-IDENTICAL cross-engine (the DuckDB twin hash-matches);
+    alpha=0.75 (exponent 0.25) rides ``sqrt∘sqrt``, two correctly-
+    rounded ops mirrored composition-for-composition by the twin, so it
+    is bit-identical too. Other alphas go through ``pow``, which is not
+    correctly rounded — same semantics, but a twin may differ by one
+    ppm at floor boundaries; those are pinned with a ±1 ppm
+    tolerance-banded differential (tests/test_sampling.py).
 
     Scale shape (mixture_resample's): one combiner-backed per-source
     aggregate (#sources rows), a 1-row global min, one broadcast join of
@@ -311,12 +314,45 @@ def temperature_mixture(
     """
     from csvtool_spark.functions.caching import attach_stages
 
+    df = df.filter(F.col(source_col).isNotNull())
+    rates, counts = _temperature_rates(df, source_col, token_count_col, alpha)
+    coin = mixture_coin(F.col(key_col))
+    return attach_stages(
+        df.join(F.broadcast(rates), source_col).filter(
+            coin < F.col("keep_ppm")
+        ),
+        [counts],
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The per-source keep-rate table ``(source, keep_ppm)`` that
+    ``temperature_mixture`` applies — exposed so recipes can AUDIT the
+    derived mixing rates (or feed them into the streaming-legal
+    ``mixture_apply`` as pre-computed rates) without sampling anything.
+    Same semantics and guards as the operator: NULL sources excluded,
+    zero-mass sources raise, rates clamped to [1, 1e6] ppm."""
+    from csvtool_spark.functions.caching import attach_stages
+
+    rates, counts = _temperature_rates(
+        df.filter(F.col(source_col).isNotNull()),
+        source_col, token_count_col, alpha,
+    )
+    return attach_stages(rates, [counts])
+
+
+def _temperature_rates(
+    df: DataFrame, source_col: str, token_count_col: str, alpha: float
+) -> tuple[DataFrame, DataFrame]:
+    """(rates, persisted counts) — NULL-source rows must already be
+    filtered by the caller (their token mass is excluded from n_min)."""
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    # NULL source is "no source": those rows are dropped and their token
-    # mass excluded from the totals (the family's equi-join semantics,
-    # made explicit so n_min can't be skewed by an unlabeled bucket)
-    df = df.filter(F.col(source_col).isNotNull())
     # persisted: the zero-guard action, the global min, and the rate
     # projection all read it — ONE corpus-counting scan, #sources rows
     # of state (mixture_resample's `sized` discipline)
@@ -338,11 +374,17 @@ def temperature_mixture(
         )
     mn = counts.agg(F.min("__tok").alias("__mn"))
     ratio = F.col("__mn").cast("double") / F.col("__tok").cast("double")
-    powed = (
-        F.sqrt(ratio)
-        if float(alpha) == 0.5
-        else F.pow(ratio, F.lit(1.0 - float(alpha)))
-    )
+    exp = 1.0 - float(alpha)
+    if exp == 0.5:
+        powed = F.sqrt(ratio)
+    elif exp == 0.25:
+        # alpha=0.75 rides sqrt∘sqrt — BOTH ops are correctly rounded
+        # (IEEE 754), so like the alpha=0.5 lane the realized rate table
+        # is bit-identical cross-engine; pow(x, 0.25) is not (the twin
+        # mirrors the same two-sqrt composition, round 12)
+        powed = F.sqrt(F.sqrt(ratio))
+    else:
+        powed = F.pow(ratio, F.lit(exp))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         source_col,
         F.greatest(
@@ -353,13 +395,7 @@ def temperature_mixture(
             ),
         ).alias("keep_ppm"),
     )
-    coin = mixture_coin(F.col(key_col))
-    return attach_stages(
-        df.join(F.broadcast(rates), source_col).filter(
-            coin < F.col("keep_ppm")
-        ),
-        [counts],
-    )
+    return rates, counts
 
 
 def negative_pairs(

@@ -3536,3 +3536,42 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(
         d, "source", "doc_id", "n_chars", alpha=0.5
     ).select("doc_id", "source", "keep_ppm")
+
+
+@register(
+    "q_mixture_temperature_a75",
+    # alpha=0.75 -> exponent 0.25 rides sqrt(sqrt(x)): two correctly-
+    # rounded IEEE ops, and the twin mirrors the engine's EXACT two-sqrt
+    # composition (pow(x,0.25) would not be bit-identical), so the rate
+    # table hash-matches exactly like the alpha=0.5 lane (round 12)
+    """
+    WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+               FROM documents GROUP BY source),
+    m AS (SELECT min(tok) AS mn FROM c),
+    r AS (SELECT source,
+                 greatest(CAST(1 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                   CAST(floor(1000000.0 *
+                     sqrt(sqrt(CAST(m.mn AS DOUBLE) / CAST(tok AS DOUBLE))))
+                   AS BIGINT))) AS keep_ppm
+          FROM c, m)
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x',
+            substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < r.keep_ppm
+    """,
+    registered=False,  # shadow: the second correctly-rounded exponent
+    # lane (alpha=0.75, the LESS-aggressive upweighting real recipes
+    # also use); the window's q_mixture_temperature holds alpha=0.5
+)
+def q_mixture_temperature_a75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source sampling at alpha=0.75: the exponent
+    0.25 lane (keep_ppm = 1e6*(n_min/n_s)^0.25) computed as sqrt∘sqrt so
+    the realized rate table is bit-identical cross-engine.
+    sampling.temperature_mixture."""
+    from csvtool_spark.operators.sampling import temperature_mixture
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mixture(
+        d, "source", "doc_id", "n_chars", alpha=0.75
+    ).select("doc_id", "source", "keep_ppm")

@@ -39,6 +39,9 @@ FUZZ_TSV = _os.path.join(
 FUZZ_TXT = _os.path.join(
     _tempfile.gettempdir(), f"csvtool_fuzz_docs_{_os.getpid()}.txt"
 )
+FUZZ_TSV_ISRC = _os.path.join(
+    _tempfile.gettempdir(), f"csvtool_fuzz_docs_isrc_{_os.getpid()}.tsv"
+)
 
 
 def ensure_file_bases(sf_dir: str = SF) -> None:
@@ -76,6 +79,13 @@ def ensure_file_bases(sf_dir: str = SF) -> None:
     with open(FUZZ_TXT, "w") as f:
         for _d, x, _s, _n in rows:
             f.write((x or "") + "\n")
+    # int-SOURCE variant (round-12 directive): the mixture grouping
+    # column itself arrives through inference as an int64 ('src7' -> 7),
+    # covering the inference x rate-table seam on the group key
+    with open(FUZZ_TSV_ISRC, "w") as f:
+        f.write("doc_id\ttext\tsrcnum\tn_chars\n")
+        for d, x, s, n in rows:
+            f.write(f"{d}\t{x or ''}\t{(s or 'src')[3:]}\t{n}\n")
 
 #: base-query variety: the chain must compose with whatever the dialect
 #: query upstream produced, not just the bare projection — (dialect text,
@@ -420,16 +430,18 @@ def _gen_chain(rng: random.Random, base_cols=None, base_tokens=()):
             chain.append(("shard", {"n": n, "key": "doc_id", "as": name}))
         elif s == "mixture":
             if token_cols and rng.random() < 0.35:
-                # temperature rate-derivation mode (alpha pinned to 0.5
-                # — the only exponent with a bit-exact cross-engine twin)
+                # temperature rate-derivation mode (alpha drawn from the
+                # two exponents with bit-exact cross-engine twins: 0.5
+                # rides IEEE sqrt, 0.75 rides sqrt∘sqrt — round 12)
                 tc = rng.choice(token_cols)
+                alpha = rng.choice([0.5, 0.75])
                 parts.append(
                     f"mixture(source, key=doc_id, tokens={tc}, "
-                    f"temperature=0.5)"
+                    f"temperature={alpha})"
                 )
                 chain.append(
                     ("mixture", {"source": "source", "key": "doc_id",
-                                 "tokens": tc, "temperature": 0.5})
+                                 "tokens": tc, "temperature": alpha})
                 )
             else:
                 srcs = rng.sample(
@@ -541,6 +553,84 @@ def test_repeated_stage_after_rewrite_recomputes(engine, duck):
     sql, _ = chain_oracle_sql(BASE_SQL, BASE_COLS, chain)
     err = compare(sdf, duck, sql)
     assert err is None, err
+
+
+#: temperature-mixture bases for the dedicated file-base fuzz (round-12
+#: directive): every column — including the mixture GROUP column —
+#: arrives through the CSV inference lane (string source on FUZZ_TSV,
+#: int64 srcnum on FUZZ_TSV_ISRC), composing inference with the
+#: broadcast rate-table derivation. (dialect text, oracle SQL, cols,
+#: source column name)
+TEMP_BASES = [
+    (
+        f"select doc_id, text, source, n_chars from '{FUZZ_TSV}'",
+        "SELECT doc_id, coalesce(text, '') AS text, source, n_chars "
+        "FROM documents",
+        ["doc_id", "text", "source", "n_chars"],
+        "source",
+    ),
+    (
+        f"select doc_id, text, srcnum, n_chars from '{FUZZ_TSV_ISRC}'",
+        "SELECT doc_id, coalesce(text, '') AS text, "
+        "CAST(substr(source, 4) AS BIGINT) AS srcnum, n_chars "
+        "FROM documents",
+        ["doc_id", "text", "srcnum", "n_chars"],
+        "srcnum",
+    ),
+]
+
+
+def _gen_temp_chain(rng: random.Random):
+    """One random temperature-mixture chain over a FILE base: optional
+    upstream thinning, the rate derivation itself (alpha drawn from the
+    two bit-exact exponent lanes), optional downstream rewrite — shared
+    by the 30 suite seeds and the offline soak (tools/fuzz_pipe.py
+    --temperature)."""
+    base_text, base_sql, cols, src = rng.choice(TEMP_BASES)
+    parts: list[str] = []
+    chain: list[tuple[str, dict]] = []
+    if rng.random() < 0.5:
+        # upstream range gate on the INFERRED int column — can reshape
+        # (or empty) per-source token mass before the derivation
+        lo = rng.randrange(0, 200)
+        hi = lo + rng.randrange(200, 2000)
+        parts.append(f"filter(n_chars, min={lo}, max={hi})")
+        chain.append(("filter", {"col": "n_chars", "min": lo, "max": hi}))
+    if rng.random() < 0.5:
+        parts.append("tokens(text)")
+        chain.append(("tokens", {"text": "text"}))
+        tok = "n_tokens"
+    else:
+        tok = "n_chars"  # the inferred int64 column as the token weight
+    alpha = rng.choice([0.5, 0.75])
+    parts.append(
+        f"mixture({src}, key=doc_id, tokens={tok}, temperature={alpha})"
+    )
+    chain.append(("mixture", {"source": src, "key": "doc_id",
+                              "tokens": tok, "temperature": alpha}))
+    if rng.random() < 0.4:
+        parts.append("fingerprint(text)")
+        chain.append(("fingerprint", {"text": "text"}))
+    return base_text, base_sql, cols, " |> ".join(parts), chain
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_temperature_mixture_over_file_bases(engine, duck, seed):
+    """round-12 directive #7: the temperature stage composed with the
+    .tsv inference bases — the rate table derived from columns (and a
+    group key) that arrived as inferred string/int64, vs the composable
+    DuckDB twin."""
+    rng = random.Random(2400 + seed)
+    base_text, base_sql, cols, stage_text, chain = _gen_temp_chain(rng)
+    try:
+        sdf = engine.sql(f"{base_text} |> {stage_text}")
+    except ValueError as e:
+        if "no positive token mass" in str(e):
+            pytest.skip(f"zero-mass source under temperature mixture: {e}")
+        raise
+    sql, _ = chain_oracle_sql(base_sql, cols, chain)
+    err = compare(sdf, duck, sql)
+    assert err is None, f"base `{base_text}` chain `{stage_text}`: {err}"
 
 
 @pytest.mark.parametrize("seed", range(30))

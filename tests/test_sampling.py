@@ -432,3 +432,92 @@ def test_temperature_mixture_alpha_monotonicity(spark):
     for s in ("big", "mid", "small"):
         assert r3[s] <= r5[s] <= r7[s], (s, r3[s], r5[s], r7[s])
     assert r3["small"] == r5["small"] == r7["small"] == 1_000_000
+
+
+def _temp_rate_corpus(spark, n_sources=40, seed=7):
+    """A rate-boundary-rich corpus: many sources with pseudo-random
+    token masses spanning 5 orders of magnitude (lots of distinct
+    floor(1e6*ratio^e) values, so a one-ulp exponent difference has
+    many chances to flip a floor)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    did = 0
+    for s in range(n_sources):
+        tok = rng.randrange(10, 1_000_000)
+        for _ in range(rng.randrange(1, 4)):
+            rows.append((did, f"s{s:02d}", tok))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, tok long"
+    )
+
+
+def test_temperature_mixture_a75_bit_exact_vs_duckdb(spark):
+    """alpha=0.75 (exponent 0.25) rides sqrt∘sqrt — two correctly-
+    rounded IEEE ops, mirrored composition-for-composition by the twin
+    — so the realized ppm rate table must be BIT-IDENTICAL to DuckDB's,
+    exactly like the alpha=0.5 sqrt lane (round 12)."""
+    import duckdb
+
+    from csvtool_spark.operators.sampling import temperature_rates
+
+    df = _temp_rate_corpus(spark)
+    got = {
+        (r["source"], r["keep_ppm"])
+        for r in temperature_rates(df, "source", "tok", alpha=0.75).collect()
+    }
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = set(con.execute("""
+        WITH c AS (SELECT source, CAST(sum(tok) AS BIGINT) AS tok
+                   FROM t GROUP BY source),
+        m AS (SELECT min(tok) AS mn FROM c)
+        SELECT source,
+               greatest(CAST(1 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                 CAST(floor(1000000.0 *
+                   sqrt(sqrt(CAST(m.mn AS DOUBLE) / CAST(tok AS DOUBLE))))
+                 AS BIGINT)))
+        FROM c, m
+    """).fetchall())
+    assert got == want
+
+
+def test_temperature_mixture_pow_lane_one_ppm_band(spark):
+    """The pow lane (alpha not in {0.5, 0.75}) is not correctly rounded
+    cross-engine, so its oracle is TOLERANCE-BANDED: the engine's ppm
+    rate must sit within ±1 ppm of DuckDB's pow for every source — the
+    floor-boundary band the operator docstring documents
+    (operators/sampling.py). A real derivation-rule bug (wrong
+    exponent, swapped ratio, missing clamp) lands far outside 1 ppm."""
+    import duckdb
+
+    from csvtool_spark.operators.sampling import temperature_rates
+
+    df = _temp_rate_corpus(spark)
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for alpha in (0.3, 0.62, 0.9):
+        got = {
+            r["source"]: r["keep_ppm"]
+            for r in temperature_rates(df, "source", "tok",
+                                       alpha=alpha).collect()
+        }
+        want = dict(con.execute(f"""
+            WITH c AS (SELECT source, CAST(sum(tok) AS BIGINT) AS tok
+                       FROM t GROUP BY source),
+            m AS (SELECT min(tok) AS mn FROM c)
+            SELECT source,
+                   greatest(CAST(1 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                     CAST(floor(1000000.0 * pow(
+                       CAST(m.mn AS DOUBLE) / CAST(tok AS DOUBLE),
+                       {1.0 - alpha!r})) AS BIGINT)))
+            FROM c, m
+        """).fetchall())
+        assert set(got) == set(want)
+        off = {s: (got[s], want[s]) for s in got
+               if abs(got[s] - want[s]) > 1}
+        assert not off, (alpha, off)

@@ -2,8 +2,11 @@
 compositional DuckDB oracle — the long-soak form of
 tests/test_pipe_chain_fuzz.py (which pins 30 fixed seeds in the suite).
 
-Usage: python tools/fuzz_pipe.py [n_seeds] [start_seed] [sf_dir]
+Usage: python tools/fuzz_pipe.py [--temperature] [n_seeds] [start_seed] [sf_dir]
   defaults: 100 seeds from 1000, /root/testdata/sf0.001
+  --temperature: soak the dedicated temperature-mixture x file-base
+  generator (_gen_temp_chain; suite pins seeds 2400-2429) instead of
+  the general chain generator; default start becomes 2400
 
 Prints one line per failure (seed, base, chain, mismatch) and a summary;
 exit code 1 on any failure. Seeds overlap the suite's range on purpose —
@@ -24,9 +27,11 @@ sys.path.insert(
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    argv = [a for a in sys.argv[1:] if a != "--temperature"]
+    temp_mode = "--temperature" in sys.argv[1:]
+    n = int(argv[0]) if len(argv) > 0 else 100
+    start = int(argv[1]) if len(argv) > 1 else (2400 if temp_mode else 1000)
+    sf = argv[2] if len(argv) > 2 else "/root/testdata/sf0.001"
 
     import test_pipe_chain_fuzz as fz
     from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
@@ -44,8 +49,13 @@ def main() -> int:
     failures = 0
     for seed in range(start, start + n):
         rng = random.Random(seed)
-        base_text, base_sql, base_cols, base_tokens = rng.choice(fz.BASES)
-        stage_text, chain = fz._gen_chain(rng, base_cols, base_tokens)
+        if temp_mode:
+            base_text, base_sql, base_cols, stage_text, chain = (
+                fz._gen_temp_chain(rng)
+            )
+        else:
+            base_text, base_sql, base_cols, base_tokens = rng.choice(fz.BASES)
+            stage_text, chain = fz._gen_chain(rng, base_cols, base_tokens)
         try:
             sdf = eng.sql(f"{base_text} |> {stage_text}")
         except ValueError as e:
