@@ -11,9 +11,20 @@ and appends the result to ``BENCH_PIPES.json`` — one JSON object per
 round, newest last, so the surface where most code now lives gets a
 visible latency history.
 
+Every entry carries a same-session ``ab_control`` block (round-12
+directive): the previous driver round's tree is checked out into a
+detached worktree and ITS bench_pipes runs back-to-back with this one,
+so the recorded ratio separates real pipe regressions from ambient
+machine state (the raw r11 history swung 13.4->17.7->14.3 s on an
+untouched pipe surface — exactly the hazard bench.py's A/B solved in
+round 9). Ratios are computed over the queries common to both trees
+(window rotations change the q_dialect_pipe_* set round to round).
+
 Usage: python tools/bench_pipes.py [out.json]
   (default out: BENCH_PIPES.json at the repo root, committed per round)
-Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_BENCH_REPS.
+Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_BENCH_REPS;
+set SPARK_GRAFT_BENCH_AB=0 to skip the control run (the control run
+itself always does, so it can never recurse).
 """
 
 from __future__ import annotations
@@ -34,6 +45,84 @@ from bench import TABLES, run  # noqa: E402
 #: (this list MAY grow round-over-round — unlike bench.py's frozen total,
 #: the record here is PER-QUERY history, so additions don't skew anything)
 ANCHORS = ["q_pipeline_curate", "q_dialect_curate"]
+
+
+def pipes_rev(rev: str, timeout: int = 2400) -> dict:
+    """Run the BASE tree's bench_pipes from a detached worktree and
+    return its parsed entry (bench_ab.bench_rev's pattern; the control
+    writes its history to a throwaway path, never to ours)."""
+    import shutil
+    import tempfile
+
+    from bench_ab import _git
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="bench_pipes_ab_")
+    wt = os.path.join(tmp, "wt")
+    try:
+        _git(repo, "worktree", "add", "--detach", wt, rev)
+        script = os.path.join(wt, "tools", "bench_pipes.py")
+        if not os.path.exists(script):
+            raise RuntimeError(f"rev {rev[:9]} predates bench_pipes.py")
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_AB"] = "0"  # the control run never recurses
+        r = subprocess.run(
+            [sys.executable, script, os.path.join(tmp, "out.json")],
+            capture_output=True, text=True, env=env, timeout=timeout, cwd=wt,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"bench_pipes at {rev[:9]} rc={r.returncode}: "
+                f"{r.stderr[-400:]}"
+            )
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"bench_pipes at {rev[:9]} printed no JSON")
+        return json.loads(lines[-1])
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def pipes_ab_control(head_entry: dict) -> dict:
+    """The control block: bench the previous driver round's pipe surface
+    in this same session and ratio it against ``head_entry`` over the
+    COMMON query set. Any failure degrades to {'error': ...} — the
+    control must never break the primary record."""
+    from bench_ab import find_base_rev
+
+    try:
+        rev = find_base_rev()
+    except Exception as e:  # noqa: BLE001 — not a git checkout, etc.
+        return {"error": str(e)[:300]}
+    if rev is None:
+        return {"error": "no prior 'round N:' commit to control against"}
+    try:
+        base = pipes_rev(rev)
+    except Exception as e:  # noqa: BLE001
+        return {"base_rev": rev[:9], "error": str(e)[:300]}
+    bq = base.get("queries") or {}
+    hq = head_entry.get("queries") or {}
+    common = sorted(n for n in hq if bq.get(n))
+    out = {
+        "base_rev": rev[:9],
+        "base_total": base.get("total_sec"),
+        "base_queries": bq,
+        "common": common,
+        "common_total_head": round(sum(hq[n] for n in common), 3),
+        "common_total_base": round(sum(bq[n] for n in common), 3),
+        "query_ratio": {
+            n: round(hq[n] / bq[n], 3) for n in common if bq[n]
+        },
+    }
+    if out["common_total_base"]:
+        out["ratio"] = round(
+            out["common_total_head"] / out["common_total_base"], 3
+        )
+    return out
 
 
 def pipe_names(catalog) -> list[str]:
@@ -96,6 +185,13 @@ def main() -> int:
             for n, s in samples.items()
         },
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        spark.stop()  # free the JVM so the control's own session gets
+        # the same resources this one had (comparable measurements)
+        try:
+            entry["ab_control"] = pipes_ab_control(entry)
+        except Exception as e:  # noqa: BLE001 — diagnostic block only
+            entry["ab_control"] = {"error": str(e)[:300]}
 
     history: list[dict] = []
     if os.path.exists(out_path):
