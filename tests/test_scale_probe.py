@@ -106,6 +106,33 @@ def test_cross_corpus_matches_grow_linearly(spark, base_docs):
     assert ten["shuffle_bytes_written"] <= 20 * max(one["shuffle_bytes_written"], 1)
 
 
+def test_tpch_lane_work_grows_linearly(spark, tmp_path):
+    """Round-12 directive #4: the headline TPC-H lanes get the same
+    work-counted regression net the dedup lanes have. The probe
+    materializes key-remapped scaled parquet and runs the catalog's OWN
+    q1/q3/q5, so this pins production plans, not probe twins. Contract:
+    post-pushdown scan rows grow exactly m-fold (a broken pushdown or a
+    scan fan-out shows up here), shuffle records stay within a
+    linear-with-slack band (q1/q5's are #groups-bounded — expected FAR
+    below linear; the map-side combine is the point), and result
+    cardinality is scale-invariant (6 groups / top-10 / #nations)."""
+    from scale_probe import probe_tpch, scaled_tpch_dir
+
+    one = probe_tpch(spark, scaled_tpch_dir(spark, SF, 1, str(tmp_path / "m1")))
+    ten = probe_tpch(spark, scaled_tpch_dir(spark, SF, 10, str(tmp_path / "m10")))
+    for q in ("q1_pricing_summary", "q3_shipping_priority",
+              "q5_local_suppliers"):
+        assert one[q]["scan_output_rows"] > 0, q
+        scan_ratio = ten[q]["scan_output_rows"] / one[q]["scan_output_rows"]
+        # nation/region stay single-copy, so q5 sits a hair under 10
+        assert 9 <= scan_ratio <= 11, (q, scan_ratio)
+        rec_ratio = ten[q]["shuffle_records_written"] / max(
+            one[q]["shuffle_records_written"], 1
+        )
+        assert rec_ratio <= 15, (q, rec_ratio)  # quadratic would be ~100
+        assert one[q]["rows"] == ten[q]["rows"], q  # fixed output shape
+
+
 def test_ivf_scanned_rows_grow_linearly(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     from csvtool_spark.operators.similarity import ivf_centroids

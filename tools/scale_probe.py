@@ -76,15 +76,20 @@ def plan_work_metrics(df: DataFrame) -> dict[str, int]:
         "numOutputRows": "plan_output_rows",
     }
     acc = dict.fromkeys(want.values(), 0)
+    acc["scan_output_rows"] = 0  # rows LEAVING scan nodes only — the
+    # post-pushdown scan volume (round 12: the TPC-H lanes' primary
+    # linear-growth signal; shuffle records there are #groups-bounded)
 
     def walk(node):
+        cls = node.getClass().getSimpleName()
         it = node.metrics().iterator()
         while it.hasNext():
             kv = it.next()
             k = kv._1()
             if k in want:
                 acc[want[k]] += kv._2().value()
-        cls = node.getClass().getSimpleName()
+            if k == "numOutputRows" and cls.endswith("ScanExec"):
+                acc["scan_output_rows"] += kv._2().value()
         if cls == "AdaptiveSparkPlanExec":
             kids = [node.executedPlan()]
         elif cls.endswith("QueryStageExec"):
@@ -278,6 +283,68 @@ def probe_ivf(emb: DataFrame, centroids) -> dict:
     }
 
 
+#: TPC-H tables that GROW with SF -> the join keys remapped per copy so
+#: copy i joins only within itself (nation/region are SF-constant dims
+#: and are copied verbatim — exactly TPC-H's own scaling rule)
+TPCH_REMAP = {
+    "lineitem": ("l_orderkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+}
+TPCH_QUERIES = ("q1_pricing_summary", "q3_shipping_priority",
+                "q5_local_suppliers")
+
+
+def scaled_tpch_dir(spark, base_dir: str, m: int, out_dir: str) -> str:
+    """Materialize an m-times scaled TPC-H slice as REAL parquet shaped
+    like an sf dir, so the probe runs the catalog's own q1/q3/q5
+    functions against it (no probe-local query twins to drift) and the
+    scan metrics reflect genuine file scans with pushdown. Fact/growing
+    tables get m disjoint key-remapped copies (copy 0 verbatim);
+    nation/region stay single."""
+    if m == 1:
+        return base_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t, keys in TPCH_REMAP.items():
+        base = spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+        parts = [base]
+        for i in range(1, m):
+            p = base
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * ID_STRIDE))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    for t in ("nation", "region"):
+        spark.read.parquet(
+            os.path.join(base_dir, f"{t}.parquet")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    return out_dir
+
+
+def probe_tpch(spark, sf_dir: str) -> dict:
+    """Headline dialect/TPC-H lanes (round-12 directive): run the
+    catalog's OWN q1/q3/q5 against the scaled dir and record their work.
+    Primary linear signal is scan_output_rows (post-pushdown scan
+    volume — exactly m-fold by construction); shuffle records are
+    recorded but are #groups- or AQE-strategy-bounded (q1's partial-agg
+    output is #groups x #partitions, near-CONSTANT in data size — that
+    sublinearity is the point of the map-side combine)."""
+    from csvtool_spark import queries as catalog
+
+    out = {}
+    for name in TPCH_QUERIES:
+        df = catalog.QUERIES[name](spark, sf_dir)
+        n, work, wall = counted(df)
+        out[name] = {"rows": n, "wall_sec": round(wall, 3), **work}
+    return out
+
+
 def run_probe(spark, base_dir: str, scales: list[int],
               contaminate_every: int = 20, ref_docs: int = 500) -> dict:
     docs_base = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
@@ -290,8 +357,26 @@ def run_probe(spark, base_dir: str, scales: list[int],
         "base_vectors": emb_base.count(),
         "scales": scales,
         "lanes": {"minhash": {}, "simhash": {}, "ngram": {},
-                  "cross_corpus": {}, "ivf": {}},
+                  "cross_corpus": {}, "ivf": {},
+                  "tpch_q1": {}, "tpch_q3": {}, "tpch_q5": {}},
     }
+    import shutil
+    import tempfile
+
+    tpch_root = tempfile.mkdtemp(prefix="scale_probe_tpch_")
+    try:
+        for m in scales:
+            sf_m = scaled_tpch_dir(
+                spark, base_dir, m, os.path.join(tpch_root, f"m{m}")
+            )
+            tq = probe_tpch(spark, sf_m)
+            out["lanes"]["tpch_q1"][str(m)] = tq["q1_pricing_summary"]
+            out["lanes"]["tpch_q3"][str(m)] = tq["q3_shipping_priority"]
+            out["lanes"]["tpch_q5"][str(m)] = tq["q5_local_suppliers"]
+            if sf_m != base_dir:
+                shutil.rmtree(sf_m, ignore_errors=True)
+    finally:
+        shutil.rmtree(tpch_root, ignore_errors=True)
     for m in scales:
         docs = scaled_docs(docs_base, m).persist()
         docs.count()
@@ -323,6 +408,13 @@ def run_probe(spark, base_dir: str, scales: list[int],
         ("cross_corpus", ("matches", "shuffle_records_written",
                           "shuffle_bytes_written")),
         ("ivf", ("scanned_rows", "shuffle_bytes_written")),
+        # TPC-H lanes: scan rows are the linear signal; shuffle records
+        # ride along (q1's are #groups-bounded — expected << 1.0 here)
+        ("tpch_q1", ("scan_output_rows", "shuffle_records_written")),
+        ("tpch_q3", ("scan_output_rows", "shuffle_records_written",
+                     "shuffle_bytes_written")),
+        ("tpch_q5", ("scan_output_rows", "shuffle_records_written",
+                     "shuffle_bytes_written")),
     ):
         pts = out["lanes"][lane]
         norm = {}
