@@ -11,7 +11,11 @@ $SPARK_GRAFT_BENCH_REPS — raised from 3 in round 7): one-shot numbers on this
 box swing ±30% with ambient load (round 3 recorded 8.6-13.3 s totals for
 identical code), which drowned the round-over-round regression signal.
 The reported per-query value and the headline total are medians; min/max
-spreads ride along in the JSON so a noisy run is visibly noisy.
+spreads ride along in the JSON so a noisy run is visibly noisy. Since
+round 12 a per-query COLD materialization pass precedes the timed reps
+(recorded as ``cold_sec``): operators that persist stages made the first
+timed rep structurally cold and the rest cache-warm, so the old spread
+mixed two populations — see the cold-pass comment in main().
 """
 
 from __future__ import annotations
@@ -96,6 +100,25 @@ def main() -> None:
     for t in TABLES:
         run(read_table(spark, sf_dir, t))
 
+    # Cold pass at the BENCH SF (round-12 minhash-variance diagnosis):
+    # operators that persist intermediate stages (the minhash signature
+    # and token frames) leave them in the block-manager cache, and a
+    # later rep's IDENTICAL plan silently substitutes the cached blocks
+    # (CacheManager matches canonicalized plans: "Asked to cache already
+    # cached data"). Under the old discipline the first timed rep was
+    # therefore structurally COLD and the rest warm — q_dedup_minhash's
+    # recorded 1.07-3.16 s "spread" was this bimodality, not noise, and
+    # the median always landed on the warm value. Materialize each
+    # query's caches once here (timed, reported as cold_sec) so the
+    # timed reps below are uniformly warm: the median is unchanged in
+    # meaning and round-over-round comparable, the spread becomes an
+    # honest repeatability band, and the cold cost stays on the record.
+    cold = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run(pool[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
+
     # Median-of-5: run the whole list five times (round-robin, not
     # back-to-back per query, so a transient load spike hits one sweep of
     # every query rather than all repeats of one) and take per-query
@@ -123,6 +146,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "cold_sec": cold,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

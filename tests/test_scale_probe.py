@@ -126,10 +126,16 @@ def test_tpch_lane_work_grows_linearly(spark, tmp_path):
         scan_ratio = ten[q]["scan_output_rows"] / one[q]["scan_output_rows"]
         # nation/region stay single-copy, so q5 sits a hair under 10
         assert 9 <= scan_ratio <= 11, (q, scan_ratio)
-        rec_ratio = ten[q]["shuffle_records_written"] / max(
-            one[q]["shuffle_records_written"], 1
-        )
-        assert rec_ratio <= 15, (q, rec_ratio)  # quadratic would be ~100
+        # regime-robust quadratic guard (the sf0.1 curve measured AQE
+        # flipping broadcast->shuffle between scales, which makes raw
+        # record ratios regime artifacts): shuffle records per scanned
+        # row stay a small constant in either regime; quadratic work
+        # grows this with scale
+        for pt in (one[q], ten[q]):
+            per_row = pt["shuffle_records_written"] / max(
+                pt["scan_output_rows"], 1
+            )
+            assert per_row <= 3, (q, per_row)
         assert one[q]["rows"] == ten[q]["rows"], q  # fixed output shape
 
 

@@ -157,6 +157,16 @@ def main() -> int:
     for t in TABLES:
         run(read_table(spark, sf_dir, t))
 
+    # cold pass at the bench SF (bench.py's round-12 discipline): the
+    # neardup pipe rows persist signature/token stages a later rep's
+    # identical plan silently reuses — materialize once (recorded) so
+    # the timed reps are uniformly warm instead of cold-then-cached
+    cold = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run(pool[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
+
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(reps):
         for name in names:
@@ -180,6 +190,7 @@ def main() -> int:
         "reps": reps,
         "total_sec": round(sum(times.values()), 3),
         "queries": times,
+        "cold_sec": cold,
         "spread": {
             n: {"min": round(min(s), 3), "max": round(max(s), 3)}
             for n, s in samples.items()

@@ -425,6 +425,21 @@ def run_probe(spark, base_dir: str, scales: list[int],
                 for m in scales
             }
         pts["per_scale_work_ratio"] = norm
+        if lane.startswith("tpch_"):
+            # regime-robust quadratic guard: AQE flips broadcast->shuffle
+            # joins somewhere between scales (measured: q3 between 1x and
+            # 10x, q5 between 10x and 50x), so records normalized to a
+            # broadcast-regime 1x point read as a huge step. Records PER
+            # POST-PUSHDOWN SCANNED ROW stay a small constant in either
+            # regime (0 broadcast, ~0.4-2 shuffled) but GROW with scale
+            # under quadratic work — that's the number to watch.
+            pts["records_per_scan_row"] = {
+                str(m): round(
+                    pts[str(m)]["shuffle_records_written"]
+                    / max(pts[str(m)]["scan_output_rows"], 1), 4,
+                )
+                for m in scales
+            }
     return out
 
 
