@@ -624,6 +624,35 @@ dialect(
 )
 
 
+def _pipe_mixture_temp75_oracle() -> str:
+    from csvtool_spark.dialect.stage_oracles import chain_oracle_sql
+
+    sql, _ = chain_oracle_sql(
+        "SELECT doc_id, source, text FROM documents",
+        ["doc_id", "source", "text"],
+        [
+            ("tokens", {"text": "text"}),
+            ("mixture", {"source": "source", "key": "doc_id",
+                         "tokens": "n_tokens", "temperature": 0.75}),
+        ],
+    )
+    return sql
+
+
+dialect(
+    "q_dialect_pipe_mixture_temp75",
+    # the SECOND correctly-rounded exponent lane through the pipe:
+    # alpha=0.75 -> exponent 0.25 as sqrt∘sqrt on both engines (round 12)
+    "select doc_id, source, text from documents "
+    "|> tokens(text) |> mixture(source, key=doc_id, tokens=n_tokens, "
+    "temperature=0.75)",
+    _pipe_mixture_temp75_oracle(),
+    registered=False,  # shadow: standing gate row for the generated
+    # twin's sqrt∘sqrt branch (the fuzzer draws it; this pins the exact
+    # registered shape every run); alpha=0.5 holds the window slot
+)
+
+
 def _pipe_gopher_oracle() -> str:
     # twin WHERE generated from the SAME threshold constants as the
     # stage's filter — column order is the dict's order, which is also
