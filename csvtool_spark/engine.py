@@ -376,6 +376,14 @@ def write_single_result(df: DataFrame, path: str) -> None:
     _stem, ext, codec_ext = split_sink_name(path)
     ext = ext.lower()
     codec = _WRITE_CODECS[codec_ext.lower()] if codec_ext else None
+    if codec and ext in (".parquet", ".orc"):
+        # columnar + codec keeps its TARGETED message (checked before
+        # the line-format allowlist below, which would misadvise
+        # switching a parquet sink to CSV — round-12 review)
+        raise SemanticError(
+            f"cannot save {path}: .parquet/.orc files are internally "
+            f"compressed and take no codec suffix — drop it"
+        )
     if codec and ext not in (
         ".csv", ".tsv", ".txt", ".jsonl", ".ndjson", ".json"
     ):
@@ -389,11 +397,6 @@ def write_single_result(df: DataFrame, path: str) -> None:
             f"out.jsonl.gz, ...)"
         )
     if ext in (".parquet", ".orc"):
-        if codec:
-            raise SemanticError(
-                f"cannot save {path}: .parquet/.orc files are internally "
-                f"compressed and take no codec suffix — drop it"
-            )
         w = df.write.mode("overwrite")
         (w.parquet if ext == ".parquet" else w.orc)(path)
     elif ext == ".txt":

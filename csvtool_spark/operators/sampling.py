@@ -368,6 +368,11 @@ def _temperature_rates(
         .select(source_col).collect()
     )
     if dead:
+        # free the just-materialized cache before raising — this error
+        # path is routinely exercised (the fuzzers skip on it), and an
+        # orphaned persisted frame per skip would accumulate for the
+        # life of the shared session (round-12 review)
+        counts.unpersist()
         raise ValueError(
             f"temperature_mixture: sources with no positive token mass "
             f"would collapse every rate to the 1 ppm clamp: {dead}"

@@ -136,15 +136,23 @@ def check_save_path(path: str) -> str:
     path is invalid — a file name is required), and append ``.csv`` when
     the name has no extension. Raises ValueError on a bad path."""
     p = os.path.expanduser(path)
-    if p.rstrip("/") != p and p.rstrip("/").lower().endswith(
-        (".parquet", ".orc")
-    ):
-        # normalize 'out.parquet/' so splitext sees the extension — a
-        # trailing slash would otherwise get '.csv' appended and (for a
-        # FIRST-TIME save, where no directory exists yet) the copy into
-        # the nonexistent dir would raise a raw FileNotFoundError
-        # (round-11 review + round-12 ADVICE)
-        p = p.rstrip("/")
+    if p.rstrip("/") != p:
+        if p.rstrip("/").lower().endswith((".parquet", ".orc")):
+            # normalize 'out.parquet/' so splitext sees the extension — a
+            # trailing slash would otherwise get '.csv' appended and (for
+            # a FIRST-TIME save, where no directory exists yet) the copy
+            # into the nonexistent dir would raise a raw
+            # FileNotFoundError (round-11 review + round-12 ADVICE)
+            p = p.rstrip("/")
+        else:
+            # a trailing slash on any OTHER name is a directory request
+            # only columnar sinks can satisfy — reject cleanly here
+            # ('out.csv/' used to fall through splitext as
+            # extensionless, gain a '.csv', and die in shutil.copy with
+            # a raw FileNotFoundError — round-12 second review)
+            raise ValueError(
+                f"Invalid path: {path} (directory, need a file name)"
+            )
     if os.path.isdir(p):
         # an existing DIRECTORY is valid only when it's a columnar sink
         # target being overwritten (Spark writes .parquet/.orc as dirs —

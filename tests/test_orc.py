@@ -231,7 +231,11 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
             eng.sql(f"select a from '{p}'")
     # ...and the WRITE side rejects the same names (save_parquet would
     # otherwise write a directory _load can never read)
-    with pytest.raises(SemanticError, match="codec suffix"):
+    # tightened (round-12 review): the columnar+codec name must get the
+    # TARGETED internally-compressed message, not the generic line-format
+    # allowlist advice (which would suggest switching a parquet sink to
+    # CSV) — 'codec suffix' alone matched both
+    with pytest.raises(SemanticError, match="internally.*compressed"):
         eng.save_parquet(f"select doc_id from '{src}'",
                          str(tmp_path / "w.orc.gz"))
     # (6b) round-12 advice: a codec over an UNKNOWN format extension

@@ -629,7 +629,16 @@ def test_temperature_mixture_over_file_bases(engine, duck, seed):
             pytest.skip(f"zero-mass source under temperature mixture: {e}")
         raise
     sql, _ = chain_oracle_sql(base_sql, cols, chain)
-    err = compare(sdf, duck, sql)
+    # every temperature chain attaches a persisted rate-counts frame —
+    # free it even when compare raises, so 30 seeds against the
+    # module-scoped session don't accumulate cached blocks (round-12
+    # review; same discipline as test_random_pipe_chain_matches_oracle)
+    from csvtool_spark.functions.caching import release_stages
+
+    try:
+        err = compare(sdf, duck, sql)
+    finally:
+        release_stages(sdf)
     assert err is None, f"base `{base_text}` chain `{stage_text}`: {err}"
 
 

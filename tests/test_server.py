@@ -566,6 +566,18 @@ def test_save_flow_dispatches_on_extension(eng, tmp_path, spark):
                          save_path=str(fresh) + "/")
     assert ret["status"] & DAT_GOOD
     assert spark.read.parquet(str(fresh)).count() == 2
+    # trailing slash on a LINE-format name is a directory request only
+    # columnar sinks can satisfy -> clean Invalid path, not the raw
+    # FileNotFoundError from copying into a nonexistent 'out.csv/' dir
+    # (round-12 second review)
+    ret = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path / "slash.csv") + "/")
+    assert ret["status"] & DAT_ERROR and "Invalid path" in ret["message"]
+    # columnar + codec on the GUI save side gets the targeted message,
+    # not the line-format allowlist advice (round-12 second review)
+    ret = query_response(eng, "select top 2 plate from" + V,
+                         save_path=str(tmp_path / "y.parquet.gz"))
+    assert ret["status"] & DAT_ERROR and "internally" in ret["message"]
 
 
 def test_save_flow_bare_name_and_bad_path(eng, tmp_path):

@@ -60,30 +60,48 @@ def find_base_rev(repo: str = REPO) -> str | None:
     return None
 
 
-def bench_rev(
-    rev: str, repo: str = REPO, timeout: int = 2400
+def script_rev(
+    rev: str,
+    script_rel: str,
+    repo: str = REPO,
+    timeout: int = 2400,
+    json_prefix: str = "{",
+    extra_args_of_tmp=None,
+    what: str = "bench",
 ) -> dict:
-    """Run ``bench.py`` from a detached worktree of ``rev`` and return its
-    parsed JSON line. The worktree is always removed."""
+    """Run a repo script from a detached worktree of ``rev`` and return
+    its last stdout line starting with ``json_prefix``, parsed. The
+    worktree is always removed; ``SPARK_GRAFT_BENCH_AB=0`` is set so a
+    control run can never recurse. ``extra_args_of_tmp``: optional
+    callable tmp_dir -> [argv...] for scripts that need a throwaway
+    output path (bench_pipes). Shared by bench.py's and bench_pipes.py's
+    A/B controls (round-12 review: two hand-rolled copies had already
+    drifted on the JSON-line match)."""
     tmp = tempfile.mkdtemp(prefix="bench_ab_")
     wt = os.path.join(tmp, "wt")
     try:
         _git(repo, "worktree", "add", "--detach", wt, rev)
+        script = os.path.join(wt, script_rel)
+        if not os.path.exists(script):
+            raise RuntimeError(f"rev {rev[:9]} predates {script_rel}")
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_AB"] = "0"  # the control run never recurses
+        argv = [sys.executable, script]
+        if extra_args_of_tmp is not None:
+            argv += list(extra_args_of_tmp(tmp))
         r = subprocess.run(
-            [sys.executable, os.path.join(wt, "bench.py")],
-            capture_output=True, text=True, env=env, timeout=timeout, cwd=wt,
+            argv, capture_output=True, text=True, env=env,
+            timeout=timeout, cwd=wt,
         )
         if r.returncode != 0:
             raise RuntimeError(
-                f"bench at {rev[:9]} rc={r.returncode}: {r.stderr[-400:]}"
+                f"{what} at {rev[:9]} rc={r.returncode}: {r.stderr[-400:]}"
             )
         lines = [
-            ln for ln in r.stdout.splitlines() if ln.startswith('{"metric"')
+            ln for ln in r.stdout.splitlines() if ln.startswith(json_prefix)
         ]
         if not lines:
-            raise RuntimeError(f"bench at {rev[:9]} printed no JSON line")
+            raise RuntimeError(f"{what} at {rev[:9]} printed no JSON line")
         return json.loads(lines[-1])
     finally:
         subprocess.run(
@@ -91,6 +109,17 @@ def bench_rev(
             capture_output=True,
         )
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_rev(
+    rev: str, repo: str = REPO, timeout: int = 2400
+) -> dict:
+    """Run ``bench.py`` from a detached worktree of ``rev`` and return its
+    parsed JSON line. The worktree is always removed."""
+    return script_rev(
+        rev, "bench.py", repo=repo, timeout=timeout,
+        json_prefix='{"metric"', what="bench",
+    )
 
 
 def ab_control(

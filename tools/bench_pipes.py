@@ -49,42 +49,17 @@ ANCHORS = ["q_pipeline_curate", "q_dialect_curate"]
 
 def pipes_rev(rev: str, timeout: int = 2400) -> dict:
     """Run the BASE tree's bench_pipes from a detached worktree and
-    return its parsed entry (bench_ab.bench_rev's pattern; the control
-    writes its history to a throwaway path, never to ours)."""
-    import shutil
-    import tempfile
+    return its parsed entry (bench_ab.script_rev does the worktree /
+    recursion-guard / parse mechanics; the control writes its history
+    to a throwaway path inside the worktree tmp dir, never to ours)."""
+    from bench_ab import script_rev
 
-    from bench_ab import _git
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tmp = tempfile.mkdtemp(prefix="bench_pipes_ab_")
-    wt = os.path.join(tmp, "wt")
-    try:
-        _git(repo, "worktree", "add", "--detach", wt, rev)
-        script = os.path.join(wt, "tools", "bench_pipes.py")
-        if not os.path.exists(script):
-            raise RuntimeError(f"rev {rev[:9]} predates bench_pipes.py")
-        env = dict(os.environ)
-        env["SPARK_GRAFT_BENCH_AB"] = "0"  # the control run never recurses
-        r = subprocess.run(
-            [sys.executable, script, os.path.join(tmp, "out.json")],
-            capture_output=True, text=True, env=env, timeout=timeout, cwd=wt,
-        )
-        if r.returncode != 0:
-            raise RuntimeError(
-                f"bench_pipes at {rev[:9]} rc={r.returncode}: "
-                f"{r.stderr[-400:]}"
-            )
-        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"bench_pipes at {rev[:9]} printed no JSON")
-        return json.loads(lines[-1])
-    finally:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "remove", "--force", wt],
-            capture_output=True,
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
+    return script_rev(
+        rev, os.path.join("tools", "bench_pipes.py"), timeout=timeout,
+        json_prefix='{"rev"',
+        extra_args_of_tmp=lambda tmp: [os.path.join(tmp, "out.json")],
+        what="bench_pipes",
+    )
 
 
 def pipes_ab_control(head_entry: dict) -> dict:
