@@ -199,3 +199,49 @@ def test_num_kwarg_lane_matches_twin_lane(v):
         assert got == v and isinstance(got, int)  # exact int64 lane
     else:
         assert isinstance(got, float) and got == float(text)
+
+
+# ---------------------------------------------------------------------------
+# Sink-name arithmetic (engine.split_sink_name / numbered_sink_path) —
+# the seam where round 11 found the multi-statement -N/codec bug
+# (out.jsonl-2.gz, a name no dispatch can ever read back)
+# ---------------------------------------------------------------------------
+
+_fmt_exts = st.sampled_from(
+    ["", ".csv", ".tsv", ".txt", ".jsonl", ".ndjson", ".json",
+     ".parquet", ".orc", ".dat"]
+)
+_codec_exts = st.sampled_from(["", ".gz", ".bz2", ".deflate"])
+# stems free of '.' so splitext can't bite into them; non-empty
+_stems = st.text(
+    alphabet=st.characters(
+        min_codepoint=97, max_codepoint=122
+    ),
+    min_size=1, max_size=20,
+).map(lambda s: "/tmp/" + s)
+
+
+@given(_stems, _fmt_exts, _codec_exts, st.integers(2, 9), st.integers(0, 8))
+@settings(max_examples=300, deadline=None)
+def test_sink_name_split_and_numbering_invariants(stem, fmt, codec, n, i):
+    """For every (stem, format, codec) composition:
+    - split_sink_name is exact: stem/format/codec recovered verbatim
+      (a dotless stem can't be bitten into by splitext);
+    - numbered_sink_path inserts -N BEFORE the format extension with the
+      codec outermost (round-11 contract), keeps n==1 names untouched,
+      and its output re-splits to the same format/codec lanes — so a
+      multi-statement save always re-reads through the same dispatch."""
+    from csvtool_spark.engine import numbered_sink_path, split_sink_name
+
+    i = min(i, n - 1)
+    path = f"{stem}{fmt}{codec}"
+    s, f, c = split_sink_name(path)
+    assert (s, f.lower(), c.lower()) == (stem, fmt, codec), path
+
+    assert numbered_sink_path(path, 0, 1) == path  # single statement
+    out = numbered_sink_path(path, i, n)
+    assert out == f"{stem}-{i + 1}{fmt}{codec}", (path, out)
+    s2, f2, c2 = split_sink_name(out)
+    # the numbered name rides the SAME dispatch lanes as the original
+    assert (f2.lower(), c2.lower()) == (fmt, codec), (path, out)
+    assert s2 == f"{stem}-{i + 1}", (path, out)
