@@ -242,17 +242,35 @@ class CsvEngine:
         path is always readable back). Multi-statement -N suffixes go
         BEFORE the extension (``out-2.parquet``, mirroring
         ``save_csv``)."""
-        low = out_dir.lower()
-        for cext in _WRITE_CODECS:
-            if low.endswith(cext) and low[: -len(cext)].endswith(
-                (".parquet", ".orc")
-            ):
-                # x.orc.gz would write a directory _load can never read
-                # (the read side rejects codec suffixes on columnar names)
+        # same rejection lane as write_single_result (round-13 ADVICE:
+        # this sink's old check only caught x.parquet.gz/x.orc.gz, so
+        # save_parquet('out.csv.gz') or 'out.gz' wrote a parquet
+        # directory under a name _load strips to .csv/unknown and can
+        # never read back — the mangled-round-trip class)
+        _stem0, ext0, codec0 = split_sink_name(out_dir)
+        if codec0:
+            if ext0.lower() in (".parquet", ".orc"):
+                # x.orc.gz keeps its TARGETED message
                 raise SemanticError(
-                    f"cannot save {out_dir}: .parquet/.orc are internally "
-                    f"compressed and take no codec suffix — drop it"
+                    f"cannot save {out_dir}: .parquet/.orc are "
+                    f"internally compressed and take no codec suffix — "
+                    f"drop it"
                 )
+            raise SemanticError(
+                f"cannot save {out_dir}: columnar sinks take no codec "
+                f"suffix (.parquet/.orc are internally compressed) — "
+                f"use save_csv for codec'd line formats"
+            )
+        if ext0.lower() in (
+            ".csv", ".tsv", ".txt", ".jsonl", ".ndjson", ".json"
+        ):
+            # a parquet DIRECTORY under a line-format name re-reads
+            # through the wrong lane — reject, mirroring the read side
+            raise SemanticError(
+                f"cannot save {out_dir}: {ext0} is a line format — "
+                f"save_parquet writes .parquet/.orc directories; use "
+                f"save_csv/save_csv_dir for line formats"
+            )
         stem, ext = os.path.splitext(out_dir)
         written = []
         for i, df in enumerate(self.run(text)):

@@ -359,47 +359,56 @@ def _temperature_rates(
     counts = df.groupBy(source_col).agg(
         F.sum(token_count_col).cast("long").alias("__tok")
     ).persist()
-    # a zero/negative-token source would set n_min<=0 and collapse EVERY
-    # source's rate to the 1 ppm clamp — a silent near-empty corpus that
-    # the twin reproduces (shared-semantic-bug class); fail with names
-    # instead, matching mixture_resample's missing-source discipline
-    dead = sorted(
-        r[0] for r in counts.filter(F.col("__tok") <= 0)
-        .select(source_col).collect()
-    )
-    if dead:
-        # free the just-materialized cache before raising — this error
-        # path is routinely exercised (the fuzzers skip on it), and an
-        # orphaned persisted frame per skip would accumulate for the
-        # life of the shared session (round-12 review)
-        counts.unpersist()
-        raise ValueError(
-            f"temperature_mixture: sources with no positive token mass "
-            f"would collapse every rate to the 1 ppm clamp: {dead}"
+    # anything after the persist can raise (the zero-guard collect is a
+    # real Spark job; the rate construction is analysis) — unpersist on
+    # ANY exception, not just the zero-mass ValueError, or the cached
+    # frame leaks for the life of the shared session (round-12 review
+    # found the narrow case; round-13 ADVICE generalized it)
+    try:
+        # a zero/negative-token source would set n_min<=0 and collapse
+        # EVERY source's rate to the 1 ppm clamp — a silent near-empty
+        # corpus that the twin reproduces (shared-semantic-bug class);
+        # fail with names instead, matching mixture_resample's
+        # missing-source discipline
+        dead = sorted(
+            r[0] for r in counts.filter(F.col("__tok") <= 0)
+            .select(source_col).collect()
         )
-    mn = counts.agg(F.min("__tok").alias("__mn"))
-    ratio = F.col("__mn").cast("double") / F.col("__tok").cast("double")
-    exp = 1.0 - float(alpha)
-    if exp == 0.5:
-        powed = F.sqrt(ratio)
-    elif exp == 0.25:
-        # alpha=0.75 rides sqrt∘sqrt — BOTH ops are correctly rounded
-        # (IEEE 754), so like the alpha=0.5 lane the realized rate table
-        # is bit-identical cross-engine; pow(x, 0.25) is not (the twin
-        # mirrors the same two-sqrt composition, round 12)
-        powed = F.sqrt(F.sqrt(ratio))
-    else:
-        powed = F.pow(ratio, F.lit(exp))
-    rates = counts.crossJoin(F.broadcast(mn)).select(
-        source_col,
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.floor(F.lit(1_000_000.0) * powed).cast("long"),
-            ),
-        ).alias("keep_ppm"),
-    )
+        if dead:
+            raise ValueError(
+                f"temperature_mixture: sources with no positive token "
+                f"mass would collapse every rate to the 1 ppm clamp: "
+                f"{dead}"
+            )
+        mn = counts.agg(F.min("__tok").alias("__mn"))
+        ratio = (
+            F.col("__mn").cast("double") / F.col("__tok").cast("double")
+        )
+        exp = 1.0 - float(alpha)
+        if exp == 0.5:
+            powed = F.sqrt(ratio)
+        elif exp == 0.25:
+            # alpha=0.75 rides sqrt∘sqrt — BOTH ops are correctly
+            # rounded (IEEE 754), so like the alpha=0.5 lane the
+            # realized rate table is bit-identical cross-engine;
+            # pow(x, 0.25) is not (the twin mirrors the same two-sqrt
+            # composition, round 12)
+            powed = F.sqrt(F.sqrt(ratio))
+        else:
+            powed = F.pow(ratio, F.lit(exp))
+        rates = counts.crossJoin(F.broadcast(mn)).select(
+            source_col,
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.floor(F.lit(1_000_000.0) * powed).cast("long"),
+                ),
+            ).alias("keep_ppm"),
+        )
+    except Exception:
+        counts.unpersist()
+        raise
     return rates, counts
 
 

@@ -270,6 +270,19 @@ def test_sink_read_round_trips_close_review_findings(spark, tmp_path):
              else "select doc_id, source from")
         eng.save_csv(f"{q} '{src}' where doc_id < 9", p)
         assert eng.sql(f"select {col} from '{p}'").count() == n, name
+    # (9) round-13 advice: save_parquet's codec check matches
+    # write_single_result's — 'out.csv.gz' / 'out.gz' would write a
+    # parquet directory _load strips to .csv/unknown and can never
+    # read back; line-format names are the same class without a codec
+    for bad, pat in (
+        ("out.csv.gz", "no codec suffix"),
+        ("out.gz", "no codec suffix"),
+        ("out.csv", "line format"),
+        ("out.jsonl", "line format"),
+    ):
+        with pytest.raises(SemanticError, match=pat):
+            eng.save_parquet(f"select doc_id from '{src}'",
+                             str(tmp_path / bad))
 
 
 def test_browser_lists_every_readable_format(tmp_path):

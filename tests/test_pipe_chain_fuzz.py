@@ -85,6 +85,15 @@ def ensure_file_bases(sf_dir: str = SF) -> None:
     with open(FUZZ_TSV_ISRC, "w") as f:
         f.write("doc_id\ttext\tsrcnum\tn_chars\n")
         for d, x, s, n in rows:
+            # the [3:] slice below and the oracle's
+            # CAST(substr(source, 4) AS BIGINT) are one shared mapping
+            # ONLY for 'srcN'-shaped (or NULL) sources — a future
+            # testdata change to any other shape would produce a
+            # confusing data-dependent fuzz failure downstream; fail
+            # loudly at fixture-write time instead (round-13 ADVICE)
+            assert s is None or (
+                s.startswith("src") and s[3:].isdigit()
+            ), f"documents.source no longer 'srcN'-shaped: {s!r}"
             f.write(f"{d}\t{x or ''}\t{(s or 'src')[3:]}\t{n}\n")
 
 #: base-query variety: the chain must compose with whatever the dialect

@@ -81,7 +81,12 @@ def pipes_ab_control(head_entry: dict) -> dict:
         return {"base_rev": rev[:9], "error": str(e)[:300]}
     bq = base.get("queries") or {}
     hq = head_entry.get("queries") or {}
-    common = sorted(n for n in hq if bq.get(n))
+    # membership, not truthiness — a base median that rounds to 0.0 is
+    # still a common query (its per-query ratio is just undefined), and
+    # 'ratio' is ALWAYS present (null when the base total is 0) so
+    # consumers of the committed record never special-case a missing
+    # key (round-13 ADVICE)
+    common = sorted(n for n in hq if n in bq)
     out = {
         "base_rev": rev[:9],
         "base_total": base.get("total_sec"),
@@ -90,8 +95,10 @@ def pipes_ab_control(head_entry: dict) -> dict:
         "common_total_head": round(sum(hq[n] for n in common), 3),
         "common_total_base": round(sum(bq[n] for n in common), 3),
         "query_ratio": {
-            n: round(hq[n] / bq[n], 3) for n in common if bq[n]
+            n: round(hq[n] / bq[n], 3) if bq[n] else None
+            for n in common
         },
+        "ratio": None,
     }
     if out["common_total_base"]:
         out["ratio"] = round(

@@ -88,7 +88,13 @@ def plan_work_metrics(df: DataFrame) -> dict[str, int]:
             k = kv._1()
             if k in want:
                 acc[want[k]] += kv._2().value()
-            if k == "numOutputRows" and cls.endswith("ScanExec"):
+            # file-source scans ONLY — InMemoryTableScanExec also ends
+            # in 'ScanExec', and a lane run against a persisted input
+            # (the dedup lanes cache docs in-session) would inflate the
+            # post-pushdown file-read signal (round-13 ADVICE)
+            if k == "numOutputRows" and cls in (
+                "FileSourceScanExec", "BatchScanExec"
+            ):
                 acc["scan_output_rows"] += kv._2().value()
         if cls == "AdaptiveSparkPlanExec":
             kids = [node.executedPlan()]
