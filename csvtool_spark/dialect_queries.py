@@ -679,10 +679,10 @@ dialect(
     # signals and drop documents exceeding any paper threshold
     "select doc_id, text from documents |> gopher(text, filter=1)",
     _pipe_gopher_oracle(),
-    # driver window (r9 swap: q_minhash_recall -> shadow): the Gopher
-    # Table A1 repetition gate end to end — stage + operator + shared
-    # thresholds vs the generated DuckDB twin (q_gopher_repetition pins
-    # the unfiltered signal columns in shadow)
+    registered=False,  # shadow (r13 swap: slot given to
+    # q_orc_roundtrip — round-12 directive #2; the gopher family keeps
+    # q_gopher_repetition oracle-green in shadow and this row stays in
+    # the 156-entry local gate; was in-window r9-r12)
 )
 
 

@@ -3316,7 +3316,10 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_kmeans",
     clustering.kmeans_oracle_sql(k=8, iters=2),
-    # driver window (r6 swap: q_union -> shadow)
+    registered=False,  # shadow (r13 swap: slot given to
+    # q_mixture_temperature_a75 — round-12 directive #2; the clustering
+    # family keeps q_pca_project in-window and q_cluster_sample +
+    # this row oracle-green in the local gate; was in-window r6-r12)
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-point Lloyd clustering of the embedding
@@ -3404,9 +3407,11 @@ def q_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey % 3 = 0
     GROUP BY o_orderpriority
     """,
-    registered=False,  # shadow: standing oracle coverage for the ORC
-    # sink+source lane (engine.py:97-146 dispatch; pytest pins the
-    # mechanics, this row keeps VALUES oracle-checked every gate run)
+    # driver window (r13 swap: q_dialect_pipe_gopher -> shadow,
+    # round-12 directive #2): the columnar sink->re-read contract —
+    # the seam two consecutive review passes found issues in
+    # (engine.py write_single_result / save_parquet dispatch) — gets
+    # driver standing; was shadow r11-r12
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC format-lane round trip: a filtered orders slice is written to
@@ -3560,9 +3565,11 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 < r.keep_ppm
     """,
-    registered=False,  # shadow: the second correctly-rounded exponent
-    # lane (alpha=0.75, the LESS-aggressive upweighting real recipes
-    # also use); the window's q_mixture_temperature holds alpha=0.5
+    # driver window (r13 swap: q_kmeans -> shadow, round-12 directive
+    # #2): the round-12 flagship exactness lane — the second
+    # correctly-rounded exponent (alpha=0.75 as sqrt∘sqrt, bit-exact
+    # cross-engine); the window also holds alpha=0.5
+    # (q_mixture_temperature); was shadow in r12
 )
 def q_mixture_temperature_a75(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced source sampling at alpha=0.75: the exponent

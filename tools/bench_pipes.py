@@ -107,10 +107,18 @@ def pipes_ab_control(head_entry: dict) -> dict:
     return out
 
 
+#: shadow pipe rows that KEEP their sidecar perf history after a window
+#: rotation (the sidecar is a latency record, not the correctness
+#: window): gopher rotated to shadow in r13 but remains the costliest
+#: pipe path and the subject of its r13 work curve
+PIPE_KEEP = ["q_dialect_pipe_gopher"]
+
+
 def pipe_names(catalog) -> list[str]:
     names = list(ANCHORS)
     names += sorted(
-        n for n in catalog.QUERIES if n.startswith("q_dialect_pipe_")
+        {n for n in catalog.QUERIES if n.startswith("q_dialect_pipe_")}
+        | set(PIPE_KEEP)
     )
     return names
 
