@@ -28,6 +28,14 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # PySpark 4 wraps every DataFrame/Column API call to capture the Python
+    # call site and ship it to the JVM for error enrichment — two extra py4j
+    # round trips per API call. Measured at ~40% of the py4j chatter in
+    # query construction (profiled in round 13); pure diagnostics, so off
+    # in production sessions. Scale-independent: this is driver-side
+    # constant overhead per query BUILD, the same on a laptop or a
+    # 1000-executor cluster.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -57,13 +57,45 @@ def scoped_nanos_as_long(spark: SparkSession):
                 spark.conf.set(_NANOS_CONF, prev)
 
 
+#: Per-session parquet schema cache: (applicationId, path, mtime_ns) -> schema.
+#: ``spark.read.parquet`` re-infers the schema from file footers on EVERY
+#: call (~95 ms per table measured at sf0.1 — the dominant cost of building
+#: a multi-table query); passing the schema explicitly drops that to ~15 ms.
+#: This caches plan METADATA only — every execution still scans the parquet
+#: files for data — and the mtime key invalidates on rewrite. Keyed by
+#: applicationId so a new session never sees a stale entry. The guide's
+#: "measure first" profiling showed query *construction* (driver-side,
+#: core-count-independent) was ~34% of the bench total; this is the fix.
+_SCHEMA_CACHE: dict[tuple[str, str, int], T.StructType] = {}
+
+
+def _table_mtime_ns(path: str) -> int:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return -1
+    return st.st_mtime_ns
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path, _table_mtime_ns(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing nanos timestamps."""
     nanos_cols = _NANOS_TS_COLS.get(name, [])
     if not nanos_cols:
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     with scoped_nanos_as_long(spark):
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             # Integer division (not /1000.0): epoch-nanos exceed 2^53, double
