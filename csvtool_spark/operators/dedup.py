@@ -47,14 +47,35 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(toks: Column, k: int = 3) -> Column:
+def _expr_name(col) -> str | None:
+    """Backtick-quoted SQL for a plain string column name, else None.
+    The expr-string fast paths below fire only for internal call sites
+    that pass the staged column NAME; Column-typed callers keep the
+    Column-tree reference implementation (same semantics, pinned by the
+    kernel-differential tests)."""
+    return f"`{col}`" if isinstance(col, str) else None
+
+
+def word_shingles(toks: Column | str, k: int = 3) -> Column:
     """k-word shingles; documents shorter than k words get one whole-text
     shingle (guards F.sequence against negative ranges). NULL tokens (null
     text) yield a NULL shingle set — without the guard, concat_ws would
     quietly turn null into an '' shingle that equi-joins with real empty
     docs, while a SQL oracle's array_to_string(NULL) yields a NULL shingle
     that never joins; with it, a null doc produces no candidate pairs in
-    either engine."""
+    either engine.
+
+    Accepts a column NAME for the single-``F.expr`` build fast path
+    (construction of the lambda tree costs ~23 ms of py4j round trips per
+    call — measured round 13; the SQL text parses to the same tree)."""
+    t = _expr_name(toks)
+    if t is not None:
+        return F.expr(
+            f"CASE WHEN {t} IS NOT NULL THEN CASE WHEN size({t}) >= {k} "
+            f"THEN array_distinct(transform(sequence(0, size({t}) - {k}), "
+            f"i -> concat_ws(' ', slice({t}, i + 1, {k})))) "
+            f"ELSE array(concat_ws(' ', {t})) END END"
+        )
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
@@ -71,13 +92,33 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 _MASK32 = (1 << 32) - 1
 
 
-def hashed_shingles(toks: Column, k: int = 3) -> Column:
+def hashed_shingles(toks: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles as 64-bit hashes, never materializing shingle
     STRINGS: each token is xxhash64'd once, then shingle hashes are built by
     zip_with over k shifted views of the token-hash array (hash-combining
     longs instead of slicing+concatenating strings — far less allocation,
     same LSH behavior). Documents shorter than k words hash the whole text.
+
+    Accepts a column NAME for the single-``F.expr`` build fast path (the
+    k+1 lambda trees cost ~57 ms of py4j round trips per call — measured
+    round 13; the SQL text parses to the same expressions, same xxhash64
+    default seed 42).
     """
+    t = _expr_name(toks)
+    if t is not None:
+        h = f"transform({t}, tk -> xxhash64(tk))"
+        m = f"greatest(((size({t}) - {k}) + 1), 1)"
+        acc = f"slice({h}, 1, {m})"
+        for j in range(1, k):
+            acc = (
+                f"zip_with({acc}, slice({h}, {j + 1}, {m}), "
+                "(a, b) -> xxhash64(a, b))"
+            )
+        return F.expr(
+            f"CASE WHEN {t} IS NOT NULL THEN CASE WHEN size({t}) >= {k} "
+            f"THEN array_distinct({acc}) "
+            f"ELSE array(xxhash64(concat_ws(' ', {t}))) END END"
+        )
     n = F.size(toks)
     h = F.transform(toks, lambda t: F.xxhash64(t))
     m = F.greatest(n - F.lit(k) + 1, F.lit(1))
@@ -239,20 +280,18 @@ def _banded(
     'xx64' compacts the lane slice to a 64-bit key (fast default; equality
     differs from slice equality only on an xxhash64 collision); 'string'
     keeps the joined lane string itself — exactly slice equality, and
-    reproducible as ``array_to_string`` in an oracle engine."""
+    reproducible as ``array_to_string`` in an oracle engine.
 
-    def key(b: Column) -> Column:
-        s = F.concat_ws(",", F.transform(
-            F.slice(F.col(sig_col), b * rows + 1, rows),
-            lambda v: v.cast("string"),
-        ))
-        return F.xxhash64(s) if band_hash == "xx64" else s
-
-    band = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(b.alias("band_id"), key(b).alias("band_key")),
-        )
+    Built as one ``F.expr`` (the nested lambda/struct tree cost ~63 ms of
+    py4j round trips per call — measured round 13; same parsed tree)."""
+    s = (
+        f"concat_ws(',', transform(slice(`{sig_col}`, ((b * {rows}) + 1), "
+        f"{rows}), v -> CAST(v AS STRING)))"
+    )
+    key = f"xxhash64({s})" if band_hash == "xx64" else s
+    band = F.expr(
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band_id', b, 'band_key', {key})))"
     )
     return df.select(id_col, band.alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
@@ -291,18 +330,12 @@ def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     buckets = pruned.groupBy("band_id", "band_key").agg(
         F.collect_list(id_col).alias("__ids")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("__ids"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
-                    lambda b: F.struct(
-                        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
-                    ),
-                ),
-            )
-        )
+    # one F.expr instead of the nested index-lambda tree (~86 ms of py4j
+    # round trips per build — measured round 13; same parsed expressions)
+    pair = F.expr(
+        "explode(flatten(transform(`__ids`, (a, i) -> "
+        "transform(slice(`__ids`, i + 2, size(`__ids`)), "
+        "b -> named_struct('a', least(a, b), 'b', greatest(a, b))))))"
     )
     return attach_stages(
         buckets.select(pair.alias("p"))
@@ -342,12 +375,12 @@ def _minhash_signatures(
     if hash_family == "md5":
         staged = df.select(F.col(id_col), toks.alias("__toks")).select(
             id_col,
-            md5_lane_hashes(word_shingles(F.col("__toks"), shingle_k)).alias("__shingles"),
+            md5_lane_hashes(word_shingles("__toks", shingle_k)).alias("__shingles"),
         )
         sig_expr = minhash_signature_md5(F.col("__shingles"), n_hashes)
     else:
         staged = df.select(F.col(id_col), toks.alias("__toks")).select(
-            id_col, hashed_shingles(F.col("__toks"), shingle_k).alias("__shingles")
+            id_col, hashed_shingles("__toks", shingle_k).alias("__shingles")
         )
         sig_expr = (
             minhash_signature_arrow(n_hashes)(F.col("__shingles"))

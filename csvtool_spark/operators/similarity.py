@@ -75,9 +75,17 @@ def ann_bruteforce(
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
     denom = f"({norm_v} * CAST({qnorm!r} AS DOUBLE))"
-    cos = f"round({dot_vq} / (CASE WHEN {denom} > CAST(0.0 AS DOUBLE) THEN {denom} END), 6)"
+    # stage the two folds once: inlining them into the CASE would evaluate
+    # the norm fold twice per row (condition + value) — the interpreted
+    # higher-order-function fold is the per-row cost here
+    staged = df.select(
+        F.col(id_col),
+        F.expr(dot_vq).alias("__dv"),
+        F.expr(denom).alias("__dn"),
+    )
+    cos = "round(__dv / (CASE WHEN __dn > CAST(0.0 AS DOUBLE) THEN __dn END), 6)"
     return (
-        df.select(F.col(id_col), F.expr(cos).alias("cos"))
+        staged.select(F.col(id_col), F.expr(cos).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
