@@ -840,9 +840,17 @@ def remove_duplicate_spans(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    # one explicit __h exchange feeds BOTH consumers (the byh aggregate
+    # and the hits join): without it their exchanges differ (partial-agg
+    # map side vs join shuffle) so the corpus-sized window explode + md5
+    # pass computes twice — and at scale, where byh outgrows the
+    # broadcast threshold, it would also shuffle twice (guide §2.4;
+    # round-13 A/B on the run-removal sibling: identical rows, 4.0 s ->
+    # 2.1 s at sf0.1). No numPartitions argument, so AQE still sizes the
+    # partition count.
     occ = df.select(
         F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
-    )
+    ).repartition("__h")
     byh = (
         occ.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__own"))
@@ -879,7 +887,10 @@ def remove_repeated_spans(
     """
     occ = df.select(
         F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
-    )
+    ).repartition(id_col, "__h")
+    # ^ shared (id, __h) exchange for the firsts aggregate and the hits
+    # join — the remove_duplicate_spans rationale, on this operator's
+    # finer skew-free key
     firsts = occ.groupBy(id_col, "__h").agg(F.min("__i").alias("__fi"))
     hits = occ.join(firsts, [id_col, "__h"]).filter(F.col("__i") > F.col("__fi"))
     return _rewrite_without_covered(
@@ -1702,7 +1713,10 @@ def remove_duplicate_runs(
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     occ = df.select(
         F.col(id_col), F.posexplode(_span_hashes(text_col, k)).alias("__i", "__h")
-    )
+    ).repartition("__h")
+    # ^ shared __h exchange — the remove_duplicate_spans rationale
+    # (explode+md5 once, shuffle once; A/B: identical rows, prefix
+    # 4.0 s -> 2.1 s at sf0.1, guide §2.4)
     byh = (
         occ.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__own"))

@@ -16,6 +16,8 @@ precision, JVM-side.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -917,6 +919,75 @@ def ann_bruteforce_batch(
 # --- ANN recall evaluation ------------------------------------------------
 
 
+def _arrow_ann_scored_fn(
+    qvecs: list[list[float]], planes_l: list[list[list[float]]], n_planes: int
+):
+    """pandas_udf closure for ``ann_recall_eval``'s per-row heavy math:
+    struct(dots array<double>, nv double, rb array<long>) — the |Q|
+    query dots, the row norm, and the packed SRP bucket ids, one numpy
+    pass per batch. Bit-identical to the Column folds: every fold is
+    accumulated COLUMN-WISE (vectorized across rows, sequential across
+    dims — per row the identical IEEE mul/add sequence as the
+    ``aggregate`` left fold), sqrt is correctly rounded in both
+    runtimes, and the sign test/bit packing are exact. NaN elements
+    propagate through the folds and fail ``> 0`` exactly as in the JVM.
+    Rows that are NULL or not exactly dim elements take the Column
+    lane's null shape: NULL dots/norm (a zip_with against a
+    length-mismatched array null-pads and the fold nulls out) and
+    all-zero signatures (``when(NULL > 0, bit)`` falls to otherwise-0).
+    Self-contained imports — the ``minhash_signature_arrow`` unpickle
+    contract."""
+    dim = len(qvecs[0])
+    n_tables = len(planes_l)
+
+    def fn(s):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)  # (|Q|, dim)
+        P = np.asarray(planes_l, dtype=np.float64)  # (T, n_planes, dim)
+        zero_rb = [int(t) << n_planes for t in range(n_tables)]
+        n = len(s)
+        ok = np.zeros(n, dtype=bool)
+        rows = []
+        for i, v in enumerate(s):
+            if v is not None and len(v) == dim:
+                ok[i] = True
+                rows.append(np.asarray(v, dtype=np.float64))
+        dots_out: list = [None] * n
+        nv_out: list = [None] * n
+        rb_out: list = [zero_rb] * n
+        if rows:
+            V = np.stack(rows)  # (m, dim)
+            m = V.shape[0]
+            dots = np.zeros((m, len(qvecs)))
+            nv = np.zeros(m)
+            for j in range(dim):  # sequential across dims = fold order
+                c = V[:, j]
+                dots += c[:, None] * Q[None, :, j]
+                nv += c * c
+            nv = np.sqrt(nv)
+            sig = np.zeros((m, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    acc = np.zeros(m)
+                    for j in range(dim):
+                        acc += V[:, j] * P[t, p, j]
+                    sig[:, t] |= (acc > 0).astype(np.int64) << p
+                sig[:, t] |= t << n_planes
+            idx = np.flatnonzero(ok)
+            for r, i in enumerate(idx):
+                dots_out[int(i)] = [float(x) for x in dots[r]]
+                nv_out[int(i)] = float(nv[r])
+                rb_out[int(i)] = [int(x) for x in sig[r]]
+        return pd.DataFrame(
+            {"dots": dots_out, "nv": nv_out, "rb": rb_out},
+            index=s.index,
+        )
+
+    return fn
+
+
 def ann_recall_eval(
     df: DataFrame,
     vec_col: str,
@@ -927,6 +998,7 @@ def ann_recall_eval(
     n_tables: int = 6,
     multiprobe: int = 1,
     seed: int = 42,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """recall@k of the SRP-LSH probe against exact brute force, per query
     — the eval harness an ANN deployment owes its tuning loop (how much
@@ -949,59 +1021,122 @@ def ann_recall_eval(
     (``srp_signature``/``srp_signature_py`` — bit-identical to the
     oracle's ``list_reduce``), cosine the shared ``_cos_sql`` shape, and
     ``recall`` is one exact double division by the integer literal k.
-    """
+
+    Two scored lanes, bit-identical and differential-tested:
+    ``kernel='arrow'`` (default) computes the |Q| dots, the row norm and
+    the SRP buckets in one numpy batch kernel (column-wise accumulation
+    preserves the fold order — see ``_arrow_ann_scored_fn``) and leaves
+    the division + round(…, 6) on the JVM so the rounding engine never
+    changes; ``kernel='column'`` is the pure Column-tree twin the DuckDB
+    oracle mirrors. The Column lane's ~(n_tables·n_planes + 3·|Q|)
+    interpreted HOF folds per row were the dominant cost (~1 ms/row
+    measured round 13); the query-side norm is folded on the driver with
+    the same sequential order either way (the ``ann_bruteforce``
+    precedent — it is a constant, so the JVM must not re-derive it per
+    row)."""
     from pyspark.sql import Window
 
     if not queries:
         raise ValueError("ann_recall_eval: queries must be non-empty")
     dim = len(next(iter(queries.values())))
     planes = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    if kernel not in ("arrow", "column"):
+        raise ValueError(f"ann_recall_eval: unknown kernel {kernel!r}")
 
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(int(qid)).cast("long").alias("qid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
-                F.array(
-                    *[
-                        F.lit(int(b)).cast("long")
-                        for b in _query_buckets(
-                            vec, n_planes, n_tables, multiprobe, seed
-                        )
-                    ]
-                ).alias("probes"),
-            )
-            for qid, vec in sorted(queries.items())
-        ]
-    )
-    v = _vec_d(F.col(vec_col))
-    row_buckets = F.array(
-        *[
-            F.lit(t << n_planes).cast("long").bitwiseOR(
-                srp_signature(F.col(vec_col), planes[t])
-            )
-            for t in range(n_tables)
-        ]
-    )
     # persisted: the exact and the LSH branch both read this scan (their
     # pre-window filters differ, so Spark cannot reuse the exchange) —
     # without the persist the corpus scan + |corpus|·|Q| cosine matrix
     # (the dominant cost) would compute twice. Attached to the result
     # (functions.caching) so long-lived sessions can release_stages()
     # after consuming the bounded |Q|-row output (the bm25 pattern).
-    scored = (
-        df.select(
-            F.col(id_col), v.alias("__v"), row_buckets.alias("__rb"),
-            F.explode(qarr).alias("q"),
+    if kernel == "arrow":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        items = sorted(queries.items())
+        qmeta = F.array(
+            *[
+                F.struct(
+                    F.lit(int(qid)).cast("long").alias("qid"),
+                    F.lit(i + 1).cast("int").alias("ix"),
+                    F.lit(math.sqrt(_seq_dot(vec, vec))).alias("qn"),
+                    F.array(
+                        *[
+                            F.lit(int(b)).cast("long")
+                            for b in _query_buckets(
+                                vec, n_planes, n_tables, multiprobe, seed
+                            )
+                        ]
+                    ).alias("probes"),
+                )
+                for i, (qid, vec) in enumerate(items)
+            ]
         )
-        .filter(F.col(id_col) != F.col("q.qid"))  # self never counts
-        .select(
-            F.col("q.qid").alias("qid"),
-            F.col(id_col),
-            cosine(F.col("__v"), F.col("q.qv")).alias("cos"),
-            F.arrays_overlap(F.col("__rb"), F.col("q.probes")).alias("__cand"),
+        udf = pandas_udf(
+            _arrow_ann_scored_fn(
+                [[float(x) for x in v] for _, v in items],
+                [[[float(x) for x in row] for row in p] for p in planes],
+                n_planes,
+            ),
+            "struct<dots:array<double>,nv:double,rb:array<long>>",
         )
-    ).persist()
+        den = F.col("__s.nv") * F.col("q.qn")
+        scored = (
+            df.select(F.col(id_col), udf(F.col(vec_col)).alias("__s"))
+            .select(F.col(id_col), "__s", F.explode(qmeta).alias("q"))
+            .filter(F.col(id_col) != F.col("q.qid"))  # self never counts
+            .select(
+                F.col("q.qid").alias("qid"),
+                F.col(id_col),
+                F.round(
+                    F.element_at(F.col("__s.dots"), F.col("q.ix"))
+                    / F.when(den > 0, den),
+                    6,
+                ).alias("cos"),
+                F.arrays_overlap(
+                    F.col("__s.rb"), F.col("q.probes")
+                ).alias("__cand"),
+            )
+        ).persist()
+    else:
+        qarr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(qid)).cast("long").alias("qid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+                    F.array(
+                        *[
+                            F.lit(int(b)).cast("long")
+                            for b in _query_buckets(
+                                vec, n_planes, n_tables, multiprobe, seed
+                            )
+                        ]
+                    ).alias("probes"),
+                )
+                for qid, vec in sorted(queries.items())
+            ]
+        )
+        v = _vec_d(F.col(vec_col))
+        row_buckets = F.array(
+            *[
+                F.lit(t << n_planes).cast("long").bitwiseOR(
+                    srp_signature(F.col(vec_col), planes[t])
+                )
+                for t in range(n_tables)
+            ]
+        )
+        scored = (
+            df.select(
+                F.col(id_col), v.alias("__v"), row_buckets.alias("__rb"),
+                F.explode(qarr).alias("q"),
+            )
+            .filter(F.col(id_col) != F.col("q.qid"))  # self never counts
+            .select(
+                F.col("q.qid").alias("qid"),
+                F.col(id_col),
+                cosine(F.col("__v"), F.col("q.qv")).alias("cos"),
+                F.arrays_overlap(F.col("__rb"), F.col("q.probes")).alias("__cand"),
+            )
+        ).persist()
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
     exact = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1962,6 +2097,7 @@ def ann_ivf_pq(
     centroids: list[tuple[int, list[float]]] | None = None,
     codebook: PQCodebook | None = None,
     exclude_id: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF × PQ probe, inline form (cell assignment + PQ codes computed in
     the scan — the plan the materialized twin ``ann_ivf_pq_indexed``
@@ -1980,7 +2116,14 @@ def ann_ivf_pq(
     The cell fold is evaluated once per row behind an explode barrier
     (the ``ann_ivf`` pattern — a .filter on the alias would re-inline the
     n_cells-cosine HOF into the pushed predicate), and only rows in the
-    probed cells pay the PQ encode."""
+    probed cells pay the PQ encode. The encode goes through
+    ``pq_encode`` — ``kernel='arrow'`` (default) for the batch numpy
+    lane, ``'column'`` for the pure Column-tree twin; the m·n_cents
+    distance folds of the Column lane run on Spark's interpreted HOF
+    path (~2.3 ms/row measured round 13 — the dominant cost of this
+    probe), and the two lanes are bit-identical by ``pq_encode``'s own
+    differential contract (this is exactly the composition
+    ``ivf_pq_index_write`` already uses)."""
     cents = centroids if centroids is not None else ivf_centroids(df, vec_col, id_col, n_cells)
     cb = codebook or pq_train(df, vec_col, id_col, m, n_cents)
     probe = _probe_cells(cents, query, nprobe)
@@ -1994,10 +2137,8 @@ def ann_ivf_pq(
     )
     if exclude_id is not None:
         assigned = assigned.filter(F.col(id_col) != int(exclude_id))
-    enc = assigned.select(
-        F.col(id_col),
-        F.col("cell"),
-        _packed_codes(cb, vec_col)["pq"].alias("pq_codes"),
+    enc = pq_encode(
+        assigned, vec_col, id_col, cb, kernel=kernel, extras=("cell",)
     )
     return (
         enc.select(

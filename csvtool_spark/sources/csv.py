@@ -258,6 +258,14 @@ def infer_types(sample_rows: list[list[str | None]], width: int) -> list[int]:
     types = [T_NULL] * width
     for row in sample_rows:
         for i in range(min(width, len(row))):
+            if types[i] == T_STRING:
+                # lattice max — widen(T_STRING, x) is T_STRING for every x,
+                # so the per-cell parse ladder (whose date rung costs ~26
+                # strptime exception attempts on long text cells) is pure
+                # waste once a column has pinned to STRING. Behavior
+                # identical; sample inference on the sf0.1 documents TSV
+                # drops 4.5 s -> ~0.2 s (round 13).
+                continue
             v = row[i]
             types[i] = widen(types[i], narrowest_type(v if v is not None else ""))
     return types

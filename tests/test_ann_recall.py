@@ -50,3 +50,62 @@ def test_recall_release_contract(spark):
     out.collect()
     assert release_stages(out) == 1  # the persisted scored stage
     assert release_stages(out) == 0  # idempotent
+
+
+def test_recall_kernel_differential(spark):
+    # round-13 optimization: the arrow scored lane (numpy column-wise
+    # fold accumulation + JVM round) must match the Column-tree twin
+    # bit-for-bit — k large enough that every (query, row) pair's cosine
+    # ordering is exercised, so a single differing double flips the hits
+    e = _emb(spark)
+    qs = _queries(e)
+    for k in (5, 10_000):
+        a = sorted(
+            map(tuple, ann_recall_eval(
+                e, "embedding", "vec_id", qs, k=k, kernel="arrow"
+            ).collect())
+        )
+        c = sorted(
+            map(tuple, ann_recall_eval(
+                e, "embedding", "vec_id", qs, k=k, kernel="column"
+            ).collect())
+        )
+        assert a == c
+
+
+def test_recall_kernel_null_and_ragged_rows(spark):
+    # the arrow lane's invalid-row shape must equal the Column lane's:
+    # NULL vector / wrong-dim vector -> NULL cosine, all-zero signatures
+    from pyspark.sql import Row
+
+    e = _emb(spark)
+    dim = len(e.first()["embedding"])
+    qs = _queries(e, 2)
+    extra = spark.createDataFrame(
+        [
+            Row(vec_id=900001, embedding=None),
+            Row(vec_id=900002, embedding=[1.0] * (dim - 1)),
+        ],
+        schema=e.select("vec_id", "embedding").schema,
+    )
+    df = e.select("vec_id", "embedding").unionByName(extra)
+    a = sorted(map(tuple, ann_recall_eval(
+        df, "embedding", "vec_id", qs, k=7, kernel="arrow").collect()))
+    c = sorted(map(tuple, ann_recall_eval(
+        df, "embedding", "vec_id", qs, k=7, kernel="column").collect()))
+    assert a == c
+
+
+def test_ivf_pq_kernel_differential(spark):
+    # ann_ivf_pq now routes the encode through pq_encode's arrow kernel
+    # by default; the full probe output must equal the Column-lane twin
+    from csvtool_spark.operators.similarity import ann_ivf_pq
+
+    e = _emb(spark)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    kw = dict(k=10, n_cells=8, nprobe=3, m=8, n_cents=8, exclude_id=0)
+    a = [tuple(r) for r in ann_ivf_pq(
+        e, "embedding", "vec_id", qvec, kernel="arrow", **kw).collect()]
+    c = [tuple(r) for r in ann_ivf_pq(
+        e, "embedding", "vec_id", qvec, kernel="column", **kw).collect()]
+    assert a == c
