@@ -67,20 +67,36 @@ def word_shingles(toks: Column | str, k: int = 3) -> Column:
 
     Accepts a column NAME for the single-``F.expr`` build fast path
     (construction of the lambda tree costs ~23 ms of py4j round trips per
-    call — measured round 13; the SQL text parses to the same tree)."""
+    call — measured round 13; the SQL text parses to the same tree).
+
+    Shingle strings are built by zip_with-chaining k shifted slices
+    (``a || ' ' || b`` per step) instead of ``concat_ws(slice(...))``
+    from a position sequence: identical strings (split tokens are never
+    NULL, so concat == concat_ws), but the per-window slice allocation
+    in the interpreted HOF path goes away — 1.70 s → 0.42 s over sf0.1
+    documents (round-13 A/B, outputs equal)."""
     t = _expr_name(toks)
     if t is not None:
+        m = f"((size({t}) - {k}) + 1)"
+        acc = f"slice({t}, 1, {m})"
+        for j in range(1, k):
+            acc = (
+                f"zip_with({acc}, slice({t}, {j + 1}, {m}), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
         return F.expr(
             f"CASE WHEN {t} IS NOT NULL THEN CASE WHEN size({t}) >= {k} "
-            f"THEN array_distinct(transform(sequence(0, size({t}) - {k}), "
-            f"i -> concat_ws(' ', slice({t}, i + 1, {k})))) "
+            f"THEN array_distinct({acc}) "
             f"ELSE array(concat_ws(' ', {t})) END END"
         )
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    m = n - F.lit(k) + F.lit(1)
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
         toks.isNotNull(),
         F.when(n >= k, F.array_distinct(sh)).otherwise(
@@ -699,15 +715,24 @@ def _span_hashes(text_col: str, k: int) -> Column:
     """md5 hash per positional k-token window — the shared span identity
     for duplicate_span_stats and source_overlap_matrix (one definition so
     the two operators can never silently diverge). NULL for null/short
-    texts (callers explode, so those docs simply produce no spans)."""
+    texts (callers explode, so those docs simply produce no spans).
+
+    Window strings are zip_with-chained from k shifted slices (identical
+    strings to ``concat_ws(slice(...))`` — split tokens are never NULL —
+    at ~4× less interpreted-HOF cost; the ``word_shingles`` round-13
+    A/B)."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    m = n - F.lit(k) + F.lit(1)
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
         F.col(text_col).isNotNull() & (n >= k),
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
+        F.transform(sh, F.md5),
     )
 
 
@@ -1070,6 +1095,12 @@ def _rewrite_without_covered(
     return df.join(cov, id_col, "left").select(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        # uncovered document (no hits — the common case): the rewrite is
+        # the identity, and split-then-array_join with the same literal
+        # separator reproduces the text byte-for-byte, so skip the
+        # per-token element_at rebuild entirely (interpreted-HOF
+        # element_at is the dominant per-row cost — round 13)
+        .when(F.size(covc) == 0, F.col(text_col))
         .otherwise(F.array_join(kept, sep))
         .alias("text_dedup"),
         F.when(F.col(text_col).isNull(), F.lit(0))

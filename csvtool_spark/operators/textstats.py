@@ -332,10 +332,20 @@ def _rep_fold(arr: Column) -> Column:
 
 def _gopher_arrow(text_col: Column) -> Column:
     """Arrow kernel for ``gopher_repetition``: one batch-transferred
-    pandas_udf computing every signal per document with a hash Counter —
-    O(tokens) per family instead of the Column fold's O(tokens·log
-    tokens) interpreted-HOF evaluation. Self-contained closure (worker
-    processes import nothing from this module)."""
+    pandas_udf computing every signal per document. Since round 13 the
+    per-batch math is vectorized numpy instead of per-document Python
+    Counters (guide §4.2 — hand whole batches to native code): parts and
+    tokens are pandas-``factorize``d to int codes once per batch, n-gram
+    identities build iteratively by pairing the (n-1)-gram id with the
+    next token code (one ``np.unique`` per n — injective, so counts
+    equal the string-Counter's exactly), window char lengths come from a
+    token-length prefix sum (``len(' '.join(w)) == Σlen + n-1``), and
+    the per-document max/sum reduce with ``np.maximum/add.reduceat``.
+    All counts and lengths are int64 — bit-identical values to the
+    Counter form (differential-pinned); only the final divisions are
+    float, with the same operand values and order. ~2× per-batch over
+    the Counter kernel (sf0.1: 1.57 s → 0.8 s). Self-contained closure
+    (worker processes import nothing from this module)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -346,52 +356,125 @@ def _gopher_arrow(text_col: Column) -> Column:
 
     @pandas_udf(ddl)
     def kernel(s):
-        from collections import Counter
+        import numpy as np
 
-        out = []
-        for t in s:
+        def seg_stats(parts_all, doc_of, nd):
+            """Per-(doc, distinct part): counts + a first-occurrence
+            index, for dup-part and dup-char stats. Returns arrays
+            (doc id per unique, count, first flat index)."""
+            codes, _ = pd.factorize(np.asarray(parts_all, dtype=object))
+            ncodes = np.int64(codes.max()) + 1 if len(codes) else np.int64(1)
+            dk = doc_of * ncodes + codes
+            u, first, cnt = np.unique(dk, return_index=True, return_counts=True)
+            return (u // ncodes).astype(np.int64), cnt, first
+
+        n_rows = len(s)
+        rows: list = [None] * n_rows
+        valid, texts = [], []
+        for i, t in enumerate(s):
             if t is None:
-                out.append({c: None for c in names})
-                continue
-            m: dict = {}
+                rows[i] = {c: None for c in names}
+            else:
+                valid.append(i)
+                texts.append(t)
+        if texts:
+            nd = len(texts)
+            res: list[dict] = [dict() for _ in range(nd)]
+            # --- line / paragraph duplication ---
             for unit, sep in (("line", "\n"), ("para", "\n\n")):
-                parts = t.split(sep)
-                cu = Counter(parts)
-                m[f"dup_{unit}_frac"] = (
-                    sum(c - 1 for c in cu.values()) / len(parts)
+                parts_l = [t.split(sep) for t in texts]
+                np_arr = np.asarray([len(p) for p in parts_l], dtype=np.int64)
+                flat = [x for p in parts_l for x in p]
+                doc_of = np.repeat(np.arange(nd, dtype=np.int64), np_arr)
+                plens = np.fromiter(map(len, flat), np.int64, len(flat))
+                dids, cnt, first = seg_stats(flat, doc_of, nd)
+                # distinct count per doc
+                bnd = np.flatnonzero(np.r_[True, np.diff(dids) > 0])
+                ndis = np.add.reduceat(np.ones_like(cnt), bnd)
+                dupx = np.add.reduceat(
+                    np.where(cnt >= 2, (cnt - 1) * plens[first], 0), bnd
                 )
-                allch = sum(len(x) for x in parts)
-                m[f"dup_{unit}_char_frac"] = (
-                    sum((c - 1) * len(x) for x, c in cu.items() if c >= 2)
-                    / allch
-                    if allch > 0
-                    else None
-                )
-            toks = t.lower().split(" ")
-            chars = len(t)
-            for n in (*top_ns, *dup_ns):
+                docs_with = dids[bnd]
+                ndis_d = np.zeros(nd, dtype=np.int64)
+                dupx_d = np.zeros(nd, dtype=np.int64)
+                ndis_d[docs_with] = ndis
+                dupx_d[docs_with] = dupx
+                allch = np.zeros(nd, dtype=np.int64)
+                np.add.at(allch, doc_of, plens)
+                for d in range(nd):
+                    npd = int(np_arr[d])
+                    res[d][f"dup_{unit}_frac"] = (npd - int(ndis_d[d])) / npd
+                    ac = int(allch[d])
+                    res[d][f"dup_{unit}_char_frac"] = (
+                        int(dupx_d[d]) / ac if ac > 0 else None
+                    )
+            # --- n-gram coverage ---
+            toks_l = [t.lower().split(" ") for t in texts]
+            chars_d = [len(t) for t in texts]
+            nt_np = np.asarray([len(x) for x in toks_l], dtype=np.int64)
+            flat = [x for p in toks_l for x in p]
+            W = len(flat)
+            codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+            codes = codes.astype(np.int64)
+            ncodes = np.int64(codes.max()) + 1 if W else np.int64(1)
+            starts = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(nt_np, out=starts[1:])
+            doc_of = np.repeat(np.arange(nd, dtype=np.int64), nt_np)
+            tok_lens = np.fromiter(map(len, flat), np.int64, W)
+            prefix = np.zeros(W + 1, dtype=np.int64)
+            np.cumsum(tok_lens, out=prefix[1:])
+            pos_in_doc = np.arange(W, dtype=np.int64) - starts[doc_of]
+            prev = codes
+            nprev = ncodes
+            for n in range(2, max(*top_ns, *dup_ns) + 1):
+                wanted = n in top_ns or n in dup_ns
                 key = (
                     f"top_{n}gram_char_frac"
                     if n in top_ns
                     else f"dup_{n}gram_char_frac"
                 )
-                if chars == 0 or len(toks) < n:
-                    m[key] = None
+                L = W - n + 1
+                if L <= 0:
+                    if wanted:
+                        for d in range(nd):
+                            res[d][key] = None
+                    prev = prev[:0]
                     continue
-                cg = Counter(
-                    " ".join(toks[p : p + n])
-                    for p in range(len(toks) - n + 1)
-                )
-                if n in top_ns:
-                    m[key] = max(c * len(g) for g, c in cg.items()) / chars
-                else:
-                    m[key] = min(
-                        1.0,
-                        sum(c * len(g) for g, c in cg.items() if c >= 2)
-                        / chars,
+                keys = prev[:L] * ncodes + codes[n - 1:]
+                u, inv = np.unique(keys, return_inverse=True)
+                prev = inv.astype(np.int64)
+                nprev = np.int64(len(u))
+                if not wanted:
+                    continue
+                mask = pos_in_doc[:L] + n <= nt_np[doc_of[:L]]
+                p = np.flatnonzero(mask)
+                vals: dict[int, int] = {}
+                if len(p):
+                    dk = doc_of[p] * nprev + prev[p]
+                    u2, first, cnt = np.unique(
+                        dk, return_index=True, return_counts=True
                     )
-            out.append(m)
-        return pd.DataFrame(out, columns=list(names))
+                    p0 = p[first]
+                    lens = prefix[p0 + n] - prefix[p0] + (n - 1)
+                    v = cnt * lens
+                    dids = (u2 // nprev).astype(np.int64)
+                    bnd = np.flatnonzero(np.r_[True, np.diff(dids) > 0])
+                    if n in top_ns:
+                        agg = np.maximum.reduceat(v, bnd)
+                    else:
+                        agg = np.add.reduceat(np.where(cnt >= 2, v, 0), bnd)
+                    vals = {int(d): int(x) for d, x in zip(dids[bnd], agg)}
+                for d in range(nd):
+                    chars = chars_d[d]
+                    if chars == 0 or int(nt_np[d]) < n:
+                        res[d][key] = None
+                    elif n in top_ns:
+                        res[d][key] = vals.get(d, 0) / chars
+                    else:
+                        res[d][key] = min(1.0, vals.get(d, 0) / chars)
+            for i, r in zip(valid, res):
+                rows[i] = r
+        return pd.DataFrame(rows, columns=list(names))
 
     return kernel(text_col)
 
