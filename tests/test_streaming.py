@@ -606,9 +606,10 @@ def test_decontaminated_stream_catches_all_and_matches_batch(spark, tmp_path):
 
 def test_decontaminated_stream_single_shingle_fold_plan(spark):
     """The shingle fold (tokenize + k-gram concat) must be evaluated once
-    per row: `sequence` (only inside word_shingles) appears exactly once
-    in the batch-equivalent plan — a filter + separate n_shingles column
-    used to run it twice."""
+    per row: word_shingles' zip_with chain (k-1 = 4 steps at the default
+    k=5; round 13 replaced the position-`sequence` build) appears exactly
+    once in the batch-equivalent plan — a filter + separate n_shingles
+    column used to run it twice (8 zip_withs)."""
     from csvtool_spark.streaming.documents import (
         bench_shingle_bloom,
         decontaminated_stream,
@@ -627,7 +628,7 @@ def test_decontaminated_stream_single_shingle_fold_plan(spark):
         decontaminated_stream(d, bloom)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("sequence(") == 1, plan
+    assert plan.count("zip_with(") == 4, plan
 
 
 def test_piped_stream_batch_equality(spark):
