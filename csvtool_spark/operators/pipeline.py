@@ -47,14 +47,26 @@ def curate(
         (F.col("quality") >= min_quality) & F.col("lang_guess").isin(*languages)
     )
 
-    # exact dedup: min-id survivor per hash
-    survivors = (
-        kept.select(F.col(id_col), F.md5(dedup.normalized(F.col(text_col))).alias("__h"))
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    # exact dedup: min-id survivor per hash. The annotated/filtered frame
+    # feeds BOTH the survivor aggregate and the surviving-row side, so
+    # without a shared exchange the whole annotate pass — including the
+    # lang_id Arrow kernel, i.e. a second Python boundary crossing of the
+    # corpus — computes twice. repartition("__h") (keyed, no partition
+    # count — AQE sizes it) makes the aggregate and the join reuse one
+    # shuffle; joining on __h and keeping rows whose id IS the group min
+    # is row-identical to the old min-id-list semi-join (ids are unique).
+    # Trade documented for 100 TB: one corpus-row shuffle by the dedup
+    # key replaces a second full scan + quality fold + Python kernel
+    # pass (guide §2.4/§4; round-13 A/B: identical rows, 1.10 → 0.72 s).
+    kept = kept.withColumn(
+        "__h", F.md5(dedup.normalized(F.col(text_col)))
+    ).repartition("__h")
+    survivors = kept.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    kept = (
+        kept.join(survivors, "__h")
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__h", "__min_id")
     )
-    kept = kept.join(survivors, id_col)
 
     if near_dup_threshold is not None:
         pairs = dedup.near_dup_pairs_minhash(
