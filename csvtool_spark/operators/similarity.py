@@ -375,32 +375,108 @@ def _probe_cells(
     return [cell for cell, _ in ranked[:nprobe]]
 
 
-def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Cell assignment as a pure column expression: argmax of round(cos,6)
-    over the centroid literals, ties to the lowest cell id (struct-max over
-    (cos, -cell) — no UDF, stays in codegen).
+def _arrow_cell_dots_fn(cents_vecs: list[list[float]]):
+    """pandas_udf closure for ``ivf_cell``'s arrow lane:
+    struct<ds:array<double>, nv:double> — the n_cells centroid dots and
+    the row norm, column-wise accumulation (identical IEEE fold order to
+    the Column ``aggregate`` — the ``_arrow_ann_scored_fn`` contract).
+    NULL / wrong-dim rows null out (the Column lane's zip_with null-pad
+    shape). Self-contained imports for vanilla-driver unpickling."""
+    dim = len(cents_vecs[0])
 
-    The row's norm fold runs ONCE: a one-element transform let-binds
-    (vector, norm) — a naive per-centroid ``cosine(v, c)`` re-evaluates
-    norm(v) n_cells times once Catalyst inlines the projection. Centroid
-    norms are Python-computed constants with the same sequential fold
-    order as the SQL oracle's ``sqrt(list_reduce(...))`` — bit-identical,
-    and the denominator keeps the oracle's (row_norm × centroid_norm)
-    multiplication order."""
+    def fn(s):
+        import numpy as np
+        import pandas as pd
 
-    def decide(b: Column) -> Column:
+        C = np.asarray(cents_vecs, dtype=np.float64)  # (n_cells, dim)
+        n = len(s)
+        ok = np.zeros(n, dtype=bool)
+        rows = []
+        for i, v in enumerate(s):
+            if v is not None and len(v) == dim:
+                ok[i] = True
+                rows.append(np.asarray(v, dtype=np.float64))
+        ds_out: list = [None] * n
+        nv_out: list = [None] * n
+        if rows:
+            V = np.stack(rows)
+            m = V.shape[0]
+            dots = np.zeros((m, C.shape[0]))
+            nv = np.zeros(m)
+            for j in range(dim):  # sequential across dims = fold order
+                c = V[:, j]
+                dots += c[:, None] * C[None, :, j]
+                nv += c * c
+            nv = np.sqrt(nv)
+            for r, i in enumerate(np.flatnonzero(ok)):
+                ds_out[int(i)] = [float(x) for x in dots[r]]
+                nv_out[int(i)] = float(nv[r])
+        return pd.DataFrame({"ds": ds_out, "nv": nv_out}, index=s.index)
+
+    return fn
+
+
+def ivf_cell(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Cell assignment: argmax of round(cos,6) over the centroid
+    literals, ties to the lowest cell id (struct-max over (cos, -cell)).
+
+    Two lanes, bit-identical: a Column NAME selects the arrow lane —
+    the n_cells dot folds and the row norm run as one numpy batch
+    kernel with fold-order-preserving column-wise accumulation
+    (``_arrow_cell_dots_fn``), while the division, round(…, 6) and the
+    argmax stay JVM Column expressions so the rounding engine never
+    changes (the ``ann_recall_eval`` pattern — the interpreted
+    n_cells·dim HOF folds were the probe-side cost, round 13). A
+    Column-typed ``vec`` keeps the pure column-expression reference
+    lane: the row's norm fold runs ONCE via a one-element transform
+    let-bind — a naive per-centroid ``cosine(v, c)`` re-evaluates
+    norm(v) n_cells times once Catalyst inlines the projection.
+    Centroid norms are Python-computed constants with the same
+    sequential fold order as the SQL oracle's ``sqrt(list_reduce(...))``
+    — bit-identical, and the denominator keeps the oracle's
+    (row_norm × centroid_norm) multiplication order in BOTH lanes."""
+
+    def entries_of(getcos) -> Column:
         entries = []
         for cell, cvec in centroids:
-            c = F.array(*[F.lit(float(x)) for x in cvec])
             cn = 0.0
             for x in cvec:
                 cn += float(x) * float(x)
-            den = b["nv"] * F.lit(cn ** 0.5)
-            cos = F.round(dot(b["v"], c) / F.when(den > 0, den), 6)
             entries.append(
-                F.struct(cos.alias("c"), F.lit(-cell).cast("long").alias("n"))
+                F.struct(
+                    getcos(cell, cvec, cn ** 0.5).alias("c"),
+                    F.lit(-cell).cast("long").alias("n"),
+                )
             )
         return (-F.array_max(F.array(*entries))["n"]).cast("long")
+
+    if isinstance(vec, str):
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        udf = pandas_udf(
+            _arrow_cell_dots_fn([list(map(float, cv)) for _, cv in centroids]),
+            "struct<ds:array<double>,nv:double>",
+        )
+        b = udf(F.col(vec))
+
+        def getcos(cell, cvec, cnorm):
+            den = b["nv"] * F.lit(cnorm)
+            i = next(j for j, (c, _) in enumerate(centroids) if c == cell)
+            return F.round(
+                F.element_at(b["ds"], i + 1) / F.when(den > 0, den), 6
+            )
+
+        return entries_of(getcos)
+
+    def decide(bound: Column) -> Column:
+        def getcos(cell, cvec, cnorm):
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            den = bound["nv"] * F.lit(cnorm)
+            return F.round(dot(bound["v"], c) / F.when(den > 0, den), 6)
+
+        return entries_of(getcos)
 
     v = _vec_d(vec)
     bound = F.array(F.struct(v.alias("v"), norm(v).alias("nv")))
@@ -431,7 +507,7 @@ def ann_ivf(
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _vec_d(F.col(vec_col))
     kept = F.filter(
-        F.array(ivf_cell(F.col(vec_col), cents)),
+        F.array(ivf_cell(vec_col, cents)),
         lambda c: c.isin(*[int(p) for p in probe]),
     )
     return (
@@ -2167,7 +2243,7 @@ def ann_ivf_pq(
     probe = _probe_cells(cents, query, nprobe)
     table = _adc_table(cb, query)
     kept = F.filter(
-        F.array(ivf_cell(F.col(vec_col), cents)),
+        F.array(ivf_cell(vec_col, cents)),
         lambda c: c.isin(*[int(p) for p in probe]),
     )
     assigned = df.select(

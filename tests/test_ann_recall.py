@@ -109,3 +109,30 @@ def test_ivf_pq_kernel_differential(spark):
     c = [tuple(r) for r in ann_ivf_pq(
         e, "embedding", "vec_id", qvec, kernel="column", **kw).collect()]
     assert a == c
+
+
+def test_ivf_cell_kernel_differential(spark):
+    # ivf_cell's arrow dots lane (name-typed input) vs the pure Column
+    # reference lane — identical assignments including NULL / wrong-dim
+    # rows (both lanes null every cosine there, so the argmax tie rule
+    # lands cell 0)
+    from pyspark.sql import Row
+
+    from csvtool_spark.operators.similarity import ivf_cell, ivf_centroids
+
+    e = _emb(spark)
+    cents = ivf_centroids(e, "embedding", "vec_id", 8)
+    dim = len(e.first()["embedding"])
+    extra = spark.createDataFrame(
+        [
+            Row(vec_id=900001, embedding=None),
+            Row(vec_id=900002, embedding=[1.0] * (dim - 1)),
+        ],
+        schema=e.select("vec_id", "embedding").schema,
+    )
+    df = e.select("vec_id", "embedding").unionByName(extra)
+    a = sorted(map(tuple, df.select(
+        "vec_id", ivf_cell("embedding", cents).alias("cell")).collect()))
+    c = sorted(map(tuple, df.select(
+        "vec_id", ivf_cell(F.col("embedding"), cents).alias("cell")).collect()))
+    assert a == c
