@@ -364,7 +364,11 @@ def _stage_langid(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
                 f"stage 'langid': keep= must be one of "
                 f"{', '.join(sorted(allowed))}; got '{keep.val}'"
             )
-        out = out.filter(F.col(name) == F.lit(want))
+        # gate ABOVE the langid projection (planshape): pushed below, the
+        # packed-marker aggregate fold would run twice per row
+        from csvtool_spark.operators.planshape import filter_computed
+
+        out = filter_computed(out, F.col(name) == F.lit(want))
     return out
 
 
@@ -380,7 +384,13 @@ def _stage_quality(df: DataFrame, st: ast.Stage, ctx=None) -> DataFrame:
     out = df.withColumn(name, quality_score(F.col(text)))
     lo = _float_kwarg(st, "min", None)
     if lo is not None:
-        out = out.filter(F.col(name) >= F.lit(lo))
+        # gate ABOVE the scoring projection: a plain filter is pushed
+        # below it and re-evaluates the whole quality tree (three split
+        # passes per row) in the Filter as well as the Project
+        # (round-14 plan evidence on q_dialect_curate)
+        from csvtool_spark.operators.planshape import filter_computed
+
+        out = filter_computed(out, F.col(name) >= F.lit(lo))
     return out
 
 

@@ -35,6 +35,10 @@ def curate(
     4. near dedup (optional): drop the higher-id member of every
        MinHash-verified near-duplicate pair.
     """
+    from pyspark.sql import Window
+
+    from csvtool_spark.operators.planshape import filter_computed
+
     t = F.col(text_col)
     annotated = df.select(
         F.col(id_col),
@@ -43,27 +47,35 @@ def curate(
         textstats.lang_id(t).alias("lang_guess"),
         textstats.token_count(t).alias("n_tokens"),
     )
-    kept = annotated.filter(
-        (F.col("quality") >= min_quality) & F.col("lang_guess").isin(*languages)
+    # Gate ABOVE the annotate projection (planshape): a plain .filter
+    # pushes the quality predicate below it, re-evaluating the whole
+    # quality tree (three split passes per row) in the Filter and again
+    # in the Project (round-14 plan evidence: the pushed Filter carried
+    # the full CASE/split battery below the ArrowEvalPython node).
+    kept = filter_computed(
+        annotated,
+        (F.col("quality") >= min_quality) & F.col("lang_guess").isin(*languages),
     )
 
-    # exact dedup: min-id survivor per hash. The annotated/filtered frame
-    # feeds BOTH the survivor aggregate and the surviving-row side, so
-    # without a shared exchange the whole annotate pass — including the
-    # lang_id Arrow kernel, i.e. a second Python boundary crossing of the
-    # corpus — computes twice. repartition("__h") (keyed, no partition
-    # count — AQE sizes it) makes the aggregate and the join reuse one
-    # shuffle; joining on __h and keeping rows whose id IS the group min
-    # is row-identical to the old min-id-list semi-join (ids are unique).
-    # Trade documented for 100 TB: one corpus-row shuffle by the dedup
-    # key replaces a second full scan + quality fold + Python kernel
-    # pass (guide §2.4/§4; round-13 A/B: identical rows, 1.10 → 0.72 s).
-    kept = kept.withColumn(
-        "__h", F.md5(dedup.normalized(F.col(text_col)))
-    ).repartition("__h")
-    survivors = kept.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    # exact dedup: min-id survivor per hash, as ONE window over the hash
+    # partition — the same one-pass shape as the dialect dedup stage.
+    # Round 13 tried to share one repartition("__h") exchange between a
+    # survivor aggregate and the row-side join, but column pruning makes
+    # the two exchange subtrees differ, so nothing is reused: the
+    # round-14 executed plan showed 2 parquet scans and 2 ArrowEvalPython
+    # nodes — the whole annotate pass, including the lang_id Arrow
+    # kernel's Python boundary crossing of the corpus, ran twice. The
+    # window form has a single branch by construction: one scan, one
+    # Arrow crossing, one exchange (guide §2.1/§4). min() needs no
+    # orderBy, and rows with id == their group min are exactly the old
+    # min-id survivors (ids are unique). Skew note: a viral duplicated
+    # document makes its __h partition hot either way — the old shape
+    # explicitly repartitioned the corpus by __h too.
+    kept = kept.withColumn("__h", F.md5(dedup.normalized(F.col(text_col))))
     kept = (
-        kept.join(survivors, "__h")
+        kept.withColumn(
+            "__min_id", F.min(id_col).over(Window.partitionBy("__h"))
+        )
         .filter(F.col(id_col) == F.col("__min_id"))
         .drop("__h", "__min_id")
     )
@@ -295,13 +307,24 @@ def dataset_report(
     from pyspark.sql import Window
 
     from csvtool_spark.operators.dedup import normalized
-    from csvtool_spark.operators.redact import STRICT_PATTERNS, pii_counts
+    from csvtool_spark.operators.redact import STRICT_PATTERNS
     from csvtool_spark.operators.textstats import tokens
 
-    counts = pii_counts(F.col(text_col), STRICT_PATTERNS)
-    n_pii = None
-    for name, _, _ in STRICT_PATTERNS:
-        n_pii = counts[name] if n_pii is None else n_pii + counts[name]
+    # pii_doc_rate only needs "at least one match", so probe the RAW
+    # text with rlike per pattern (stops at the first match; no match
+    # arrays, no replaces). Equivalent to progressive-sum-of-counts > 0
+    # by induction: the k-th progressive count is taken on text with
+    # patterns 1..k-1 replaced, but whenever the earlier patterns did
+    # not match, those replaces are the identity — so the first matching
+    # pattern (in either formulation) sees the raw text, and "some count
+    # > 0" ⟺ "some raw-text probe hits". Null text gives NULL rlike ->
+    # the when() falls to 0, exactly like the coalesced zero counts
+    # (round-14, guide §1.2; the oracle still runs the unconditional
+    # progressive battery and re-proves value equality).
+    has_pii = None
+    for _, pat, _ in STRICT_PATTERNS:
+        probe = F.col(text_col).rlike(pat)
+        has_pii = probe if has_pii is None else has_pii | probe
     agg = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(normalized(F.col(text_col))))).alias("n_tokens"),
@@ -309,7 +332,7 @@ def dataset_report(
         F.count_distinct(F.col(lang_col)).alias("n_langs"),
         F.sum(length_col).alias("sum_chars"),
         F.count_distinct(F.md5(normalized(F.col(text_col)))).alias("n_distinct"),
-        F.sum(F.when(n_pii > 0, 1).otherwise(0)).alias("n_pii_docs"),
+        F.sum(F.when(has_pii, 1).otherwise(0)).alias("n_pii_docs"),
     )
     stacked = agg.select(
         F.expr(

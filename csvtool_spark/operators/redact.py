@@ -64,8 +64,11 @@ def pii_counts(
     out: dict[str, Column] = {}
     cur = col
     for name, pat, repl in patterns or PII_PATTERNS:
+        # regexp_count ≡ size(regexp_extract_all(..)) — same left-to-right
+        # non-overlapping match walk — without materializing the match
+        # array (round-14, guide §1.2); coalesce keeps null text at 0
         out[name] = F.coalesce(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))), F.lit(0)
+            F.regexp_count(cur, F.lit(pat)), F.lit(0)
         ).cast("long")
         cur = F.regexp_replace(cur, pat, repl)
     return out
@@ -98,6 +101,7 @@ def redact_documents(
     ``STRICT_PATTERNS``. Returns (id, text, n_pii, pii_fraction); null
     text passes (density 0)."""
     from csvtool_spark.operators.dedup import normalized
+    from csvtool_spark.operators.planshape import filter_computed
     from csvtool_spark.operators.textstats import tokens
 
     pats = patterns or STRICT_PATTERNS
@@ -107,15 +111,53 @@ def redact_documents(
         n_pii = n_pii + counts[name]
     # null text → size null → greatest picks 1; empty text → [''] → 1
     n_toks = F.greatest(F.size(tokens(normalized(F.col(text_col)))), F.lit(1))
-    frac = F.round(n_pii.cast("double") / n_toks.cast("double"), 6)
-    return (
-        df.select(
-            F.col(id_col),
-            redact_pii(F.col(text_col), pats).alias(text_col),
-            n_pii.alias("n_pii"),
-            frac.alias("pii_fraction"),
-        )
-        .filter(F.col("pii_fraction") <= float(max_pii_fraction))
+    # Stage the per-row work ONCE and gate above it (planshape): a plain
+    # select+filter re-evaluates the whole battery in the pushed-down
+    # Filter — 2x the regex work per row (round-14: 1.19 → 0.46 s warm
+    # at sf0.1, rows identical). The staged text carries the first
+    # len(pats)-1 replaces (the shared prefix of the progressive count
+    # chain, so codegen CSE covers it); only the last replace runs after
+    # the gate, on surviving rows. The fraction is recomputed above the
+    # gate from the two staged longs — bit-identical, trivially cheap.
+    #
+    # Clean-document short-circuit: if NO pattern matches the RAW text,
+    # every progressive replace is the identity, so the counts are all
+    # zero and the redacted text IS the input — provable by induction
+    # (disjunct k of the probe is only reached when patterns 1..k-1 did
+    # not match, in which case the progressively-replaced text equals
+    # the raw text). Probing with rlike stops at the first match and
+    # never materializes match arrays, so a clean document (the
+    # overwhelming majority of a curated corpus; 100% of the sf test
+    # tables) costs 4 regex probes + one split instead of the full
+    # count-and-replace battery. Null text: rlike gives NULL, when()
+    # falls to the battery branch, which yields the same NULLs/zeros as
+    # before. The DuckDB oracle still runs the unconditional battery, so
+    # the gate re-proves value equality.
+    dirty = None
+    for _, pat, _ in pats:
+        probe = F.col(text_col).rlike(pat)
+        dirty = probe if dirty is None else dirty | probe
+    staged = df.select(
+        F.col(id_col),
+        F.when(~dirty, F.col(text_col))
+        .otherwise(redact_pii(F.col(text_col), pats[:-1]))
+        .alias("__t_prefix"),
+        F.when(~dirty, F.lit(0).cast("long")).otherwise(n_pii).alias("__n_pii"),
+        n_toks.alias("__n_toks"),
+        F.coalesce(~dirty, F.lit(False)).alias("__clean"),
+    )
+    frac = F.round(
+        F.col("__n_pii").cast("double") / F.col("__n_toks").cast("double"), 6
+    )
+    gated = filter_computed(staged, frac <= float(max_pii_fraction))
+    _, last_pat, last_repl = pats[-1]
+    return gated.select(
+        F.col(id_col),
+        F.when(F.col("__clean"), F.col("__t_prefix"))
+        .otherwise(F.regexp_replace(F.col("__t_prefix"), last_pat, last_repl))
+        .alias(text_col),
+        F.col("__n_pii").alias("n_pii"),
+        frac.alias("pii_fraction"),
     )
 
 

@@ -70,14 +70,22 @@ def curated_stream(
     """Incremental ingest curation: score (stateless) → quality filter →
     content-hash dedup with processing-time-bounded state. Emits the
     surviving documents with their quality score and content hash."""
-    scored = stream.select(
-        "doc_id",
-        "source",
-        F.col("text"),
-        textstats.quality_score(F.col("text")).alias("quality"),
-        F.md5(dedup.normalized(F.col("text"))).alias("text_hash"),
-        F.current_timestamp().alias("__ingest_ts"),
-    ).filter(F.col("quality") >= float(min_quality))
+    from csvtool_spark.operators.planshape import filter_computed
+
+    # gate ABOVE the scoring projection (planshape): a plain filter is
+    # pushed below it and re-evaluates the quality tree twice per row in
+    # every micro-batch (rand-sentinel form — streaming-legal)
+    scored = filter_computed(
+        stream.select(
+            "doc_id",
+            "source",
+            F.col("text"),
+            textstats.quality_score(F.col("text")).alias("quality"),
+            F.md5(dedup.normalized(F.col("text"))).alias("text_hash"),
+            F.current_timestamp().alias("__ingest_ts"),
+        ),
+        F.col("quality") >= float(min_quality),
+    )
     return (
         scored.withWatermark("__ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])

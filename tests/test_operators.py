@@ -576,6 +576,69 @@ def test_pii_redaction_semantics(spark):
     assert out[4] is None                # null passes through (density 0)
 
 
+def test_redact_clean_branch_differential(spark):
+    """The round-14 clean-document short-circuit (probe the RAW text with
+    rlike; skip the progressive count/replace battery when nothing
+    matches) must be value-identical to the unconditional reference form
+    on every row shape: clean, each single category, multi-category,
+    replacement-adjacent digits, pii-dense (dropped), null and empty."""
+    from pyspark.sql import functions as F
+
+    from csvtool_spark.operators.redact import (
+        STRICT_PATTERNS,
+        pii_counts,
+        redact_documents,
+        redact_pii,
+    )
+    from csvtool_spark.operators.dedup import normalized
+    from csvtool_spark.operators.textstats import tokens
+
+    rows = [
+        (1, "totally clean prose with plenty of ordinary words here"),
+        (2, "mail a@b.com please"),
+        (3, "server 10.0.0.1 rebooted"),
+        (4, "call +4915112345678 now"),
+        (5, "card 4111111111111111 on file"),
+        (6, "a@b.com 1.2.3.4 +1234567890 4111111111111111 mixed"),
+        (7, "dense a@b.com b@c.org"),          # 2 matches / 3 tokens
+        (8, None),
+        (9, ""),
+        (10, "x" * 5000),                       # long clean doc
+        (11, "777-7777-7777 dashed phone shape"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference: the unconditional battery, exactly the pre-round-14 tree
+    counts = pii_counts(F.col("text"), STRICT_PATTERNS)
+    n_pii = None
+    for name, _, _ in STRICT_PATTERNS:
+        n_pii = counts[name] if n_pii is None else n_pii + counts[name]
+    n_toks = F.greatest(F.size(tokens(normalized(F.col("text")))), F.lit(1))
+    frac = F.round(n_pii.cast("double") / n_toks.cast("double"), 6)
+    ref = (
+        d.select(
+            F.col("doc_id"),
+            redact_pii(F.col("text"), STRICT_PATTERNS).alias("text"),
+            n_pii.alias("n_pii"),
+            frac.alias("pii_fraction"),
+        )
+        .filter(F.col("pii_fraction") <= 0.2)
+    )
+    got = redact_documents(d, "text", "doc_id", max_pii_fraction=0.2)
+    assert got.schema == ref.schema
+    assert sorted(got.collect()) == sorted(ref.collect())
+
+    # dataset_report's raw-text rlike probe ⟺ progressive any-count > 0
+    probe = None
+    for _, pat, _ in STRICT_PATTERNS:
+        p = F.col("text").rlike(pat)
+        probe = p if probe is None else probe | p
+    pairs = d.select(
+        (n_pii > 0).alias("ref"), F.coalesce(probe, F.lit(False)).alias("new")
+    ).collect()
+    assert all(bool(r.ref) == bool(r.new) for r in pairs)
+
+
 def test_dsir_hash_families_agree_on_ranking_shape(spark):
     """xx64 (throughput) and md5 (oracle) lanes share every stage except
     the bucket hash — both must rank target-vocabulary docs above the
