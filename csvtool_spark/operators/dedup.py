@@ -335,9 +335,19 @@ def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
     principle holds with storage instead of memory: write the banded
     table out, then run both phases on the materialization.
     """
+    from pyspark import StorageLevel
+
     from csvtool_spark.functions.caching import attach_stages
 
-    banded = banded.persist()
+    # Deserialized level: the default MEMORY_AND_DISK columnar-encodes
+    # (and compresses) each cached batch, which cost ~1.7 s of the
+    # q_dedup_minhash COLD pass at sf0.1 for three fixed-width columns
+    # that compress poorly anyway (round-14 probe: fill 2.6 s vs 0.92 s
+    # deserialized, recompute itself 0.95 s; reads identical at ~0.05 s).
+    # The table is (id, band_id, band_key) — narrow — and is dropped by
+    # release_stages right after the pair expansion, so the transient
+    # memory trade is bounded (guide §5.1).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     sizes = banded.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
     pruned = banded.join(
         sizes.filter((F.col("__bn") >= 2) & (F.col("__bn") <= MAX_BUCKET)),
